@@ -1,0 +1,36 @@
+"""Query registry: every operator from SURVEY.md §2 exposed as a named
+(spark_fn, oracle_sql) pair over the driver's testdata tables.
+
+Each submodule registers into its own ``REGISTRY``; ``all_queries()`` /
+``all_oracles()`` merge them for ``__spark_entry__``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
+    from tagminder_spark.queries import (  # noqa: PLC0415
+        audit,
+        dedup,
+        relational,
+        scalarfns,
+        simsearch,
+        textops,
+    )
+
+    queries: dict[str, QueryFn] = {}
+    oracles: dict[str, str] = {}
+    for mod in (relational, scalarfns, dedup, textops, simsearch, audit):
+        for name, (fn, sql) in mod.REGISTRY.items():
+            if name in queries:
+                raise ValueError(f"duplicate query name: {name}")
+            queries[name] = fn
+            if sql is not None:
+                oracles[name] = sql
+    return queries, oracles
