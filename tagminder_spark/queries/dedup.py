@@ -1,7 +1,225 @@
-"""Placeholder registry — populated in this round."""
+"""Deduplication query suite over the documents/embeddings tables.
+
+Every variant — including MinHash-LSH and SimHash — carries an *exact*
+DuckDB oracle: the operators are built on a portable md5-derived hash
+(tagminder_spark.operators.dedupe.portable_hash60), so the approximate
+algorithms are bit-for-bit reproducible in ANSI SQL. The oracle SQL for
+the signature schemes is generated from the same constants the Spark plan
+uses (single source of truth).
+"""
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from tagminder_spark.operators.dedupe import (
+    MERSENNE31,
+    SIMHASH_BAND_BITS,
+    SIMHASH_BITS,
+    embedding_neardup_pairs,
+    exact_dup_keepers,
+    minhash_lsh_pairs,
+    minhash_params,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
 from tagminder_spark.queries import QueryFn
+from tagminder_spark.session import load_table
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+# shared CTE fragments -----------------------------------------------------
+
+_SHINGLES_CTE = """
+toks AS (SELECT doc_id AS id, string_split(text, ' ') AS t FROM documents),
+u AS (SELECT id, unnest(t) AS w, generate_subscripts(t, 1) AS i FROM toks),
+sh AS (SELECT DISTINCT a.id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+       FROM u a JOIN u b ON a.id = b.id AND b.i = a.i + 1
+                JOIN u c ON a.id = c.id AND c.i = a.i + 2),
+card AS (SELECT id, COUNT(*) AS card FROM sh GROUP BY id),
+inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+          GROUP BY 1, 2),
+jac AS (SELECT id_a, id_b, n_common,
+               ROUND(n_common * 1.0 / (ca.card + cb.card - n_common), 6) AS jaccard
+        FROM inter JOIN card ca ON ca.id = id_a JOIN card cb ON cb.id = id_b)
+"""
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+_EXACT_SQL = """
+WITH h AS (SELECT doc_id AS id, md5(lower(trim(text))) AS text_hash FROM documents)
+SELECT id, text_hash,
+       MIN(id) OVER (PARTITION BY text_hash) AS keeper_id,
+       COUNT(*) OVER (PARTITION BY text_hash) AS group_size,
+       CASE WHEN id <> MIN(id) OVER (PARTITION BY text_hash) THEN 1 ELSE 0 END AS is_dup
+FROM h
+"""
+
+
+@q("d_exact_dup", _EXACT_SQL)
+def d_exact_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy (the A7 duplicate-tracks shape,
+    scripts/reports/96-...py:182-205): normalized-text hash → window
+    keeper assignment. At 100 TB: one shuffle on the 32-byte hash."""
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dup_keepers(d, "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# exact n-gram jaccard
+# --------------------------------------------------------------------------
+
+_JACCARD_SQL = f"""
+WITH {_SHINGLES_CTE}
+SELECT id_a, id_b, n_common, jaccard FROM jac WHERE jaccard >= 0.5
+"""
+
+
+@q("d_ngram_jaccard", _JACCARD_SQL)
+def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs via the shared-shingle
+    equi-join (candidate superset is provably complete for j > 0)."""
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH (generated oracle)
+# --------------------------------------------------------------------------
+
+_K, _BANDS, _ROWS = 32, 8, 4
+
+
+def _minhash_sql() -> str:
+    params = minhash_params(_K)
+    sig_exprs = ",\n       ".join(
+        f"MIN(({a} * h + {b}) % {MERSENNE31}) AS sig_{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_conds = " OR ".join(
+        "("
+        + " AND ".join(
+            f"a.sig_{bnd * _ROWS + r} = b.sig_{bnd * _ROWS + r}" for r in range(_ROWS)
+        )
+        + ")"
+        for bnd in range(_BANDS)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+h AS (SELECT id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % {MERSENNE31} AS h
+      FROM sh),
+sig AS (SELECT id, {sig_exprs} FROM h GROUP BY id),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM sig a JOIN sig b ON a.id < b.id
+         WHERE {band_conds})
+SELECT j.id_a, j.id_b, j.jaccard
+FROM jac j JOIN cand c ON c.id_a = j.id_a AND c.id_b = j.id_b
+WHERE j.jaccard >= 0.5
+"""
+
+
+@q("d_minhash_lsh", _minhash_sql())
+def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + 8×4 LSH banding + exact verification — the scalable
+    stand-in for the reference's string_grouper fuzzy matching (§2.8,
+    scripts/pipeline/10-...py:344-394). The oracle replays the identical
+    signature arithmetic, so this 'approximate' operator is exactly
+    checked: banding governs recall, verification keeps precision exact."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, k=_K, bands=_BANDS, threshold=0.5
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash (generated oracle)
+# --------------------------------------------------------------------------
+
+
+def _simhash_sql() -> str:
+    n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    sums = ",\n       ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    band_conds = " OR ".join(
+        f"((a.simhash >> {b * SIMHASH_BAND_BITS}) & {mask}) = "
+        f"((b.simhash >> {b * SIMHASH_BAND_BITS}) & {mask})"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id AS id, unnest(string_split(text, ' ')) AS tok FROM documents
+), h AS (
+  SELECT id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+  FROM toks WHERE tok <> ''
+), sums AS (
+  SELECT id, {sums} FROM h GROUP BY id
+), sig AS (
+  SELECT id, {sig} AS simhash FROM sums
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.id < b.id
+WHERE ({band_conds}) AND bit_count(xor(a.simhash, b.simhash)) <= 6
+"""
+
+
+@q("d_simhash", _simhash_sql())
+def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash near-dup pairs: per-bit ±1 token votes → signature →
+    15-bit-band LSH candidates → exact Hamming filter. Like MinHash, the
+    portable hash makes the whole approximate pipeline oracle-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(d, "doc_id", "text", max_hamming=6).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding near-dup
+# --------------------------------------------------------------------------
+
+_EMB_SQL = """
+WITH v AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), n AS (
+  SELECT id, v,
+         sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM v
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       ROUND(list_reduce(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]),
+                         (p, s) -> p + s) / (a.nrm * b.nrm), 6) AS cosine
+FROM n a JOIN n b ON a.id < b.id
+WHERE ROUND(list_reduce(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]),
+                        (p, s) -> p + s) / (a.nrm * b.nrm), 6) >= 0.4
+"""
+
+
+@q("d_embedding_neardup", _EMB_SQL)
+def d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute-force exact baseline; IVF in
+    simsearch is the scale path). Left-fold dot products keep IEEE
+    ordering identical across engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(e, "vec_id", "embedding", threshold=0.4)

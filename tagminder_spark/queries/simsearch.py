@@ -1,7 +1,125 @@
-"""Placeholder registry — populated in this round."""
+"""Similarity-search queries over the embeddings table: brute-force
+cosine top-k (correctness baseline) and IVF-bucketed top-k (scale path).
+Both are exactly oracle-checked — seeds/queries are fixed id sets and all
+float math is left-fold IEEE double.
+"""
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame, SparkSession
+
+from tagminder_spark.operators.similarity import brute_topk, ivf_topk
 from tagminder_spark.queries import QueryFn
+from tagminder_spark.session import load_table
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+_QUERY_IDS = list(range(10))
+_SEED_IDS = list(range(8))
+_IVF_QUERY_IDS = list(range(10, 20))
+
+_BASE_CTE = """
+v AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+  FROM embeddings
+), n AS (
+  SELECT id, vv,
+         sqrt(list_reduce(list_transform(vv, x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM v
+)"""
+
+_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]),"
+    " (p, s) -> p + s)"
+)
+
+
+def _cos(a: str, an: str, b: str, bn: str) -> str:
+    return f"ROUND({_DOT.format(a=a, b=b)} / ({an} * {bn}), 6)"
+
+
+_TOPK_SQL = f"""
+WITH {_BASE_CTE},
+scored AS (
+  SELECT q.id AS query_id, c.id AS neighbor_id,
+         {_cos('q.vv', 'q.nrm', 'c.vv', 'c.nrm')} AS cosine
+  FROM n q JOIN n c ON c.id <> q.id
+  WHERE q.id < 10
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
+FROM ranked WHERE rn <= 5
+"""
+
+
+@q("ann_topk_cosine", _TOPK_SQL)
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors: broadcast the query
+    side, scan the corpus once, ranked window with deterministic ties.
+    The exact baseline every ANN variant is measured against."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return brute_topk(e, "vec_id", "embedding", _QUERY_IDS, k=5)
+
+
+_IVF_SQL = f"""
+WITH {_BASE_CTE},
+seeds AS (
+  SELECT id AS cell_id, vv AS cv, nrm AS cn FROM n WHERE id < 8
+), assigned AS (
+  SELECT id, vv, nrm, cell_id FROM (
+    SELECT x.id, x.vv, x.nrm, s.cell_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY x.id
+             ORDER BY {_cos('x.vv', 'x.nrm', 's.cv', 's.cn')} DESC, s.cell_id
+           ) AS cr
+    FROM n x CROSS JOIN seeds s
+  ) WHERE cr = 1
+), probes AS (
+  SELECT query_id, qv, qn, cell_id FROM (
+    SELECT x.id AS query_id, x.vv AS qv, x.nrm AS qn, s.cell_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY x.id
+             ORDER BY {_cos('x.vv', 'x.nrm', 's.cv', 's.cn')} DESC, s.cell_id
+           ) AS cr
+    FROM n x CROSS JOIN seeds s
+    WHERE x.id >= 10 AND x.id < 20
+  ) WHERE cr <= 1
+), scored AS (
+  SELECT p.query_id, a.id AS neighbor_id,
+         {_cos('p.qv', 'p.qn', 'a.vv', 'a.nrm')} AS cosine
+  FROM probes p JOIN assigned a ON a.cell_id = p.cell_id
+  WHERE a.id <> p.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
+FROM ranked WHERE rn <= 3
+"""
+
+
+@q("ann_ivf_topk", _IVF_SQL)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed top-3: corpus assigned to nearest of 8 fixed seed
+    cells, queries probe their nearest cell only. The 100 TB shape:
+    centroids broadcast, corpus partitioned by cell, per-cell ranked
+    windows — no all-pairs anywhere."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        e, "vec_id", "embedding", _SEED_IDS, _IVF_QUERY_IDS, k=3, nprobe=1
+    )

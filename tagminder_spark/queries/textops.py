@@ -1,7 +1,207 @@
-"""Placeholder registry — populated in this round."""
+"""Text-analysis queries over the documents/events tables: language-ID,
+quality scoring, token counting, fingerprinting, tumbling-window rollup.
+
+These are the training-data-pipeline operators layered on top of the
+reference's string-function surface (SURVEY.md §2.8); each delegates to
+``tagminder_spark.operators.text`` and carries an exact DuckDB oracle.
+"""
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tagminder_spark.operators.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    fingerprint,
+    marker_hits,
+    quality_score,
+    regex_token_count,
+    word_count,
+)
 from tagminder_spark.queries import QueryFn
+from tagminder_spark.session import load_table
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _hits_sql(words: tuple[str, ...]) -> str:
+    """DuckDB twin of operators.text.marker_hits (no regexp_count in 1.0)."""
+    padded = "' ' || lower(text) || ' '"
+    terms = [
+        f"len(regexp_extract_all({padded}, ' {w} '))" for w in words
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_QUALITY_SQL = f"""
+WITH m AS (
+  SELECT doc_id, n_chars,
+         len(string_split(trim(text), ' ')) AS n_words,
+         {_hits_sql(STOPWORDS)} AS stop_hits
+  FROM documents
+)
+SELECT doc_id, n_chars, CAST(n_words AS INT) AS n_words,
+       CAST(ROUND(
+         0.4 * (CASE WHEN n_chars >= 100 AND n_chars <= 2000 THEN 1.0 ELSE 0.3 END)
+       + 0.3 * (CASE WHEN (n_chars - n_words + 1) * 1.0 / n_words >= 3.0
+                      AND (n_chars - n_words + 1) * 1.0 / n_words <= 10.0
+                     THEN 1.0 ELSE 0.4 END)
+       + 0.3 * (CASE WHEN stop_hits * 1.0 / n_words <= 0.5 THEN 1.0 ELSE 0.5 END)
+       , 4) AS DOUBLE) AS quality
+FROM m
+"""
+
+
+@q("t_quality_score", _QUALITY_SQL)
+def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length band + mean-word-length band +
+    stopword-excess band → composite [0,1] score. Pure expressions; at
+    100 TB this is a map-only pass with zero shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "n_chars",
+        word_count(F.col("text")).cast("int").alias("n_words"),
+        quality_score(F.col("text")).cast("double").alias("quality"),
+    )
+
+
+_LANG_CASES = " ".join(
+    f"WHEN '{lang}' THEN {_hits_sql(words)}" for lang, words in LANG_MARKERS.items()
+)
+
+_LANGID_SQL = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         {_hits_sql(LANG_MARKERS["en"])} AS s_en,
+         {_hits_sql(LANG_MARKERS["es"])} AS s_es,
+         {_hits_sql(LANG_MARKERS["de"])} AS s_de,
+         {_hits_sql(LANG_MARKERS["fr"])} AS s_fr
+  FROM documents
+)
+SELECT doc_id, CAST(s_en AS INT) AS s_en, CAST(s_es AS INT) AS s_es,
+       CAST(s_de AS INT) AS s_de, CAST(s_fr AS INT) AS s_fr,
+       CASE WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
+            WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
+            WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS predicted,
+       CASE WHEN (CASE WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
+                       WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
+                       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END) = lang
+            THEN 1 ELSE 0 END AS is_match
+FROM s
+"""
+
+
+@q("t_langid_heuristic", _LANGID_SQL)
+def t_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: per-language marker-stopword hit counts →
+    deterministic argmax with fixed priority order. The column contract
+    (scores + predicted + match flag) is what a real char-n-gram model
+    would slot into."""
+    d = load_table(spark, sf_dir, "documents")
+    scores = {
+        lang: marker_hits(F.col("text"), words).cast("int")
+        for lang, words in LANG_MARKERS.items()
+    }
+    pred = (
+        F.when(
+            scores["en"]
+            >= F.greatest(scores["es"], scores["de"], scores["fr"]),
+            F.lit("en"),
+        )
+        .when(scores["es"] >= F.greatest(scores["de"], scores["fr"]), F.lit("es"))
+        .when(scores["de"] >= scores["fr"], F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return d.select(
+        "doc_id",
+        scores["en"].alias("s_en"),
+        scores["es"].alias("s_es"),
+        scores["de"].alias("s_de"),
+        scores["fr"].alias("s_fr"),
+        pred.alias("predicted"),
+        (pred == F.col("lang")).cast("int").alias("is_match"),
+    )
+
+
+_TOKCOUNT_SQL = """
+SELECT doc_id,
+       CAST(len(string_split(trim(text), ' ')) AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT) AS re_tokens
+FROM documents
+"""
+
+
+@q("t_token_count", _TOKCOUNT_SQL)
+def t_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish maximal
+    alnum-run regex — the per-document cost metric of training pipelines."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        word_count(F.col("text")).cast("int").alias("ws_tokens"),
+        regex_token_count(F.col("text")).cast("int").alias("re_tokens"),
+    )
+
+
+_FP_SQL = """
+SELECT doc_id,
+       list_reduce(
+         list_transform(string_split_regex(lower(trim(text)), ''), c -> CAST(ascii(c) AS BIGINT)),
+         (a, b) -> (a * 31 + b) % 2147483647
+       ) AS fp
+FROM documents
+"""
+
+
+@q("t_fingerprint", _FP_SQL)
+def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: base-31 polynomial rolling hash over the
+    normalized character stream (left fold ⇒ identical in any engine)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+_WINDOW_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+@q("t_tumbling_window", _WINDOW_SQL)
+def t_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup via F.window — the batch twin of the
+    Structured Streaming ingest aggregation (tagminder_spark.streaming);
+    same logical plan both ways, which is the point of migrating the
+    reference's batch-only incrementality (§2.11) to Spark."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
