@@ -59,17 +59,109 @@ def word_shingles(
     Pure expression pipeline: split → slide a window via transform over
     index sequence → distinct. No UDFs, fully codegen'd.
     """
-    toks = F.split(F.col(text_col), " ")
+    # Materialize the token array once: element_at inside a transform
+    # lambda would otherwise re-evaluate split() per element (O(len²)).
+    base = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("toks")
+    ).where(F.size("toks") >= n)
+    toks = F.col("toks")
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     shingle_at = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
     )
     shingles = F.transform(idx, lambda i: shingle_at(i))
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
-        .where(F.size(toks) >= n)
-        .distinct()
+    return base.select("id", F.explode(shingles).alias("shingle")).distinct()
+
+
+def hashed_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct (id, h) with h = 60-bit portable shingle hash.
+
+    The hash is computed *before* the distinct/shuffle so every downstream
+    exchange, sort, and join key is an 8-byte long instead of a ~20-byte
+    string — at 100 TB that halves shuffle volume and makes the sort-merge
+    compares branchless. Collisions (~n²/2⁶¹) are negligible; the DuckDB
+    oracle runs the same hashed pipeline so parity is exact by
+    construction.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("toks")
+    ).where(F.size("toks") >= n)
+    toks = F.col("toks")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    shingle_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
     )
+    hashes = F.transform(idx, lambda i: portable_hash60(shingle_at(i)))
+    return base.select("id", F.explode(hashes).alias("h")).distinct()
+
+
+def shingle_intersections(sh: DataFrame) -> DataFrame:
+    """(id_a, id_b, n_common) for every pair sharing ≥1 hashed shingle."""
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+
+def jaccard_for_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard for an explicit candidate-pair set only.
+
+    Intersections come from joining each pair with both sides' shingles —
+    cost is O(|pairs| · shingles/doc), independent of corpus-wide shingle
+    sharing. This is the verification half of any LSH scheme at scale.
+    Pairs with no common shingle drop out (jaccard would be 0).
+    """
+    card = sh.groupBy("id").agg(F.count(F.lit(1)).alias("card"))
+    inter = (
+        pairs.join(sh.select(F.col("id").alias("id_a"), "h"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), "h"), ["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = card.alias("ca")
+    cb = card.alias("cb")
+    return (
+        inter.join(ca, F.col("id_a") == F.col("ca.id"))
+        .join(cb, F.col("id_b") == F.col("cb.id"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("ca.card") + F.col("cb.card") - F.col("n_common")),
+                6,
+            ),
+        )
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+def jaccard_from_shingles(
+    sh: DataFrame, threshold: float = 0.0
+) -> DataFrame:
+    """Exact Jaccard for all shingle-sharing pairs of a hashed-shingle set."""
+    card = sh.groupBy("id").agg(F.count(F.lit(1)).alias("card"))
+    inter = shingle_intersections(sh)
+    ca = card.alias("ca")
+    cb = card.alias("cb")
+    out = (
+        inter.join(ca, F.col("id_a") == F.col("ca.id"))
+        .join(cb, F.col("id_b") == F.col("cb.id"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("ca.card") + F.col("cb.card") - F.col("n_common")),
+                6,
+            ),
+        )
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+    return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
 
 
 # --------------------------------------------------------------------------
@@ -112,31 +204,8 @@ def ngram_jaccard_pairs(
     the join key (drops only pairs whose every common shingle is a
     stop-shingle — tune cap to keep that impossible above threshold).
     """
-    sh = word_shingles(df, id_col, text_col, n)
-    card = sh.groupBy("id").agg(F.count(F.lit(1)).alias("card"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    ca = card.alias("ca")
-    cb = card.alias("cb")
-    return (
-        inter.join(ca, F.col("id_a") == F.col("ca.id"))
-        .join(cb, F.col("id_b") == F.col("cb.id"))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common")
-                / (F.col("ca.card") + F.col("cb.card") - F.col("n_common")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "n_common", "jaccard")
-    )
+    sh = hashed_shingles(df, id_col, text_col, n)
+    return jaccard_from_shingles(sh, threshold)
 
 
 # --------------------------------------------------------------------------
@@ -144,13 +213,13 @@ def ngram_jaccard_pairs(
 # --------------------------------------------------------------------------
 
 def minhash_signatures(
-    shingles: DataFrame, k: int = 32
+    hashed: DataFrame, k: int = 32
 ) -> DataFrame:
-    """(id, sig_0..sig_{k-1}): min over shingles of (a_i*h + b_i) mod p."""
-    h = F.pmod(portable_hash60(F.col("shingle")), F.lit(MERSENNE31)).alias("h")
-    base = shingles.select("id", h)
+    """(id, sig_0..sig_{k-1}) from hashed shingles: min over shingles of
+    (a_i*(h mod p) + b_i) mod p — one groupBy computing all k mins."""
+    base = hashed.select("id", F.pmod(F.col("h"), F.lit(MERSENNE31)).alias("hm"))
     aggs = [
-        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE31))).alias(
+        F.min(F.pmod(F.lit(a) * F.col("hm") + F.lit(b), F.lit(MERSENNE31))).alias(
             f"sig_{i}"
         )
         for i, (a, b) in enumerate(minhash_params(k))
@@ -175,7 +244,11 @@ def minhash_lsh_pairs(
     recall — r=4 rows/band ⇒ P(candidate) = 1-(1-j^4)^8, ~0.97 at j=0.6).
     """
     rows_per_band = k // bands
-    sh = word_shingles(df, id_col, text_col, n)
+    # The hashed-shingle set feeds three consumers (signatures, pair
+    # intersections, cardinalities); persist it so the expensive
+    # explode+distinct runs once. 16 bytes/row — at 100 TB input this is
+    # the compact derived artifact you'd materialize anyway.
+    sh = hashed_shingles(df, id_col, text_col, n).persist()
     sigs = minhash_signatures(sh, k)
     band_structs = F.array(
         *[
@@ -207,9 +280,10 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold=0.0)
+    # Verify ONLY the candidates — cost scales with |candidates|, not with
+    # corpus-wide shingle sharing.
     return (
-        candidates.join(exact, ["id_a", "id_b"])
+        jaccard_for_pairs(sh, candidates)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
