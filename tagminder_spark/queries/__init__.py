@@ -18,6 +18,7 @@ def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from tagminder_spark.queries import (  # noqa: PLC0415
         audit,
         dedup,
+        pipelinesteps,
         relational,
         scalarfns,
         simsearch,
@@ -26,7 +27,15 @@ def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
 
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
-    for mod in (relational, scalarfns, dedup, textops, simsearch, audit):
+    for mod in (
+        relational,
+        scalarfns,
+        dedup,
+        textops,
+        simsearch,
+        audit,
+        pipelinesteps,
+    ):
         for name, (fn, sql) in mod.REGISTRY.items():
             if name in queries:
                 raise ValueError(f"duplicate query name: {name}")
