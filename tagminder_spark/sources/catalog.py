@@ -1,0 +1,161 @@
+"""File-catalog source: the reference's ingest scan re-expressed on
+Spark's distributed file listing.
+
+Reference parity (SURVEY.md §2.1, file:line into /root/reference):
+- S1/S2 recursive multi-root scan with extension filter
+  (scripts/ingest/tags2db.py:418-475) → ``binaryFile`` source with
+  pathGlobFilter; Spark parallelizes listing natively, replacing the
+  hand-rolled thread pool.
+- S6 ``--new-files``   (tags2db.py:955-977)  → left_anti join on path.
+- S7 ``--modified-files`` (tags2db.py:980-1019) → inner join + mtime
+  comparison (the stored mtime is text epoch seconds, per FIXTURES.md).
+- S8 ``--prunedb``     (tags2db.py:1022-1079) → reverse left_anti.
+- S3 tag parse (tags2db.py:478-512) → ``parse_tags``: mapInPandas over
+  (path, content); the real parser (mutagen) is gated behind import-try
+  since the container lacks audio libs — the Spark-side plumbing (schema,
+  batching, column fan-out) is real and tested with the fallback parser.
+
+Scale: listing 100 TB of files is itself a distributed job here (the
+binaryFile source splits listing across executors); the anti/semi joins
+shuffle only (path, mtime) pairs, never content.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+AUDIO_EXTENSIONS = (".flac", ".wv", ".m4a", ".aiff", ".ape", ".mp3", ".ogg")
+
+
+def scan_files(
+    spark: SparkSession,
+    root: str,
+    glob: str | None = None,
+    with_content: bool = False,
+) -> DataFrame:
+    """Distributed recursive scan → (path, mtime_epoch, size[, content])."""
+    reader = (
+        spark.read.format("binaryFile").option("recursiveFileLookup", "true")
+    )
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(root)
+    cols = [
+        # binaryFile yields file:/abs/path URIs; strip the scheme so paths
+        # compare with the catalog's plain-path identity.
+        F.regexp_replace(F.col("path"), "^file:", "").alias("path"),
+        F.col("modificationTime").cast("long").alias("mtime_epoch"),
+        F.col("length").alias("size"),
+    ]
+    if with_content:
+        cols.append(F.col("content"))
+    return df.select(*cols)
+
+
+def incremental_new(scanned: DataFrame, existing: DataFrame) -> DataFrame:
+    """Paths on disk but not in the catalog (S6 --new-files)."""
+    return scanned.join(
+        existing.select(F.col("__path").alias("path")), "path", "left_anti"
+    )
+
+
+def incremental_modified(scanned: DataFrame, existing: DataFrame) -> DataFrame:
+    """Paths whose filesystem mtime is newer than the stored one (S7)."""
+    ex = existing.select(
+        F.col("__path").alias("path"),
+        F.col("__file_mod_datetime_raw").cast("double").alias("db_mtime"),
+    )
+    return (
+        scanned.join(ex, "path", "inner")
+        .filter(
+            F.col("db_mtime").isNull()
+            | (F.col("mtime_epoch").cast("double") > F.col("db_mtime"))
+        )
+        .drop("db_mtime")
+    )
+
+
+def prune_orphans(existing: DataFrame, scanned: DataFrame) -> DataFrame:
+    """Catalog rows whose path no longer exists on disk (S8 --prunedb)."""
+    return existing.join(
+        scanned.select(F.col("path").alias("__path")), "__path", "left_anti"
+    )
+
+
+# ---------------------------------------------------------------------------
+# tag parsing (S3)
+# ---------------------------------------------------------------------------
+
+PARSED_SCHEMA = (
+    "path string, __filetype string, __length_seconds string, "
+    "tags map<string,string>"
+)
+
+
+def _parse_one(path: str, content: bytes | None) -> dict:
+    """Parse one file's tags. Uses mutagen when available; otherwise a
+    deterministic fallback that exercises the identical plumbing."""
+    try:  # pragma: no cover - container lacks audio libs
+        import mutagen  # type: ignore
+
+        f = mutagen.File(path)
+        tags = {str(k).lower(): "\\\\".join(map(str, v)) if isinstance(v, list) else str(v)
+                for k, v in (f.tags or {}).items()}
+        return {
+            "path": path,
+            "__filetype": type(f).__name__.lower(),
+            "__length_seconds": str(getattr(f.info, "length", "")),
+            "tags": tags,
+        }
+    except ImportError:
+        ext = path.rsplit(".", 1)[-1].lower() if "." in path else ""
+        size = len(content) if content is not None else 0
+        return {
+            "path": path,
+            "__filetype": ext,
+            "__length_seconds": str(size % 600),
+            "tags": {"title": path.rsplit("/", 1)[-1], "__size": str(size)},
+        }
+
+
+def parse_tags(files: DataFrame) -> DataFrame:
+    """mapInPandas tag extraction over a (path[, content]) catalog frame.
+
+    One Arrow batch in, one out; per-file work is embarrassingly parallel,
+    so throughput scales with executors — the Spark answer to the
+    reference's per-drive process pools (tags2db.py:1253-1304).
+    """
+    import pandas as pd
+
+    has_content = "content" in files.columns
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = [
+                _parse_one(
+                    r.path, r.content if has_content else None
+                )
+                for r in pdf.itertuples()
+            ]
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(run, PARSED_SCHEMA)
+
+
+def tags_to_columns(parsed: DataFrame, columns: list[str]) -> DataFrame:
+    """Pivot the tags map onto the fixed column contract (the TOML
+    schema_columns list); unknown keys stay in the map — the overflow
+    strategy SURVEY.md §7.4(5) recommends for dynamic schema."""
+    out = parsed.select(
+        F.col("path").alias("__path"),
+        "__filetype",
+        "__length_seconds",
+        *[F.col("tags").getItem(c).alias(c) for c in columns],
+        F.map_filter(F.col("tags"), lambda k, _: ~k.isin(*columns)).alias(
+            "__extra_tags"
+        ),
+    )
+    return out

@@ -1,0 +1,126 @@
+"""File-catalog source, multimodal plumbing, and streaming tests."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from tagminder_spark.sources import (
+    incremental_modified,
+    incremental_new,
+    prune_orphans,
+    scan_files,
+)
+from tagminder_spark.sources.catalog import parse_tags, tags_to_columns
+from tagminder_spark.sources.multimodal import (
+    decode_and_featurize_images,
+    sample_video_frames,
+    synth_media,
+)
+from tagminder_spark.streaming import (
+    run_stream_to_memory,
+    sessionized_stream,
+    windowed_event_counts,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def catalog(spark):
+    # Scan the testdata directory itself — real files, real listing.
+    return scan_files(spark, SF_DIR, glob="*.parquet").cache()
+
+
+def test_scan_files(catalog):
+    rows = catalog.collect()
+    names = {r.path.rsplit("/", 1)[-1] for r in rows}
+    assert "lineitem.parquet" in names and len(rows) == 10
+    assert all(r.size > 0 and r.mtime_epoch > 0 for r in rows)
+
+
+def test_incremental_modes(spark, catalog):
+    # catalog rows pretend to be the DB: drop two, age one.
+    existing = (
+        catalog.limit(8)
+        .select(
+            F.col("path").alias("__path"),
+            F.when(
+                F.col("path").endswith("orders.parquet"), F.lit("1")
+            )  # ancient mtime → modified
+            .otherwise(F.col("mtime_epoch").cast("string"))
+            .alias("__file_mod_datetime_raw"),
+        )
+        .cache()
+    )
+    new = incremental_new(catalog, existing)
+    assert new.count() == 2
+    modified = incremental_modified(catalog, existing)
+    assert modified.count() == 1
+    assert modified.collect()[0].path.endswith("orders.parquet")
+    ghost = spark.createDataFrame([("/nope/gone.flac", "1")], "`__path` string, `__file_mod_datetime_raw` string")
+    orphans = prune_orphans(existing.unionByName(ghost), catalog)
+    assert [r["__path"] for r in orphans.collect()] == ["/nope/gone.flac"]
+
+
+def test_parse_tags_plumbing(spark, catalog):
+    parsed = parse_tags(catalog.limit(3))
+    rows = parsed.collect()
+    assert len(rows) == 3
+    assert all(r["__filetype"] == "parquet" for r in rows)
+    wide = tags_to_columns(parsed, ["title", "artist"])
+    w = wide.collect()
+    assert {"__path", "title", "artist", "__extra_tags"} <= set(wide.columns)
+    assert all(r.title for r in w)  # fallback parser fills title
+    assert all("title" not in r["__extra_tags"] for r in w)
+
+
+def test_multimodal_image_features(spark):
+    media = synth_media(spark, 21)
+    feats = decode_and_featurize_images(media, dim=8)
+    rows = feats.collect()
+    assert len(rows) == 7  # every third item is an image
+    assert all(len(r.feature) == 8 for r in rows)
+    assert all(64 <= r.width <= 256 for r in rows)
+    # determinism: same input → same features
+    again = decode_and_featurize_images(media, dim=8).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
+
+
+def test_multimodal_frame_sampling(spark):
+    media = synth_media(spark, 21)
+    frames = sample_video_frames(media, every_ms=1000)
+    pdf = frames.toPandas()
+    assert set(pdf.media_id.unique()) == {2, 5, 8, 11, 14, 17, 20}
+    # fan-out: one frame per reported second
+    n5 = len(pdf[pdf.media_id == 5])
+    assert n5 == (5000 + 5 * 1000) // 1000
+
+
+def test_streaming_windowed_counts_matches_batch(spark):
+    stream = windowed_event_counts(spark, SF_DIR)
+    got = run_stream_to_memory(stream, "stream_counts", mode="complete")
+    batch = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy(F.window(F.timestamp_micros(F.expr("ts div 1000")), "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    g = {(r.window_start, r.event_type): r.n for r in got.collect()}
+    b = {(r.window_start, r.event_type): r.n for r in batch.collect()}
+    assert g == b
+
+
+def test_streaming_sessions(spark):
+    stream = sessionized_stream(spark, SF_DIR, gap="30 minutes")
+    got = run_stream_to_memory(stream, "stream_sessions", mode="complete")
+    rows = got.collect()
+    assert len(rows) > 0
+    assert all(r.session_end >= r.session_start for r in rows)
+    # session count per user must match the batch lag+cumsum plan
+    from tagminder_spark.queries.relational import t_sessionize
+
+    batch = {r.user_id: r.n_sessions for r in t_sessionize(spark, SF_DIR).collect()}
+    stream_counts: dict[int, int] = {}
+    for r in rows:
+        stream_counts[r.user_id] = stream_counts.get(r.user_id, 0) + 1
+    assert stream_counts == batch
