@@ -20,6 +20,7 @@ def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
         dedup,
         pipelinesteps,
         relational,
+        reports,
         scalarfns,
         simsearch,
         textops,
@@ -35,6 +36,7 @@ def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
         simsearch,
         audit,
         pipelinesteps,
+        reports,
     ):
         for name, (fn, sql) in mod.REGISTRY.items():
             if name in queries:

@@ -1,0 +1,402 @@
+"""Report/exception-table queries (SURVEY.md §2.4 A5-A18, §2.9 feature
+edges, §2.3 J15 staged entity-resolution merge).
+
+These mirror the reference's _INF_* report generators: read-only
+aggregation passes emitting exception rows (the write side is a plain
+overwrite sink, §1.1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from tagminder_spark.functions.core import is_blank
+from tagminder_spark.queries import QueryFn
+from tagminder_spark.session import load_table
+
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# 94: missing critical tags per album (A5)
+# --------------------------------------------------------------------------
+
+_R94_SQL = """
+WITH alib AS (
+  SELECT 'd' || CAST(l_orderkey % 100 AS VARCHAR) AS album_root,
+         CASE WHEN l_orderkey % 5 = 0 THEN NULL
+              ELSE 'T' || l_orderkey END AS title,
+         CASE WHEN l_partkey % 7 = 0 THEN '   '
+              ELSE 'A' || l_partkey END AS artist,
+         CASE WHEN l_suppkey % 3 = 0 THEN ''
+              ELSE 'Y' || l_suppkey END AS year
+  FROM lineitem
+)
+SELECT album_root,
+       COUNT(*) AS n_tracks,
+       SUM(CASE WHEN title IS NULL OR trim(title) = '' OR trim(title) = '""'
+                THEN 1 ELSE 0 END) AS missing_title,
+       SUM(CASE WHEN artist IS NULL OR trim(artist) = '' OR trim(artist) = '""'
+                THEN 1 ELSE 0 END) AS missing_artist,
+       SUM(CASE WHEN year IS NULL OR trim(year) = '' OR trim(year) = '""'
+                THEN 1 ELSE 0 END) AS missing_year
+FROM alib GROUP BY album_root
+HAVING missing_title > 0 OR missing_artist > 0 OR missing_year > 0
+"""
+
+
+@q("r94_missing_critical", _R94_SQL)
+def r94_missing_critical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Report 94 (scripts/reports/94-...py:170-200): per-album counts of
+    rows missing each critical tag, exception-only wide rows — a single
+    groupBy with one conditional sum per critical column."""
+    li = load_table(spark, sf_dir, "lineitem")
+    alib = li.select(
+        F.concat(F.lit("d"), (F.col("l_orderkey") % 100).cast("string")).alias(
+            "album_root"
+        ),
+        F.when(F.col("l_orderkey") % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("T"), "l_orderkey"))
+        .alias("title"),
+        F.when(F.col("l_partkey") % 7 == 0, F.lit("   "))
+        .otherwise(F.concat(F.lit("A"), "l_partkey"))
+        .alias("artist"),
+        F.when(F.col("l_suppkey") % 3 == 0, F.lit(""))
+        .otherwise(F.concat(F.lit("Y"), "l_suppkey"))
+        .alias("year"),
+    )
+    out = alib.groupBy("album_root").agg(
+        F.count(F.lit(1)).alias("n_tracks"),
+        *[
+            F.sum(is_blank(F.col(c)).cast("int")).alias(f"missing_{c}")
+            for c in ("title", "artist", "year")
+        ],
+    )
+    return out.filter(
+        (F.col("missing_title") > 0)
+        | (F.col("missing_artist") > 0)
+        | (F.col("missing_year") > 0)
+    )
+
+
+# --------------------------------------------------------------------------
+# 95: album-inconsistent tag values (A6)
+# --------------------------------------------------------------------------
+
+_R95_SQL = """
+WITH alib AS (
+  SELECT o_custkey AS album_key, o_orderpriority AS label FROM orders
+), sigs AS (
+  SELECT album_key, COUNT(DISTINCT label) AS n_variants,
+         STRING_AGG(DISTINCT label, ' | ' ORDER BY label) AS variants
+  FROM alib GROUP BY album_key
+)
+SELECT album_key, n_variants, variants FROM sigs WHERE n_variants > 1
+"""
+
+
+@q("r95_inconsistent_tags", _R95_SQL)
+def r95_inconsistent_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Report 95 (scripts/reports/95-...py:209-236): albums whose rows
+    disagree on an album-level tag; the normalized variant list is the
+    reviewable exception payload."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(F.col("o_custkey").alias("album_key"), F.col("o_orderpriority").alias("label"))
+        .groupBy("album_key")
+        .agg(
+            F.countDistinct("label").alias("n_variants"),
+            F.array_join(F.sort_array(F.collect_set("label")), " | ").alias(
+                "variants"
+            ),
+        )
+        .filter(F.col("n_variants") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# 96: duplicate tracks, global and intra-folder (A7)
+# --------------------------------------------------------------------------
+
+_R96_SQL = """
+WITH alib AS (
+  SELECT source AS folder, md5(text) AS sig, doc_id FROM documents
+)
+SELECT 'global' AS scope, sig, CAST(NULL AS VARCHAR) AS folder,
+       COUNT(*) AS n, MIN(doc_id) AS keeper
+FROM alib GROUP BY sig HAVING COUNT(*) > 1
+UNION ALL
+SELECT 'folder', sig, folder, COUNT(*), MIN(doc_id)
+FROM alib GROUP BY folder, sig HAVING COUNT(*) > 1
+"""
+
+
+@q("r96_duplicate_tracks", _R96_SQL)
+def r96_duplicate_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Report 96 (scripts/reports/96-...py:182-205): md5-signature groups
+    with >1 member, both globally and within a folder."""
+    d = load_table(spark, sf_dir, "documents")
+    alib = d.select(
+        F.col("source").alias("folder"), F.md5("text").alias("sig"), "doc_id"
+    )
+    g = (
+        alib.groupBy("sig")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n") > 1)
+        .select(
+            F.lit("global").alias("scope"),
+            "sig",
+            F.lit(None).cast("string").alias("folder"),
+            "n",
+            "keeper",
+        )
+    )
+    f = (
+        alib.groupBy("folder", "sig")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n") > 1)
+        .select(F.lit("folder").alias("scope"), "sig", "folder", "n", "keeper")
+    )
+    return g.unionByName(f)
+
+
+# --------------------------------------------------------------------------
+# A9: changelog summary
+# --------------------------------------------------------------------------
+
+_A9_SQL = """
+WITH old AS (
+  SELECT o_orderkey, o_orderpriority AS priority, o_orderstatus AS status FROM orders
+), new AS (
+  SELECT o_orderkey,
+         regexp_replace(priority, '^[0-9]+-', '') AS priority,
+         CASE WHEN status = 'P' THEN 'PENDING' ELSE status END AS status
+  FROM old
+), changelog AS (
+  SELECT CAST(o.o_orderkey AS VARCHAR) AS alib_path, 'priority' AS alib_column,
+         o.priority AS old_value, n.priority AS new_value
+  FROM old o JOIN new n USING (o_orderkey)
+  WHERE o.priority IS DISTINCT FROM n.priority
+  UNION ALL
+  SELECT CAST(o.o_orderkey AS VARCHAR), 'status', o.status, n.status
+  FROM old o JOIN new n USING (o_orderkey)
+  WHERE o.status IS DISTINCT FROM n.status
+)
+SELECT alib_column,
+       COUNT(*) AS n_changes,
+       COUNT(DISTINCT alib_path) AS n_paths,
+       SUM(CASE WHEN old_value IS NULL AND new_value IS NOT NULL THEN 1 ELSE 0 END) AS n_adds,
+       SUM(CASE WHEN old_value IS NOT NULL AND new_value IS NULL THEN 1 ELSE 0 END) AS n_deletes,
+       SUM(CASE WHEN old_value IS NOT NULL AND new_value IS NOT NULL THEN 1 ELSE 0 END) AS n_modifies
+FROM changelog GROUP BY alib_column
+"""
+
+
+@q("a9_changelog_summary", _A9_SQL)
+def a9_changelog_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog summary (A9, src/tagminder/core/tm_changelog.py:101-258):
+    adds/deletes/modifies split per column over a real diff-audit pass —
+    one aggregation over the changelog the c_diff_changelog query emits."""
+    from tagminder_spark.queries.audit import c_diff_changelog
+
+    ch = c_diff_changelog(spark, sf_dir)
+    return ch.groupBy("alib_column").agg(
+        F.count(F.lit(1)).alias("n_changes"),
+        F.countDistinct("alib_path").alias("n_paths"),
+        F.sum(
+            (F.col("old_value").isNull() & F.col("new_value").isNotNull()).cast("int")
+        ).alias("n_adds"),
+        F.sum(
+            (F.col("old_value").isNotNull() & F.col("new_value").isNull()).cast("int")
+        ).alias("n_deletes"),
+        F.sum(
+            (F.col("old_value").isNotNull() & F.col("new_value").isNotNull()).cast(
+                "int"
+            )
+        ).alias("n_modifies"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A18: covers detection (same work, many artists)
+# --------------------------------------------------------------------------
+
+_A18_SQL = """
+WITH perf AS (
+  SELECT DISTINCT 'W' || l_partkey AS work_key, 'A' || l_suppkey AS artist
+  FROM lineitem
+), grouped AS (
+  SELECT work_key, COUNT(*) AS n_artists FROM perf GROUP BY work_key
+), display AS (
+  SELECT l.work_key, l.artist, COUNT(*) AS n,
+         ROW_NUMBER() OVER (PARTITION BY l.work_key ORDER BY COUNT(*) DESC, l.artist) AS rn
+  FROM (SELECT 'W' || l_partkey AS work_key, 'A' || l_suppkey AS artist FROM lineitem) l
+  GROUP BY l.work_key, l.artist
+)
+SELECT g.work_key, g.n_artists, d.artist AS top_artist
+FROM grouped g JOIN display d ON d.work_key = g.work_key AND d.rn = 1
+WHERE g.n_artists >= 3
+"""
+
+
+@q("a18_covers_detection", _A18_SQL)
+def a18_covers_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covers detection (A18, 92-library-insights.py:2928-2975): works
+    performed by ≥N distinct artists, with the mode performer as the
+    display representative (distinct-count + mode-window in one pass)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    perf = li.select(
+        F.concat(F.lit("W"), "l_partkey").alias("work_key"),
+        F.concat(F.lit("A"), "l_suppkey").alias("artist"),
+    )
+    counts = perf.groupBy("work_key", "artist").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("work_key").orderBy(F.desc("n"), F.asc("artist"))
+    top = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("work_key", F.col("artist").alias("top_artist"))
+    )
+    n_artists = (
+        perf.distinct()
+        .groupBy("work_key")
+        .agg(F.count(F.lit(1)).alias("n_artists"))
+        .filter(F.col("n_artists") >= 3)
+    )
+    return n_artists.join(top, "work_key").select(
+        "work_key", "n_artists", "top_artist"
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.9: feature-based proximity edges with document-frequency bounds
+# --------------------------------------------------------------------------
+
+_GFEAT_SQL = """
+WITH feats AS (
+  SELECT DISTINCT p_partkey AS node, unnest(string_split(p_type, ' ')) AS feat
+  FROM part
+  UNION
+  SELECT DISTINCT p_partkey, p_brand FROM part
+), bounded AS (
+  SELECT feat FROM feats GROUP BY feat
+  HAVING COUNT(*) >= 2 AND COUNT(*) <= 50
+), edges AS (
+  SELECT a.node AS src, b.node AS dst, COUNT(*) AS weight
+  FROM feats a
+  JOIN bounded bd ON bd.feat = a.feat
+  JOIN feats b ON a.feat = b.feat AND a.node < b.node
+  GROUP BY a.node, b.node
+)
+SELECT src, dst, weight FROM edges WHERE weight >= 2
+"""
+
+
+@q("g_feature_edges", _GFEAT_SQL)
+def g_feature_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-proximity edges (tm_graph.py:319-430): explode features,
+    enforce document-frequency bounds (min 2, max 50 — drops both noise
+    and stop-features), self-join per feature, +1 weight per shared
+    feature. The reference's Python pair loops become one equi-join."""
+    p = load_table(spark, sf_dir, "part")
+    type_feats = p.select(
+        F.col("p_partkey").alias("node"),
+        F.explode(F.split("p_type", " ")).alias("feat"),
+    )
+    brand_feats = p.select(
+        F.col("p_partkey").alias("node"), F.col("p_brand").alias("feat")
+    )
+    feats = type_feats.unionByName(brand_feats).distinct()
+    bounded = (
+        feats.groupBy("feat")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= 50))
+        .select("feat")
+    )
+    fb = feats.join(F.broadcast(bounded), "feat")
+    a = fb.alias("a")
+    b = fb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.feat") == F.col("b.feat")) & (F.col("a.node") < F.col("b.node")),
+        )
+        .groupBy(F.col("a.node").alias("src"), F.col("b.node").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .filter(F.col("weight") >= 2)
+    )
+
+
+# --------------------------------------------------------------------------
+# J15: staged multi-source entity-resolution merge
+# --------------------------------------------------------------------------
+
+_J15_SQL = """
+WITH suppliers AS (
+  SELECT s_suppkey, s_name,
+         s_nationkey + CASE WHEN s_suppkey % 4 = 0 THEN 100 ELSE 0 END AS nk
+  FROM supplier
+), phase1 AS (
+  SELECT s.s_suppkey, s.s_name, s.nk, n.n_name AS exact_name
+  FROM suppliers s LEFT JOIN nation n ON n.n_nationkey = s.nk
+), phase2 AS (
+  SELECT p.*, r.r_name AS region_name
+  FROM phase1 p LEFT JOIN region r
+    ON p.exact_name IS NULL AND r.r_regionkey = CAST(p.nk % 5 AS INT)
+)
+SELECT s_suppkey, s_name,
+       COALESCE(exact_name, region_name, 'UNRESOLVED') AS resolved_name,
+       CASE WHEN exact_name IS NOT NULL THEN 'exact'
+            WHEN region_name IS NOT NULL THEN 'region-fallback'
+            ELSE 'terminal' END AS resolve_phase
+FROM phase2
+"""
+
+
+@q("j15_staged_merge", _J15_SQL)
+def j15_staged_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged ER merge (J15, scripts/mdm/harvest/emit_contributors.py:
+    1043-3014): exact-key bridge → coarser fallback join for the
+    unresolved remainder → terminal default, with the resolution phase
+    recorded per row (the reference's source-prefixed provenance)."""
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        (
+            F.col("s_nationkey")
+            + F.when(F.col("s_suppkey") % 4 == 0, F.lit(100)).otherwise(F.lit(0))
+        ).alias("nk"),
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    p1 = s.join(
+        F.broadcast(n), s.nk == n.n_nationkey, "left"
+    ).select("s_suppkey", "s_name", "nk", F.col("n_name").alias("exact_name"))
+    p2 = p1.join(
+        F.broadcast(r),
+        p1.exact_name.isNull() & (r.r_regionkey == (p1.nk % 5).cast("int")),
+        "left",
+    ).select(
+        "s_suppkey",
+        "s_name",
+        "exact_name",
+        F.col("r_name").alias("region_name"),
+    )
+    return p2.select(
+        "s_suppkey",
+        "s_name",
+        F.coalesce("exact_name", "region_name", F.lit("UNRESOLVED")).alias(
+            "resolved_name"
+        ),
+        F.when(F.col("exact_name").isNotNull(), F.lit("exact"))
+        .when(F.col("region_name").isNotNull(), F.lit("region-fallback"))
+        .otherwise(F.lit("terminal"))
+        .alias("resolve_phase"),
+    )
