@@ -6,6 +6,14 @@ of them with the generic diff-audit operator to produce the
 updates+changelog outputs every mutating step must emit (SURVEY.md §2.10).
 """
 
+from tagminder_spark.pipeline.steps_ext import (
+    RELEASE_TYPE_MAPPING,
+    parse_dr_scores,
+    step03_title_features,
+    step07_vetted_mappings,
+    step14_releasetype,
+    step19_album_dr,
+)
 from tagminder_spark.pipeline.steps import (
     STEP_COLUMNS,
     run_step,
@@ -23,9 +31,15 @@ from tagminder_spark.pipeline.steps import (
 )
 
 __all__ = [
+    "RELEASE_TYPE_MAPPING",
     "STEP_COLUMNS",
+    "parse_dr_scores",
     "run_step",
     "step02_clean_text",
+    "step03_title_features",
+    "step07_vetted_mappings",
+    "step14_releasetype",
+    "step19_album_dr",
     "step04_merge_writers",
     "step05_infer_composers",
     "step08_subtitles",

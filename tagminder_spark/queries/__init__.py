@@ -19,6 +19,7 @@ def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
         audit,
         dedup,
         pipelinesteps,
+        pipelinesteps_ext,
         relational,
         reports,
         scalarfns,
@@ -36,6 +37,7 @@ def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
         simsearch,
         audit,
         pipelinesteps,
+        pipelinesteps_ext,
         reports,
     ):
         for name, (fn, sql) in mod.REGISTRY.items():
