@@ -6,13 +6,29 @@ of them with the generic diff-audit operator to produce the
 updates+changelog outputs every mutating step must emit (SURVEY.md §2.10).
 """
 
+from tagminder_spark.pipeline.steps_contrib import (
+    HARD_CODED_REPLACEMENTS,
+    normalize_contributor_cell,
+    parse_genre_norms,
+    step06_contributors,
+    step10_genres,
+    step11_genre_enrich,
+)
 from tagminder_spark.pipeline.steps_ext import (
+    DEFAULT_MERGES,
     RELEASE_TYPE_MAPPING,
     parse_dr_scores,
+    step01_merge_and_retain,
     step03_title_features,
     step07_vetted_mappings,
     step14_releasetype,
     step19_album_dr,
+)
+from tagminder_spark.pipeline.steps_mbid import (
+    SYNTHETIC_NAMESPACE,
+    step18_mbids,
+    step23_retire_synthetic,
+    synthetic_mbid,
 )
 from tagminder_spark.pipeline.steps import (
     STEP_COLUMNS,
@@ -31,15 +47,27 @@ from tagminder_spark.pipeline.steps import (
 )
 
 __all__ = [
+    "DEFAULT_MERGES",
+    "HARD_CODED_REPLACEMENTS",
     "RELEASE_TYPE_MAPPING",
     "STEP_COLUMNS",
+    "SYNTHETIC_NAMESPACE",
+    "normalize_contributor_cell",
     "parse_dr_scores",
+    "parse_genre_norms",
     "run_step",
+    "step01_merge_and_retain",
     "step02_clean_text",
     "step03_title_features",
+    "step06_contributors",
     "step07_vetted_mappings",
+    "step10_genres",
+    "step11_genre_enrich",
     "step14_releasetype",
+    "step18_mbids",
     "step19_album_dr",
+    "step23_retire_synthetic",
+    "synthetic_mbid",
     "step04_merge_writers",
     "step05_infer_composers",
     "step08_subtitles",

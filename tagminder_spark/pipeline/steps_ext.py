@@ -44,6 +44,134 @@ def _map_literal(pairs: dict[str, str]) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# 01: merges, involvedpeople fan-out, moves, retention gate
+# ---------------------------------------------------------------------------
+
+#: target ← sources merge rules (01-null-unauthorised-tags.py:414-455).
+DEFAULT_MERGES: dict[str, tuple[str, ...]] = {
+    "personnel": ("studiopersonnel", "main_personnel"),
+    "artist": ("featured_artist", "studiopersonnel"),
+    "composer": ("author", "songwriter"),
+    "albumartist": ("album artist", "primary_artist", "musician"),
+    "album_dr": ("album dynamic range", "dynamic range"),
+    "catalog": ("catalog#", "mcn", "catalognumber"),
+    "originalyear": ("origyear",),
+    "version": ("albumversion", "release"),
+    "releasetype": ("musicbrainz album type", "musicbrainz_albumtype"),
+    "label": ("music publisher", "discogs_label"),
+    "producer": ("co-producer", "additionalproducer"),
+    "remixer": ("remixedby",),
+    "engineer": (
+        "recording engineer",
+        "mixing engineer",
+        "mastering engineer",
+        "vocal engineer",
+        "additional programming engineer",
+    ),
+    "review": ("description", "comment"),
+}
+
+#: involvedpeople role → target columns (01:181-184).
+ROLE_FANOUT: dict[str, tuple[str, ...]] = {
+    "mainartist": ("albumartist",),
+    "composerlyricist": ("composer", "lyricist"),
+}
+
+
+def _fanout_people(involved: Column, role_key: str) -> Column:
+    """People from ``Person, role, role`` entries whose normalized role
+    list contains ``role_key`` (01:175-213), in entry order."""
+    entries = mv_tokens(F.coalesce(involved, F.lit("")))
+    matching = F.filter(
+        entries,
+        lambda e: F.size(F.split(e, ",")) >= 2,
+    )
+    matching = F.filter(
+        matching,
+        lambda e: F.exists(
+            F.slice(F.split(e, ","), 2, F.size(F.split(e, ","))),
+            lambda r: F.replace(F.lower(F.trim(r)), F.lit(" "), F.lit("")) == role_key,
+        ),
+    )
+    people = F.transform(matching, lambda e: F.trim(F.element_at(F.split(e, ","), 1)))
+    return F.filter(people, lambda p: p != "")
+
+
+def step01_merge_and_retain(
+    df: DataFrame,
+    keep: tuple[str, ...] | None = None,
+    merges: dict[str, tuple[str, ...]] | None = None,
+) -> DataFrame:
+    """Step 01 (01-null-unauthorised-tags.py:414-558): source→target tag
+    merges with caseless segment dedup (sources nulled), involvedpeople
+    role fan-out, unsyncedlyrics→lyrics move, itunesadvisory→explicit,
+    then the retention gate NULLing every non-kept non-system column.
+    Map-only: zero shuffle at any corpus size."""
+    from tagminder_spark.pipeline.steps import _caseless_ordered_dedup
+
+    out_cols: dict[str, Column] = {c: F.col(c) for c in df.columns}
+    consumed: set[str] = set()
+
+    for target, sources in (merges or DEFAULT_MERGES).items():
+        present = [s for s in sources if s in df.columns]
+        if not present:
+            continue
+        if target not in out_cols:
+            out_cols[target] = F.lit(None).cast("string")
+        # coalesce: concat() of arrays is NULL if ANY input is NULL
+        arrs = [mv_tokens(F.coalesce(out_cols[target], F.lit("")))] + [
+            mv_tokens(F.coalesce(F.col(s), F.lit(""))) for s in present
+        ]
+        out_cols[target] = mv_join(_caseless_ordered_dedup(F.concat(*arrs)))
+        consumed.update(present)
+
+    if "involvedpeople" in df.columns:
+        for role_key, targets in ROLE_FANOUT.items():
+            people = _fanout_people(F.col("involvedpeople"), role_key)
+            for target in targets:
+                base = out_cols.get(target, F.lit(None).cast("string"))
+                out_cols[target] = mv_join(
+                    _caseless_ordered_dedup(
+                        F.concat(mv_tokens(F.coalesce(base, F.lit(""))), people)
+                    )
+                )
+
+    if "unsyncedlyrics" in df.columns:
+        lyr = out_cols.get("lyrics", F.lit(None).cast("string"))
+        uns = F.col("unsyncedlyrics")
+        out_cols["lyrics"] = F.when(
+            is_blank(lyr) & ~is_blank(uns), F.trim(uns)
+        ).otherwise(lyr)
+        out_cols["unsyncedlyrics"] = F.when(
+            is_blank(lyr) & ~is_blank(uns), F.lit(None).cast("string")
+        ).otherwise(uns)
+
+    if "itunesadvisory" in df.columns:
+        adv = F.trim(F.col("itunesadvisory"))
+        exp = out_cols.get("explicit", F.lit(None).cast("string"))
+        out_cols["explicit"] = (
+            F.when(adv == "1", F.lit("1"))
+            .when(adv.isin("0", "2"), F.lit(None).cast("string"))
+            .otherwise(exp)
+        )
+
+    if keep is not None:
+        kept = set(keep)
+        for c in list(out_cols):
+            if not c.startswith("__") and c not in kept:
+                out_cols[c] = F.lit(None).cast("string")
+    else:
+        for c in consumed:  # merged-away sources are always nulled
+            out_cols[c] = F.lit(None).cast("string")
+
+    # Two-phase select (see step03): HOF lambdas + output-shadows-input
+    # aliasing mis-resolve, so compute under temp names, then rename.
+    ordered = list(df.columns) + [c for c in out_cols if c not in df.columns]
+    pre = df.select(*[out_cols[c].alias(f"__n_{i}") for i, c in enumerate(ordered)])
+    return pre.select(*[F.col(f"__n_{i}").alias(c) for i, c in enumerate(ordered)])
+
+
+# ---------------------------------------------------------------------------
 # 03: title/artist feature extraction
 # ---------------------------------------------------------------------------
 

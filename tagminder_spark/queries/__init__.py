@@ -20,6 +20,7 @@ def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
         dedup,
         pipelinesteps,
         pipelinesteps_ext,
+        pipelinesteps_lookup,
         relational,
         reports,
         scalarfns,
@@ -38,6 +39,7 @@ def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
         audit,
         pipelinesteps,
         pipelinesteps_ext,
+        pipelinesteps_lookup,
         reports,
     ):
         for name, (fn, sql) in mod.REGISTRY.items():
