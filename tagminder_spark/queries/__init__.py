@@ -20,6 +20,7 @@ def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
         dedup,
         pipelinesteps,
         pipelinesteps_ext,
+        pipelinesteps_grp,
         pipelinesteps_lookup,
         relational,
         reports,
@@ -39,6 +40,7 @@ def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
         audit,
         pipelinesteps,
         pipelinesteps_ext,
+        pipelinesteps_grp,
         pipelinesteps_lookup,
         reports,
     ):
