@@ -24,6 +24,11 @@ from tagminder_spark.pipeline.steps_ext import (
     step14_releasetype,
     step19_album_dr,
 )
+from tagminder_spark.pipeline.steps_works import (
+    ROLE_SCORE_RULES,
+    step15_contributor_similarity,
+    step22_work_inference,
+)
 from tagminder_spark.pipeline.steps_mbid import (
     SYNTHETIC_NAMESPACE,
     step18_mbids,
@@ -64,9 +69,12 @@ __all__ = [
     "step10_genres",
     "step11_genre_enrich",
     "step14_releasetype",
+    "step15_contributor_similarity",
     "step18_mbids",
     "step19_album_dr",
+    "step22_work_inference",
     "step23_retire_synthetic",
+    "ROLE_SCORE_RULES",
     "synthetic_mbid",
     "step04_merge_writers",
     "step05_infer_composers",

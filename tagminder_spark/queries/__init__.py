@@ -22,6 +22,7 @@ def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
         pipelinesteps_ext,
         pipelinesteps_grp,
         pipelinesteps_lookup,
+        pipelinesteps_works,
         relational,
         reports,
         scalarfns,
@@ -42,6 +43,7 @@ def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
         pipelinesteps_ext,
         pipelinesteps_grp,
         pipelinesteps_lookup,
+        pipelinesteps_works,
         reports,
     ):
         for name, (fn, sql) in mod.REGISTRY.items():
