@@ -25,6 +25,7 @@ def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
         pipelinesteps_works,
         relational,
         reports,
+        reports_insights,
         scalarfns,
         simsearch,
         textops,
@@ -45,6 +46,7 @@ def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
         pipelinesteps_lookup,
         pipelinesteps_works,
         reports,
+        reports_insights,
     ):
         for name, (fn, sql) in mod.REGISTRY.items():
             if name in queries:
