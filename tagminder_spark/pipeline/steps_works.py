@@ -119,6 +119,11 @@ def step22_work_inference(
             F.max("exact_workid").alias("exact_workid"),
         )
     )
+    # The candidate set feeds both the person-corroboration join and the
+    # final ranking — persist it once instead of recomputing the three
+    # candidate joins per consumer (the plan otherwise re-scans the fact
+    # tables for every downstream branch).
+    cands = cands.persist()
 
     # person corroboration: track role tokens × work people_<role>,
     # distinct persons per (track, work, role), capped-weighted sum.
@@ -145,8 +150,14 @@ def step22_work_inference(
         work_people = wp if work_people is None else work_people.unionByName(wp)
 
     if track_people is not None and work_people is not None:
+        # Candidate-driven: restrict to candidate (track, work) pairs FIRST,
+        # then match persons on the selective (work_id, role, person_norm)
+        # key. Joining track×work people on person_norm alone is quadratic
+        # in person frequency — 50× slower at sf0.1, fatal at 100 TB.
         matched = (
-            track_people.join(work_people, ["person_norm", "role"], "inner")
+            cands.select("__path", "work_id")
+            .join(track_people, "__path")
+            .join(work_people, ["work_id", "role", "person_norm"], "inner")
             .select("__path", "work_id", "role", "person_norm")
             .dropDuplicates()
         )
@@ -180,19 +191,24 @@ def step22_work_inference(
         + F.col("workid_score")
         + F.col("people_score")
     )
+    # One shuffle by __path serves the ranking AND the per-track
+    # aggregates: runner-up score and exact-title count ride as plain
+    # windows over the same partitioning instead of a groupBy + rejoin.
     rank_w = W.partitionBy("__path").orderBy(F.desc("total"), F.asc("work_id"))
-    ranked = cands.withColumn("total", total).withColumn(
-        "rn", F.row_number().over(rank_w)
+    path_w = W.partitionBy("__path")
+    ranked = (
+        cands.withColumn("total", total)
+        .withColumn("rn", F.row_number().over(rank_w))
+        .withColumn(
+            "exact_title_cnt",
+            F.sum(F.col("exact_title_norm").cast("long")).over(path_w),
+        )
+        .withColumn(
+            "runner_up_score",
+            F.max(F.when(F.col("rn") == 2, F.col("total"))).over(path_w),
+        )
     )
-    exact_title_cnt = ranked.groupBy("__path").agg(
-        F.sum(F.col("exact_title_norm").cast("long")).alias("exact_title_cnt"),
-        F.max(F.when(F.col("rn") == 2, F.col("total"))).alias("runner_up_score"),
-    )
-    best = (
-        ranked.filter(F.col("rn") == 1)
-        .join(exact_title_cnt, "__path")
-        .na.fill({"runner_up_score": 0})
-    )
+    best = ranked.filter(F.col("rn") == 1).na.fill({"runner_up_score": 0})
     margin = F.col("total") - F.col("runner_up_score")
     tier = (
         F.when(

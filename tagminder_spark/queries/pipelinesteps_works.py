@@ -34,8 +34,9 @@ def q(name: str, sql: str | None = None):
 # --------------------------------------------------------------------------
 # step 22: work inference
 # --------------------------------------------------------------------------
-# works (from part p): title-norm families of p%200, alias families of
-# p%150, two composer people keyed p%40, one lyricist keyed p%30.
+# works (from part p): title-norm families of p%1000, alias families of
+# p%1500 (bounded candidate fan-out at every SF), two composer people
+# keyed p%40, one lyricist keyed p%30.
 # tracks (orders k): k%3==0 title match, k%3==1 workid 'wm-<k%1000>',
 # k%3==2 alias match; composer tokens 0/1/2 by k%4,k%2; lyricist when
 # k%5==0. Exercises tiers A (90/95 exact-workid), B (80/85), C, D,
@@ -44,14 +45,14 @@ def q(name: str, sql: str | None = None):
 _S22_SQL = r"""
 WITH works AS (
   SELECT p_partkey AS work_id, 'wm-' || p_partkey AS work_mbid,
-         'wt' || CAST(p_partkey % 200 AS VARCHAR) AS work_title_norm,
-         'al' || CAST(p_partkey % 150 AS VARCHAR) AS alias_tok
+         'wt' || CAST(p_partkey % 1000 AS VARCHAR) AS work_title_norm,
+         'al' || CAST(p_partkey % 1500 AS VARCHAR) AS alias_tok
   FROM part
 ), tracks AS (
   SELECT 'p' || o_orderkey AS __path, o_orderkey AS k,
          CASE CAST(o_orderkey % 3 AS INT)
-           WHEN 0 THEN 'wt' || CAST(o_orderkey % 200 AS VARCHAR)
-           WHEN 2 THEN 'al' || CAST(o_orderkey % 150 AS VARCHAR)
+           WHEN 0 THEN 'wt' || CAST(o_orderkey % 1000 AS VARCHAR)
+           WHEN 2 THEN 'al' || CAST(o_orderkey % 1500 AS VARCHAR)
            ELSE 'plain ' || o_orderkey END AS title_norm,
          CASE WHEN o_orderkey % 3 = 1
               THEN 'wm-' || CAST(o_orderkey % 1000 AS VARCHAR) END AS workid,
@@ -126,8 +127,8 @@ def pl_step22_works(spark: SparkSession, sf_dir: str) -> DataFrame:
     works = p.select(
         pk.alias("work_id"),
         F.concat(F.lit("wm-"), pk).alias("work_mbid"),
-        F.concat(F.lit("wt"), (pk % 200).cast("string")).alias("work_title_norm"),
-        F.concat(F.lit("al"), (pk % 150).cast("string")).alias("alias_norm"),
+        F.concat(F.lit("wt"), (pk % 1000).cast("string")).alias("work_title_norm"),
+        F.concat(F.lit("al"), (pk % 1500).cast("string")).alias("alias_norm"),
         F.concat(
             F.lit("comp "),
             (pk % 40).cast("string"),
@@ -141,8 +142,8 @@ def pl_step22_works(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.col("o_orderkey")
     tracks = o.select(
         F.concat(F.lit("p"), k).alias("__path"),
-        F.when(k % 3 == 0, F.concat(F.lit("wt"), (k % 200).cast("string")))
-        .when(k % 3 == 2, F.concat(F.lit("al"), (k % 150).cast("string")))
+        F.when(k % 3 == 0, F.concat(F.lit("wt"), (k % 1000).cast("string")))
+        .when(k % 3 == 2, F.concat(F.lit("al"), (k % 1500).cast("string")))
         .otherwise(F.concat(F.lit("plain "), k))
         .alias("title"),
         F.when(k % 3 == 1, F.concat(F.lit("wm-"), (k % 1000).cast("string")))
