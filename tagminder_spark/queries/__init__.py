@@ -28,6 +28,7 @@ def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
         reports_insights,
         scalarfns,
         simsearch,
+        sources_q,
         textops,
     )
 
@@ -47,6 +48,7 @@ def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
         pipelinesteps_works,
         reports,
         reports_insights,
+        sources_q,
     ):
         for name, (fn, sql) in mod.REGISTRY.items():
             if name in queries:

@@ -1,0 +1,77 @@
+"""Export sink (SURVEY §2.1 S11/S12): write changed tags back to files.
+
+Reference: scripts/ingest/tags2db.py:1570-1741 groups rows per directory
+(`partition_by("__dirpath")`) and writes one file at a time per directory
+— a deliberate safety choice (README.md:417). The Spark shape is the
+same: select the export projection (S12's column allowlist +
+only-ever-touched semi-join, 98-create-export-db.py:148-372), repartition
+by directory so one task owns a directory, sort by `__path` for I/O
+locality (tags2db.py:860), then `foreachPartition` the per-file writer.
+
+The actual tag write needs an audio-tag library (mutagen) and the real
+files — neither exists in this container — so the writer is injected;
+the default raises, and tests inject a recorder. The Spark-side plumbing
+(projection, semi-join, partitioning, ordering, iteration) is real.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, Row
+from pyspark.sql import functions as F
+
+from tagminder_spark.functions.core import MV_DELIM
+
+
+def export_projection(
+    alib: DataFrame,
+    keep_columns: list[str],
+    changelog: DataFrame | None = None,
+    changed_rows_only: bool = True,
+) -> DataFrame:
+    """S12 (98-create-export-db.py:148-372): system columns + the tag
+    allowlist; optionally only rows that were ever touched (semi-join on
+    the changelog's distinct paths, :306-322). `__sqlmodded > 0` rows are
+    the 'needs export now' subset — that filter stays with the caller."""
+    cols = [c for c in alib.columns if c.startswith("__")] + [
+        c for c in keep_columns if c in alib.columns and not c.startswith("__")
+    ]
+    out = alib.select(*cols)
+    if changed_rows_only and changelog is not None:
+        touched = changelog.select(
+            F.col("alib_path").alias("__path")
+        ).dropDuplicates()
+        out = out.join(touched, "__path", "left_semi")
+    return out
+
+
+def _default_writer(rows: Iterator[Row]) -> None:
+    raise NotImplementedError(
+        "tag write-back needs mutagen + the audio files; inject writer_fn"
+    )
+
+
+def export_tags(
+    df: DataFrame,
+    writer_fn: Callable[[Iterator[Row]], None] | None = None,
+    dir_parallelism: int | None = None,
+) -> None:
+    """S11: one task per directory group, files in `__path` order within
+    the task, per-file writes performed by ``writer_fn`` (signature:
+    iterator of Rows; multi-value cells still carry the ``\\\\``
+    delimiter — the writer splits them to lists, empty ⇒ delete tag,
+    tags2db.py:1580-1592)."""
+    part_cols = [F.col("__dirpath")]
+    shaped = df.repartition(
+        *(part_cols if dir_parallelism is None else [dir_parallelism, *part_cols])
+    ).sortWithinPartitions("__dirpath", "__path")
+    shaped.foreachPartition(writer_fn or _default_writer)
+
+
+def decode_mv_for_write(value: str | None) -> list[str] | None:
+    """Writer-side cell decode: None/blank ⇒ delete tag (None), single
+    value ⇒ [value], delimited ⇒ list (tags2db.py:1580-1592)."""
+    if value is None or value.strip() == "":
+        return None
+    return [t for t in (s.strip() for s in value.split(MV_DELIM)) if t]

@@ -1,0 +1,114 @@
+"""Config contract, SQL function registration, and export sink tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from tagminder_spark.config import default_config, load_config
+from tagminder_spark.functions.sqlreg import (
+    album_root_from_path_py,
+    album_root_py,
+    register_sql_functions,
+    tokens_py,
+)
+from tagminder_spark.sources.export import (
+    decode_mv_for_write,
+    export_projection,
+    export_tags,
+)
+
+D = "\\\\"
+
+
+def test_default_config_contract():
+    cfg = default_config()
+    assert cfg.schema_columns.count("__path") == 1
+    assert "__sqlmodded" in cfg.schema_columns
+    assert "__path" in cfg.system_columns
+    assert "title" in cfg.tag_columns
+    assert cfg.delimiter == D
+
+
+def test_load_config_partial(tmp_path):
+    p = tmp_path / "t.toml"
+    p.write_text(
+        """
+[columns]
+schema_columns = ["__path", "__sqlmodded", "title", "artist"]
+[cleanup]
+keep_columns = ["title"]
+[strings]
+multivalue_delimiter = "\\\\\\\\"
+"""
+    )
+    cfg = load_config(p)
+    assert cfg.schema_columns == ["__path", "__sqlmodded", "title", "artist"]
+    assert cfg.keep_columns == ["title"]
+    assert cfg.delimiter == D
+
+
+def test_load_config_validates(tmp_path):
+    p = tmp_path / "bad.toml"
+    p.write_text('[columns]\nschema_columns = ["title"]\n')
+    with pytest.raises(ValueError):
+        load_config(p)
+
+
+def test_album_root_scalar_twins():
+    assert album_root_py("/m/Album X/CD1") == "/m/Album X"
+    assert album_root_py("/m/Album X/disc 02") == "/m/Album X"
+    assert album_root_py("/m/Album X") == "/m/Album X"
+    assert album_root_from_path_py("/m/A/cd2/01.flac") == "/m/A"
+    assert tokens_py(f"a{D}b{D}a{D} ") == ["a", "b"]
+
+
+def test_sql_registration(spark):
+    register_sql_functions(spark)
+    row = spark.sql(
+        "SELECT album_root('/m/X/CD1') AS r, is_blank('  ') AS b, "
+        f"mv_tokens('a{D * 2}b') AS t"
+    ).collect()[0]
+    assert row.r == "/m/X"
+    assert row.b is True
+    assert row.t == ["a", "b"]
+
+
+def test_export_projection_and_sink(spark):
+    alib = spark.createDataFrame(
+        [
+            ("/m/a/1.flac", "/m/a", "T1", "secret", 1),
+            ("/m/a/2.flac", "/m/a", "T2", "secret", 0),
+            ("/m/b/1.flac", "/m/b", "T3", "secret", 2),
+        ],
+        "__path string, __dirpath string, title string, badcol string, __sqlmodded int",
+    )
+    changelog = spark.createDataFrame(
+        [("/m/a/1.flac",), ("/m/b/1.flac",)], "alib_path string"
+    )
+    out = export_projection(alib, ["title"], changelog, changed_rows_only=True)
+    assert set(out.columns) == {"__path", "__dirpath", "__sqlmodded", "title"}
+    assert {r["__path"] for r in out.collect()} == {"/m/a/1.flac", "/m/b/1.flac"}
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def recorder(rows):
+        n = sum(1 for _ in rows)
+        acc.add(n)
+
+    export_tags(out, recorder)
+    assert acc.value == 2
+
+
+def test_export_default_writer_raises(spark):
+    df = spark.createDataFrame(
+        [("/m/a/1.flac", "/m/a")], "__path string, __dirpath string"
+    )
+    with pytest.raises(Exception):
+        export_tags(df)
+
+
+def test_decode_mv_for_write():
+    assert decode_mv_for_write(None) is None
+    assert decode_mv_for_write("  ") is None
+    assert decode_mv_for_write("a") == ["a"]
+    assert decode_mv_for_write(f"a{D}b") == ["a", "b"]
