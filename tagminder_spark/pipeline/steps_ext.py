@@ -35,7 +35,11 @@ _MV_RE = MV_DELIM.replace("\\", "\\\\")
 
 def _map_literal(pairs: dict[str, str]) -> Column:
     """A small dict as a codegen-resident map literal (broadcast-dict
-    pattern; the reference's equivalent is a driver-side Python dict)."""
+    pattern; the reference's equivalent is a driver-side Python dict).
+    An empty dict becomes a NULL map<string,string> — `create_map()`
+    alone types as map<void,void> and fails lookups."""
+    if not pairs:
+        return F.lit(None).cast("map<string,string>")
     items: list[Column] = []
     for k, v in pairs.items():
         items.append(F.lit(k))
