@@ -1,0 +1,117 @@
+"""Step runner — `tm-cli list|describe|run` parity.
+
+Reference: src/tagminder/app/tm_cli.py:130-241 discovers numbered scripts
+by filename convention, uses the module docstring as the description, and
+runs each as a subprocess. Here the registry is explicit (no filesystem
+convention needed), descriptions come from the step functions' docstrings,
+and "run" executes the step in-process on a shared SparkSession through
+the diff-audit protocol — each step is one Spark job, not one OS process.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+from tagminder_spark import pipeline as P
+from tagminder_spark.operators.diff_audit import diff_audit
+
+
+@dataclass(frozen=True)
+class StepSpec:
+    number: str
+    name: str
+    fn: Callable[[DataFrame], DataFrame]
+    cols: tuple[str, ...]
+    needs: tuple[str, ...] = ()  # extra inputs beyond the alib frame
+
+
+#: Steps runnable with no external dimension; dimension-consuming steps
+#: (01/03/06/07/10/11/18/19/22/23) are listed with their `needs` so a
+#: caller provides the reference frames/dicts via functools.partial.
+REGISTRY: dict[str, StepSpec] = {
+    s.number: s
+    for s in [
+        StepSpec("02", "clean-text", P.step02_clean_text, P.STEP_COLUMNS["02"]),
+        StepSpec("04", "merge-writers", P.step04_merge_writers, P.STEP_COLUMNS["04"]),
+        StepSpec("05", "infer-composers", P.step05_infer_composers, P.STEP_COLUMNS["05"]),
+        StepSpec("08", "subtitles", P.step08_subtitles, P.STEP_COLUMNS["08"]),
+        StepSpec("09", "live-markers", P.step09_live_markers, P.STEP_COLUMNS["09"]),
+        StepSpec("12", "compilations", P.step12_compilations, P.STEP_COLUMNS["12"]),
+        StepSpec("13", "discnumber", P.step13_discnumber, P.STEP_COLUMNS["13"]),
+        StepSpec("14", "releasetype", P.step14_releasetype, ("releasetype",)),
+        StepSpec("16", "track-uuid", P.step16_track_uuid, P.STEP_COLUMNS["16"]),
+        StepSpec("17", "dedupe-tags", P.step17_dedupe_tags, P.STEP_COLUMNS["17"]),
+        StepSpec("20", "dates", P.step20_dates, P.STEP_COLUMNS["20"]),
+        StepSpec("21", "titlecase", P.step21_titlecase, P.STEP_COLUMNS["21"]),
+        StepSpec(
+            "01", "null-unauthorised", P.step01_merge_and_retain,
+            ("albumartist", "composer", "lyricist", "lyrics", "explicit"),
+            needs=("keep",),
+        ),
+        StepSpec(
+            "03", "title-features", P.step03_title_features,
+            ("title", "subtitle", "artist", "live"), needs=("case_map",),
+        ),
+        StepSpec(
+            "06", "contributors", P.step06_contributors,
+            ("artist", "albumartist", "composer"), needs=("contributors",),
+        ),
+        StepSpec(
+            "07", "vetted-mappings", P.step07_vetted_mappings,
+            ("artist", "albumartist", "composer"), needs=("mapping",),
+        ),
+        StepSpec("10", "genres", P.step10_genres, ("genre", "style"), needs=("vetted",)),
+        StepSpec(
+            "11", "genre-enrichment", P.step11_genre_enrich,
+            ("genre", "style"), needs=("norms",),
+        ),
+        StepSpec(
+            "18", "mbids", P.step18_mbids, ("musicbrainz_artistid",),
+            needs=("disambiguated",),
+        ),
+        StepSpec("19", "album-dr", P.step19_album_dr, ("album_dr",), needs=("dr_scores",)),
+        StepSpec(
+            "23", "retire-synthetic", P.step23_retire_synthetic,
+            ("musicbrainz_artistid",), needs=("disambiguated",),
+        ),
+    ]
+}
+
+
+def list_steps() -> list[tuple[str, str, str]]:
+    """(number, name, one-line description) sorted by number —
+    tm_cli.py's `list` output shape."""
+    out = []
+    for num in sorted(REGISTRY):
+        s = REGISTRY[num]
+        doc = (s.fn.__doc__ or "").strip().splitlines()
+        out.append((num, s.name, doc[0] if doc else ""))
+    return out
+
+
+def describe_step(number: str) -> str:
+    s = REGISTRY[number]
+    return (s.fn.__doc__ or "").strip()
+
+
+def run_named_step(
+    number: str,
+    alib: DataFrame,
+    key: str = "__path",
+    **deps,
+) -> tuple[DataFrame, DataFrame]:
+    """Run a step through diff-audit → (updated_rows, changelog_rows).
+
+    Dimension-consuming steps take their extra inputs as keyword args
+    matching the spec's `needs` names.
+    """
+    s = REGISTRY[number]
+    missing = [n for n in s.needs if n not in deps]
+    if missing:
+        raise ValueError(f"step {number} needs inputs: {missing}")
+    new = s.fn(alib, **{n: deps[n] for n in s.needs}) if s.needs else s.fn(alib)
+    cols = [c for c in s.cols if c in new.columns]
+    return diff_audit(alib, new, key, cols, script=f"{number}-{s.name}")

@@ -185,6 +185,8 @@ def step05_infer_composers(df: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def step08_subtitles(df: DataFrame) -> DataFrame:
+    """Move [bracketed] title suffixes into the subtitle cell with
+    caseless first-seen dedup (08-normalize-subtitles.py:60-130)."""
     items = F.regexp_extract_all(F.col("title"), F.lit(r"\[([^\]]+)\]"), 1)
     clean_title = blank_to_null(
         F.trim(F.regexp_replace(F.col("title"), r"\s*\[[^\]]+\]", ""))
@@ -344,6 +346,8 @@ def _uuid7_udf():
 
 
 def step16_track_uuid(df: DataFrame) -> DataFrame:
+    """UUIDv7 where track_uuid is blank or not version 7
+    (16-populate-track-uuid.py:38-85)."""
     needs = is_blank(F.col("track_uuid")) | (
         F.substring(F.col("track_uuid"), 15, 1) != "7"
     )
@@ -361,6 +365,8 @@ def step16_track_uuid(df: DataFrame) -> DataFrame:
 def step17_dedupe_tags(
     df: DataFrame, cols: tuple[str, ...] = STEP_COLUMNS["17"]
 ) -> DataFrame:
+    """Per-cell multi-value token dedup on the configured columns
+    (17-dedupe-columns.py:74-93)."""
     out = df
     for c in cols:
         if c in df.columns:
@@ -396,6 +402,8 @@ def step20_dates(
 def step21_titlecase(
     df: DataFrame, cols: tuple[str, ...] = STEP_COLUMNS["21"]
 ) -> DataFrame:
+    """Conservative English title-case over the configured columns
+    (21-normalise-titles.py:100-118 → tm_titlecase engine)."""
     out = df
     for c in cols:
         if c in df.columns:

@@ -205,3 +205,38 @@ def t_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# stateful streaming dedup (applyInPandasWithState)
+# --------------------------------------------------------------------------
+
+_STATEFUL_SQL = """
+SELECT lang AS key,
+       CAST(1 AS BIGINT) AS n_new,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+FROM documents GROUP BY lang
+"""
+
+
+@q("t_stateful_dedup", _STATEFUL_SQL)
+def t_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-seen dedup via applyInPandasWithState
+    (streaming/stateful.py): documents streamed from the parquet file,
+    per-key state marks seen keys, output = (key, n_new, n_dropped).
+    One source file ⇒ one micro-batch ⇒ the result is deterministic and
+    oracle-checkable: every key yields exactly one first-seen row."""
+    import uuid
+
+    from tagminder_spark.streaming.ingest import run_stream_to_memory
+    from tagminder_spark.streaming.stateful import streaming_first_seen_dedup
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("doc_id long, text string, lang string, source string, n_chars long")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    out = streaming_first_seen_dedup(stream.select("lang"), "lang")
+    name = f"t_stateful_dedup_{uuid.uuid4().hex[:8]}"
+    return run_stream_to_memory(out, name)

@@ -1,0 +1,116 @@
+"""Runner (tm-cli parity), snapshots, HTML sink, and stateful-streaming
+dedup tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tagminder_spark.app import describe_step, list_steps, run_named_step
+from tagminder_spark.reports import (
+    changelog_fingerprint,
+    coverage_snapshot,
+    render_dashboard,
+)
+
+D = "\\\\"
+
+
+def test_list_and_describe():
+    steps = list_steps()
+    nums = [n for n, _, _ in steps]
+    assert nums == sorted(nums)
+    assert len(steps) >= 20
+    assert all(desc for _, _, desc in steps)  # every step self-describes
+    assert "clean" in describe_step("02").lower() or describe_step("02")
+
+
+def test_run_named_step_diff_audit(spark):
+    alib = spark.createDataFrame(
+        [
+            ("p1", "  Title\r\n", "a", 0),
+            ("p2", "Clean", "b", 0),
+        ],
+        "__path string, title string, artist string, __sqlmodded int",
+    )
+    updated, changelog = run_named_step("02", alib)
+    up = {r["__path"]: r for r in updated.collect()}
+    assert list(up) == ["p1"]  # only the dirty row
+    assert up["p1"]["title"] == "Title"
+    assert up["p1"]["__sqlmodded"] == 1
+    cl = changelog.collect()
+    assert len(cl) == 1 and cl[0]["alib_column"] == "title"
+
+
+def test_run_named_step_requires_deps(spark):
+    alib = spark.createDataFrame(
+        [("p1", "x", 0)], "__path string, artist string, __sqlmodded int"
+    )
+    with pytest.raises(ValueError, match="mapping"):
+        run_named_step("07", alib)
+    updated, changelog = run_named_step(
+        "07", alib, mapping={"x": "X canonical"}
+    )
+    assert updated.collect()[0]["artist"] == "X canonical"
+
+
+def test_coverage_snapshot(spark):
+    alib = spark.createDataFrame(
+        [
+            ("/m/a/1", "/m/a", "T", None),
+            ("/m/a/2", "/m/a", None, None),
+            ("/m/b/1", "/m/b", "T", "Y"),
+        ],
+        "__path string, __dirpath string, title string, year string",
+    )
+    snap = coverage_snapshot(alib, ["title", "year"], "run1").collect()[0]
+    assert snap["total_rows"] == 3
+    assert snap["nonblank_title"] == 2
+    assert snap["nonblank_year"] == 1
+    # album metric: mean of per-album ratios — (0.5 + 1.0)/2
+    assert abs(snap["album_ratio_title"] - 0.75) < 1e-9
+    assert snap["run_id"] == "run1" and snap["phase"] == "before"
+
+
+def test_changelog_fingerprint(spark):
+    cl = spark.createDataFrame(
+        [("p1", "title", "a", "b", "2026-01-01T00:00:00Z", "02")],
+        "alib_path string, alib_column string, old_value string,"
+        " new_value string, timestamp string, script string",
+    )
+    ts, n = changelog_fingerprint(cl)
+    assert n == 1 and ts == "2026-01-01T00:00:00Z"
+
+
+def test_render_dashboard(spark, tmp_path):
+    agg = spark.createDataFrame([("FLAC", 10), ("MP3", 5)], "filetype string, n int")
+    out = render_dashboard({"format mix": agg}, tmp_path / "dash.html")
+    text = out.read_text()
+    assert "<table>" in text and "FLAC" in text and "format mix" in text
+
+
+def test_streaming_first_seen_dedup(spark, tmp_path):
+    from tagminder_spark.streaming.stateful import (
+        DEDUP_OUTPUT_SCHEMA,
+        streaming_first_seen_dedup,
+    )
+    from tagminder_spark.streaming.ingest import run_stream_to_memory
+
+    src = tmp_path / "stream"
+    src.mkdir()
+    spark.createDataFrame(
+        [("k1", 1), ("k1", 2), ("k2", 3)], "doc_key string, v int"
+    ).coalesce(1).write.parquet(str(src / "batch"))
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("doc_key string, v int")
+        .load(str(src / "batch"))
+    )
+    out = streaming_first_seen_dedup(stream, "doc_key")
+    assert out.schema == DEDUP_OUTPUT_SCHEMA
+    got = {
+        r["key"]: (r["n_new"], r["n_dropped"])
+        for r in run_stream_to_memory(out, "dedup_test").collect()
+    }
+    assert got == {"k1": (1, 1), "k2": (1, 0)}
