@@ -38,6 +38,8 @@ HEADLINE = [
     "pl_step18_mbids",
     "pl_step22_works",
     "pl_step15_similarity",
+    "a_salted_agg",
+    "pl_chain_e2e",
 ]
 
 

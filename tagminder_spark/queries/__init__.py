@@ -27,6 +27,7 @@ def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
         reports,
         reports_insights,
         scalarfns,
+        scale_q,
         simsearch,
         sources_q,
         textops,
@@ -48,6 +49,7 @@ def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
         pipelinesteps_works,
         reports,
         reports_insights,
+        scale_q,
         sources_q,
     ):
         for name, (fn, sql) in mod.REGISTRY.items():
