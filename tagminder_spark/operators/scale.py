@@ -82,3 +82,21 @@ def top_k_per_key_salted(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    buckets: int,
+    path: str | None = None,
+) -> None:
+    """Persist as a bucketed (+sorted) datasource table. Two tables
+    bucketed on the same keys with the same bucket count join WITHOUT a
+    shuffle exchange — the co-located fact-fact join strategy for the
+    repeated alib↔changelog / alib↔works joins at 100 TB (pre-shuffle
+    once at write time, reuse forever)."""
+    w = df.write.mode("overwrite").format("parquet")
+    if path is not None:
+        w = w.option("path", path)
+    w.bucketBy(buckets, *keys).sortBy(*keys).saveAsTable(table)

@@ -112,3 +112,26 @@ def test_decode_mv_for_write():
     assert decode_mv_for_write("  ") is None
     assert decode_mv_for_write("a") == ["a"]
     assert decode_mv_for_write(f"a{D}b") == ["a", "b"]
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Co-located bucketed tables join with zero Exchange operators."""
+    from tagminder_spark.operators.scale import write_bucketed
+
+    a = spark.range(1000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(1000).selectExpr("id AS k", "id * 3 AS vb")
+    write_bucketed(a, "t_bucket_a", ["k"], 4, str(tmp_path / "a"))
+    write_bucketed(b, "t_bucket_b", ["k"], 4, str(tmp_path / "b"))
+    try:
+        joined = (
+            spark.table("t_bucket_a")
+            .hint("merge")
+            .join(spark.table("t_bucket_b"), "k")
+        )
+        assert joined.count() == 1000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bucket_a")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_b")
