@@ -94,3 +94,53 @@ def diff_audit(
         .withColumn("script", F.lit(script))
     )
     return updated, changelog
+
+
+def merge_into_parquet(
+    spark,
+    table_dir: str,
+    updates: DataFrame,
+    key: str = "__path",
+    changelog: DataFrame | None = None,
+    changelog_dir: str | None = None,
+) -> None:
+    """Persist the diff-audit outputs without Delta: MERGE-by-rewrite for
+    the alib table (anti-join survivors ∪ updated rows → temp dir →
+    atomic directory swap) plus a plain append for the changelog.
+
+    This is the reference's UPDATE-in-transaction + changelog-insert
+    (tm_db.py:580-611) re-expressed for immutable storage. With Delta/
+    Iceberg available this becomes a real ``MERGE INTO`` + CDF append;
+    the rewrite keeps the same contract on bare parquet. At 100 TB the
+    table would be partitioned (e.g. by hash bucket of the key) and only
+    partitions containing updated keys rewritten — the anti-join below
+    prunes to those partitions automatically once the key is a partition
+    column prefix.
+    """
+    import shutil
+    from pathlib import Path
+
+    base = Path(table_dir)
+    existing = spark.read.parquet(str(base))
+    missing = [c for c in existing.columns if c not in updates.columns]
+    if missing:
+        raise ValueError(f"updates lack table columns: {missing}")
+
+    # The changelog's lineage reads the CURRENT table — materialize the
+    # append before the swap deletes the files that plan references.
+    if changelog is not None and changelog_dir is not None:
+        changelog.write.mode("append").parquet(changelog_dir)
+
+    survivors = existing.join(updates.select(key), key, "left_anti")
+    merged = survivors.unionByName(updates.select(*existing.columns))
+
+    tmp = base.with_name(base.name + ".__merge_tmp__")
+    merged.write.mode("overwrite").parquet(str(tmp))
+    old = base.with_name(base.name + ".__merge_old__")
+    if old.exists():
+        shutil.rmtree(old)
+    base.rename(old)
+    tmp.rename(base)
+    shutil.rmtree(old)
+    # the session caches file listings per path — drop the stale entries
+    spark.catalog.refreshByPath(str(base))

@@ -63,3 +63,41 @@ def test_sqlmodded_accumulates(spark):
     )
     updated, _ = diff_audit(old, new, "path", ["title", "artist"], "t")
     assert updated.collect()[0]["__sqlmodded"] == 5  # 3 prior + 2 new changes
+
+
+def test_merge_into_parquet_roundtrip(spark, tmp_path):
+    from tagminder_spark.operators.diff_audit import diff_audit, merge_into_parquet
+
+    table = tmp_path / "alib"
+    spark.createDataFrame(
+        [("p1", "Old\r\n", 0), ("p2", "Keep", 0), ("p3", "  ", 0)],
+        "__path string, title string, __sqlmodded int",
+    ).write.parquet(str(table))
+
+    alib = spark.read.parquet(str(table))
+    from tagminder_spark.pipeline import step02_clean_text
+
+    updated, changelog = diff_audit(
+        alib, step02_clean_text(alib, ("title",)), "__path", ["title"], script="02"
+    )
+    merge_into_parquet(
+        spark, str(table), updated, "__path", changelog, str(tmp_path / "changelog")
+    )
+
+    after = {
+        r["__path"]: (r["title"], r["__sqlmodded"])
+        for r in spark.read.parquet(str(table)).collect()
+    }
+    # p3's whitespace→NULL normalizes equal, so it is deliberately NOT
+    # rewritten or logged ("only log what actually changed after
+    # normalization", tm_changes.py:1-16)
+    assert after == {"p1": ("Old", 1), "p2": ("Keep", 0), "p3": ("  ", 0)}
+    cl = spark.read.parquet(str(tmp_path / "changelog"))
+    assert cl.count() == 1
+
+    # idempotency through the full persistence loop: second run is a no-op
+    alib2 = spark.read.parquet(str(table))
+    updated2, changelog2 = diff_audit(
+        alib2, step02_clean_text(alib2, ("title",)), "__path", ["title"], script="02"
+    )
+    assert updated2.count() == 0 and changelog2.count() == 0
