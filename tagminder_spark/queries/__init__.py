@@ -24,6 +24,7 @@ def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
         pipelinesteps_lookup,
         pipelinesteps_works,
         relational,
+        relational_ext,
         reports,
         reports_insights,
         scalarfns,
@@ -37,6 +38,7 @@ def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
     oracles: dict[str, str] = {}
     for mod in (
         relational,
+        relational_ext,
         scalarfns,
         dedup,
         textops,
