@@ -88,13 +88,10 @@ def step18_mbids(
     """
     has_ctx = "albumartist" in df.columns
     ctx = norm_name(F.col("albumartist")) if has_ctx else F.lit("")
-    base = df.select(key, F.col(name_col), ctx.alias("__ctx"))
     toks = _raw_tokens(F.col(name_col))
-    exploded = base.select(
-        key,
-        F.col("__ctx"),
-        F.posexplode(toks).alias("pos", "name_tok"),
-    ).withColumn("norm_name", norm_name(F.col("name_tok")))
+    base = df.select(
+        key, ctx.alias("__ctx"), toks.alias("__toks"), F.size(toks).alias("__n")
+    )
 
     dis = F.broadcast(
         disambiguated.select(
@@ -102,41 +99,72 @@ def step18_mbids(
             F.col("mbid").alias("__dis_mbid"),
         )
     )
-    resolved = exploded.join(dis, "norm_name", "left")
-
-    if namesakes is not None:
-        ns = F.broadcast(
+    ns = (
+        F.broadcast(
             namesakes.select(
                 norm_name(F.col("norm_name")).alias("norm_name"),
                 F.lit(True).alias("__is_namesake"),
             ).dropDuplicates(["norm_name"])
         )
-        resolved = resolved.join(ns, "norm_name", "left")
-    else:
-        resolved = resolved.withColumn("__is_namesake", F.lit(None).cast("boolean"))
-
-    if decisions is not None:
-        dec = F.broadcast(
+        if namesakes is not None
+        else None
+    )
+    dec = (
+        F.broadcast(
             decisions.select(
                 norm_name(F.col("norm_name")).alias("norm_name"),
                 norm_name(F.col("context")).alias("__ctx"),
                 F.col("mbid").alias("__dec_mbid"),
             )
         )
-        resolved = resolved.join(dec, ["norm_name", "__ctx"], "left")
-    else:
-        resolved = resolved.withColumn("__dec_mbid", F.lit(None).cast("string"))
-
-    mbid = (
-        F.when(
-            F.col("__is_namesake").isNotNull(),
-            F.col("__dec_mbid"),  # namesake: only a user decision resolves
-        )
-        .when(F.col("__dis_mbid").isNotNull(), F.col("__dis_mbid"))
-        .otherwise(synthetic_mbid(F.col("name_tok")))
+        if decisions is not None
+        else None
     )
-    rebuilt = (
-        resolved.withColumn("__mbid", mbid)
+
+    def resolve(frame: DataFrame) -> DataFrame:
+        """frame(norm_name, __ctx, name_tok, ...) + the three broadcast
+        joins → + __mbid."""
+        r = frame.join(dis, "norm_name", "left")
+        r = (
+            r.join(ns, "norm_name", "left")
+            if ns is not None
+            else r.withColumn("__is_namesake", F.lit(None).cast("boolean"))
+        )
+        r = (
+            r.join(dec, ["norm_name", "__ctx"], "left")
+            if dec is not None
+            else r.withColumn("__dec_mbid", F.lit(None).cast("string"))
+        )
+        mbid = (
+            F.when(
+                F.col("__is_namesake").isNotNull(),
+                F.col("__dec_mbid"),  # namesake: only a user decision resolves
+            )
+            .when(F.col("__dis_mbid").isNotNull(), F.col("__dis_mbid"))
+            .otherwise(synthetic_mbid(F.col("name_tok")))
+        )
+        return r.withColumn("__mbid", mbid)
+
+    # Fast path — single-token cells (the vast majority of a music
+    # library) resolve with broadcast joins only: no explode, no
+    # re-collect shuffle. Only multi-value cells pay the positional
+    # explode + groupBy rebuild.
+    single = base.filter(F.col("__n") == 1).select(
+        key,
+        "__ctx",
+        F.element_at("__toks", 1).alias("name_tok"),
+    ).withColumn("norm_name", norm_name(F.col("name_tok")))
+    single_ids = resolve(single).select(
+        key, F.coalesce(F.col("__mbid"), F.lit("")).alias("__ids")
+    )
+
+    multi = base.filter(F.col("__n") >= 2).select(
+        key,
+        "__ctx",
+        F.posexplode("__toks").alias("pos", "name_tok"),
+    ).withColumn("norm_name", norm_name(F.col("name_tok")))
+    multi_ids = (
+        resolve(multi)
         .groupBy(key)
         .agg(
             F.array_sort(
@@ -153,6 +181,7 @@ def step18_mbids(
             ).alias("__ids"),
         )
     )
+    rebuilt = single_ids.unionByName(multi_ids)
     return (
         df.join(rebuilt, key, "left")
         .withColumn(
