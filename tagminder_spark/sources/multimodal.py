@@ -167,3 +167,58 @@ def synth_media(spark, n: int = 20) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "media_id long, width int, height int, target_w int, target_h int,"
+    " resized binary"
+)
+
+
+def resize_images(
+    media: DataFrame, target_w: int = 224, target_h: int = 224
+) -> DataFrame:
+    """mapInPandas image resize — the training-pipeline normalization
+    step before feature extraction.
+
+    Real path: Pillow decode → LANCZOS resize → PNG re-encode
+    (NotImplementedError without the lib). Fake path: deterministic
+    source dims from the content hash and a synthetic payload of
+    md5(content ∥ target) so downstream schema/size checks and
+    exactly-once semantics are testable without codecs; partitioning and
+    Arrow batch shape are identical to the real kernel.
+    """
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                content = r.content or b""
+                try:
+                    img = _decode_image_real(content)
+                    w, h = img.size
+                    import io
+
+                    resized = img.resize((target_w, target_h))
+                    buf = io.BytesIO()
+                    resized.save(buf, format="PNG")
+                    payload = buf.getvalue()
+                except NotImplementedError:
+                    w, h = _fake_dims(content)
+                    payload = hashlib.md5(
+                        content + f"{target_w}x{target_h}".encode()
+                    ).digest()
+                out.append(
+                    {
+                        "media_id": r.media_id,
+                        "width": int(w),
+                        "height": int(h),
+                        "target_w": target_w,
+                        "target_h": target_h,
+                        "resized": payload,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "image").mapInPandas(run, RESIZED_SCHEMA)

@@ -124,3 +124,20 @@ def test_streaming_sessions(spark):
     for r in rows:
         stream_counts[r.user_id] = stream_counts.get(r.user_id, 0) + 1
     assert stream_counts == batch
+
+
+def test_resize_images_plumbing(spark):
+    from tagminder_spark.sources.multimodal import resize_images, synth_media
+
+    media = synth_media(spark, 12)
+    out = resize_images(media, 128, 96)
+    rows = out.collect()
+    n_images = media.filter("kind = 'image'").count()
+    assert len(rows) == n_images > 0
+    for r in rows:
+        assert r["target_w"] == 128 and r["target_h"] == 96
+        assert r["width"] >= 64 and r["height"] >= 64
+        assert isinstance(r["resized"], (bytes, bytearray)) and len(r["resized"]) > 0
+    # deterministic fake: same input → same payload
+    again = {r["media_id"]: bytes(r["resized"]) for r in resize_images(media, 128, 96).collect()}
+    assert {r["media_id"]: bytes(r["resized"]) for r in rows} == again
