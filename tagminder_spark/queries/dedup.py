@@ -223,3 +223,50 @@ def d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering identical across engines."""
     e = load_table(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(e, "vec_id", "embedding", threshold=0.4)
+
+
+# --------------------------------------------------------------------------
+# connected components (pair → duplicate-cluster resolution)
+# --------------------------------------------------------------------------
+# Edge structure: star edges (block hub 8b → members 8b+1..8b+7); blocks
+# with ordinal ≡ 0 (mod 10) bridge their last member to the next hub, so
+# components span one or two blocks with diameter ≤ 4 (min-label
+# propagation converges in a handful of rounds) — component id is a
+# closed-form expression the oracle states directly, while the Spark side
+# actually iterates.
+
+_CC_SQL = """
+WITH nodes AS (
+  SELECT CAST(range AS BIGINT) AS node FROM range(4000)
+), labeled AS (
+  SELECT node, node // 8 AS blk FROM nodes
+)
+SELECT node,
+       CASE WHEN blk % 10 = 1 THEN (blk - 1) * 8 ELSE blk * 8 END
+         AS component
+FROM labeled
+"""
+
+
+@q("d_connected_components", _CC_SQL)
+def d_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: iterative min-label propagation over
+    near-dup pair edges (operators/components.py). The synthesized graph
+    (8-node chains, every 10th block bridged to the next) gives a
+    closed-form oracle while the engine converges by iteration."""
+    from tagminder_spark.operators.components import connected_components
+
+    nodes = spark.range(4000).select(F.col("id").alias("node"))
+    blk = (F.col("node") / 8).cast("long")
+    star = nodes.filter(F.col("node") % 8 != 0).select(
+        (blk * 8).alias("id_a"), F.col("node").alias("id_b")
+    )
+    bridge = nodes.filter(
+        (blk % 10 == 0) & (F.col("node") % 8 == 7)
+    ).select(F.col("node").alias("id_a"), (F.col("node") + 1).alias("id_b"))
+    pairs = star.unionByName(bridge)
+    cc = connected_components(pairs, max_iter=10)
+    # every node of the fixed universe appears as an edge endpoint (hubs
+    # via their members, bridged hubs via the bridge), so no isolated-
+    # node union-back is needed here
+    return cc.select("node", "component")
