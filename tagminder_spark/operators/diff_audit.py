@@ -144,3 +144,75 @@ def merge_into_parquet(
     shutil.rmtree(old)
     # the session caches file listings per path — drop the stale entries
     spark.catalog.refreshByPath(str(base))
+
+
+def diff_audit_inline(
+    df: DataFrame,
+    step,
+    cols: list[str],
+    key: str = "__path",
+    script: str = "",
+) -> tuple[DataFrame, DataFrame]:
+    """diff_audit for MAP-ONLY steps — zero shuffle.
+
+    When ``step`` is a row-local transform (every column-local pipeline
+    step: 01-04, 07-11, 14*, 16, 17, 19-21), joining old vs new on the
+    key re-shuffles both sides for nothing: the old value is sitting in
+    the same row. This variant snapshots the tracked columns in-row
+    (``__old_*``), applies the step, and diffs within the projection —
+    the whole protocol stays inside one codegen stage.
+
+    ``step`` must preserve unrelated columns (withColumn-style steps do;
+    select-rebuilding steps like 01/03 drop the snapshots — use the
+    join-based ``diff_audit`` for those). Also prefer the join-based
+    variant for DEEP step compositions: the in-row diff inlines extra
+    copies of the step expression per tracked column, and past the
+    whole-stage-codegen size limit execution falls back to interpreted
+    mode — measured far slower than paying the join shuffle once.
+    """
+    snap = df.select(
+        "*", *[F.col(c).alias(f"__old_{c}") for c in cols if c in df.columns]
+    )
+    new = step(snap)
+    missing = [c for c in cols if f"__old_{c}" not in new.columns]
+    if missing:
+        raise ValueError(
+            f"step dropped the in-row snapshots for {missing}; "
+            "use join-based diff_audit for select-rebuilding steps"
+        )
+    present = [c for c in cols if c in df.columns]
+    structs = [
+        F.when(
+            ~_norm(F.col(f"__old_{c}")).eqNullSafe(_norm(F.col(c))),
+            F.struct(
+                F.lit(c).alias("column"),
+                _norm(F.col(f"__old_{c}")).alias("old_value"),
+                _norm(F.col(c)).alias("new_value"),
+            ),
+        )
+        for c in present
+    ]
+    with_changes = new.withColumn("__changes", F.array_compact(F.array(*structs)))
+    changed = with_changes.filter(F.size("__changes") > 0)
+    sqlmodded_old = (
+        F.coalesce(F.col("__sqlmodded").cast("int"), F.lit(0))
+        if "__sqlmodded" in df.columns
+        else F.lit(0)
+    )
+    updated = changed.withColumn(
+        "__sqlmodded", (sqlmodded_old + F.size("__changes")).cast("smallint")
+    ).drop("__changes", *[f"__old_{c}" for c in present])
+    changelog = (
+        changed.select(
+            F.col(key).cast("string").alias("alib_path"),
+            F.explode("__changes").alias("ch"),
+        )
+        .select(
+            "alib_path",
+            F.col("ch.column").alias("alib_column"),
+            F.col("ch.old_value").alias("old_value"),
+            F.col("ch.new_value").alias("new_value"),
+        )
+        .withColumn("script", F.lit(script))
+    )
+    return updated, changelog

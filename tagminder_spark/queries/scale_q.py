@@ -137,13 +137,20 @@ def pl_chain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("originalyear"),
         F.lit(0).alias("__sqlmodded"),
     )
-    out = step20_dates(
-        step17_dedupe_tags(
-            step09_live_markers(step04_merge_writers(step02_clean_text(alib)))
+    def chain(d):
+        return step20_dates(
+            step17_dedupe_tags(
+                step09_live_markers(step04_merge_writers(step02_clean_text(d)))
+            )
         )
-    )
+
     cols = ["title", "subtitle", "album", "live", "composer", "genre", "year"]
-    _, changelog = diff_audit(alib, out, "__path", cols, script="chain")
+    # join-based diff on purpose: the five-step expression tree is deep,
+    # and the in-row variant (diff_audit_inline) would inline THREE more
+    # copies of it per tracked column — past whole-stage-codegen limits
+    # into interpreted fallback. The join boundary keeps the chain
+    # compiled once; inline is the right protocol for single steps.
+    _, changelog = diff_audit(alib, chain(alib), "__path", cols, script="chain")
     return (
         changelog.groupBy("alib_column")
         .agg(F.count(F.lit(1)).alias("n_changes"))

@@ -101,3 +101,23 @@ def test_merge_into_parquet_roundtrip(spark, tmp_path):
         alib2, step02_clean_text(alib2, ("title",)), "__path", ["title"], script="02"
     )
     assert updated2.count() == 0 and changelog2.count() == 0
+
+
+def test_diff_audit_inline_matches_join_variant(spark):
+    from tagminder_spark.operators.diff_audit import diff_audit, diff_audit_inline
+    from tagminder_spark.pipeline import step02_clean_text
+
+    alib = spark.createDataFrame(
+        [("p1", "Dirty\r\n", "keep", 0), ("p2", "Clean", "keep", 2)],
+        "__path string, title string, other string, __sqlmodded int",
+    )
+    step = lambda d: step02_clean_text(d, ("title",))  # noqa: E731
+    u1, c1 = diff_audit(alib, step(alib), "__path", ["title"], script="02")
+    u2, c2 = diff_audit_inline(alib, step, ["title"], script="02")
+    assert sorted(map(tuple, u1.select(*u2.columns).collect())) == sorted(
+        map(tuple, u2.collect())
+    )
+    assert sorted(map(tuple, c1.collect())) == sorted(map(tuple, c2.collect()))
+    # zero-shuffle claim: no Exchange in the inline plan
+    plan = u2._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
