@@ -105,8 +105,8 @@ WITH works AS (
 )
 SELECT t.__path,
        b.work_id AS best_work_id,
-       COALESCE(b.total, 0) AS best_score,
-       COALESCE(b.runner, 0) AS runner_up_score,
+       CAST(COALESCE(b.total, 0) AS BIGINT) AS best_score,
+       CAST(COALESCE(b.runner, 0) AS BIGINT) AS runner_up_score,
        COALESCE(b.tier, 'D') AS confidence_tier,
        COALESCE(CASE WHEN b.tier IN ('A', 'B') AND b.total >= 80
                       AND b.total - b.runner >= 20

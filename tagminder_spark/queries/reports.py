@@ -42,12 +42,12 @@ WITH alib AS (
 )
 SELECT album_root,
        COUNT(*) AS n_tracks,
-       SUM(CASE WHEN title IS NULL OR trim(title) = '' OR trim(title) = '""'
-                THEN 1 ELSE 0 END) AS missing_title,
-       SUM(CASE WHEN artist IS NULL OR trim(artist) = '' OR trim(artist) = '""'
-                THEN 1 ELSE 0 END) AS missing_artist,
-       SUM(CASE WHEN year IS NULL OR trim(year) = '' OR trim(year) = '""'
-                THEN 1 ELSE 0 END) AS missing_year
+       CAST(SUM(CASE WHEN title IS NULL OR trim(title) = '' OR trim(title) = '""'
+                THEN 1 ELSE 0 END) AS BIGINT) AS missing_title,
+       CAST(SUM(CASE WHEN artist IS NULL OR trim(artist) = '' OR trim(artist) = '""'
+                THEN 1 ELSE 0 END) AS BIGINT) AS missing_artist,
+       CAST(SUM(CASE WHEN year IS NULL OR trim(year) = '' OR trim(year) = '""'
+                THEN 1 ELSE 0 END) AS BIGINT) AS missing_year
 FROM alib GROUP BY album_root
 HAVING missing_title > 0 OR missing_artist > 0 OR missing_year > 0
 """
@@ -193,9 +193,9 @@ WITH old AS (
 SELECT alib_column,
        COUNT(*) AS n_changes,
        COUNT(DISTINCT alib_path) AS n_paths,
-       SUM(CASE WHEN old_value IS NULL AND new_value IS NOT NULL THEN 1 ELSE 0 END) AS n_adds,
-       SUM(CASE WHEN old_value IS NOT NULL AND new_value IS NULL THEN 1 ELSE 0 END) AS n_deletes,
-       SUM(CASE WHEN old_value IS NOT NULL AND new_value IS NOT NULL THEN 1 ELSE 0 END) AS n_modifies
+       CAST(SUM(CASE WHEN old_value IS NULL AND new_value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_adds,
+       CAST(SUM(CASE WHEN old_value IS NOT NULL AND new_value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+       CAST(SUM(CASE WHEN old_value IS NOT NULL AND new_value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_modifies
 FROM changelog GROUP BY alib_column
 """
 

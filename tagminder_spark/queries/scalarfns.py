@@ -268,8 +268,8 @@ WITH flags AS (
   FROM events
 )
 SELECT event_type, COUNT(*) AS n,
-       SUM(CASE WHEN lower(trim(flag_str)) IN ('1','true','yes','y','t','on')
-                THEN 1 ELSE 0 END) AS n_truthy
+       CAST(SUM(CASE WHEN lower(trim(flag_str)) IN ('1','true','yes','y','t','on')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_truthy
 FROM flags GROUP BY event_type
 """
 
@@ -306,10 +306,10 @@ WITH cells AS (
   FROM documents
 )
 SELECT source, COUNT(*) AS n_rows,
-       SUM(CASE WHEN md5_cell IS NULL OR trim(md5_cell) = '' OR trim(md5_cell) = '""'
+       CAST(SUM(CASE WHEN md5_cell IS NULL OR trim(md5_cell) = '' OR trim(md5_cell) = '""'
                   OR regexp_replace(trim(md5_cell), '-', '', 'g') = '0'
                   OR regexp_matches(regexp_replace(trim(md5_cell), '-', '', 'g'), '^0+$')
-                THEN 1 ELSE 0 END) AS n_invalid
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid
 FROM cells GROUP BY source
 """
 
@@ -347,8 +347,8 @@ WITH cells AS (
   FROM documents
 )
 SELECT source,
-       SUM(CASE WHEN lang_cell IS NULL OR trim(lang_cell) = '' OR trim(lang_cell) = '""'
-                THEN 1 ELSE 0 END) AS n_blank,
+       CAST(SUM(CASE WHEN lang_cell IS NULL OR trim(lang_cell) = '' OR trim(lang_cell) = '""'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_blank,
        COUNT(CASE WHEN NOT (lang_cell IS NULL OR trim(lang_cell) = ''
                             OR trim(lang_cell) = '""') THEN 1 END) AS n_set
 FROM cells GROUP BY source

@@ -77,12 +77,80 @@ def _nano_ts_columns(path: str) -> list[str]:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a testdata table on ANY SparkSession — including one the engine
+    did not build (the driver constructs its own session and calls
+    ``queries()[name](spark, sf_dir)``).
+
+    The testdata parquet stores TIMESTAMP(NANOS), which Spark's reader
+    rejects unless ``spark.sql.legacy.parquet.nanosAsLong`` is set.  It is a
+    runtime SQLConf, so set it on the passed session at read time rather than
+    assuming ``get_spark()`` built it; fall back to an explicit schema read
+    (ns columns typed LongType) if the conf cannot be set.
+    """
     path = f"{sf_dir}/{name}.parquet"
-    df = spark.read.parquet(path)
-    for c in _nano_ts_columns(path):
+    nano_cols = _nano_ts_columns(path)
+    if nano_cols:
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
+        except Exception:
+            df = spark.read.schema(_long_ns_schema(path)).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    for c in nano_cols:
         # exact integer ns→µs division, matching DuckDB's µs truncation
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
+
+
+def _long_ns_schema(path: str):
+    """Parquet schema with TIMESTAMP(NANOS) columns typed as LongType —
+    the fallback read path when the legacy nanosAsLong conf is unavailable."""
+    import pyarrow.parquet as pq
+
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    arrow_schema = pq.read_schema(path)
+    fields = []
+    for f in arrow_schema:
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns":
+            fields.append(T.StructField(f.name, T.LongType(), f.nullable))
+        else:
+            fields.append(
+                T.StructField(
+                    f.name, T._parse_datatype_string(_arrow_to_ddl(f.type)), f.nullable
+                )
+            )
+    return T.StructType(fields)
+
+
+def _arrow_to_ddl(t) -> str:
+    import pyarrow as pa
+
+    if pa.types.is_int64(t):
+        return "bigint"
+    if pa.types.is_int32(t):
+        return "int"
+    if pa.types.is_float64(t):
+        return "double"
+    if pa.types.is_float32(t):
+        return "float"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_date32(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"array<{_arrow_to_ddl(t.value_type)}>"
+    raise ValueError(f"unmapped arrow type: {t}")
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
