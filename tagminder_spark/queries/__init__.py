@@ -64,9 +64,10 @@ GATE_WINDOW: tuple[str, ...] = (
     "s13_sync_by_uuid",
     "s14_tsv_parse",
     "s15_jsonl_identity",
-    # skew / scale proofs
+    # skew / scale proofs + round-2 scale-path gates
     "a_salted_agg",
     "w_topk_salted",
+    "d_embedding_lsh",
     # reports
     "r94_missing_critical",
     "r95_inconsistent_tags",

@@ -17,11 +17,14 @@ from tagminder_spark.operators.dedupe import (
     MERSENNE31,
     SIMHASH_BAND_BITS,
     SIMHASH_BITS,
+    embedding_lsh_pairs,
     embedding_neardup_pairs,
     exact_dup_keepers,
+    hyperplane_signs,
     minhash_lsh_pairs,
     minhash_params,
     ngram_jaccard_pairs,
+    signed_sum_expr,
     simhash_pairs,
 )
 from tagminder_spark.queries import QueryFn
@@ -223,6 +226,71 @@ def d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering identical across engines."""
     e = load_table(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(e, "vec_id", "embedding", threshold=0.4)
+
+
+# --------------------------------------------------------------------------
+# embedding LSH (generated oracle)
+# --------------------------------------------------------------------------
+
+_EMB_DIM, _EMB_BITS, _EMB_BANDS = 64, 32, 8
+
+
+def _embedding_lsh_sql() -> str:
+    r = _EMB_BITS // _EMB_BANDS
+    signs = hyperplane_signs(_EMB_BITS, _EMB_DIM)
+    bit_exprs = ",\n         ".join(
+        f"CASE WHEN {signed_sum_expr(signs[j], 'v[{i}]')} > 0 THEN 1 ELSE 0 END AS bit_{j}"
+        for j in range(_EMB_BITS)
+    )
+    bucket_exprs = ", ".join(
+        " + ".join(f"bit_{b * r + k} * {1 << (r - 1 - k)}" for k in range(r))
+        + f" AS bucket_{b}"
+        for b in range(_EMB_BANDS)
+    )
+    band_conds = " OR ".join(
+        f"a.bucket_{b} = b.bucket_{b}" for b in range(_EMB_BANDS)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), sig AS (
+  SELECT id, v,
+         {bit_exprs}
+  FROM v
+), bk AS (
+  SELECT id, v, {bucket_exprs} FROM sig
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bk a JOIN bk b ON a.id < b.id
+  WHERE {band_conds}
+), n AS (
+  SELECT id, v,
+         sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM v
+)
+SELECT c.id_a, c.id_b,
+       ROUND(list_reduce(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]),
+                         (p, s) -> p + s) / (a.nrm * b.nrm), 6) AS cosine
+FROM cand c JOIN n a ON a.id = c.id_a JOIN n b ON b.id = c.id_b
+WHERE ROUND(list_reduce(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]),
+                        (p, s) -> p + s) / (a.nrm * b.nrm), 6) >= 0.4
+"""
+
+
+@q("d_embedding_lsh", _embedding_lsh_sql())
+def d_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed embedding pair-mining: random-hyperplane LSH (32 bits, 8×4
+    bands) proposes candidates via an equi-join on (band, bucket) — no
+    nested-loop join anywhere — then the exact left-fold cosine verifies.
+    The deterministic ±1 hyperplanes are shared with the oracle, so the
+    approximate pipeline is exactly checked. This is the scale path that
+    replaces d_embedding_neardup's all-pairs join for pair mining."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_lsh_pairs(
+        e, "vec_id", "embedding", dim=_EMB_DIM, bits=_EMB_BITS,
+        bands=_EMB_BANDS, threshold=0.4,
+    )
 
 
 # --------------------------------------------------------------------------

@@ -6,6 +6,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from tagminder_spark.operators.dedupe import (
+    embedding_lsh_pairs,
+    embedding_neardup_pairs,
     exact_dup_keepers,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -50,6 +52,23 @@ def test_simhash_symmetric_band_guarantee(docs):
     assert row[1] <= 6
     # id ordering convention holds
     assert pairs.filter(F.col("id_a") >= F.col("id_b")).count() == 0
+
+
+def test_embedding_lsh_subset_of_brute_with_recall(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    brute = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs(emb, "vec_id", "embedding", 0.4).collect()
+    }
+    lsh_df = embedding_lsh_pairs(emb, "vec_id", "embedding", dim=64, threshold=0.4)
+    lsh = {(r.id_a, r.id_b) for r in lsh_df.collect()}
+    assert lsh <= brute  # exact verification ⇒ no false positives
+    if brute:
+        recall = len(lsh) / len(brute)
+        assert recall >= 0.6, f"hyperplane-LSH recall {recall:.2f} too low"
+    # the candidate path must be an equi-join, never a nested loop
+    plan = lsh_df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
 
 
 def test_minhash_deterministic_across_runs(docs):
