@@ -194,18 +194,47 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard ≥ threshold (exact).
 
     Any pair with Jaccard > 0 shares ≥1 shingle, so the shared-shingle
     equi-join proposes a superset of qualifying pairs; intersection counts
-    come free from the join's groupBy. Scale note: shingle document
-    frequency bounds the fan-out; for web-scale corpora add a DF cap on
-    the join key (drops only pairs whose every common shingle is a
-    stop-shingle — tune cap to keep that impossible above threshold).
+    come free from the join's groupBy.
+
+    ``max_df`` is the web-scale fan-out bound: shingles appearing in more
+    than ``max_df`` documents are excluded from the *candidate join keys*
+    (a hot shingle otherwise produces O(df²) candidate pairs — quadratic
+    blow-up on boilerplate text). Verification still runs on the FULL
+    shingle sets, so every reported Jaccard is exact; the only possible
+    loss is a pair whose common shingles are ALL hot. A qualifying pair
+    (j ≥ t) shares ≥ t/(1+t) of its smaller set — near-dup text virtually
+    always includes rare shingles — and the cap is tuned so that loss is
+    empirically zero at gate scale (max observed DF ≪ cap; see
+    tests/test_dedupe.py::test_ngram_df_cap_lossless_and_bounded).
     """
     sh = hashed_shingles(df, id_col, text_col, n)
-    return jaccard_from_shingles(sh, threshold)
+    if max_df is None:
+        return jaccard_from_shingles(sh, threshold)
+    # Candidate keys = shingles with DF <= cap; verify on full sets.
+    sh = sh.persist()
+    hot = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("h")
+    )
+    capped = sh.join(F.broadcast(hot), "h", "left_anti")
+    pairs = (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return jaccard_for_pairs(sh, pairs).filter(F.col("jaccard") >= threshold)
 
 
 # --------------------------------------------------------------------------

@@ -68,6 +68,9 @@ GATE_WINDOW: tuple[str, ...] = (
     "a_salted_agg",
     "w_topk_salted",
     "d_embedding_lsh",
+    "d_ngram_jaccard_capped",
+    # flagship
+    "q1_pricing_summary",
     # reports
     "r94_missing_critical",
     "r95_inconsistent_tags",
@@ -76,8 +79,6 @@ GATE_WINDOW: tuple[str, ...] = (
     "r92_format_mix",
     "r92_top_entities",
     "r92_collab_pairs",
-    # flagship
-    "q1_pricing_summary",
 )
 
 

@@ -100,6 +100,39 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# n-gram jaccard with shingle DF cap (the web-scale fan-out bound)
+# --------------------------------------------------------------------------
+
+_DF_CAP = 20
+
+_JACCARD_CAP_SQL = f"""
+WITH {_SHINGLES_CTE},
+hh AS (SELECT id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS h FROM sh),
+hot AS (SELECT h FROM hh GROUP BY h HAVING COUNT(*) > {_DF_CAP}),
+keys AS (SELECT hh.id, hh.h FROM hh LEFT JOIN hot USING (h) WHERE hot.h IS NULL),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM keys a JOIN keys b ON a.h = b.h AND a.id < b.id)
+SELECT j.id_a, j.id_b, j.n_common, j.jaccard
+FROM jac j JOIN cand c ON c.id_a = j.id_a AND c.id_b = j.id_b
+WHERE j.jaccard >= 0.5
+"""
+
+
+@q("d_ngram_jaccard_capped", _JACCARD_CAP_SQL)
+def d_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DF-capped shared-shingle candidate join: shingles in more than
+    {cap} documents are excluded from the JOIN KEYS (bounding fan-out to
+    O(cap²) pairs per shingle — the quadratic-blow-up guard for web-scale
+    boilerplate), while Jaccard verification runs on the full shingle
+    sets so precision stays exact. Cap ≫ max observed DF at gate scale,
+    so the result equals the uncapped gate (proved by test)."""
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, max_df=_DF_CAP
+    )
+
+
+# --------------------------------------------------------------------------
 # MinHash + LSH (generated oracle)
 # --------------------------------------------------------------------------
 

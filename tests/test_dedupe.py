@@ -71,6 +71,29 @@ def test_embedding_lsh_subset_of_brute_with_recall(spark):
     assert "NestedLoop" not in plan and "Cartesian" not in plan
 
 
+def test_ngram_df_cap_lossless_and_bounded(docs):
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from tagminder_spark.operators.dedupe import hashed_shingles  # noqa: PLC0415
+
+    uncapped = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", 3, 0.5, max_df=20
+        ).collect()
+    }
+    # cap above the corpus max-DF ⇒ no qualifying pair lost
+    assert capped == uncapped
+    # and the join-key fan-out really is bounded by the cap
+    sh = hashed_shingles(docs, "doc_id", "text", 3)
+    max_df = sh.groupBy("h").count().agg(F.max("count")).collect()[0][0]
+    assert max_df <= 20
+
+
 def test_minhash_deterministic_across_runs(docs):
     a = sorted(
         (r.id_a, r.id_b, r.jaccard)
