@@ -126,24 +126,144 @@ def merge_into_parquet(
     if missing:
         raise ValueError(f"updates lack table columns: {missing}")
 
-    # The changelog's lineage reads the CURRENT table — materialize the
-    # append before the swap deletes the files that plan references.
+    # The changelog's lineage reads the CURRENT table — materialize it to a
+    # staging dir before the swap deletes the files its plan references,
+    # but PUBLISH it only after the table swap succeeds (a mid-merge crash
+    # must not record changelog entries for updates that never landed).
+    staged_changelog = None
     if changelog is not None and changelog_dir is not None:
-        changelog.write.mode("append").parquet(changelog_dir)
+        staged_changelog = base.with_name(base.name + ".__changelog_stage__")
+        if staged_changelog.exists():
+            shutil.rmtree(staged_changelog)
+        changelog.write.mode("overwrite").parquet(str(staged_changelog))
 
     survivors = existing.join(updates.select(key), key, "left_anti")
     merged = survivors.unionByName(updates.select(*existing.columns))
 
     tmp = base.with_name(base.name + ".__merge_tmp__")
     merged.write.mode("overwrite").parquet(str(tmp))
-    old = base.with_name(base.name + ".__merge_old__")
+    _swap_dir(base, tmp)
+    if staged_changelog is not None:
+        _publish_parquet_files(staged_changelog, Path(changelog_dir))
+    # the session caches file listings per path — drop the stale entries
+    spark.catalog.refreshByPath(str(base))
+
+
+def _swap_dir(base, tmp, scratch=None) -> None:
+    """Replace directory ``base`` with ``tmp``, restoring ``base`` if the
+    second rename fails (no window where the table is simply gone)."""
+    import shutil
+
+    old = scratch if scratch is not None else base.with_name(base.name + ".__merge_old__")
     if old.exists():
         shutil.rmtree(old)
     base.rename(old)
-    tmp.rename(base)
+    try:
+        tmp.rename(base)
+    except BaseException:
+        old.rename(base)  # roll back: restore the original table
+        raise
     shutil.rmtree(old)
-    # the session caches file listings per path — drop the stale entries
+
+
+def _publish_parquet_files(stage, dest) -> None:
+    """Move staged parquet part-files into the destination dir (append)."""
+    import shutil
+    import uuid
+
+    dest.mkdir(parents=True, exist_ok=True)
+    for f in stage.glob("*.parquet"):
+        f.rename(dest / f"part-{uuid.uuid4().hex}.parquet")
+    shutil.rmtree(stage)
+
+
+BUCKET_COL = "__bucket"
+
+
+def bucket_of(key_col: Column, n_buckets: int) -> Column:
+    """Stable bucket id for a key — xxhash64 is deterministic across
+    sessions/executors, so a key's bucket never moves between runs."""
+    return F.pmod(F.xxhash64(key_col.cast("string")), F.lit(n_buckets)).cast("int")
+
+
+def write_bucketed_parquet(
+    df: DataFrame, table_dir: str, key: str, n_buckets: int = 32
+) -> None:
+    """Lay the table out as ``table_dir/__bucket=N/`` hash partitions.
+
+    This is the 100 TB layout contract: MERGE then touches only the
+    buckets containing updated keys instead of rewriting the table."""
+    (
+        df.withColumn(BUCKET_COL, bucket_of(F.col(key), n_buckets))
+        .repartition(BUCKET_COL)
+        .write.partitionBy(BUCKET_COL)
+        .mode("overwrite")
+        .parquet(table_dir)
+    )
+
+
+def merge_into_bucketed_parquet(
+    spark,
+    table_dir: str,
+    updates: DataFrame,
+    key: str = "__path",
+    changelog: DataFrame | None = None,
+    changelog_dir: str | None = None,
+) -> list[int]:
+    """Pruned MERGE over a bucket-partitioned table: rewrite ONLY the
+    buckets whose keys appear in ``updates``; untouched bucket dirs are
+    neither read nor written. Returns the rewritten bucket ids.
+
+    Reference semantics: UPDATE-in-transaction + changelog insert
+    (/root/reference/src/tagminder/core/tm_db.py:580-611). The sub-linear
+    contract: cost ∝ |touched buckets| ≤ |updates|, not table size. Each
+    bucket swap rolls back on failure; bucket merges are idempotent, so
+    crash recovery is "re-run the merge". The changelog is staged before
+    any swap (its lineage reads current files) and published only after
+    every swap succeeds."""
+    import shutil
+    from pathlib import Path
+
+    base = Path(table_dir)
+    bucket_dirs = [
+        d for d in base.glob(f"{BUCKET_COL}=*") if d.name.split("=")[1].isdigit()
+    ]
+    if not bucket_dirs:
+        raise ValueError(f"{table_dir} is not bucket-partitioned (no {BUCKET_COL}=N dirs)")
+    n_buckets = max(int(d.name.split("=")[1]) for d in bucket_dirs) + 1
+
+    upd = updates.withColumn(BUCKET_COL, bucket_of(F.col(key), n_buckets)).persist()
+    # tiny driver-side list: at most n_buckets ints, NOT the update keys
+    touched = sorted(r[0] for r in upd.select(BUCKET_COL).distinct().collect())
+
+    staged_changelog = None
+    if changelog is not None and changelog_dir is not None:
+        staged_changelog = base.with_name(base.name + ".__changelog_stage__")
+        if staged_changelog.exists():
+            shutil.rmtree(staged_changelog)
+        changelog.write.mode("overwrite").parquet(str(staged_changelog))
+
+    for b in touched:
+        bdir = base / f"{BUCKET_COL}={b}"
+        upd_b = upd.filter(F.col(BUCKET_COL) == b).drop(BUCKET_COL)
+        if not bdir.exists():
+            bdir.mkdir(parents=True)
+            upd_b.write.mode("overwrite").parquet(str(bdir))
+            continue
+        existing_b = spark.read.parquet(str(bdir))
+        survivors = existing_b.join(upd_b.select(key), key, "left_anti")
+        merged = survivors.unionByName(upd_b.select(*existing_b.columns))
+        # dot-prefixed scratch dirs are invisible to Spark's partition
+        # discovery, so a reader of the whole table never sees them
+        tmp = base / f"._b{b}_tmp"
+        merged.write.mode("overwrite").parquet(str(tmp))
+        _swap_dir(bdir, tmp, scratch=base / f"._b{b}_old")
+
+    upd.unpersist()
+    if staged_changelog is not None:
+        _publish_parquet_files(staged_changelog, Path(changelog_dir))
     spark.catalog.refreshByPath(str(base))
+    return touched
 
 
 def diff_audit_inline(

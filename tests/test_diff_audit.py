@@ -103,6 +103,91 @@ def test_merge_into_parquet_roundtrip(spark, tmp_path):
     assert updated2.count() == 0 and changelog2.count() == 0
 
 
+def test_bucketed_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    from tagminder_spark.operators.diff_audit import (
+        BUCKET_COL,
+        diff_audit,
+        merge_into_bucketed_parquet,
+        write_bucketed_parquet,
+    )
+
+    table = str(tmp_path / "alib_bucketed")
+    n = 200
+    rows = [(f"p{i:04d}", f"T{i}\r\n" if i < 5 else f"T{i}", 0) for i in range(n)]
+    base = spark.createDataFrame(rows, "__path string, title string, __sqlmodded int")
+    write_bucketed_parquet(base, table, "__path", n_buckets=16)
+
+    # snapshot per-file state of every bucket dir before the merge
+    import os
+    from pathlib import Path
+
+    def filestate():
+        out = {}
+        for d in Path(table).glob(f"{BUCKET_COL}=*"):
+            out[d.name] = sorted(
+                (f.name, f.stat().st_size, f.stat().st_mtime_ns)
+                for f in d.glob("*.parquet")
+            )
+        return out
+
+    before = filestate()
+    alib = spark.read.parquet(table).drop(BUCKET_COL)
+    from tagminder_spark.pipeline import step02_clean_text
+
+    updated, changelog = diff_audit(
+        alib, step02_clean_text(alib, ("title",)), "__path", ["title"], script="02"
+    )
+    touched = merge_into_bucketed_parquet(
+        spark, table, updated, "__path", changelog, str(tmp_path / "cl")
+    )
+    after = filestate()
+
+    # only the touched buckets changed — sub-linear rewrite, proved on files
+    assert 0 < len(touched) < 16
+    for name, state in before.items():
+        b = int(name.split("=")[1])
+        if b in touched:
+            assert after[name] != state
+        else:
+            assert after[name] == state, f"untouched bucket {name} was rewritten"
+
+    # and the merge is correct + idempotent through the pruned path
+    got = {
+        r["__path"]: (r["title"], r["__sqlmodded"])
+        for r in spark.read.parquet(table).collect()
+    }
+    assert len(got) == n
+    for i in range(5):
+        assert got[f"p{i:04d}"] == (f"T{i}", 1)
+    assert got["p0100"] == ("T100", 0)
+    assert spark.read.parquet(str(tmp_path / "cl")).count() == 5
+
+    alib2 = spark.read.parquet(table).drop(BUCKET_COL)
+    updated2, _ = diff_audit(
+        alib2, step02_clean_text(alib2, ("title",)), "__path", ["title"], script="02"
+    )
+    assert updated2.count() == 0
+
+
+def test_merge_swap_rolls_back_on_failure(spark, tmp_path):
+    from pathlib import Path
+
+    from tagminder_spark.operators.diff_audit import _swap_dir
+
+    base = tmp_path / "t"
+    base.mkdir()
+    (base / "data.txt").write_text("original")
+    missing_tmp = tmp_path / "nope"  # rename will fail: source doesn't exist
+    try:
+        _swap_dir(base, missing_tmp)
+        raise AssertionError("expected swap failure")
+    except OSError:
+        pass
+    # the original table is back in place, not stranded under __merge_old__
+    assert (base / "data.txt").read_text() == "original"
+    assert not Path(str(base) + ".__merge_old__").exists()
+
+
 def test_diff_audit_inline_matches_join_variant(spark):
     from tagminder_spark.operators.diff_audit import diff_audit, diff_audit_inline
     from tagminder_spark.pipeline import step02_clean_text
