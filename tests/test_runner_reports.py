@@ -114,3 +114,46 @@ def test_streaming_first_seen_dedup(spark, tmp_path):
         for r in run_stream_to_memory(out, "dedup_test").collect()
     }
     assert got == {"k1": (1, 1), "k2": (1, 0)}
+
+
+def test_stateful_dedup_timeout_semantics():
+    """The ProcessingTimeTimeout path must expire state silently and re-arm
+    the timer on every live update (unit-level; duck-typed GroupState)."""
+    import pandas as pd
+
+    from tagminder_spark.streaming.stateful import _make_dedup_fn
+
+    class FakeState:
+        def __init__(self, exists=False, seen=0, timed_out=False):
+            self.exists, self._seen, self.hasTimedOut = exists, seen, timed_out
+            self.removed, self.timeout_set = False, None
+
+        @property
+        def get(self):
+            return (self._seen,)
+
+        def update(self, v):
+            self._seen = v[0]
+            self.exists = True
+
+        def remove(self):
+            self.removed = True
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_set = ms
+
+    fn = _make_dedup_fn(60_000)
+    # timed-out invocation: state removed, nothing emitted
+    st = FakeState(exists=True, seen=5, timed_out=True)
+    assert list(fn(("k",), iter([]), st)) == []
+    assert st.removed and st.timeout_set is None
+    # live update: timer re-armed, output emitted
+    st2 = FakeState()
+    out = list(fn(("k",), iter([pd.DataFrame({"x": [1, 2]})]), st2))
+    assert len(out) == 1 and st2.timeout_set == 60_000
+    assert (out[0].n_new[0], out[0].n_dropped[0]) == (1, 1)
+    # NoTimeout variant never touches the timer
+    fn0 = _make_dedup_fn(None)
+    st3 = FakeState()
+    list(fn0(("k",), iter([pd.DataFrame({"x": [1]})]), st3))
+    assert st3.timeout_set is None
