@@ -26,6 +26,12 @@ class StepSpec:
     fn: Callable[[DataFrame], DataFrame]
     cols: tuple[str, ...]
     needs: tuple[str, ...] = ()  # extra inputs beyond the alib frame
+    #: "mutate" steps transform alib rows (diff-audit old vs new alib);
+    #: "workspace" steps derive an auxiliary table (reference: the
+    #: _REF_* analysis tables) — diff-audit runs against the previous
+    #: workspace snapshot so re-analysis logs its delta.
+    kind: str = "mutate"
+    ws_key: tuple[str, ...] = ()  # workspace identity columns
 
 
 #: Steps runnable with no external dimension; dimension-consuming steps
@@ -77,6 +83,14 @@ REGISTRY: dict[str, StepSpec] = {
             "23", "retire-synthetic", P.step23_retire_synthetic,
             ("musicbrainz_artistid",), needs=("disambiguated",),
         ),
+        StepSpec(
+            "15", "contributor-similarity", P.step15_contributor_similarity,
+            ("similarity",), kind="workspace", ws_key=("name_a", "name_b"),
+        ),
+        StepSpec(
+            "22", "infer-works", P.step22_apply_works,
+            ("work", "musicbrainz_workid"), needs=("works",),
+        ),
     ]
 }
 
@@ -113,5 +127,35 @@ def run_named_step(
     if missing:
         raise ValueError(f"step {number} needs inputs: {missing}")
     new = s.fn(alib, **{n: deps[n] for n in s.needs}) if s.needs else s.fn(alib)
+    if s.kind == "workspace":
+        return _workspace_diff(s, new, deps.get("previous"), f"{number}-{s.name}")
     cols = [c for c in s.cols if c in new.columns]
     return diff_audit(alib, new, key, cols, script=f"{number}-{s.name}")
+
+
+def _workspace_diff(
+    s: StepSpec, new_ws: DataFrame, previous: DataFrame | None, script: str
+) -> tuple[DataFrame, DataFrame]:
+    """Diff-audit a workspace refresh: changed rows via the join-based
+    diff on the composite key, NEW rows via anti-join logged as
+    NULL→value changelog entries. Returns (new_workspace, changelog)."""
+    from pyspark.sql import functions as F
+
+    wkey = F.concat_ws("␟", *[F.col(c) for c in s.ws_key])
+    keyed_new = new_ws.withColumn("__wkey", wkey)
+    if previous is None:
+        previous = new_ws.limit(0)
+    keyed_prev = previous.withColumn("__wkey", wkey)
+    _, changed_cl = diff_audit(keyed_prev, keyed_new, "__wkey", list(s.cols), script)
+    adds = keyed_new.join(keyed_prev.select("__wkey"), "__wkey", "left_anti")
+    add_cl = None
+    for c in s.cols:
+        part = adds.select(
+            F.col("__wkey").alias("alib_path"),
+            F.lit(c).alias("alib_column"),
+            F.lit(None).cast("string").alias("old_value"),
+            F.col(c).cast("string").alias("new_value"),
+            F.lit(script).alias("script"),
+        )
+        add_cl = part if add_cl is None else add_cl.unionByName(part)
+    return new_ws, changed_cl.unionByName(add_cl)

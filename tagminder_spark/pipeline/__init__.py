@@ -27,6 +27,7 @@ from tagminder_spark.pipeline.steps_ext import (
 from tagminder_spark.pipeline.steps_works import (
     ROLE_SCORE_RULES,
     step15_contributor_similarity,
+    step22_apply_works,
     step22_work_inference,
 )
 from tagminder_spark.pipeline.steps_mbid import (
@@ -72,6 +73,7 @@ __all__ = [
     "step15_contributor_similarity",
     "step18_mbids",
     "step19_album_dr",
+    "step22_apply_works",
     "step22_work_inference",
     "step23_retire_synthetic",
     "ROLE_SCORE_RULES",

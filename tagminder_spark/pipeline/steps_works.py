@@ -319,3 +319,40 @@ def step15_contributor_similarity(
         .select("name_a", "name_b", "similarity")
     )
     return out
+
+
+def step22_apply_works(alib: DataFrame, works: DataFrame) -> DataFrame:
+    """Apply high-confidence work inferences to the track table — the
+    reference's auto-apply phase (22-infer-works-in-library.py:1684-1758):
+    for rows passing the guarded auto-apply rule, fill a BLANK ``work``
+    from the best work's title and set ``musicbrainz_workid`` from the
+    best work's MBID (existing workid kept when the work has none).
+
+    Returns an alib-shaped frame; diff-audit against the input yields the
+    reference's changelog semantics (only-actual-changes logged).
+    """
+    from tagminder_spark.functions.core import blank_to_null
+
+    inferred = step22_work_inference(alib, works).filter(F.col("auto_apply") == 1)
+    dim_cols = ["work_id"]
+    if "work_title" in works.columns:
+        dim_cols.append("work_title")
+    if "work_mbid" in works.columns:
+        dim_cols.append("work_mbid")
+    best = inferred.join(
+        F.broadcast(works.select(*dim_cols).dropDuplicates(["work_id"])),
+        inferred.best_work_id == F.col("work_id"),
+        "left",
+    ).select("__path", *dim_cols[1:])
+    # best is per-track (not a dimension) — let AQE pick the join strategy
+    out = alib.join(best, "__path", "left")
+    if "work" in alib.columns and "work_title" in best.columns:
+        out = out.withColumn(
+            "work", F.coalesce(blank_to_null(F.col("work")), F.col("work_title"))
+        )
+    if "musicbrainz_workid" in alib.columns and "work_mbid" in best.columns:
+        out = out.withColumn(
+            "musicbrainz_workid",
+            F.coalesce(F.col("work_mbid"), F.col("musicbrainz_workid")),
+        )
+    return out.drop(*[c for c in ("work_title", "work_mbid") if c in out.columns])

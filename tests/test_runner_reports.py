@@ -55,6 +55,48 @@ def test_run_named_step_requires_deps(spark):
     assert updated.collect()[0]["artist"] == "X canonical"
 
 
+def test_run_step22_through_diff_audit(spark):
+    alib = spark.createDataFrame(
+        [
+            # exact workid match → score 70+35=105, margin 105 → auto-apply
+            ("p1", "song one", "wm-1", None, "alice", None, 0),
+            # no candidate at all → untouched
+            ("p2", "unmatched", None, None, "bob", None, 0),
+        ],
+        "__path string, title string, musicbrainz_workid string, work string,"
+        " composer string, lyricist string, __sqlmodded int",
+    )
+    works = spark.createDataFrame(
+        [(1, "wm-1", "song one", "Song One", "alice", None)],
+        "work_id bigint, work_mbid string, work_title_norm string,"
+        " work_title string, people_composer string, alias_norm string",
+    )
+    updated, changelog = run_named_step("22", alib, works=works)
+    up = {r["__path"]: r for r in updated.collect()}
+    assert list(up) == ["p1"]
+    assert up["p1"]["work"] == "Song One"
+    cl = {(r.alib_path, r.alib_column): (r.old_value, r.new_value) for r in changelog.collect()}
+    assert cl[("p1", "work")] == (None, "Song One")
+    assert all(path == "p1" for path, _ in cl)
+
+
+def test_run_step15_workspace_diff_audit(spark):
+    alib = spark.createDataFrame(
+        [("p1", "Beatles", None, None, 0), ("p2", "Beatless", None, None, 0)],
+        "__path string, artist string, albumartist string, composer string,"
+        " __sqlmodded int",
+    )
+    ws1, cl1 = run_named_step("15", alib)
+    pairs = {(r.name_a, r.name_b) for r in ws1.collect()}
+    assert ("Beatles", "Beatless") in pairs
+    # first run: every pair is an add, logged NULL→similarity
+    adds = cl1.collect()
+    assert adds and all(r.old_value is None for r in adds)
+    # second run against the previous snapshot: no delta
+    ws2, cl2 = run_named_step("15", alib, previous=ws1)
+    assert cl2.count() == 0
+
+
 def test_coverage_snapshot(spark):
     alib = spark.createDataFrame(
         [
