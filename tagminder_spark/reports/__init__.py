@@ -4,6 +4,12 @@ from tagminder_spark.reports.html import render_dashboard
 from tagminder_spark.reports.snapshots import (
     changelog_fingerprint,
     coverage_snapshot,
+    snapshot_if_changed,
 )
 
-__all__ = ["changelog_fingerprint", "coverage_snapshot", "render_dashboard"]
+__all__ = [
+    "changelog_fingerprint",
+    "coverage_snapshot",
+    "render_dashboard",
+    "snapshot_if_changed",
+]

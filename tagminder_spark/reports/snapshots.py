@@ -62,3 +62,45 @@ def changelog_fingerprint(changelog: DataFrame) -> tuple[str | None, int]:
         F.max("timestamp").alias("ts"), F.count(F.lit(1)).alias("n")
     ).collect()[0]
     return (str(row["ts"]) if row["ts"] is not None else None, row["n"])
+
+
+def snapshot_if_changed(
+    alib: DataFrame,
+    changelog: DataFrame,
+    columns: list[str],
+    run_id: str,
+    runs_dir: str,
+    phase: str = "before",
+) -> DataFrame | None:
+    """Fingerprint-gated snapshot — the reference's recompute skip
+    (tm_snapshots.py:43-53, scripts/snapshots/91-...py:735, 795-806).
+
+    Reads the last recorded run's changelog fingerprint from ``runs_dir``
+    (the ``_SNAP_runs`` analogue); if the current fingerprint matches,
+    the expensive two-level coverage aggregation is SKIPPED and ``None``
+    is returned. Otherwise the snapshot is computed and a run row
+    (run_id, fingerprint) is appended. The gate itself costs one
+    max/count aggregate over the append-only changelog — at 100 TB the
+    parquet footer stats answer it without scanning data pages."""
+    from pathlib import Path
+
+    spark = alib.sparkSession
+    fp_ts, fp_n = changelog_fingerprint(changelog)
+    runs = Path(runs_dir)
+    if runs.exists() and any(runs.glob("*.parquet")):
+        last = (
+            spark.read.parquet(runs_dir)
+            .orderBy(F.col("recorded_at").desc())
+            .select("changelog_max_timestamp", "changelog_row_count")
+            .limit(1)
+            .collect()
+        )
+        if last and (last[0][0], last[0][1]) == (fp_ts, fp_n):
+            return None  # nothing changed since the last snapshot run
+    snap = coverage_snapshot(alib, columns, run_id, phase)
+    run_row = spark.createDataFrame(
+        [(run_id, fp_ts, fp_n)],
+        "run_id string, changelog_max_timestamp string, changelog_row_count bigint",
+    ).withColumn("recorded_at", F.current_timestamp())
+    run_row.write.mode("append").parquet(runs_dir)
+    return snap

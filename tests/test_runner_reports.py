@@ -55,6 +55,33 @@ def test_run_named_step_requires_deps(spark):
     assert updated.collect()[0]["artist"] == "X canonical"
 
 
+def test_snapshot_fingerprint_skips_recompute(spark, tmp_path):
+    from tagminder_spark.reports import snapshot_if_changed
+
+    alib = spark.createDataFrame(
+        [("p1", "/a", "T", 0), ("p2", "/a", None, 0)],
+        "__path string, __dirpath string, title string, __sqlmodded int",
+    )
+    cl_rows = [("p1", "title", None, "T", "02", "2024-01-01T00:00:00")]
+    cl_schema = (
+        "alib_path string, alib_column string, old_value string,"
+        " new_value string, script string, timestamp string"
+    )
+    changelog = spark.createDataFrame(cl_rows, cl_schema)
+    runs = str(tmp_path / "snap_runs")
+
+    first = snapshot_if_changed(alib, changelog, ["title"], "r1", runs)
+    assert first is not None and first.collect()[0]["total_rows"] == 2
+    # unchanged changelog → skip
+    assert snapshot_if_changed(alib, changelog, ["title"], "r2", runs) is None
+    # a new changelog entry moves the fingerprint → recompute
+    changelog2 = spark.createDataFrame(
+        cl_rows + [("p2", "title", None, "X", "02", "2024-01-02T00:00:00")],
+        cl_schema,
+    )
+    assert snapshot_if_changed(alib, changelog2, ["title"], "r3", runs) is not None
+
+
 def test_run_step22_through_diff_audit(spark):
     alib = spark.createDataFrame(
         [
