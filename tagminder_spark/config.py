@@ -50,6 +50,12 @@ class EngineConfig:
     dedupe_columns: list[str] = field(default_factory=list)
     critical_columns: list[str] = field(default_factory=list)
     delimiter: str = DEFAULT_DELIMITER
+    #: Gate for promoting first-seen overflow tags to real columns
+    #: (the reference always ALTERs, tags2db.py:655-671; here it is
+    #: opt-out because a column promotion rewrites downstream contracts).
+    schema_evolution: bool = True
+    #: Minimum files a new tag must appear in before promotion.
+    evolution_min_files: int = 1
 
     @property
     def system_columns(self) -> list[str]:
@@ -105,4 +111,27 @@ def load_config(path: str | Path) -> EngineConfig:
             raw.get("reports", {}).get("critical_columns", DEFAULT_CRITICAL_COLUMNS)
         ),
         delimiter=str(strings.get("multivalue_delimiter", DEFAULT_DELIMITER)),
+        schema_evolution=bool(columns.get("schema_evolution", True)),
+        evolution_min_files=int(columns.get("evolution_min_files", 1)),
     )
+
+
+def evolve_alib_schema(alib, cfg: EngineConfig):
+    """Config-gated schema evolution: discover overflow tag keys and
+    promote them to real columns (sources.catalog.promote_extra_tags).
+    Returns (frame, promoted_names); a no-op when the gate is off."""
+    from tagminder_spark.sources.catalog import (  # noqa: PLC0415
+        discover_new_tags,
+        promote_extra_tags,
+    )
+
+    if not cfg.schema_evolution:
+        return alib, []
+    new_cols = [
+        c
+        for c in discover_new_tags(alib, cfg.evolution_min_files)
+        if c not in cfg.schema_columns and not c.startswith("__")
+    ]
+    if not new_cols:
+        return alib, []
+    return promote_extra_tags(alib, new_cols), new_cols

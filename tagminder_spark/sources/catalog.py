@@ -159,3 +159,59 @@ def tags_to_columns(parsed: DataFrame, columns: list[str]) -> DataFrame:
         ),
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# dynamic schema evolution (S-evolve: unknown-tag overflow → real columns)
+# ---------------------------------------------------------------------------
+# Reference: tags2db.py:295-311 (ColumnOrderTracker discovers first-seen
+# tag keys at ingest) and :655-671 (ALTER TABLE adds the missing TEXT
+# columns). Spark re-expression: unknown tags land in the __extra_tags
+# MapType overflow (tags_to_columns); discovery is one distinct over
+# exploded map keys; "ALTER TABLE" is a projection that materializes map
+# entries as real columns; historical parquet written before the
+# promotion reads through mergeSchema with NULLs for the new columns.
+
+EXTRA_TAGS_COL = "__extra_tags"
+
+
+def discover_new_tags(frame: DataFrame, min_files: int = 1) -> list[str]:
+    """First-seen tag keys living in the overflow map, orderd by first
+    appearance cardinality (desc) then name — the distributed analogue of
+    ColumnOrderTracker. ``min_files`` filters one-off junk keys."""
+    if EXTRA_TAGS_COL not in frame.columns:
+        return []
+    counts = (
+        frame.select(F.explode(F.map_keys(F.col(EXTRA_TAGS_COL))).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_files)
+        .orderBy(F.col("n").desc(), F.col("k"))
+    )
+    return [r["k"] for r in counts.collect()]
+
+
+def promote_extra_tags(frame: DataFrame, new_cols: list[str]) -> DataFrame:
+    """The ALTER-TABLE analogue: materialize the named overflow keys as
+    real (string) columns and remove them from the map. Pure projection —
+    zero shuffle; at 100 TB this is a metadata-cheap rewrite that rides
+    along with the next merge."""
+    clash = [c for c in new_cols if c in frame.columns]
+    if clash:
+        raise ValueError(f"columns already exist: {clash}")
+    out = frame.select(
+        "*",
+        *[F.col(EXTRA_TAGS_COL).getItem(c).alias(c) for c in new_cols],
+    )
+    return out.withColumn(
+        EXTRA_TAGS_COL,
+        F.map_filter(F.col(EXTRA_TAGS_COL), lambda k, _: ~k.isin(*new_cols)),
+    )
+
+
+def read_alib_merged(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Read an alib table whose parquet files were written across schema
+    generations: mergeSchema unions the file schemas, and rows from files
+    predating a promoted column read as NULL for it (exactly SQLite's
+    ALTER TABLE ... ADD COLUMN semantics for existing rows)."""
+    return spark.read.option("mergeSchema", "true").parquet(table_dir)

@@ -135,3 +135,60 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bucket_a")
         spark.sql("DROP TABLE IF EXISTS t_bucket_b")
+
+
+def test_schema_evolution_ingest_survives_diff_audit(spark, tmp_path):
+    """A tag key unknown to the contract appears at ingest, overflows to
+    __extra_tags, is promoted to a real column (config-gated), historical
+    rows read as NULL through mergeSchema, and the new column runs through
+    the diff-audit merge loop like any contract column."""
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.config import default_config, evolve_alib_schema
+    from tagminder_spark.operators.diff_audit import diff_audit, merge_into_parquet
+    from tagminder_spark.sources.catalog import read_alib_merged
+
+    cfg = default_config()
+    table = str(tmp_path / "alib")
+
+    # generation 1: contract columns only
+    spark.createDataFrame(
+        [("p1", "T1", 0)], "__path string, title string, __sqlmodded int"
+    ).write.parquet(table)
+
+    # generation 2: ingest batch carrying an unknown tag key "mood"
+    batch = spark.createDataFrame(
+        [("p2", "T2", 0, {"mood": "calm\r\n"}), ("p3", "T3", 0, {"mood": "loud"})],
+        "__path string, title string, __sqlmodded int,"
+        " __extra_tags map<string,string>",
+    )
+    evolved, promoted = evolve_alib_schema(batch, cfg)
+    assert promoted == ["mood"]
+    assert evolved.filter(F.col("mood").isNull()).count() == 0
+    # promoted keys leave the overflow map
+    assert evolved.select(F.size(F.map_keys("__extra_tags"))).collect()[0][0] == 0
+
+    evolved.drop("__extra_tags").write.mode("append").parquet(table)
+
+    # mergeSchema union: old rows NULL for the promoted column
+    alib = read_alib_merged(spark, table)
+    assert "mood" in alib.columns and alib.count() == 3
+    assert alib.filter(F.col("__path") == "p1").collect()[0]["mood"] is None
+
+    # the promoted column flows through a diff-audited step + merge
+    from tagminder_spark.pipeline import step02_clean_text
+
+    updated, changelog = diff_audit(
+        alib, step02_clean_text(alib, ("mood",)), "__path", ["mood"], script="02"
+    )
+    # changelog lineage reads the pre-merge files: consume it before the
+    # swap (merge_into_parquet stages it internally when given a dir)
+    assert [r.alib_column for r in changelog.collect()] == ["mood"]
+    merge_into_parquet(spark, table, updated, "__path")
+    after = {r["__path"]: r["mood"] for r in read_alib_merged(spark, table).collect()}
+    assert after == {"p1": None, "p2": "calm", "p3": "loud"}
+
+    # gate off → no promotion
+    from dataclasses import replace
+
+    assert evolve_alib_schema(batch, replace(cfg, schema_evolution=False))[1] == []
