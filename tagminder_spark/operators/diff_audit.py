@@ -121,7 +121,9 @@ def merge_into_parquet(
     from pathlib import Path
 
     base = Path(table_dir)
-    existing = spark.read.parquet(str(base))
+    # mergeSchema: the table may span schema generations (promoted overflow
+    # columns) — merging on one file's schema would silently drop them
+    existing = spark.read.option("mergeSchema", "true").parquet(str(base))
     missing = [c for c in existing.columns if c not in updates.columns]
     if missing:
         raise ValueError(f"updates lack table columns: {missing}")
@@ -250,7 +252,7 @@ def merge_into_bucketed_parquet(
             bdir.mkdir(parents=True)
             upd_b.write.mode("overwrite").parquet(str(bdir))
             continue
-        existing_b = spark.read.parquet(str(bdir))
+        existing_b = spark.read.option("mergeSchema", "true").parquet(str(bdir))
         survivors = existing_b.join(upd_b.select(key), key, "left_anti")
         merged = survivors.unionByName(upd_b.select(*existing_b.columns))
         # dot-prefixed scratch dirs are invisible to Spark's partition
