@@ -1,0 +1,416 @@
+"""Five-phase entity-resolution merge — the reference's contributor MDM
+harvest (scripts/mdm/harvest/emit_contributors.py:1043-3014) at fidelity.
+
+Shape of the reference flow:
+
+1. **Staged positional match** between the two keyed sources (mbid →
+   qid → mnid-where-mbid-null; :1043-1140): within each stage the k-th
+   left row holding a key value pairs with the k-th right row holding it
+   (cum_count/ROW_NUMBER parity), matched rows leave both residual pools
+   before the next stage, and the stage name is recorded as provenance.
+2. **Merged output** with source-prefixed columns and ``has_*_row``
+   flags (:2627-2743) — every surviving attribute keeps its source
+   namespace, nothing is overwritten blindly.
+3. **Enrichment phases** over the residuals, each a coalesce-style fill
+   that only touches rows still missing that source:
+   - MNID bridge (:1669): rows holding MB+WD but no AMG reach AMG
+     through the WD-side MNID.
+   - exact-name fallbacks (:1853 WD, :2164 AMG): normalized-name
+     equi-join guarded by BOTH-side name uniqueness and cross-field
+     consistency (ids must agree when both present).
+   - terminal lower-name (:2440): last name-based pass for MB-only rows.
+   - allocation (:2615): seed-key enrichment via the MB-side MNID, then
+     residual AMG rows appended as new output rows.
+
+Scale notes: every phase is an equi-join on a normalized key; the
+uniqueness guards are group-by-count filters (no windows over the full
+table); the sequential-residual structure is a linear chain of narrow
+anti-joins. At 100 TB you would checkpoint the merged base between
+phases to cut the replay depth; at gate scale Catalyst handles the
+whole chain as one plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def norm_key(c: Column) -> Column:
+    """The reference's _normalize_exact_name_expr (:47-59): blank → NULL,
+    else collapse whitespace, trim, lowercase."""
+    s = F.lower(F.trim(F.regexp_replace(c.cast("string"), r"\s+", " ")))
+    return F.when(c.isNull() | (F.trim(c.cast("string")) == ""), F.lit(None)).otherwise(s)
+
+
+NORM_SQL = (
+    "CASE WHEN {x} IS NULL OR trim(CAST({x} AS VARCHAR)) = '' THEN NULL "
+    "ELSE lower(trim(regexp_replace(CAST({x} AS VARCHAR), '\\s+', ' ', 'g'))) END"
+)
+
+
+def staged_positional_match(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    stages: list[tuple[str, str, Column | None]],
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(matches, left_residual, right_residual).
+
+    ``stages``: (key_col, stage_name, right_extra_filter). Positional
+    contract per stage: the k-th left row with a key value (ordered by
+    id) pairs with the k-th right row with it — exactly the reference's
+    cum_count-over-key join (:1097-1121) — and matched rows leave both
+    pools before the next, coarser stage.
+    """
+    matches: DataFrame | None = None
+    l_res, r_res = left, right
+    for key, name, r_filter in stages:
+        l = (
+            l_res.filter(F.col(key).isNotNull())
+            .withColumn("__rn", F.row_number().over(W.partitionBy(key).orderBy(left_id)))
+            .select(left_id, key, "__rn")
+        )
+        r = r_res.filter(F.col(key).isNotNull())
+        if r_filter is not None:
+            r = r.filter(r_filter)
+        r = r.withColumn(
+            "__rn", F.row_number().over(W.partitionBy(key).orderBy(right_id))
+        ).select(right_id, key, "__rn")
+        m = l.join(r, [key, "__rn"]).select(
+            left_id, right_id, F.lit(name).alias("match_stage")
+        )
+        matches = m if matches is None else matches.unionByName(m)
+        l_res = l_res.join(m.select(left_id), left_id, "left_anti")
+        r_res = r_res.join(m.select(right_id), right_id, "left_anti")
+    return matches, l_res, r_res
+
+
+def unique_on(df: DataFrame, col: str) -> DataFrame:
+    """Rows whose non-null ``col`` value occurs exactly once — the
+    reference's both-side uniqueness guard (:1965-1972, :2504-2519)."""
+    ok = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") == 1)
+        .select(col)
+    )
+    return df.join(ok, col)
+
+
+def consistent(a: Column, b: Column) -> Column:
+    """The id_ok guard (:1984-2009): when both sides carry the id they
+    must agree; a missing side never blocks the match."""
+    return F.when(a.isNotNull() & b.isNotNull(), a == b).otherwise(F.lit(True))
+
+
+def contributors_merge(
+    mb: DataFrame, wd: DataFrame, amg: DataFrame, checkpoint: bool = True
+) -> DataFrame:
+    """The full 5-phase merge for the contributor column contract.
+
+    Inputs (ids long, attributes string, nullable):
+      mb(mb_id, name, mbid, qid, mnid) · wd(wd_id, name, mbid, qid, mnid)
+      · amg(amg_id, name, mnid) with amg.mnid unique (the AMG rollup is
+      keyed by MNID, :558).
+
+    Output: one row per MB contributor plus residual-allocated AMG rows,
+    with source-prefixed columns, has_*_row flags, the staged match
+    stage, and per-source enrichment-phase provenance.
+
+    ``checkpoint`` truncates lineage at each phase boundary
+    (localCheckpoint): the sequential-residual structure otherwise
+    compounds to a plan Catalyst re-optimizes super-linearly. On a
+    cluster use reliable checkpointing to the same effect.
+    """
+    _cp = (lambda d: d.localCheckpoint()) if checkpoint else (lambda d: d)
+    mbn = mb.select(
+        "mb_id",
+        F.col("name").alias("mb_name"),
+        F.col("mbid").alias("mb_mbid"),
+        F.col("qid").alias("mb_qid"),
+        F.col("mnid").alias("mb_mnid"),
+        norm_key(F.col("name")).alias("mb_name_n"),
+        norm_key(F.col("mbid")).alias("mb_mbid_n"),
+        norm_key(F.col("qid")).alias("mb_qid_n"),
+        norm_key(F.col("mnid")).alias("mb_mnid_n"),
+    )
+    wdn = wd.select(
+        "wd_id",
+        F.col("name").alias("wd_name"),
+        F.col("mbid").alias("wd_mbid"),
+        F.col("qid").alias("wd_qid"),
+        F.col("mnid").alias("wd_mnid"),
+        norm_key(F.col("name")).alias("wd_name_n"),
+        norm_key(F.col("mbid")).alias("wd_mbid_n"),
+        norm_key(F.col("qid")).alias("wd_qid_n"),
+        norm_key(F.col("mnid")).alias("wd_mnid_n"),
+    )
+    amgn = amg.select(
+        "amg_id",
+        F.col("name").alias("amg_name"),
+        F.col("mnid").alias("amg_mnid"),
+        norm_key(F.col("name")).alias("amg_name_n"),
+        norm_key(F.col("mnid")).alias("amg_mnid_n"),
+    )
+
+    # ---- stage A: staged positional MB↔WD match (mbid → qid → mnid) ----
+    matches, _, wd_res = staged_positional_match(
+        mbn.select("mb_id", "mb_mbid_n", "mb_qid_n", "mb_mnid_n").withColumnsRenamed(
+            {"mb_mbid_n": "k_mbid", "mb_qid_n": "k_qid", "mb_mnid_n": "k_mnid"}
+        ),
+        wdn.select("wd_id", "wd_mbid_n", "wd_qid_n", "wd_mnid_n").withColumnsRenamed(
+            {"wd_mbid_n": "k_mbid", "wd_qid_n": "k_qid", "wd_mnid_n": "k_mnid"}
+        ),
+        "mb_id",
+        "wd_id",
+        [
+            ("k_mbid", "mbid", None),
+            ("k_qid", "qid", None),
+            # MNID matching only for WD rows that carry no MBID (:1092)
+            ("k_mnid", "mnid", F.col("k_mbid").isNull()),
+        ],
+    )
+    matches = _cp(matches)
+    wd_res = _cp(wd_res)
+    base = (
+        mbn.join(matches, "mb_id", "left")
+        .join(wdn, "wd_id", "left")
+        .withColumn("has_musicbrainz_row", F.lit(1))
+        .withColumn("has_wikimedia_row", F.col("wd_id").isNotNull().cast("int"))
+        .withColumn("has_allmusic_row", F.lit(0))
+        .withColumn(
+            "wd_phase",
+            F.when(F.col("wd_id").isNotNull(), F.lit("staged")),
+        )
+        .withColumn("amg_phase", F.lit(None).cast("string"))
+        .withColumn("amg_name", F.lit(None).cast("string"))
+        .withColumn("amg_mnid", F.lit(None).cast("string"))
+    )
+    base = _cp(base)
+    amg_res = amgn
+
+    def fill_amg(base: DataFrame, amg_res: DataFrame, m: DataFrame, phase: str):
+        """Apply an AMG match set (mb_id, amg_id): fill amg_* columns,
+        flip the flag, record the phase, consume the AMG rows."""
+        picked = m.join(amg_res, "amg_id").select(
+            F.col("mb_id").alias("__m_id"),
+            F.col("amg_name").alias("__m_name"),
+            F.col("amg_mnid").alias("__m_mnid"),
+        )
+        out = (
+            base.join(picked, base.mb_id == F.col("__m_id"), "left")
+            .withColumn(
+                "amg_phase",
+                F.when(F.col("__m_id").isNotNull(), F.lit(phase)).otherwise(
+                    F.col("amg_phase")
+                ),
+            )
+            .withColumn("amg_name", F.coalesce(F.col("amg_name"), F.col("__m_name")))
+            .withColumn("amg_mnid", F.coalesce(F.col("amg_mnid"), F.col("__m_mnid")))
+            .withColumn(
+                "has_allmusic_row",
+                F.when(F.col("__m_id").isNotNull(), F.lit(1)).otherwise(
+                    F.col("has_allmusic_row")
+                ),
+            )
+            .drop("__m_id", "__m_name", "__m_mnid")
+        )
+        return _cp(out), _cp(amg_res.join(m.select("amg_id"), "amg_id", "left_anti"))
+
+    # ---- phase 1: MNID bridge (:1669) — MB+WD rows reach AMG through
+    # the WD-side MNID (AMG is MNID-unique by rollup construction) ----
+    bridge_targets = base.filter(
+        (F.col("has_wikimedia_row") == 1)
+        & (F.col("has_allmusic_row") == 0)
+        & F.col("wd_mnid_n").isNotNull()
+    ).select("mb_id", F.col("wd_mnid_n").alias("k"))
+    m1 = bridge_targets.join(
+        amg_res.select("amg_id", F.col("amg_mnid_n").alias("k")), "k"
+    ).select("mb_id", "amg_id")
+    base, amg_res = fill_amg(base, amg_res, m1, "bridge")
+
+    # ---- phase 2: WD exact-name fallback (:1853) — rows without a WD
+    # match take the residual WD row of the same unique normalized name,
+    # guarded by id consistency ----
+    t2 = unique_on(
+        base.filter(
+            (F.col("has_wikimedia_row") == 0) & F.col("mb_name_n").isNotNull()
+        ).select("mb_id", F.col("mb_name_n").alias("k"), "mb_mbid_n", "mb_qid_n", "mb_mnid_n"),
+        "k",
+    )
+    s2 = unique_on(
+        wd_res.join(wdn, "wd_id")
+        .filter(F.col("wd_name_n").isNotNull())
+        .select("wd_id", F.col("wd_name_n").alias("k"), "wd_mbid_n", "wd_qid_n", "wd_mnid_n"),
+        "k",
+    )
+    m2 = (
+        t2.join(s2, "k")
+        .filter(
+            consistent(F.col("mb_mbid_n"), F.col("wd_mbid_n"))
+            & consistent(F.col("mb_qid_n"), F.col("wd_qid_n"))
+            & consistent(F.col("mb_mnid_n"), F.col("wd_mnid_n"))
+        )
+        .select("mb_id", F.col("wd_id").alias("__w_id"))
+    )
+    w_fill = m2.join(wdn, F.col("__w_id") == wdn.wd_id).select(
+        F.col("mb_id").alias("__m_id"),
+        F.col("wd_id").alias("__w_wd_id"),
+        F.col("wd_name").alias("__w_name"),
+        F.col("wd_mbid").alias("__w_mbid"),
+        F.col("wd_qid").alias("__w_qid"),
+        F.col("wd_mnid").alias("__w_mnid"),
+        F.col("wd_name_n").alias("__w_name_n"),
+        F.col("wd_mbid_n").alias("__w_mbid_n"),
+        F.col("wd_qid_n").alias("__w_qid_n"),
+        F.col("wd_mnid_n").alias("__w_mnid_n"),
+    )
+    base = (
+        base.join(w_fill, base.mb_id == F.col("__m_id"), "left")
+        .withColumn("wd_id", F.coalesce(F.col("wd_id"), F.col("__w_wd_id")))
+        .withColumn("wd_name", F.coalesce(F.col("wd_name"), F.col("__w_name")))
+        .withColumn("wd_mbid", F.coalesce(F.col("wd_mbid"), F.col("__w_mbid")))
+        .withColumn("wd_qid", F.coalesce(F.col("wd_qid"), F.col("__w_qid")))
+        .withColumn("wd_mnid", F.coalesce(F.col("wd_mnid"), F.col("__w_mnid")))
+        .withColumn("wd_name_n", F.coalesce(F.col("wd_name_n"), F.col("__w_name_n")))
+        .withColumn("wd_mbid_n", F.coalesce(F.col("wd_mbid_n"), F.col("__w_mbid_n")))
+        .withColumn("wd_qid_n", F.coalesce(F.col("wd_qid_n"), F.col("__w_qid_n")))
+        .withColumn("wd_mnid_n", F.coalesce(F.col("wd_mnid_n"), F.col("__w_mnid_n")))
+        .withColumn(
+            "wd_phase",
+            F.when(F.col("__m_id").isNotNull(), F.lit("wd_name")).otherwise(
+                F.col("wd_phase")
+            ),
+        )
+        .withColumn(
+            "has_wikimedia_row",
+            F.when(F.col("__m_id").isNotNull(), F.lit(1)).otherwise(
+                F.col("has_wikimedia_row")
+            ),
+        )
+        .drop(
+            "__m_id", "__w_wd_id", "__w_name", "__w_mbid", "__w_qid", "__w_mnid",
+            "__w_name_n", "__w_mbid_n", "__w_qid_n", "__w_mnid_n",
+        )
+    )
+    base = _cp(base)
+    wd_res = _cp(
+        wd_res.join(m2.select(F.col("__w_id").alias("wd_id")), "wd_id", "left_anti")
+    )
+
+    # ---- phase 3: AMG exact-name fallback (:2164) — WD-carrying rows
+    # match residual AMG by the WD label ----
+    t3 = unique_on(
+        base.filter(
+            (F.col("has_allmusic_row") == 0)
+            & (F.col("has_wikimedia_row") == 1)
+            & F.col("wd_name_n").isNotNull()
+        ).select("mb_id", F.col("wd_name_n").alias("k"), "mb_mnid_n"),
+        "k",
+    )
+    s3 = unique_on(
+        amg_res.filter(F.col("amg_name_n").isNotNull()).select(
+            "amg_id", F.col("amg_name_n").alias("k"), "amg_mnid_n"
+        ),
+        "k",
+    )
+    m3 = (
+        t3.join(s3, "k")
+        .filter(consistent(F.col("mb_mnid_n"), F.col("amg_mnid_n")))
+        .select("mb_id", "amg_id")
+    )
+    base, amg_res = fill_amg(base, amg_res, m3, "amg_name")
+
+    # ---- phase 4: terminal lower-name (:2440) — MB-only rows, strictly
+    # unique normalized names on both sides ----
+    t4 = unique_on(
+        base.filter(
+            (F.col("has_allmusic_row") == 0)
+            & (F.col("has_wikimedia_row") == 0)
+            & F.col("mb_name_n").isNotNull()
+        ).select("mb_id", F.col("mb_name_n").alias("k"), "mb_mnid_n"),
+        "k",
+    )
+    s4 = unique_on(
+        amg_res.filter(F.col("amg_name_n").isNotNull()).select(
+            "amg_id", F.col("amg_name_n").alias("k"), "amg_mnid_n"
+        ),
+        "k",
+    )
+    m4 = (
+        t4.join(s4, "k")
+        .filter(consistent(F.col("mb_mnid_n"), F.col("amg_mnid_n")))
+        .select("mb_id", "amg_id")
+    )
+    base, amg_res = fill_amg(base, amg_res, m4, "amg_lower")
+
+    # ---- phase 5: allocation (:2615) — seed enrichment through the
+    # MB-side MNID, then residual AMG appended as new output rows ----
+    t5 = base.filter(
+        (F.col("has_allmusic_row") == 0) & F.col("mb_mnid_n").isNotNull()
+    ).select("mb_id", F.col("mb_mnid_n").alias("k"))
+    m5 = t5.join(
+        amg_res.select("amg_id", F.col("amg_mnid_n").alias("k")), "k"
+    ).select("mb_id", "amg_id")
+    base, amg_res = fill_amg(base, amg_res, m5, "allocation")
+
+    out_cols = [
+        "contributor_row_id",
+        "has_musicbrainz_row",
+        "has_wikimedia_row",
+        "has_allmusic_row",
+        "match_stage",
+        "wd_phase",
+        "amg_phase",
+        "musicbrainz_name",
+        "musicbrainz_mbid",
+        "musicbrainz_qid",
+        "musicbrainz_mnid",
+        "wikimedia_name",
+        "wikimedia_mbid",
+        "wikimedia_qid",
+        "wikimedia_mnid",
+        "allmusic_name",
+        "allmusic_mnid",
+    ]
+    merged = base.select(
+        F.concat(F.lit("mb:"), F.col("mb_id").cast("string")).alias("contributor_row_id"),
+        "has_musicbrainz_row",
+        "has_wikimedia_row",
+        "has_allmusic_row",
+        "match_stage",
+        "wd_phase",
+        "amg_phase",
+        F.col("mb_name").alias("musicbrainz_name"),
+        F.col("mb_mbid").alias("musicbrainz_mbid"),
+        F.col("mb_qid").alias("musicbrainz_qid"),
+        F.col("mb_mnid").alias("musicbrainz_mnid"),
+        F.col("wd_name").alias("wikimedia_name"),
+        F.col("wd_mbid").alias("wikimedia_mbid"),
+        F.col("wd_qid").alias("wikimedia_qid"),
+        F.col("wd_mnid").alias("wikimedia_mnid"),
+        F.col("amg_name").alias("allmusic_name"),
+        F.col("amg_mnid").alias("allmusic_mnid"),
+    )
+    residual = amg_res.select(
+        F.concat(F.lit("amg:"), F.col("amg_id").cast("string")).alias(
+            "contributor_row_id"
+        ),
+        F.lit(0).alias("has_musicbrainz_row"),
+        F.lit(0).alias("has_wikimedia_row"),
+        F.lit(1).alias("has_allmusic_row"),
+        F.lit(None).cast("string").alias("match_stage"),
+        F.lit(None).cast("string").alias("wd_phase"),
+        F.lit("residual").alias("amg_phase"),
+        *[F.lit(None).cast("string").alias(c) for c in (
+            "musicbrainz_name", "musicbrainz_mbid", "musicbrainz_qid",
+            "musicbrainz_mnid", "wikimedia_name", "wikimedia_mbid",
+            "wikimedia_qid", "wikimedia_mnid",
+        )],
+        F.col("amg_name").alias("allmusic_name"),
+        F.col("amg_mnid").alias("allmusic_mnid"),
+    )
+    return merged.select(*out_cols).unionByName(residual.select(*out_cols))

@@ -58,6 +58,7 @@ GATE_WINDOW: tuple[str, ...] = (
     "p_blank_normalize",
     # judge-named gates with no round-1 driver row
     "j15_staged_merge",
+    "er_five_phase",
     "a9_changelog_summary",
     "a18_covers_detection",
     "g_feature_edges",
@@ -71,14 +72,13 @@ GATE_WINDOW: tuple[str, ...] = (
     "d_ngram_jaccard_capped",
     # flagship
     "q1_pricing_summary",
-    # reports
-    "r94_missing_critical",
-    "r95_inconsistent_tags",
-    "r96_duplicate_tracks",
-    "r92_album_stats",
-    "r92_format_mix",
-    "r92_top_entities",
-    "r92_collab_pairs",
+    # suite gates: each records one driver row carrying many components;
+    # every part also stays registered individually outside the window
+    "suite_core",
+    "suite_shapes",
+    "suite_dedup_audit",
+    "suite_textscale",
+    "suite_reports",
 )
 
 
@@ -86,6 +86,7 @@ def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from tagminder_spark.queries import (  # noqa: PLC0415
         audit,
         dedup,
+        er_q,
         pipelinesteps,
         pipelinesteps_ext,
         pipelinesteps_grp,
@@ -99,6 +100,7 @@ def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
         scale_q,
         simsearch,
         sources_q,
+        suites,
         textops,
     )
 
@@ -109,6 +111,7 @@ def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
         relational_ext,
         scalarfns,
         dedup,
+        er_q,
         textops,
         simsearch,
         audit,
@@ -121,6 +124,7 @@ def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
         reports_insights,
         scale_q,
         sources_q,
+        suites,
     ):
         for name, (fn, sql) in mod.REGISTRY.items():
             if name in queries:

@@ -1,0 +1,279 @@
+"""Combined 'suite' gates — several per-component queries re-projected to
+one shared long-format schema and unioned, so one recorded driver
+correctness slot carries many SURVEY §2 components.
+
+Why: the driver's harness records only the first 50 registered queries
+(GATE_WINDOW). Every suite part remains registered individually (outside
+the window) for local verification; the suite re-runs the SAME query
+function and re-projects its output, so a green suite row is driver
+evidence for every part inside it.
+
+Long format: ``(part, entity, metric, sval, dval)``
+- ``entity``: the source row's identity — key columns cast to canonical
+  strings and joined with '|' (both engines' concat_ws skips NULLs
+  identically; no double-typed keys are allowed, avoiding float-to-string
+  formatting divergence).
+- one output row per (source row, metric); string metrics go to
+  ``sval``, numeric metrics to ``dval`` (cast double — exact for the
+  int64 counts here and bit-equal for values already double).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tagminder_spark.queries import QueryFn
+
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+#: suite -> part -> (key columns, [(metric column, 'num'|'str'), ...])
+SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
+    # TPC-H relational + aggregation + window families
+    "suite_core": {
+        "q3_shipping_priority": (["o_orderkey", "o_orderdate"], [("revenue", "num")]),
+        "q5_region_revenue": (["n_name"], [("revenue", "num")]),
+        "q4_order_priority": (["o_orderpriority"], [("order_count", "num")]),
+        "q6_forecast_revenue": ([], [("revenue", "num")]),
+        "q10_returned_items": (["c_custkey"], [("c_name", "str"), ("revenue", "num")]),
+        "a_sequence_gaps": (
+            ["l_orderkey"],
+            [("n_lines", "num"), ("max_line", "num"), ("n_missing", "num"), ("n_dup_lines", "num")],
+        ),
+        "a_album_signature": (
+            ["part_sig"], [("n_orders", "num"), ("keeper_orderkey", "num")]
+        ),
+        "a_two_level_avg": ([], [("n_customers", "num"), ("avg_of_avg", "num")]),
+        "a_decade_rollup": (
+            ["order_year", "order_decade"], [("n_orders", "num"), ("total_revenue", "num")]
+        ),
+        "a_collect_set_sorted": (["c_nationkey"], [("segments", "str")]),
+        "a_percentiles": (
+            ["l_returnflag"],
+            [("median_qty", "num"), ("price_spread", "num"), ("max_price_db", "num")],
+        ),
+        "w_top1_per_group": (
+            ["o_custkey"], [("top_orderkey", "num"), ("top_totalprice", "num")]
+        ),
+        "w_pct_of_total": (
+            ["o_orderpriority", "o_orderstatus"],
+            [("n", "num"), ("pct_of_priority", "num"), ("rev_share", "num")],
+        ),
+    },
+    # joins, graph, set ops, scalar-string functions
+    "suite_shapes": {
+        "j_anti_join": (["c_custkey"], [("c_name", "str")]),
+        "j_semi_join": (["c_custkey"], [("c_name", "str")]),
+        "j_broadcast_dim": (["p_brand"], [("revenue", "num"), ("n_lines", "num")]),
+        "g_cooccurrence_edges": (["src", "dst"], [("weight", "num")]),
+        "g_top_neighbors": (["src", "dst"], [("weight", "num"), ("rn", "num")]),
+        "s_set_operations": (["tag", "nk"], []),
+        "f_date_normalize": (
+            ["o_orderkey"], [("raw", "str"), ("norm_date", "str"), ("norm_year", "str")]
+        ),
+        "f_album_root": (["path"], [("root", "str")]),
+        "f_tokens_dedup": (["doc_id"], [("toks_dedup", "str"), ("n_tokens", "num")]),
+        "f_string_suite": (
+            ["p_partkey"],
+            [
+                ("first_word", "str"), ("name_upper", "str"), ("name_len", "num"),
+                ("brand_code", "str"), ("label", "str"), ("name_head", "str"),
+                ("name_tr", "str"), ("is_small", "num"), ("has_widget", "num"),
+            ],
+        ),
+    },
+    # dedup family + diff-audit + streaming state
+    "suite_dedup_audit": {
+        "d_exact_dup": (
+            ["id"],
+            [("text_hash", "str"), ("keeper_id", "num"), ("group_size", "num"), ("is_dup", "num")],
+        ),
+        "d_ngram_jaccard": (["id_a", "id_b"], [("n_common", "num"), ("jaccard", "num")]),
+        "d_minhash_lsh": (["id_a", "id_b"], [("jaccard", "num")]),
+        "d_simhash": (["id_a", "id_b"], [("hamming", "num")]),
+        "d_embedding_neardup": (["id_a", "id_b"], [("cosine", "num")]),
+        "d_connected_components": (["node"], [("component", "num")]),
+        "c_diff_changelog": (
+            ["alib_path", "alib_column"],
+            [("old_value", "str"), ("new_value", "str"), ("script", "str")],
+        ),
+        "c_diff_updated": (
+            ["o_orderkey"],
+            [("priority", "str"), ("status", "str"), ("__sqlmodded", "num")],
+        ),
+        "t_stateful_dedup": (["key"], [("n_new", "num"), ("n_dropped", "num")]),
+    },
+    # text analysis + similarity search
+    "suite_textscale": {
+        "t_quality_score": (
+            ["doc_id"], [("n_chars", "num"), ("n_words", "num"), ("quality", "num")]
+        ),
+        "t_langid_heuristic": (
+            ["doc_id"],
+            [("s_en", "num"), ("s_es", "num"), ("s_de", "num"), ("s_fr", "num"),
+             ("predicted", "str"), ("is_match", "num")],
+        ),
+        "t_token_count": (["doc_id"], [("ws_tokens", "num"), ("re_tokens", "num")]),
+        "t_fingerprint": (["doc_id"], [("fp", "num")]),
+        "ann_topk_cosine": (
+            ["query_id", "rank"], [("neighbor_id", "num"), ("cosine", "num")]
+        ),
+        "ann_ivf_topk": (
+            ["query_id", "rank"], [("neighbor_id", "num"), ("cosine", "num")]
+        ),
+    },
+    # the report family (92/94/95/96)
+    "suite_reports": {
+        "r92_album_stats": (
+            ["album_root"],
+            [("n_tracks", "num"), ("total_secs", "num"), ("avg_rating", "num"),
+             ("is_compilation", "num"), ("acquired", "str")],
+        ),
+        "r92_format_mix": (
+            ["quality_class", "filetype"],
+            [("n_tracks", "num"), ("hours", "num"), ("pct_of_class", "num")],
+        ),
+        "r92_top_entities": (["producer"], [("n", "num")]),
+        "r92_collab_pairs": (["producer", "engineer"], [("n_albums", "num")]),
+        "r94_missing_critical": (
+            ["album_root"],
+            [("n_tracks", "num"), ("missing_title", "num"), ("missing_artist", "num"),
+             ("missing_year", "num")],
+        ),
+        "r95_inconsistent_tags": (
+            ["album_key"], [("n_variants", "num"), ("variants", "str")]
+        ),
+        "r96_duplicate_tracks": (
+            ["scope", "sig", "folder"], [("n", "num"), ("keeper", "num")]
+        ),
+    },
+}
+
+
+def _base_registry() -> dict[str, tuple[QueryFn, str | None]]:
+    """name -> (fn, sql) for every non-suite query module."""
+    from tagminder_spark.queries import (  # noqa: PLC0415
+        audit,
+        dedup,
+        er_q,
+        pipelinesteps,
+        pipelinesteps_ext,
+        pipelinesteps_grp,
+        pipelinesteps_lookup,
+        pipelinesteps_works,
+        relational,
+        relational_ext,
+        reports,
+        reports_insights,
+        scalarfns,
+        scale_q,
+        simsearch,
+        sources_q,
+        textops,
+    )
+
+    out: dict[str, tuple[QueryFn, str | None]] = {}
+    for mod in (
+        relational, relational_ext, scalarfns, dedup, er_q, textops, simsearch,
+        audit, pipelinesteps, pipelinesteps_ext, pipelinesteps_grp,
+        pipelinesteps_lookup, pipelinesteps_works, reports, reports_insights,
+        scale_q, sources_q,
+    ):
+        out.update(mod.REGISTRY)
+    return out
+
+
+def _long_spark(df: DataFrame, part: str, keys: list[str], metrics) -> DataFrame:
+    ent = (
+        F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+        if keys
+        else F.lit("")
+    )
+    pieces = []
+    if not metrics:
+        pieces.append(
+            df.select(
+                F.lit(part).alias("part"),
+                ent.alias("entity"),
+                F.lit("row").alias("metric"),
+                F.lit(None).cast("string").alias("sval"),
+                F.lit(None).cast("double").alias("dval"),
+            )
+        )
+    for m, kind in metrics:
+        pieces.append(
+            df.select(
+                F.lit(part).alias("part"),
+                ent.alias("entity"),
+                F.lit(m).alias("metric"),
+                (
+                    F.col(m).cast("string") if kind == "str" else F.lit(None).cast("string")
+                ).alias("sval"),
+                (
+                    F.col(m).cast("double") if kind == "num" else F.lit(None).cast("double")
+                ).alias("dval"),
+            )
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _long_sql(sql: str, part: str, keys: list[str], metrics) -> str:
+    ent = (
+        "concat_ws('|', " + ", ".join(f'CAST("{k}" AS VARCHAR)' for k in keys) + ")"
+        if keys
+        else "''"
+    )
+    pieces = []
+    if not metrics:
+        pieces.append(
+            f"SELECT '{part}' AS part, {ent} AS entity, 'row' AS metric,\n"
+            f"       CAST(NULL AS VARCHAR) AS sval, CAST(NULL AS DOUBLE) AS dval\n"
+            f"FROM (\n{sql}\n) AS __{part}"
+        )
+    for m, kind in metrics:
+        sval = f'CAST("{m}" AS VARCHAR)' if kind == "str" else "CAST(NULL AS VARCHAR)"
+        dval = f'CAST("{m}" AS DOUBLE)' if kind == "num" else "CAST(NULL AS DOUBLE)"
+        pieces.append(
+            f"SELECT '{part}' AS part, {ent} AS entity, '{m}' AS metric,\n"
+            f"       {sval} AS sval, {dval} AS dval\n"
+            f"FROM (\n{sql}\n) AS __{part}"
+        )
+    return "\nUNION ALL\n".join(pieces)
+
+
+def _make_suite(suite_name: str, parts, base) -> None:
+    def fn(spark: SparkSession, sf_dir: str, _parts=parts) -> DataFrame:
+        out = None
+        for name, (keys, metrics) in _parts.items():
+            pfn, _ = base[name]
+            piece = _long_spark(pfn(spark, sf_dir), name, keys, metrics)
+            out = piece if out is None else out.unionByName(piece)
+        return out
+
+    fn.__name__ = suite_name
+    fn.__doc__ = (
+        f"Suite gate bundling {len(parts)} component queries into one "
+        f"recorded correctness row: {', '.join(parts)}. Each part re-runs "
+        "its registered query function and re-projects to the shared "
+        "long format; the oracle unions the identically projected SQL."
+    )
+    sql = "\nUNION ALL\n".join(
+        _long_sql(base[name][1], name, keys, metrics)
+        for name, (keys, metrics) in parts.items()
+    )
+    REGISTRY[suite_name] = (fn, sql)
+
+
+def _build() -> None:
+    base = _base_registry()
+    for suite_name, parts in SUITES.items():
+        missing = [n for n in parts if n not in base or base[n][1] is None]
+        if missing:
+            raise ValueError(f"suite {suite_name}: parts missing or oracle-less: {missing}")
+        _make_suite(suite_name, parts, base)
+
+
+_build()
