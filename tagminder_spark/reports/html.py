@@ -60,3 +60,78 @@ def render_dashboard(
     out = Path(out_path)
     out.write_text(_PAGE.format(title=html.escape(title), sections=body))
     return out
+
+
+def render_artist_map(
+    edges: DataFrame,
+    out_path: str | Path,
+    title: str = "artist similarity map",
+    top_k_per_node: int = 30,
+    min_weight: int = 1,
+    max_nodes: int = 5000,
+) -> Path:
+    """Self-contained HTML similarity map (SURVEY §2.1; reference
+    src/tagminder/ui/tm_artist_map.py:31-64).
+
+    Division of labor mirrors the reference and the dashboard sink: the
+    graph (symmetrized, per-node top-k — queries/reports.py
+    g_top_neighbors shape) is computed DISTRIBUTED; the renderer only
+    collects the already-trimmed edge list, compacts names to integer
+    ids (the reference's _trim_graph), and embeds the adjacency as JSON
+    into a dependency-free canvas page (no Plotly in this container).
+
+    ``edges``: (src, dst, weight[, rn]) — rn-trimmed if present.
+    """
+    import json
+
+    from pyspark.sql import functions as F
+
+    e = edges
+    if "rn" in e.columns:
+        e = e.filter(F.col("rn") <= top_k_per_node)
+    e = e.filter(F.col("weight") >= min_weight).select("src", "dst", "weight")
+    rows = e.limit(max_nodes * top_k_per_node).collect()
+
+    names: list[str] = []
+    id_by_name: dict[str, int] = {}
+    adj: list[list[list[int]]] = []
+    for r in rows:
+        for n in (str(r.src), str(r.dst)):
+            if n not in id_by_name and len(names) < max_nodes:
+                id_by_name[n] = len(names)
+                names.append(n)
+                adj.append([])
+    for r in rows:
+        sid = id_by_name.get(str(r.src))
+        did = id_by_name.get(str(r.dst))
+        if sid is None or did is None or sid == did:
+            continue
+        if len(adj[sid]) < top_k_per_node:
+            adj[sid].append([did, int(r.weight)])
+
+    payload = json.dumps({"names": names, "adj": adj}, separators=(",", ":"))
+    page = f"""<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>{html.escape(title)}</title>
+<style>body{{margin:0;font-family:sans-serif}}#c{{display:block}}</style>
+</head><body><canvas id="c"></canvas>
+<script>
+const G = {payload};
+const c = document.getElementById('c'), x = c.getContext('2d');
+c.width = innerWidth; c.height = innerHeight;
+const n = G.names.length;
+const P = G.names.map((_, i) => [
+  c.width/2 + Math.cos(2*Math.PI*i/n)*c.height*0.4,
+  c.height/2 + Math.sin(2*Math.PI*i/n)*c.height*0.4]);
+x.strokeStyle = 'rgba(60,60,200,0.25)';
+G.adj.forEach((nb, i) => nb.forEach(([j, w]) => {{
+  x.beginPath(); x.moveTo(P[i][0], P[i][1]); x.lineTo(P[j][0], P[j][1]);
+  x.lineWidth = Math.min(4, w); x.stroke();
+}}));
+x.fillStyle = '#222'; x.font = '10px sans-serif';
+P.forEach(([px, py], i) => x.fillText(G.names[i], px + 3, py));
+</script></body></html>
+"""
+    out = Path(out_path)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(page)
+    return out

@@ -159,6 +159,26 @@ def test_render_dashboard(spark, tmp_path):
     assert "<table>" in text and "FLAC" in text and "format mix" in text
 
 
+def test_render_artist_map(spark, tmp_path):
+    from tagminder_spark.reports.html import render_artist_map
+
+    edges = spark.createDataFrame(
+        [("A", "B", 3, 1), ("B", "A", 3, 1), ("A", "C", 1, 2), ("C", "A", 1, 1)],
+        "src string, dst string, weight int, rn int",
+    )
+    out = render_artist_map(edges, tmp_path / "map.html", top_k_per_node=2)
+    text = out.read_text()
+    assert "canvas" in text and '"names":' in text
+    # compact integer-id adjacency, reference _trim_graph shape
+    import json, re  # noqa: PLC0415
+
+    payload = json.loads(re.search(r"const G = (\{.*?\});", text).group(1))
+    assert set(payload["names"]) == {"A", "B", "C"}
+    assert len(payload["adj"]) == 3
+    a = payload["names"].index("A")
+    assert len(payload["adj"][a]) == 2  # top-k trim holds
+
+
 def test_streaming_first_seen_dedup(spark, tmp_path):
     from tagminder_spark.streaming.stateful import (
         DEDUP_OUTPUT_SCHEMA,
