@@ -1,0 +1,86 @@
+"""Terminal library-explorer analogues (reference: src/tagminder/app/
+tm_tui.py — the Textual artist-graph explorer).
+
+The Textual widget layer is driver-side UI and is NOT ported; what is
+ported is its engine contract: given the similarity edge frame (the
+``g_top_neighbors`` shape), resolve an artist's neighborhood to a fixed
+depth. Each frontier expansion is a DISTRIBUTED filter + per-node top-k
+on the edge frame (the frontier id set is tiny and broadcasts); only the
+rows actually rendered are collected — the same division of labor as the
+HTML sinks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def neighbor_tree(
+    edges: DataFrame,
+    root: str,
+    top_k: int = 10,
+    depth: int = 2,
+) -> list[tuple[int, str, int]]:
+    """(level, node, weight-from-parent) rows in render order.
+
+    ``edges``: (src, dst, weight) — symmetrized (both directions present,
+    as g_top_neighbors emits). BFS by level: one distributed top-k query
+    per level over the current frontier; already-shown nodes are pruned
+    (tm_tui.py's _refresh_neighbors dedups the same way).
+    """
+    out: list[tuple[int, str, int]] = [(0, root, 0)]
+    seen = {root}
+    frontier = [root]
+    for level in range(1, depth + 1):
+        if not frontier:
+            break
+        w = W.partitionBy("src").orderBy(F.col("weight").desc(), F.col("dst"))
+        rows = (
+            edges.filter(F.col("src").isin(frontier))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= top_k)
+            .select("src", "dst", "weight")
+            .collect()
+        )
+        by_src: dict[str, list] = {}
+        for r in rows:
+            by_src.setdefault(str(r.src), []).append(r)
+        next_frontier: list[str] = []
+        expanded: list[tuple[int, str, int]] = []
+        for parent in frontier:
+            for r in by_src.get(parent, []):
+                dst = str(r.dst)
+                if dst in seen:
+                    continue
+                seen.add(dst)
+                expanded.append((level, dst, int(r.weight)))
+                next_frontier.append(dst)
+        # splice children under their parents in render order
+        merged: list[tuple[int, str, int]] = []
+        for row in out:
+            merged.append(row)
+            if row[0] == level - 1:
+                merged.extend(
+                    e
+                    for e in expanded
+                    if any(
+                        str(r.dst) == e[1] and str(r.src) == row[1]
+                        for r in by_src.get(row[1], [])
+                    )
+                )
+        out = merged
+        frontier = next_frontier
+    return out
+
+
+def render_neighbor_tree(
+    edges: DataFrame, root: str, top_k: int = 10, depth: int = 2
+) -> str:
+    """Indented text tree — the terminal twin of the TUI explorer pane."""
+    lines = []
+    for level, node, weight in neighbor_tree(edges, root, top_k, depth):
+        indent = "  " * level
+        suffix = f"  (w={weight})" if level else ""
+        lines.append(f"{indent}{node}{suffix}")
+    return "\n".join(lines)

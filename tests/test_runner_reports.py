@@ -159,6 +159,27 @@ def test_render_dashboard(spark, tmp_path):
     assert "<table>" in text and "FLAC" in text and "format mix" in text
 
 
+def test_neighbor_tree_explorer(spark):
+    from tagminder_spark.reports.tui import render_neighbor_tree
+
+    edges = spark.createDataFrame(
+        [
+            ("A", "B", 5), ("B", "A", 5),
+            ("A", "C", 3), ("C", "A", 3),
+            ("B", "D", 2), ("D", "B", 2),
+            ("C", "B", 1), ("B", "C", 1),
+        ],
+        "src string, dst string, weight int",
+    )
+    text = render_neighbor_tree(edges, "A", top_k=2, depth=2)
+    lines = text.splitlines()
+    assert lines[0] == "A"
+    # level-1: B (w=5) then C (w=3); level-2 under B: D (A and C pruned as seen)
+    assert "  B  (w=5)" in lines and "  C  (w=3)" in lines
+    assert "    D  (w=2)" in lines
+    assert text.count("A") == 1  # root never re-rendered
+
+
 def test_render_artist_map(spark, tmp_path):
     from tagminder_spark.reports.html import render_artist_map
 
