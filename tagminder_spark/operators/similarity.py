@@ -59,6 +59,90 @@ def brute_topk(
     )
 
 
+def kmeans_train(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 16,
+    iters: int = 4,
+) -> DataFrame:
+    """Distributed spherical k-means (Lloyd's) for IVF centroids.
+
+    Each iteration is one crossJoin-with-broadcast assignment (k tiny)
+    plus one groupBy computing per-dimension means as ``k × dim`` agg
+    columns — NO explode, one shuffle per iteration. Centroids (k rows)
+    are collected to the driver between iterations, which both truncates
+    lineage and matches how trained centroids would be broadcast at
+    100 TB. Init is deterministic: the k smallest ids. Means are float
+    aggregations, so results are stable only up to partial-agg order —
+    this trains the index; it is not an oracle-checked operator (the
+    oracle-checked IVF gate keeps fixed seed centroids).
+
+    Returns a DataFrame (cell_id int, cv array<double>, cn double) ready
+    for :func:`ivf_topk_with_centroids`.
+    """
+    spark = df.sparkSession
+    base = _with_norm(df, id_col, vec_col)
+    unit = base.select(
+        "id", F.transform(F.col("v"), lambda x: x / F.col("norm")).alias("v")
+    )
+    dim = len(unit.select("v").first()["v"])
+
+    init = [
+        (i, r["v"])
+        for i, r in enumerate(unit.orderBy("id").limit(k).collect())
+    ]
+    cent_rows = init
+    for _ in range(iters):
+        cent = spark.createDataFrame(
+            cent_rows, "cell_id int, cv array<double>"
+        )
+        assign_w = W.partitionBy("id").orderBy(F.desc("sim"), F.asc("cell_id"))
+        assigned = (
+            unit.crossJoin(F.broadcast(cent))
+            .withColumn("sim", _dot(F.col("v"), F.col("cv")))
+            .withColumn("r", F.row_number().over(assign_w))
+            .filter(F.col("r") == 1)
+            .select("cell_id", "v")
+        )
+        means = assigned.groupBy("cell_id").agg(
+            *[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)]
+        )
+        new_rows = [
+            (r["cell_id"], [r[f"c{i}"] for i in range(dim)])
+            for r in means.collect()
+        ]
+        # spherical: re-normalize the mean; empty cells keep their centroid
+        kept = {}
+        for cid, vec in new_rows:
+            nrm = sum(x * x for x in vec) ** 0.5
+            if nrm > 0:
+                kept[cid] = [x / nrm for x in vec]
+        cent_rows = [
+            (cid, kept.get(cid, vec)) for cid, vec in cent_rows
+        ]
+    cent = spark.createDataFrame(cent_rows, "cell_id int, cv array<double>")
+    return cent.select(
+        "cell_id", "cv", F.sqrt(_dot(F.col("cv"), F.col("cv"))).alias("cn")
+    )
+
+
+def ivf_topk_with_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF top-k against an explicit centroid frame (cell_id, cv, cn) —
+    the trained-index path (:func:`kmeans_train`); same probe/assign
+    plan as :func:`ivf_topk`."""
+    base = _with_norm(df, id_col, vec_col)
+    return _ivf_probe(base, centroids, query_ids, k, nprobe)
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,
@@ -70,8 +154,8 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF-bucketed approximate top-k.
 
-    Cells are defined by fixed seed vectors (deterministic stand-in for
-    k-means centroids — at scale, train centroids offline and broadcast).
+    Cells are defined by fixed seed vectors (deterministic, oracle-
+    reproducible; :func:`kmeans_train` is the trained-centroid upgrade).
     Every corpus vector is assigned to its nearest seed; each query probes
     its ``nprobe`` nearest cells and ranks only those members.
     """
@@ -79,6 +163,16 @@ def ivf_topk(
     seeds = base.filter(F.col("id").isin(seed_ids)).select(
         F.col("id").alias("cell_id"), F.col("v").alias("cv"), F.col("norm").alias("cn")
     )
+    return _ivf_probe(base, seeds, query_ids, k, nprobe)
+
+
+def _ivf_probe(
+    base: DataFrame,
+    seeds: DataFrame,
+    query_ids: list[int],
+    k: int,
+    nprobe: int,
+) -> DataFrame:
     sim_to_cell = F.round(
         _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cn")), 6
     )

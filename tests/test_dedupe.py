@@ -104,3 +104,39 @@ def test_minhash_deterministic_across_runs(docs):
         for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
     )
     assert a == b
+
+
+def test_kmeans_trained_ivf_beats_seed_ivf(spark):
+    """Trained spherical k-means centroids must not lose recall vs the
+    fixed-seed stand-in, measured against brute-force ground truth."""
+    from tagminder_spark.operators.similarity import (
+        brute_topk,
+        ivf_topk,
+        ivf_topk_with_centroids,
+        kmeans_train,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qids = list(range(10, 20))
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_topk(emb, "vec_id", "embedding", qids, k=3).collect()
+    }
+    seed = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(
+            emb, "vec_id", "embedding", list(range(8)), qids, k=3, nprobe=2
+        ).collect()
+    }
+    cent = kmeans_train(emb, "vec_id", "embedding", k=8, iters=3)
+    assert cent.count() == 8
+    trained = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk_with_centroids(
+            emb, "vec_id", "embedding", cent, qids, k=3, nprobe=2
+        ).collect()
+    }
+    r_seed = len(seed & truth) / len(truth)
+    r_trained = len(trained & truth) / len(truth)
+    assert r_trained >= r_seed, f"trained recall {r_trained} < seed {r_seed}"
+    assert r_trained >= 0.5
