@@ -121,6 +121,10 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
         "ann_ivf_topk": (
             ["query_id", "rank"], [("neighbor_id", "num"), ("cosine", "num")]
         ),
+        "mm_image_features": (
+            ["media_id"],
+            [("width", "num"), ("height", "num"), ("channels", "num"), ("n_feat", "num")],
+        ),
     },
     # the report family (92/94/95/96)
     "suite_reports": {

@@ -240,3 +240,42 @@ def t_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = streaming_first_seen_dedup(stream.select("lang"), "lang")
     name = f"t_stateful_dedup_{uuid.uuid4().hex[:8]}"
     return run_stream_to_memory(out, name)
+
+
+_MM_SQL = """
+WITH m AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents)
+SELECT media_id,
+       64 + CAST('0x' || substr(hx, 1, 2) AS INT) % 192 AS width,
+       64 + CAST('0x' || substr(hx, 3, 2) AS INT) % 192 AS height,
+       3 AS channels,
+       8 AS n_feat
+FROM m
+"""
+
+
+@q("mm_image_features", _MM_SQL)
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode/featurize plumbing, value-checked end to end:
+    documents' text becomes the opaque binary content column, the
+    mapInPandas kernel (sources/multimodal.py) batches it through Arrow
+    and emits per-media dims + a feature vector. The deterministic fake
+    codec derives dims from md5(content), so the oracle replays the
+    exact Pandas-UDF output in SQL — proving the binary column, batch
+    shape, and UDF signature carry real data (only the codec kernel
+    itself swaps for Pillow/ffmpeg on a real image)."""
+    from tagminder_spark.sources.multimodal import decode_and_featurize_images
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+    feats = decode_and_featurize_images(media, dim=8)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        F.size("feature").alias("n_feat"),
+    )
