@@ -129,3 +129,41 @@ def s15_jsonl_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.filter(
         F.col("occupation").isin("musician", "composer", "singer")
     )
+
+
+_S3_SQL = """
+SELECT '/lib/doc' || CAST(doc_id AS VARCHAR) || '.mp3' AS __path,
+       'mp3' AS __filetype,
+       CAST(octet_length(encode(text)) % 600 AS VARCHAR) AS __length_seconds,
+       'doc' || CAST(doc_id AS VARCHAR) || '.mp3' AS title,
+       CAST(octet_length(encode(text)) AS VARCHAR) AS extra_size
+FROM documents
+"""
+
+
+@q("s3_tag_parse", _S3_SQL)
+def s3_tag_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tag-parse plumbing (S3, tags2db.py:478-512) value-checked end to
+    end: a (path, content) catalog frame flows through the mapInPandas
+    parser and the tags→columns pivot with the MapType overflow. The
+    deterministic fallback parser (ext, size-derived length, basename
+    title, __size overflow tag) is replayed exactly by the oracle, so
+    the Arrow batching, tag-map shape, and column fan-out carry real
+    data — only the mutagen kernel swaps in on a real library."""
+    from tagminder_spark.sources.catalog import parse_tags, tags_to_columns
+
+    d = load_table(spark, sf_dir, "documents")
+    files = d.select(
+        F.concat(F.lit("/lib/doc"), F.col("doc_id").cast("string"), F.lit(".mp3")).alias(
+            "path"
+        ),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+    cols = tags_to_columns(parse_tags(files), ["title"])
+    return cols.select(
+        "__path",
+        "__filetype",
+        "__length_seconds",
+        "title",
+        F.element_at(F.col("__extra_tags"), "__size").alias("extra_size"),
+    )

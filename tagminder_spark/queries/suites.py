@@ -81,6 +81,11 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
                 ("name_tr", "str"), ("is_small", "num"), ("has_widget", "num"),
             ],
         ),
+        "s3_tag_parse": (
+            ["__path"],
+            [("__filetype", "str"), ("__length_seconds", "str"), ("title", "str"),
+             ("extra_size", "str")],
+        ),
     },
     # dedup family + diff-audit + streaming state
     "suite_dedup_audit": {
