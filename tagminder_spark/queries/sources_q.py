@@ -167,3 +167,69 @@ def s3_tag_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "title",
         F.element_at(F.col("__extra_tags"), "__size").alias("extra_size"),
     )
+
+
+_S78_SQL = """
+WITH scanned AS (
+  SELECT '/lib/f' || CAST(doc_id AS VARCHAR) AS path,
+         1700000000 + doc_id % 1000 AS mtime_epoch
+  FROM documents WHERE doc_id % 5 <> 0
+), existing AS (
+  SELECT '/lib/f' || CAST(doc_id AS VARCHAR) AS __path,
+         CAST(1700000000 + CASE WHEN doc_id % 3 = 0 THEN doc_id % 1000 - 7
+                                ELSE doc_id % 1000 END AS VARCHAR)
+           AS __file_mod_datetime_raw
+  FROM documents WHERE doc_id % 7 <> 0
+)
+SELECT 'modified' AS bucket, s.path
+FROM scanned s JOIN existing e ON e.__path = s.path
+WHERE CAST(s.mtime_epoch AS DOUBLE) > CAST(e.__file_mod_datetime_raw AS DOUBLE)
+UNION ALL
+SELECT 'orphan', e.__path
+FROM existing e LEFT JOIN scanned s ON s.path = e.__path
+WHERE s.path IS NULL
+UNION ALL
+SELECT 'new', s.path
+FROM scanned s LEFT JOIN existing e ON e.__path = s.path
+WHERE e.__path IS NULL
+"""
+
+
+@q("s78_incremental_sync", _S78_SQL)
+def s78_incremental_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental catalog sync (S6/S7/S8, tags2db.py:955-1079): one gate
+    covering new-files anti-join, modified-mtime inner join, and orphan
+    prune over a synthesized scanned-vs-catalog pair (stale mtimes for
+    doc_id%3 rows, scan misses %5, catalog misses %7)."""
+    from tagminder_spark.sources.catalog import (
+        incremental_modified,
+        incremental_new,
+        prune_orphans,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    scanned = d.filter(F.col("doc_id") % 5 != 0).select(
+        F.concat(F.lit("/lib/f"), F.col("doc_id").cast("string")).alias("path"),
+        (F.lit(1700000000) + F.col("doc_id") % 1000).alias("mtime_epoch"),
+    )
+    existing = d.filter(F.col("doc_id") % 7 != 0).select(
+        F.concat(F.lit("/lib/f"), F.col("doc_id").cast("string")).alias("__path"),
+        (
+            F.lit(1700000000)
+            + F.when(
+                F.col("doc_id") % 3 == 0, F.col("doc_id") % 1000 - 7
+            ).otherwise(F.col("doc_id") % 1000)
+        )
+        .cast("string")
+        .alias("__file_mod_datetime_raw"),
+    )
+    modified = incremental_modified(scanned, existing).select(
+        F.lit("modified").alias("bucket"), "path"
+    )
+    orphans = prune_orphans(existing, scanned).select(
+        F.lit("orphan").alias("bucket"), F.col("__path").alias("path")
+    )
+    new = incremental_new(scanned, existing).select(
+        F.lit("new").alias("bucket"), "path"
+    )
+    return modified.unionByName(orphans).unionByName(new)

@@ -86,6 +86,7 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
             [("__filetype", "str"), ("__length_seconds", "str"), ("title", "str"),
              ("extra_size", "str")],
         ),
+        "s78_incremental_sync": (["bucket", "path"], []),
     },
     # dedup family + diff-audit + streaming state
     "suite_dedup_audit": {
