@@ -218,6 +218,9 @@ def contributors_merge(
             )
             .drop("__m_id", "__m_name", "__m_mnid")
         )
+        # amg_res is checkpointed too: it is consumed twice per phase
+        # (fill join + next residual), and lazily it would re-execute its
+        # whole anti-join chain per consumer — measured 2× slower overall
         return _cp(out), _cp(amg_res.join(m.select("amg_id"), "amg_id", "left_anti"))
 
     # ---- phase 1: MNID bridge (:1669) — MB+WD rows reach AMG through
@@ -297,9 +300,7 @@ def contributors_merge(
         )
     )
     base = _cp(base)
-    wd_res = _cp(
-        wd_res.join(m2.select(F.col("__w_id").alias("wd_id")), "wd_id", "left_anti")
-    )
+    # wd_res is not consumed after phase 2 — no residual update needed
 
     # ---- phase 3: AMG exact-name fallback (:2164) — WD-carrying rows
     # match residual AMG by the WD label ----
