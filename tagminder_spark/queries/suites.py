@@ -131,6 +131,15 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
             ["media_id"],
             [("width", "num"), ("height", "num"), ("channels", "num"), ("n_feat", "num")],
         ),
+        "t_doc_structure": (
+            ["doc_id"],
+            [("n_words", "num"), ("n_sentences", "num"), ("n_paragraphs", "num"),
+             ("chars_per_sentence", "num")],
+        ),
+        "t_nfc_normalize": (
+            ["doc_id"],
+            [("nfc_md5", "str"), ("nfc_len", "num"), ("already_nfc", "num")],
+        ),
     },
     # the report family (92/94/95/96)
     "suite_reports": {

@@ -279,3 +279,87 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channels",
         F.size("feature").alias("n_feat"),
     )
+
+
+_STRUCT_SQL = """
+SELECT doc_id,
+       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT) AS n_words,
+       CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+                            s -> trim(s) <> '')) AS INT) AS n_sentences,
+       CAST(len(list_filter(string_split(text, chr(10) || chr(10)),
+                            s -> trim(s) <> '')) AS INT) AS n_paragraphs,
+       ROUND(CAST(length(text) AS DOUBLE) /
+             GREATEST(len(list_filter(string_split_regex(text, '[.!?]+'),
+                                      s -> trim(s) <> '')), 1), 6)
+         AS chars_per_sentence
+FROM documents
+"""
+
+
+@q("t_doc_structure", _STRUCT_SQL)
+def t_doc_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document structure stats for corpus curation: word, sentence, and
+    paragraph counts plus chars-per-sentence — pure expressions, zero
+    shuffle, one scan (the same single-pass shape as t_quality_score)."""
+    d = load_table(spark, sf_dir, "documents")
+    sentences = F.filter(
+        F.split(F.col("text"), r"[.!?]+"), lambda s: F.trim(s) != ""
+    )
+    paragraphs = F.filter(
+        F.split(F.col("text"), r"\n\n"), lambda s: F.trim(s) != ""
+    )
+    n_sent = F.size(sentences)
+    return d.select(
+        "doc_id",
+        (
+            F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+        ).cast("int").alias("n_words"),
+        n_sent.cast("int").alias("n_sentences"),
+        F.size(paragraphs).cast("int").alias("n_paragraphs"),
+        F.round(
+            F.length("text").cast("double") / F.greatest(n_sent, F.lit(1)), 6
+        ).alias("chars_per_sentence"),
+    )
+
+
+_NFC_SQL = """
+SELECT doc_id,
+       md5(nfc_normalize(text)) AS nfc_md5,
+       CAST(length(nfc_normalize(text)) AS INT) AS nfc_len,
+       CAST(nfc_normalize(text) = text AS INT) AS already_nfc
+FROM documents
+"""
+
+
+@q("t_nfc_normalize", _NFC_SQL)
+def t_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization — the text-normalization pass every
+    multi-source corpus needs before hashing/dedup (combining marks vs
+    precomposed forms hash differently). Spark has no NFC built-in, so
+    this is the honest Arrow-batched pandas-UDF path (unicodedata.NFC);
+    the oracle replays it with DuckDB's nfc_normalize, value-checking
+    the UDF end to end via md5/length/identity columns."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # `from __future__ import annotations` stringifies hints and
+    # pandas_udf evals them in the module globals, where pandas isn't
+    # imported — annotate explicitly instead.
+    def _nfc_impl(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    _nfc_impl.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    nfc = pandas_udf(_nfc_impl, "string")
+
+    d = load_table(spark, sf_dir, "documents")
+    n = nfc(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.md5(n).alias("nfc_md5"),
+        F.length(n).cast("int").alias("nfc_len"),
+        (n == F.col("text")).cast("int").alias("already_nfc"),
+    )
