@@ -281,13 +281,16 @@ def a18_covers_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GFEAT_SQL = """
 WITH feats AS (
-  SELECT DISTINCT p_partkey AS node, unnest(string_split(p_type, ' ')) AS feat
-  FROM part
+  SELECT DISTINCT p_partkey AS node, 'type:' || p_type AS feat FROM part
   UNION
-  SELECT DISTINCT p_partkey, p_brand FROM part
+  SELECT DISTINCT p_partkey, 'brand:' || p_brand FROM part
+  UNION
+  SELECT DISTINCT p_partkey, 'size:' || CAST(p_size AS VARCHAR) FROM part
+), corpus AS (
+  SELECT GREATEST(50, CAST(CEIL(0.05 * COUNT(*)) AS BIGINT)) AS max_df FROM part
 ), bounded AS (
-  SELECT feat FROM feats GROUP BY feat
-  HAVING COUNT(*) >= 2 AND COUNT(*) <= 50
+  SELECT feat FROM feats, corpus GROUP BY feat, corpus.max_df
+  HAVING COUNT(*) >= 2 AND COUNT(*) <= corpus.max_df
 ), edges AS (
   SELECT a.node AS src, b.node AS dst, COUNT(*) AS weight
   FROM feats a
@@ -302,22 +305,39 @@ SELECT src, dst, weight FROM edges WHERE weight >= 2
 @q("g_feature_edges", _GFEAT_SQL)
 def g_feature_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-proximity edges (tm_graph.py:319-430): explode features,
-    enforce document-frequency bounds (min 2, max 50 — drops both noise
-    and stop-features), self-join per feature, +1 weight per shared
-    feature. The reference's Python pair loops become one equi-join."""
+    enforce document-frequency bounds, self-join per feature, +1 weight
+    per shared feature. The reference's Python pair loops become one
+    equi-join.
+
+    The upper DF bound is corpus-scaled — ``max(50, ceil(0.05 * n))`` —
+    the reference's fixed 2..50 window only makes sense at its library
+    sizes; a fixed cap excludes every feature at small SF (a vacuous
+    gate) and admits stop-features at 100 TB. The bound is computed as a
+    1-row aggregate broadcast into the DF filter, not a driver collect."""
     p = load_table(spark, sf_dir, "part")
     type_feats = p.select(
         F.col("p_partkey").alias("node"),
-        F.explode(F.split("p_type", " ")).alias("feat"),
+        F.concat(F.lit("type:"), F.col("p_type")).alias("feat"),
     )
     brand_feats = p.select(
-        F.col("p_partkey").alias("node"), F.col("p_brand").alias("feat")
+        F.col("p_partkey").alias("node"),
+        F.concat(F.lit("brand:"), F.col("p_brand")).alias("feat"),
     )
-    feats = type_feats.unionByName(brand_feats).distinct()
+    size_feats = p.select(
+        F.col("p_partkey").alias("node"),
+        F.concat(F.lit("size:"), F.col("p_size").cast("string")).alias("feat"),
+    )
+    feats = type_feats.unionByName(brand_feats).unionByName(size_feats).distinct()
+    corpus = p.agg(
+        F.greatest(
+            F.lit(50), F.ceil(F.count(F.lit(1)) * F.lit(0.05)).cast("long")
+        ).alias("max_df")
+    )
     bounded = (
         feats.groupBy("feat")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= 50))
+        .join(F.broadcast(corpus))
+        .filter((F.col("df") >= 2) & (F.col("df") <= F.col("max_df")))
         .select("feat")
     )
     fb = feats.join(F.broadcast(bounded), "feat")

@@ -28,6 +28,15 @@ def test_query_matches_oracle(name, spark, duck):
     assert _canon_rows(s_cols, s_rows) == _canon_rows(d_cols, d_rows)
 
 
+def test_g_feature_edges_not_vacuous(spark):
+    """Round-2 verdict: the fixed 2..50 DF window excluded every feature
+    at small SF, turning the gate green on 0 rows. The corpus-scaled
+    bound must admit features — assert the gate proves something."""
+    from tagminder_spark.queries.reports import g_feature_edges
+
+    assert g_feature_edges(spark, SF_DIR).count() > 0
+
+
 def test_entry_smoke(spark):
     df = entry.entry(spark)
     rows = df.collect()
