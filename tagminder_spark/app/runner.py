@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame
 
 from tagminder_spark import pipeline as P
 from tagminder_spark.operators.diff_audit import diff_audit
+from tagminder_spark.operators.rename import rename_plan
 
 
 @dataclass(frozen=True)
@@ -90,6 +91,11 @@ REGISTRY: dict[str, StepSpec] = {
         StepSpec(
             "22", "infer-works", P.step22_apply_works,
             ("work", "musicbrainz_workid"), needs=("works",),
+        ),
+        StepSpec(
+            "98", "rename-plan", rename_plan,
+            ("new_filename", "new_dirname", "new_path", "collision", "action"),
+            kind="workspace", ws_key=("__path",),
         ),
     ]
 }

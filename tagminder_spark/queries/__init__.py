@@ -94,6 +94,7 @@ def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
         pipelinesteps_works,
         relational,
         relational_ext,
+        rename_q,
         reports,
         reports_insights,
         scalarfns,
@@ -124,6 +125,7 @@ def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
         reports_insights,
         scale_q,
         sources_q,
+        rename_q,
         suites,
     ):
         for name, (fn, sql) in mod.REGISTRY.items():

@@ -182,6 +182,7 @@ def _base_registry() -> dict[str, tuple[QueryFn, str | None]]:
         pipelinesteps_works,
         relational,
         relational_ext,
+        rename_q,
         reports,
         reports_insights,
         scalarfns,
@@ -196,7 +197,7 @@ def _base_registry() -> dict[str, tuple[QueryFn, str | None]]:
         relational, relational_ext, scalarfns, dedup, er_q, textops, simsearch,
         audit, pipelinesteps, pipelinesteps_ext, pipelinesteps_grp,
         pipelinesteps_lookup, pipelinesteps_works, reports, reports_insights,
-        scale_q, sources_q,
+        scale_q, sources_q, rename_q,
     ):
         out.update(mod.REGISTRY)
     return out
