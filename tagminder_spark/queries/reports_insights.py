@@ -309,3 +309,372 @@ def s13_sync_by_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("artist"),
         (title_chg.cast("int") + artist_chg.cast("int")).alias("n_changed"),
     )
+
+
+# --------------------------------------------------------------------------
+# A19: ReplayGain derived loudness metrics
+# --------------------------------------------------------------------------
+
+_RG_SQL = r"""
+WITH alib AS (
+  SELECT 'alb' || CAST(l_orderkey % 400 AS VARCHAR) AS album_root,
+         CASE WHEN l_orderkey % 9 = 0 THEN NULL
+              ELSE (CASE WHEN l_orderkey % 2 = 0 THEN '-' ELSE '+' END)
+                   || CAST(l_orderkey % 10 AS VARCHAR) || '.'
+                   || CAST(l_partkey % 100 AS VARCHAR) || ' dB' END
+           AS replaygain_album_gain,
+         CASE WHEN l_partkey % 11 = 0 THEN ''
+              WHEN l_orderkey % 3 = 0
+                THEN '1.0' || CAST(l_partkey % 10 AS VARCHAR)
+              ELSE '0.9' || CAST(l_partkey % 10 AS VARCHAR) END
+           AS replaygain_album_peak,
+         CASE WHEN l_suppkey % 7 = 0 THEN NULL
+              ELSE (CASE WHEN l_suppkey % 2 = 0 THEN '-' ELSE '' END)
+                   || CAST(l_suppkey % 12 AS VARCHAR) || '.'
+                   || CAST(l_linenumber AS VARCHAR) || ' dB' END
+           AS replaygain_track_gain
+  FROM lineitem
+), parsed AS (
+  SELECT album_root,
+         TRY_CAST(regexp_extract(replaygain_album_gain,
+            '([+-]?\d+(?:\.\d+)?)', 1) AS DOUBLE) AS rg_album_gain_db,
+         TRY_CAST(regexp_extract(replaygain_album_peak,
+            '(\d+(?:\.\d+)?)', 1) AS DOUBLE) AS rg_album_peak,
+         TRY_CAST(regexp_extract(replaygain_track_gain,
+            '([+-]?\d+(?:\.\d+)?)', 1) AS DOUBLE) AS rg_track_gain_db
+  FROM alib
+), agg AS (
+  SELECT album_root,
+         QUANTILE_CONT(rg_album_gain_db, 0.5) AS gain_med,
+         MAX(rg_album_peak) AS peak_max,
+         CAST(COUNT(rg_album_gain_db) AS BIGINT) AS rg_album_gain_n,
+         CAST(COUNT(rg_album_peak) AS BIGINT) AS rg_album_peak_n,
+         QUANTILE_CONT(rg_track_gain_db, 0.90)
+           - QUANTILE_CONT(rg_track_gain_db, 0.10) AS track_spread
+  FROM parsed GROUP BY album_root
+)
+SELECT album_root,
+       CAST(ROUND(gain_med, 4) AS DOUBLE) AS rg_album_gain_db,
+       CAST(ROUND(peak_max, 4) AS DOUBLE) AS rg_album_peak,
+       rg_album_gain_n, rg_album_peak_n,
+       CAST(ROUND(track_spread, 4) AS DOUBLE) AS rg_track_gain_p90_p10_db,
+       CAST(ROUND(CASE WHEN peak_max > 0 THEN 20.0 * log10(peak_max) END, 4)
+            AS DOUBLE) AS rg_album_peak_dbfs,
+       CAST(ROUND(-18.0 - gain_med, 4) AS DOUBLE) AS rg_album_lufs,
+       CAST(ROUND((CASE WHEN peak_max > 0 THEN 20.0 * log10(peak_max) END)
+                  - (-18.0 - gain_med), 4) AS DOUBLE) AS rg_album_plr
+FROM agg
+"""
+
+
+@q("r92_replaygain", _RG_SQL)
+def r92_replaygain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReplayGain derived metrics (92-library-insights.py:1261-1390):
+    parse '±N.NN dB' gains / linear peaks per track, aggregate per album
+    (median gain, max peak, non-null counts, p90-p10 track-gain spread),
+    then dBFS = 20·log10(peak), LUFS = -18 − gain, PLR = dBFS − LUFS.
+    One hash aggregate; the exact `percentile` matches QUANTILE_CONT —
+    at 100 TB swap to approx_percentile and record the tolerance."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ok, pk, sk, ln = (
+        F.col("l_orderkey"), F.col("l_partkey"), F.col("l_suppkey"),
+        F.col("l_linenumber"),
+    )
+    alib = li.select(
+        F.concat(F.lit("alb"), (ok % 400).cast("string")).alias("album_root"),
+        F.when(ok % 9 == 0, F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(
+                F.when(ok % 2 == 0, F.lit("-")).otherwise(F.lit("+")),
+                (ok % 10).cast("string"), F.lit("."),
+                (pk % 100).cast("string"), F.lit(" dB"),
+            )
+        )
+        .alias("replaygain_album_gain"),
+        F.when(pk % 11 == 0, F.lit(""))
+        .when(ok % 3 == 0, F.concat(F.lit("1.0"), (pk % 10).cast("string")))
+        .otherwise(F.concat(F.lit("0.9"), (pk % 10).cast("string")))
+        .alias("replaygain_album_peak"),
+        F.when(sk % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(
+                F.when(sk % 2 == 0, F.lit("-")).otherwise(F.lit("")),
+                (sk % 12).cast("string"), F.lit("."),
+                ln.cast("string"), F.lit(" dB"),
+            )
+        )
+        .alias("replaygain_track_gain"),
+    )
+    parsed = alib.select(
+        "album_root",
+        F.regexp_extract("replaygain_album_gain", r"([+-]?\d+(?:\.\d+)?)", 1)
+        .try_cast("double")
+        .alias("g"),
+        F.regexp_extract("replaygain_album_peak", r"(\d+(?:\.\d+)?)", 1)
+        .try_cast("double")
+        .alias("p"),
+        F.regexp_extract("replaygain_track_gain", r"([+-]?\d+(?:\.\d+)?)", 1)
+        .try_cast("double")
+        .alias("tg"),
+    )
+    agg = parsed.groupBy("album_root").agg(
+        F.percentile("g", F.lit(0.5)).alias("gain_med"),
+        F.max("p").alias("peak_max"),
+        F.count("g").alias("rg_album_gain_n"),
+        F.count("p").alias("rg_album_peak_n"),
+        (F.percentile("tg", F.lit(0.90)) - F.percentile("tg", F.lit(0.10))).alias(
+            "track_spread"
+        ),
+    )
+    dbfs = F.when(F.col("peak_max") > 0, F.lit(20.0) * F.log10("peak_max"))
+    lufs = F.lit(-18.0) - F.col("gain_med")
+    return agg.select(
+        "album_root",
+        F.round("gain_med", 4).cast("double").alias("rg_album_gain_db"),
+        F.round("peak_max", 4).cast("double").alias("rg_album_peak"),
+        "rg_album_gain_n",
+        "rg_album_peak_n",
+        F.round("track_spread", 4).cast("double").alias("rg_track_gain_p90_p10_db"),
+        F.round(dbfs, 4).cast("double").alias("rg_album_peak_dbfs"),
+        F.round(lufs, 4).cast("double").alias("rg_album_lufs"),
+        F.round(dbfs - lufs, 4).cast("double").alias("rg_album_plr"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A20: acquisition timeline (ingest file-mod epoch → albums per year)
+# --------------------------------------------------------------------------
+
+_ACQ_SQL = r"""
+WITH alib AS (
+  SELECT 'alb' || CAST(l_orderkey % 500 AS VARCHAR) AS album_root,
+         CASE WHEN l_orderkey % 13 = 0 THEN 'n/a'
+              WHEN l_orderkey % 2 = 0
+                THEN CAST((1100000000 + (l_orderkey % 700) * 86400 * 9
+                           + l_partkey % 86400) * 1000 AS VARCHAR)
+              ELSE CAST(1100000000 + (l_orderkey % 700) * 86400 * 9
+                        + l_partkey % 86400 AS VARCHAR) END
+           AS __file_mod_datetime_raw
+  FROM lineitem
+), parsed AS (
+  SELECT album_root,
+         TRY_CAST(regexp_extract(__file_mod_datetime_raw, '(\d+)', 1)
+                  AS BIGINT) AS ts
+  FROM alib
+), stamped AS (
+  SELECT album_root,
+         CASE WHEN ts IS NOT NULL AND ts > 50000000000
+                THEN make_timestamp(ts * 1000)
+              WHEN ts IS NOT NULL AND ts > 0
+                THEN make_timestamp(ts * 1000000)
+              END AS mod_dt
+  FROM parsed
+), album_acq AS (
+  SELECT album_root, MIN(mod_dt) AS acq_dt FROM stamped GROUP BY album_root
+)
+SELECT CAST(EXTRACT(year FROM acq_dt) AS INT) AS acquired_year,
+       CAST((EXTRACT(year FROM acq_dt) // 10) * 10 AS INT) AS acquired_decade,
+       CAST(COUNT(*) AS BIGINT) AS albums
+FROM album_acq
+WHERE acq_dt IS NOT NULL
+GROUP BY acquired_year, acquired_decade
+"""
+
+
+@q("r92_acquisition", _ACQ_SQL)
+def r92_acquisition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acquisition timeline (92-library-insights.py:825-851, 1838-1877):
+    parse the ingest file-mod epoch (heuristic: >5e10 ⇒ milliseconds),
+    min per album = acquisition instant, then albums per acquired year
+    (+decade). All UTC on both engines (naive timestamps)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ok, pk = F.col("l_orderkey"), F.col("l_partkey")
+    sec = (
+        F.lit(1100000000)
+        + (ok % 700) * 86400 * 9
+        + pk % 86400
+    )
+    alib = li.select(
+        F.concat(F.lit("alb"), (ok % 500).cast("string")).alias("album_root"),
+        F.when(ok % 13 == 0, F.lit("n/a"))
+        .when(ok % 2 == 0, (sec * 1000).cast("string"))
+        .otherwise(sec.cast("string"))
+        .alias("__file_mod_datetime_raw"),
+    )
+    ts = F.regexp_extract("__file_mod_datetime_raw", r"(\d+)", 1).try_cast("long")
+    stamped = alib.select(
+        "album_root",
+        F.when(ts.isNotNull() & (ts > 50000000000), F.timestamp_millis(ts))
+        .when(ts.isNotNull() & (ts > 0), F.timestamp_seconds(ts))
+        .alias("mod_dt"),
+    )
+    acq = stamped.groupBy("album_root").agg(F.min("mod_dt").alias("acq_dt"))
+    yr = F.year("acq_dt")
+    return (
+        acq.filter(F.col("acq_dt").isNotNull())
+        .groupBy(
+            yr.cast("int").alias("acquired_year"),
+            (F.floor(yr / 10) * 10).cast("int").alias("acquired_decade"),
+        )
+        .agg(F.count(F.lit(1)).alias("albums"))
+    )
+
+
+# --------------------------------------------------------------------------
+# A21: record-label reach (top labels + artist spread)
+# --------------------------------------------------------------------------
+
+_LBL_SQL = r"""
+WITH alib AS (
+  SELECT 'alb' || CAST(l_orderkey % 300 AS VARCHAR) AS album_root,
+         CASE WHEN l_orderkey % 7 = 0 THEN NULL
+              ELSE 'Label ' || CAST(l_partkey % 40 AS VARCHAR)
+                || CASE WHEN l_orderkey % 5 = 0
+                        THEN chr(92) || chr(92) || 'Label '
+                             || CAST(l_suppkey % 40 AS VARCHAR)
+                        ELSE '' END END AS label,
+         CASE WHEN l_orderkey % 11 = 0 THEN NULL
+              ELSE 'AA ' || CAST(l_orderkey % 120 AS VARCHAR) END
+           AS albumartist
+  FROM lineitem
+), label_pairs AS (
+  SELECT DISTINCT album_root, trim(tok) AS label_tok
+  FROM alib, unnest(string_split(label, chr(92) || chr(92))) AS t(tok)
+  WHERE label IS NOT NULL AND trim(tok) <> ''
+), aa_pairs AS (
+  SELECT DISTINCT album_root, trim(tok) AS albumartist_tok
+  FROM alib, unnest(string_split(albumartist, chr(92) || chr(92))) AS t(tok)
+  WHERE albumartist IS NOT NULL AND trim(tok) <> ''
+)
+SELECT label_tok,
+       CAST(COUNT(*) AS BIGINT) AS albums,
+       CAST(COUNT(DISTINCT albumartist_tok) AS BIGINT) AS artist_spread
+FROM label_pairs lp
+LEFT JOIN aa_pairs aa USING (album_root)
+WHERE albumartist_tok IS NOT NULL
+GROUP BY label_tok
+HAVING COUNT(*) >= 5
+"""
+
+
+@q("r92_label_spread", _LBL_SQL)
+def r92_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label reach (92-library-insights.py:2621-2641): explode the
+    multi-value label tag to distinct (album, label) pairs, join distinct
+    (album, albumartist) pairs, then per label count rows ('albums', the
+    reference's pl.len() — deliberately aa-inflated, ported faithfully)
+    and distinct artists; keep labels on >=5 rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ok, pk, sk = F.col("l_orderkey"), F.col("l_partkey"), F.col("l_suppkey")
+    alib = li.select(
+        F.concat(F.lit("alb"), (ok % 300).cast("string")).alias("album_root"),
+        F.when(ok % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(
+                F.lit("Label "), (pk % 40).cast("string"),
+                F.when(
+                    ok % 5 == 0,
+                    F.concat(F.lit("\\\\Label "), (sk % 40).cast("string")),
+                ).otherwise(F.lit("")),
+            )
+        )
+        .alias("label"),
+        F.when(ok % 11 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("AA "), (ok % 120).cast("string")))
+        .alias("albumartist"),
+    )
+    label_pairs = (
+        alib.filter(F.col("label").isNotNull())
+        .select(
+            "album_root",
+            F.explode(F.split("label", r"\\\\")).alias("tok"),
+        )
+        .select("album_root", F.trim("tok").alias("label_tok"))
+        .filter(F.col("label_tok") != "")
+        .distinct()
+    )
+    aa_pairs = (
+        alib.filter(F.col("albumartist").isNotNull())
+        .select(
+            "album_root",
+            F.explode(F.split("albumartist", r"\\\\")).alias("tok"),
+        )
+        .select("album_root", F.trim("tok").alias("albumartist_tok"))
+        .filter(F.col("albumartist_tok") != "")
+        .distinct()
+    )
+    return (
+        label_pairs.join(aa_pairs, "album_root", "left")
+        .filter(F.col("albumartist_tok").isNotNull())
+        .groupBy("label_tok")
+        .agg(
+            F.count(F.lit(1)).alias("albums"),
+            F.count_distinct("albumartist_tok").alias("artist_spread"),
+        )
+        .filter(F.col("albums") >= 5)
+    )
+
+
+# --------------------------------------------------------------------------
+# A22: genre drift by decade
+# --------------------------------------------------------------------------
+
+_DRIFT_SQL = r"""
+WITH genres(gid, genre) AS (
+  VALUES (0, 'Classical'), (1, 'Jazz'), (2, 'Rock'), (3, 'Pop'),
+         (4, 'Electronic'), (5, 'Techno'), (6, 'Folk'), (7, 'Baroque'),
+         (8, 'Indie'), (9, 'Ambient')
+), albums AS (
+  SELECT DISTINCT l_orderkey % 600 AS album_id,
+         1950 + (l_orderkey % 600) % 75 AS album_year,
+         CAST((l_orderkey % 600) % 10 AS INT) AS gid
+  FROM lineitem
+), bucketed AS (
+  SELECT album_id, (album_year // 10) * 10 AS decade,
+         CASE WHEN genre IN ('Classical', 'Baroque') THEN 'Classical'
+              WHEN genre IN ('Jazz') THEN 'Jazz'
+              WHEN genre IN ('Rock', 'Pop', 'Indie') THEN 'Rock/Pop'
+              WHEN genre IN ('Electronic', 'Techno') THEN 'Electronic'
+              ELSE 'Other' END AS bucket
+  FROM albums JOIN genres USING (gid)
+)
+SELECT CAST(decade AS INT) AS decade, bucket,
+       CAST(COUNT(*) AS BIGINT) AS albums
+FROM bucketed GROUP BY decade, bucket
+"""
+
+
+@q("r92_genre_drift", _DRIFT_SQL)
+def r92_genre_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genre drift by decade (92-library-insights.py:3280-3310): album
+    decade × genre bucket (Classical/Jazz/Rock-Pop/Electronic/Other)
+    album counts — the genre dimension is a broadcast lookup, the rest
+    one hash aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    genres = li.sparkSession.createDataFrame(
+        [
+            (0, "Classical"), (1, "Jazz"), (2, "Rock"), (3, "Pop"),
+            (4, "Electronic"), (5, "Techno"), (6, "Folk"), (7, "Baroque"),
+            (8, "Indie"), (9, "Ambient"),
+        ],
+        "gid int, genre string",
+    )
+    aid = F.col("l_orderkey") % 600
+    albums = li.select(
+        aid.alias("album_id"),
+        (F.lit(1950) + aid % 75).alias("album_year"),
+        (aid % 10).cast("int").alias("gid"),
+    ).distinct()
+    bucket = (
+        F.when(F.col("genre").isin("Classical", "Baroque"), F.lit("Classical"))
+        .when(F.col("genre") == "Jazz", F.lit("Jazz"))
+        .when(F.col("genre").isin("Rock", "Pop", "Indie"), F.lit("Rock/Pop"))
+        .when(F.col("genre").isin("Electronic", "Techno"), F.lit("Electronic"))
+        .otherwise(F.lit("Other"))
+    )
+    return (
+        albums.join(F.broadcast(genres), "gid")
+        .select(((F.col("album_year") / 10).cast("int") * 10).alias("decade"), bucket.alias("bucket"))
+        .groupBy(F.col("decade").cast("int").alias("decade"), "bucket")
+        .agg(F.count(F.lit(1)).alias("albums"))
+    )

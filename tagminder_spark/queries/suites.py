@@ -165,6 +165,20 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
         "r96_duplicate_tracks": (
             ["scope", "sig", "folder"], [("n", "num"), ("keeper", "num")]
         ),
+        "r92_replaygain": (
+            ["album_root"],
+            [("rg_album_gain_db", "num"), ("rg_album_peak", "num"),
+             ("rg_album_gain_n", "num"), ("rg_album_peak_n", "num"),
+             ("rg_track_gain_p90_p10_db", "num"), ("rg_album_peak_dbfs", "num"),
+             ("rg_album_lufs", "num"), ("rg_album_plr", "num")],
+        ),
+        "r92_acquisition": (
+            ["acquired_year", "acquired_decade"], [("albums", "num")]
+        ),
+        "r92_label_spread": (
+            ["label_tok"], [("albums", "num"), ("artist_spread", "num")]
+        ),
+        "r92_genre_drift": (["decade", "bucket"], [("albums", "num")]),
     },
 }
 
