@@ -367,19 +367,50 @@ def pl_step04_merge_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# step 21: title case (UDF — rows-only check, no SQL oracle)
+# step 21: title case (UDF — value-checked against the golden corpus)
 # --------------------------------------------------------------------------
 
+# The casing engines can't be reimplemented in SQL, but their goldens —
+# generated by executing the REFERENCE's pure functions
+# (tm_titlecase.py:180, tm_contributor_case.py:96) — are a parquet
+# fixture both engines can read. The oracle declares actual := expected,
+# so the hash matches iff the Spark UDF output equals the reference's
+# output on every case. This upgrades the round-2 rows-only slot to a
+# full value check without a DuckDB reimplementation.
+from pathlib import Path as _Path
 
-@q("pl_step21_titlecase", None)
+_GOLDEN_PARQUET = str(
+    _Path(__file__).resolve().parents[2] / "tests" / "goldens" / "textcase_golden.parquet"
+)
+
+_S21_SQL = f"""
+SELECT kind, case_id, input, expected, expected AS actual,
+       1 AS is_match
+FROM read_parquet('{_GOLDEN_PARQUET}')
+"""
+
+
+@q("pl_step21_titlecase", _S21_SQL)
 def pl_step21_titlecase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Step 21 (21-normalise-titles.py:100-118): conservative title-case
-    over part names. The casing engine is a pandas UDF pinned by golden
-    tests against the reference's behavior (tests/test_textcase.py);
-    SQL cannot express it, so the driver records rows-only here."""
-    p = load_table(spark, sf_dir, "part")
-    alib = p.select(
-        F.concat(F.lit("p"), "p_partkey").alias("__path"),
-        F.concat(F.lit("the "), "p_name", F.lit(" of a widget")).alias("title"),
+    """Step 21 (21-normalise-titles.py:100-118 → tm_titlecase.py:180,
+    tm_contributor_case.py:96): conservative title-case + contributor
+    smart-case pandas UDFs, value-checked against the reference-executed
+    golden corpus (114 cases covering every rule family). `is_match` is
+    computed Spark-side; the oracle pins it to 1, so any divergence from
+    the reference's behavior fails the hash."""
+    from tagminder_spark.functions.textcase import (  # noqa: PLC0415
+        contributor_case_udf,
+        title_case_udf,
     )
-    return step21_titlecase(alib, ("title",)).select("__path", "title")
+
+    g = spark.read.parquet(_GOLDEN_PARQUET)
+    actual = F.when(
+        F.col("kind") == "title_case", title_case_udf(F.col("input"))
+    ).otherwise(contributor_case_udf(F.col("input")))
+    out = g.select("kind", "case_id", "input", "expected", actual.alias("actual"))
+    return out.withColumn(
+        "is_match",
+        (
+            F.col("actual").eqNullSafe(F.col("expected"))
+        ).cast("int"),
+    )
