@@ -123,3 +123,51 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         e, "vec_id", "embedding", _SEED_IDS, _IVF_QUERY_IDS, k=3, nprobe=1
     )
+
+
+# --------------------------------------------------------------------------
+# trained-IVF recall gate (kmeans_train driver evidence)
+# --------------------------------------------------------------------------
+
+_TRAINED_SQL = """
+SELECT 16 AS n_cells, 4 AS iters, 4 AS nprobe, 3 AS k,
+       10 AS n_queries, 30 AS total_possible, 1 AS meets_recall_floor
+"""
+
+
+@q("ann_ivf_trained", _TRAINED_SQL)
+def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-index quality gate (the round-2 verdict's kmeans_train
+    driver-evidence gap): train 16 spherical-k-means centroids
+    (deterministic init, 4 Lloyd iterations), probe 4 cells for the 10
+    fixed queries, and compare against exact brute-force top-3.
+
+    Centroid float values depend on partial-agg order, so they are not
+    oracle-able — but the RECALL of the trained index is: measured 24/30
+    at sf0.001 and sf0.01; the gate asserts the integer floor 20/30
+    (>= 66%), which jitter cannot plausibly cross. The oracle pins
+    meets_recall_floor = 1."""
+    from tagminder_spark.operators.similarity import (  # noqa: PLC0415
+        ivf_topk_with_centroids,
+        kmeans_train,
+    )
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = kmeans_train(e, "vec_id", "embedding", k=16, iters=4)
+    ivf = ivf_topk_with_centroids(
+        e, "vec_id", "embedding", cent, _IVF_QUERY_IDS, k=3, nprobe=4
+    )
+    brute = brute_topk(e, "vec_id", "embedding", _IVF_QUERY_IDS, k=3)
+    hits = ivf.join(
+        brute.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    )
+    return hits.agg(F.count(F.lit(1)).alias("n_hits")).select(
+        F.lit(16).alias("n_cells"),
+        F.lit(4).alias("iters"),
+        F.lit(4).alias("nprobe"),
+        F.lit(3).alias("k"),
+        F.lit(10).alias("n_queries"),
+        F.lit(30).alias("total_possible"),
+        (F.col("n_hits") >= 20).cast("int").alias("meets_recall_floor"),
+    )
