@@ -87,6 +87,7 @@ def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
         audit,
         dedup,
         er_q,
+        harvest_q,
         pipelinesteps,
         pipelinesteps_ext,
         pipelinesteps_grp,
@@ -113,6 +114,7 @@ def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
         scalarfns,
         dedup,
         er_q,
+        harvest_q,
         textops,
         simsearch,
         audit,

@@ -189,6 +189,7 @@ def _base_registry() -> dict[str, tuple[QueryFn, str | None]]:
         audit,
         dedup,
         er_q,
+        harvest_q,
         pipelinesteps,
         pipelinesteps_ext,
         pipelinesteps_grp,
@@ -208,7 +209,7 @@ def _base_registry() -> dict[str, tuple[QueryFn, str | None]]:
 
     out: dict[str, tuple[QueryFn, str | None]] = {}
     for mod in (
-        relational, relational_ext, scalarfns, dedup, er_q, textops, simsearch,
+        relational, relational_ext, scalarfns, dedup, er_q, harvest_q, textops, simsearch,
         audit, pipelinesteps, pipelinesteps_ext, pipelinesteps_grp,
         pipelinesteps_lookup, pipelinesteps_works, reports, reports_insights,
         scale_q, sources_q, rename_q,
