@@ -75,3 +75,14 @@ def decode_mv_for_write(value: str | None) -> list[str] | None:
     if value is None or value.strip() == "":
         return None
     return [t for t in (s.strip() for s in value.split(MV_DELIM)) if t]
+
+
+def reset_sqlmodded(alib: DataFrame) -> DataFrame:
+    """Post-export loop closer (99-reset-sqlmodded.py:46-50): clear the
+    'needs export' marker — ``__sqlmodded = NULL`` wherever it is set —
+    so the next pipeline run starts from a clean dirty-flag state. Pure
+    column rewrite; no changelog entries (the reference updates the flag
+    outside the changelog protocol, ensure_changelog=False at :43)."""
+    if "__sqlmodded" not in alib.columns:
+        return alib
+    return alib.withColumn("__sqlmodded", F.lit(None).cast("int"))

@@ -192,3 +192,33 @@ def test_schema_evolution_ingest_survives_diff_audit(spark, tmp_path):
     from dataclasses import replace
 
     assert evolve_alib_schema(batch, replace(cfg, schema_evolution=False))[1] == []
+
+
+def test_export_reset_round_trip(spark):
+    """export → reset → zero rows still flagged (99-reset-sqlmodded.py:46-50)."""
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.sources.export import export_projection, reset_sqlmodded
+
+    alib = spark.createDataFrame(
+        [
+            ("/m/a.mp3", "/m", 2, "T1"),
+            ("/m/b.mp3", "/m", 0, "T2"),
+            ("/m/c.mp3", "/m", None, "T3"),
+        ],
+        "__path string, __dirpath string, __sqlmodded int, title string",
+    )
+    changelog = spark.createDataFrame(
+        [("/m/a.mp3", "title", None, "T1", "02")],
+        "alib_path string, alib_column string, old_value string, "
+        "new_value string, script string",
+    )
+    needs_export = export_projection(alib, ["title"], changelog).filter(
+        F.col("__sqlmodded") > 0
+    )
+    assert needs_export.count() == 1  # only the touched+flagged row
+    after = reset_sqlmodded(alib)
+    assert after.filter(F.col("__sqlmodded") > 0).count() == 0
+    assert after.count() == 3  # no rows lost
+    # idempotent
+    assert reset_sqlmodded(after).filter(F.col("__sqlmodded").isNotNull()).count() == 0
