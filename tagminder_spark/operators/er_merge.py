@@ -55,6 +55,7 @@ def staged_positional_match(
     left_id: str,
     right_id: str,
     stages: list[tuple[str, str, Column | None]],
+    right_quarantine: dict[str, str] | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(matches, left_residual, right_residual).
 
@@ -63,6 +64,14 @@ def staged_positional_match(
     id) pairs with the k-th right row with it — exactly the reference's
     cum_count-over-key join (:1097-1121) — and matched rows leave both
     pools before the next, coarser stage.
+
+    ``right_quarantine``: stage_name → column; AFTER that stage, rows of
+    the right residual whose (non-null) value in the column is shared by
+    another residual row are removed for good — the reference's
+    inter-stage data-quality gate (emit_contributors.py:1134-1210:
+    duplicated QIDs quarantined before the qid stage, duplicated MNIDs
+    before the mnid stage). Positional matching over ambiguous
+    duplicates would otherwise pair them arbitrarily.
     """
     matches: DataFrame | None = None
     l_res, r_res = left, right
@@ -84,6 +93,16 @@ def staged_positional_match(
         matches = m if matches is None else matches.unionByName(m)
         l_res = l_res.join(m.select(left_id), left_id, "left_anti")
         r_res = r_res.join(m.select(right_id), right_id, "left_anti")
+        if right_quarantine and name in right_quarantine:
+            qcol = right_quarantine[name]
+            dup = (
+                r_res.filter(F.col(qcol).isNotNull())
+                .groupBy(qcol)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > 1)
+                .select(qcol)
+            )
+            r_res = r_res.join(dup, qcol, "left_anti")
     return matches, l_res, r_res
 
 
@@ -172,6 +191,10 @@ def contributors_merge(
             # MNID matching only for WD rows that carry no MBID (:1092)
             ("k_mnid", "mnid", F.col("k_mbid").isNull()),
         ],
+        # inter-stage quality gates (:1134-1210): residual WD rows with
+        # duplicated QIDs leave before the qid stage, duplicated MNIDs
+        # before the mnid stage — and stay out of the later name phases
+        right_quarantine={"mbid": "k_qid", "qid": "k_mnid"},
     )
     matches = _cp(matches)
     wd_res = _cp(wd_res)
@@ -230,8 +253,15 @@ def contributors_merge(
         & (F.col("has_allmusic_row") == 0)
         & F.col("wd_mnid_n").isNotNull()
     ).select("mb_id", F.col("wd_mnid_n").alias("k"))
+    # unique_on guard: AMG is MNID-unique by rollup construction (:558),
+    # but a malformed input with a duplicated MNID would fan this join
+    # out and silently duplicate base rows — enforce the contract here
+    # (same guard family as the name phases).
     m1 = bridge_targets.join(
-        amg_res.select("amg_id", F.col("amg_mnid_n").alias("k")), "k"
+        unique_on(amg_res, "amg_mnid_n").select(
+            "amg_id", F.col("amg_mnid_n").alias("k")
+        ),
+        "k",
     ).select("mb_id", "amg_id")
     base, amg_res = fill_amg(base, amg_res, m1, "bridge")
 
@@ -354,7 +384,10 @@ def contributors_merge(
         (F.col("has_allmusic_row") == 0) & F.col("mb_mnid_n").isNotNull()
     ).select("mb_id", F.col("mb_mnid_n").alias("k"))
     m5 = t5.join(
-        amg_res.select("amg_id", F.col("amg_mnid_n").alias("k")), "k"
+        unique_on(amg_res, "amg_mnid_n").select(
+            "amg_id", F.col("amg_mnid_n").alias("k")
+        ),
+        "k",
     ).select("mb_id", "amg_id")
     base, amg_res = fill_amg(base, amg_res, m5, "allocation")
 

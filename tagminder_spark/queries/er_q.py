@@ -121,27 +121,43 @@ ra1 AS MATERIALIZED (SELECT wd_id, mbid_n AS k,
         FROM wdn WHERE mbid_n IS NOT NULL),
 sm1 AS MATERIALIZED (SELECT la1.mb_id, ra1.wd_id, 'mbid' AS match_stage
         FROM la1 JOIN ra1 USING (k, rn)),
+-- quarantine 1 (emit_contributors.py:1138-1173): residual WD rows with a
+-- duplicated QID leave the pool for good before the qid stage
+wdp2 AS MATERIALIZED (SELECT * FROM wdn
+        WHERE wd_id NOT IN (SELECT wd_id FROM sm1)),
+dupq AS MATERIALIZED (SELECT qid_n FROM wdp2 WHERE qid_n IS NOT NULL
+        GROUP BY qid_n HAVING COUNT(*) > 1),
+wdp2q AS MATERIALIZED (SELECT * FROM wdp2
+        WHERE qid_n IS NULL OR qid_n NOT IN (SELECT qid_n FROM dupq)),
 la2 AS MATERIALIZED (SELECT mb_id, qid_n AS k,
                ROW_NUMBER() OVER (PARTITION BY qid_n ORDER BY mb_id) AS rn
         FROM mbn WHERE qid_n IS NOT NULL
           AND mb_id NOT IN (SELECT mb_id FROM sm1)),
 ra2 AS MATERIALIZED (SELECT wd_id, qid_n AS k,
                ROW_NUMBER() OVER (PARTITION BY qid_n ORDER BY wd_id) AS rn
-        FROM wdn WHERE qid_n IS NOT NULL
-          AND wd_id NOT IN (SELECT wd_id FROM sm1)),
+        FROM wdp2q WHERE qid_n IS NOT NULL),
 sm2 AS MATERIALIZED (SELECT la2.mb_id, ra2.wd_id, 'qid' AS match_stage
         FROM la2 JOIN ra2 USING (k, rn)),
+-- quarantine 2 (:1175-1210): duplicated MNIDs leave before the mnid stage
+wdp3 AS MATERIALIZED (SELECT * FROM wdp2q
+        WHERE wd_id NOT IN (SELECT wd_id FROM sm2)),
+dupm AS MATERIALIZED (SELECT mnid_n FROM wdp3 WHERE mnid_n IS NOT NULL
+        GROUP BY mnid_n HAVING COUNT(*) > 1),
+wdp3q AS MATERIALIZED (SELECT * FROM wdp3
+        WHERE mnid_n IS NULL OR mnid_n NOT IN (SELECT mnid_n FROM dupm)),
 la3 AS MATERIALIZED (SELECT mb_id, mnid_n AS k,
                ROW_NUMBER() OVER (PARTITION BY mnid_n ORDER BY mb_id) AS rn
         FROM mbn WHERE mnid_n IS NOT NULL
           AND mb_id NOT IN (SELECT mb_id FROM sm1 UNION ALL SELECT mb_id FROM sm2)),
 ra3 AS MATERIALIZED (SELECT wd_id, mnid_n AS k,
                ROW_NUMBER() OVER (PARTITION BY mnid_n ORDER BY wd_id) AS rn
-        FROM wdn WHERE mnid_n IS NOT NULL AND mbid_n IS NULL
-          AND wd_id NOT IN (SELECT wd_id FROM sm1 UNION ALL SELECT wd_id FROM sm2)),
+        FROM wdp3q WHERE mnid_n IS NOT NULL AND mbid_n IS NULL),
 sm3 AS MATERIALIZED (SELECT la3.mb_id, ra3.wd_id, 'mnid' AS match_stage
         FROM la3 JOIN ra3 USING (k, rn)),
 smatch AS MATERIALIZED (SELECT * FROM sm1 UNION ALL SELECT * FROM sm2 UNION ALL SELECT * FROM sm3),
+-- the WD residual visible to phase 2 excludes quarantined rows
+wdres AS MATERIALIZED (SELECT * FROM wdp3q
+        WHERE wd_id NOT IN (SELECT wd_id FROM sm3)),
 -- phase 1: MNID bridge over staged-WD rows
 pm1 AS MATERIALIZED (
   SELECT s.mb_id, a.amg_id
@@ -153,8 +169,8 @@ pm1 AS MATERIALIZED (
 t2 AS MATERIALIZED (SELECT mb_id, name_n AS k, mbid_n, qid_n, mnid_n FROM mbn
        WHERE mb_id NOT IN (SELECT mb_id FROM smatch) AND name_n IS NOT NULL),
 t2u AS MATERIALIZED (SELECT k FROM t2 GROUP BY k HAVING COUNT(*) = 1),
-s2 AS MATERIALIZED (SELECT wd_id, name_n AS k, mbid_n, qid_n, mnid_n FROM wdn
-       WHERE wd_id NOT IN (SELECT wd_id FROM smatch) AND name_n IS NOT NULL),
+s2 AS MATERIALIZED (SELECT wd_id, name_n AS k, mbid_n, qid_n, mnid_n FROM wdres
+       WHERE name_n IS NOT NULL),
 s2u AS MATERIALIZED (SELECT k FROM s2 GROUP BY k HAVING COUNT(*) = 1),
 pm2 AS MATERIALIZED (
   SELECT t2.mb_id, s2.wd_id
