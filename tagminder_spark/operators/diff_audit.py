@@ -194,7 +194,17 @@ def write_bucketed_parquet(
     """Lay the table out as ``table_dir/__bucket=N/`` hash partitions.
 
     This is the 100 TB layout contract: MERGE then touches only the
-    buckets containing updated keys instead of rewriting the table."""
+    buckets containing updated keys instead of rewriting the table.
+
+    The bucket modulus is persisted in a ``_n_buckets`` sidecar (the
+    underscore prefix keeps it invisible to Spark's file listing, like
+    ``_SUCCESS``): inferring it back from ``__bucket=N`` directory names
+    is wrong whenever the highest bucket received no rows at write time
+    — partitionBy creates no dir for empty buckets, the inferred modulus
+    shrinks, update keys rehash into the wrong bucket, and the survivor
+    anti-join quietly duplicates keys."""
+    from pathlib import Path
+
     (
         df.withColumn(BUCKET_COL, bucket_of(F.col(key), n_buckets))
         .repartition(BUCKET_COL)
@@ -202,6 +212,7 @@ def write_bucketed_parquet(
         .mode("overwrite")
         .parquet(table_dir)
     )
+    (Path(table_dir) / "_n_buckets").write_text(str(n_buckets))
 
 
 def merge_into_bucketed_parquet(
@@ -232,7 +243,20 @@ def merge_into_bucketed_parquet(
     ]
     if not bucket_dirs:
         raise ValueError(f"{table_dir} is not bucket-partitioned (no {BUCKET_COL}=N dirs)")
-    n_buckets = max(int(d.name.split("=")[1]) for d in bucket_dirs) + 1
+    sidecar = base / "_n_buckets"
+    if not sidecar.exists():
+        # Dir-name inference is NEVER safe: empty top buckets make an
+        # 8-bucket table look like a dense 4-bucket one (no hole to
+        # detect), updates rehash with the wrong modulus, and the
+        # survivor anti-join duplicates keys. Refuse instead of guess.
+        raise ValueError(
+            f"{table_dir}: missing _n_buckets sidecar — the write-time "
+            "bucket modulus cannot be recovered from directory names "
+            "(empty top buckets leave no dir). Rewrite the table with "
+            "write_bucketed_parquet, or create _n_buckets with the "
+            "original bucket count."
+        )
+    n_buckets = int(sidecar.read_text().strip())
 
     upd = updates.withColumn(BUCKET_COL, bucket_of(F.col(key), n_buckets)).persist()
     # tiny driver-side list: at most n_buckets ints, NOT the update keys

@@ -206,3 +206,66 @@ def test_diff_audit_inline_matches_join_variant(spark):
     # zero-shuffle claim: no Exchange in the inline plan
     plan = u2._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_bucketed_merge_with_empty_top_buckets(spark, tmp_path):
+    """ADVICE r2: when the highest bucket(s) get no rows, partitionBy
+    creates no dir for them; the modulus must come from the _n_buckets
+    sidecar, not dir inference — else update keys rehash wrongly and the
+    merge duplicates keys."""
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.diff_audit import (
+        BUCKET_COL,
+        bucket_of,
+        merge_into_bucketed_parquet,
+        write_bucketed_parquet,
+    )
+
+    n_buckets = 8
+    base = spark.range(200).select(
+        F.concat(F.lit("/f"), F.col("id").cast("string")).alias("__path"),
+        F.lit("old").alias("v"),
+    )
+    # keep only rows whose bucket is 0..3: buckets 4..7 stay empty,
+    # so dir inference would see modulus 4, not 8
+    base = base.filter(bucket_of(F.col("__path"), n_buckets) <= 3)
+    table = str(tmp_path / "tbl")
+    write_bucketed_parquet(base, table, "__path", n_buckets=n_buckets)
+    import os
+
+    dirs = [d for d in os.listdir(table) if d.startswith(BUCKET_COL)]
+    assert len(dirs) < n_buckets  # the hazard is real
+    assert (tmp_path / "tbl" / "_n_buckets").read_text() == str(n_buckets)
+
+    updates = base.limit(50).withColumn("v", F.lit("new"))
+    merge_into_bucketed_parquet(spark, table, updates, "__path")
+    out = spark.read.parquet(table)
+    # no duplicated keys, updates applied
+    assert out.count() == out.select("__path").distinct().count()
+    assert out.filter(F.col("v") == "new").count() == 50
+
+
+def test_bucketed_merge_sparse_legacy_refuses(spark, tmp_path):
+    """A legacy table with sparse bucket dirs and no sidecar is
+    ambiguous — the merge must refuse rather than guess."""
+    import shutil
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.diff_audit import (
+        bucket_of,
+        merge_into_bucketed_parquet,
+        write_bucketed_parquet,
+    )
+
+    base = spark.range(200).select(
+        F.concat(F.lit("/f"), F.col("id").cast("string")).alias("__path"),
+        F.lit("old").alias("v"),
+    ).filter(bucket_of(F.col("__path"), 8) <= 3)
+    table = str(tmp_path / "tbl")
+    write_bucketed_parquet(base, table, "__path", n_buckets=8)
+    (tmp_path / "tbl" / "_n_buckets").unlink()  # simulate legacy table
+    with _pytest.raises(ValueError, match="sidecar"):
+        merge_into_bucketed_parquet(spark, table, base.limit(5), "__path")
