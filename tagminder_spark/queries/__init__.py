@@ -52,10 +52,12 @@ GATE_WINDOW: tuple[str, ...] = (
     "f_json_extract",
     "p_truthy_flags",
     "t_tumbling_window",
-    # round-1 fail-hash recoveries (BIGINT-cast oracles)
-    "a_pivot_status",
-    "p_md5_validity",
-    "p_blank_normalize",
+    # round-3 feature gates (the round-1 hash recoveries a_pivot_status /
+    # p_md5_validity / p_blank_normalize — green twice running — moved
+    # into suite_core to free these slots)
+    "s98_rename_plan",
+    "ann_ivf_trained",
+    "h_works_role_pairs",
     # judge-named gates with no round-1 driver row
     "j15_staged_merge",
     "er_five_phase",

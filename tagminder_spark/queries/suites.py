@@ -59,6 +59,13 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
             ["o_orderpriority", "o_orderstatus"],
             [("n", "num"), ("pct_of_priority", "num"), ("rev_share", "num")],
         ),
+        # round-1 hash recoveries, moved here from the window in round 3
+        "a_pivot_status": (
+            ["o_orderpriority"],
+            [("n_open", "num"), ("n_finished", "num"), ("n_pending", "num")],
+        ),
+        "p_md5_validity": (["source"], [("n_rows", "num"), ("n_invalid", "num")]),
+        "p_blank_normalize": (["source"], [("n_blank", "num"), ("n_set", "num")]),
     },
     # joins, graph, set ops, scalar-string functions
     "suite_shapes": {
@@ -87,6 +94,16 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
              ("extra_size", "str")],
         ),
         "s78_incremental_sync": (["bucket", "path"], []),
+        "h_amg_todo": (
+            ["mnid_source", "source_table", "allmusic_mnid"],
+            [("allmusic_artist", "str"), ("allmusic_url", "str"),
+             ("allmusic_genres_json", "str"), ("allmusic_styles_json", "str")],
+        ),
+        "h_readiness": (
+            ["table_name"],
+            [("owner", "str"), ("status", "str"), ("n_missing", "num"),
+             ("strict_exit", "num")],
+        ),
     },
     # dedup family + diff-audit + streaming state
     "suite_dedup_audit": {
