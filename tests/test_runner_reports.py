@@ -267,3 +267,42 @@ def test_stateful_dedup_timeout_semantics():
     st3 = FakeState()
     list(fn0(("k",), iter([pd.DataFrame({"x": [1]})]), st3))
     assert st3.timeout_set is None
+
+
+def test_cli_list_describe_resolve(capsys):
+    """tm-spark CLI contract (tm_cli.py:130-241): list names, verbose
+    purposes, describe docstrings, spelling normalization, unknown-name
+    exit."""
+    import pytest as _pytest
+
+    from tagminder_spark.app.cli import cmd_describe, cmd_list, main
+
+    assert cmd_list(verbose=False) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert "step12-compilations" in out
+    assert "q1_pricing_summary" in out
+    assert "s98_rename_plan" in out
+
+    assert cmd_list(verbose=True) == 0
+    vout = capsys.readouterr().out.splitlines()
+    assert any(l.startswith("step12-compilations\t") for l in vout)
+
+    assert cmd_describe("12") == 0  # step-number spelling
+    d = capsys.readouterr().out
+    assert d.startswith("step12-compilations")
+    assert "Docstring" in d
+
+    assert cmd_describe("q1_pricing_summary.py") == 0  # .py tolerated
+    capsys.readouterr()
+
+    with _pytest.raises(SystemExit, match="Unknown name"):
+        main(["describe", "no_such_thing"])
+
+
+def test_cli_run_query(spark, capsys):
+    from tests.conftest import SF_DIR
+
+    from tagminder_spark.app.cli import cmd_run
+
+    assert cmd_run("h_readiness", SF_DIR) == 0
+    assert "h_readiness: 9 rows" in capsys.readouterr().out
