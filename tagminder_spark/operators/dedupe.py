@@ -217,29 +217,24 @@ def ngram_jaccard_pairs(
     if max_df is None:
         return jaccard_from_shingles(sh, threshold)
     sh = sh.persist()
+    counts = (
+        sh.groupBy("h").agg(F.count(F.lit(1)).alias("df")).persist()
+    )
     try:
-        # Adaptive fast path: one cheap aggregate tells us whether any
-        # shingle actually exceeds the cap. On clean corpora (no hot
-        # shingles) the capped plan is IDENTICAL to the uncapped one, so
-        # skip the anti-join + distinct + pair-verify machinery entirely
-        # — that overhead was 4.3× at gate scale for zero benefit. The
-        # one-row max is a legitimate driver-side scalar (same class as
-        # k-means' k-row centroid collect).
-        observed = (
-            sh.groupBy("h")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .agg(F.max("df"))
-            .first()[0]
-        )
+        # Adaptive fast path: one cheap reduction over the (persisted)
+        # per-shingle DF counts tells us whether any shingle exceeds the
+        # cap. On clean corpora (no hot shingles) the capped plan is
+        # IDENTICAL to the uncapped one, so skip the anti-join +
+        # distinct + pair-verify machinery entirely — measured 4.3×
+        # overhead at gate scale for zero benefit. The one-row max is a
+        # legitimate driver-side scalar (same class as k-means' k-row
+        # centroid collect); the counts frame is persisted so the hot
+        # list on the slow path reuses the same aggregation.
+        observed = counts.agg(F.max("df")).first()[0]
         if observed is None or observed <= max_df:
             return jaccard_from_shingles(sh, threshold)
         # Candidate keys = shingles with DF <= cap; verify on full sets.
-        hot = (
-            sh.groupBy("h")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_df)
-            .select("h")
-        )
+        hot = counts.filter(F.col("df") > max_df).select("h")
         capped = sh.join(F.broadcast(hot), "h", "left_anti")
         pairs = (
             capped.alias("a")
@@ -260,6 +255,7 @@ def ngram_jaccard_pairs(
             .localCheckpoint(eager=True)
         )
     finally:
+        counts.unpersist()
         sh.unpersist()
 
 
