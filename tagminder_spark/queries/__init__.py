@@ -100,6 +100,7 @@ def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
         rename_q,
         reports,
         reports_insights,
+        reports_insights2,
         scalarfns,
         scale_q,
         simsearch,
@@ -127,6 +128,7 @@ def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
         pipelinesteps_works,
         reports,
         reports_insights,
+        reports_insights2,
         scale_q,
         sources_q,
         rename_q,

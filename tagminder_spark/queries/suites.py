@@ -196,6 +196,28 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
             ["label_tok"], [("albums", "num"), ("artist_spread", "num")]
         ),
         "r92_genre_drift": (["decade", "bucket"], [("albums", "num")]),
+        # second insights tranche (reports_insights2.py)
+        "r92_artist_depth": (
+            ["albumartist_tok"], [("albums", "num"), ("distinct_years", "num")]
+        ),
+        "r92_releasetype_mix": (
+            ["albumartist_tok", "rtype"], [("n_albums", "num")]
+        ),
+        "r92_rating_artists": (
+            ["albumartist_tok"], [("albums", "num"), ("avg_rating", "num")]
+        ),
+        "r92_va_share": (
+            ["decade"], [("albums", "num"), ("va_albums", "num"), ("va_pct", "num")]
+        ),
+        "r92_studios": (["tok"], [("albums", "num"), ("artist_spread", "num")]),
+        "r92_rg_trend": (
+            ["album_year"], [("gain_med", "num"), ("dyn_med", "num"), ("albums", "num")]
+        ),
+        "r92_rg_by_genre": (
+            ["bucket"], [("albums", "num"), ("gain_med", "num"), ("dyn_med", "num")]
+        ),
+        "r92_persona": (["persona"], [("score", "num"), ("selected", "num")]),
+        "r92_genre_spotlight": (["composer_tok"], [("albums", "num")]),
     },
 }
 
@@ -217,6 +239,7 @@ def _base_registry() -> dict[str, tuple[QueryFn, str | None]]:
         rename_q,
         reports,
         reports_insights,
+        reports_insights2,
         scalarfns,
         scale_q,
         simsearch,
@@ -229,7 +252,7 @@ def _base_registry() -> dict[str, tuple[QueryFn, str | None]]:
         relational, relational_ext, scalarfns, dedup, er_q, harvest_q, textops, simsearch,
         audit, pipelinesteps, pipelinesteps_ext, pipelinesteps_grp,
         pipelinesteps_lookup, pipelinesteps_works, reports, reports_insights,
-        scale_q, sources_q, rename_q,
+        reports_insights2, scale_q, sources_q, rename_q,
     ):
         out.update(mod.REGISTRY)
     return out
