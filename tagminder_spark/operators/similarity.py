@@ -59,6 +59,37 @@ def brute_topk(
     )
 
 
+def _cent_array(cent_rows: list[tuple]) -> Column:
+    """Centroids as one constant-folded literal ``array<struct>`` — the
+    local-mode stand-in for a broadcast variable. Sorted by cell_id so
+    argmax tie-breaks (max struct keeps the LARGEST neg_cid = smallest
+    cell_id) match ``orderBy(desc(sim), asc(cell_id))`` exactly."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(row[0])).alias("cell_id"),
+                F.array(*[F.lit(float(x)) for x in row[1]]).alias("cv"),
+                F.lit(float(row[2]) if len(row) > 2 else 1.0).alias("cn"),
+            )
+            for row in sorted(cent_rows, key=lambda r: r[0])
+        ]
+    )
+
+
+def _nearest_cell(cent_rows: list[tuple], sim_of) -> Column:
+    """Map-side argmax over the literal centroid array: NO crossJoin, NO
+    per-id window shuffle. At 100 TB the old plan shuffled n × k array
+    rows per assignment; this evaluates k dot products per row inside
+    whole-stage codegen and emits one int."""
+    scored = F.transform(
+        _cent_array(cent_rows),
+        lambda c: F.struct(
+            sim_of(c).alias("sim"), (-c["cell_id"]).alias("neg_cid")
+        ),
+    )
+    return -F.array_max(scored)["neg_cid"]
+
+
 def kmeans_train(
     df: DataFrame,
     id_col: str,
@@ -68,15 +99,18 @@ def kmeans_train(
 ) -> DataFrame:
     """Distributed spherical k-means (Lloyd's) for IVF centroids.
 
-    Each iteration is one crossJoin-with-broadcast assignment (k tiny)
-    plus one groupBy computing per-dimension means as ``k × dim`` agg
-    columns — NO explode, one shuffle per iteration. Centroids (k rows)
-    are collected to the driver between iterations, which both truncates
-    lineage and matches how trained centroids would be broadcast at
-    100 TB. Init is deterministic: the k smallest ids. Means are float
-    aggregations, so results are stable only up to partial-agg order —
-    this trains the index; it is not an oracle-checked operator (the
-    oracle-checked IVF gate keeps fixed seed centroids).
+    Each iteration assigns every unit vector to its nearest centroid with
+    a map-side fold over the broadcast-literal centroid array (no
+    crossJoin, no window — the only shuffle per iteration is the k-group
+    aggregate computing per-dimension means as ``k × dim`` agg columns,
+    with map-side partial aggregation). Unit vectors are cached once
+    across iterations. Centroids (k rows) are collected to the driver
+    between iterations, which both truncates lineage and matches how
+    trained centroids would be broadcast at 100 TB. Init is
+    deterministic: the k smallest ids. Means are float aggregations, so
+    results are stable only up to partial-agg order — this trains the
+    index; it is not an oracle-checked operator (the oracle-checked IVF
+    gate keeps fixed seed centroids).
 
     Returns a DataFrame (cell_id int, cv array<double>, cn double) ready
     for :func:`ivf_topk_with_centroids`.
@@ -85,42 +119,36 @@ def kmeans_train(
     base = _with_norm(df, id_col, vec_col)
     unit = base.select(
         "id", F.transform(F.col("v"), lambda x: x / F.col("norm")).alias("v")
-    )
-    dim = len(unit.select("v").first()["v"])
-
-    init = [
-        (i, r["v"])
-        for i, r in enumerate(unit.orderBy("id").limit(k).collect())
-    ]
-    cent_rows = init
-    for _ in range(iters):
-        cent = spark.createDataFrame(
-            cent_rows, "cell_id int, cv array<double>"
-        )
-        assign_w = W.partitionBy("id").orderBy(F.desc("sim"), F.asc("cell_id"))
-        assigned = (
-            unit.crossJoin(F.broadcast(cent))
-            .withColumn("sim", _dot(F.col("v"), F.col("cv")))
-            .withColumn("r", F.row_number().over(assign_w))
-            .filter(F.col("r") == 1)
-            .select("cell_id", "v")
-        )
-        means = assigned.groupBy("cell_id").agg(
-            *[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)]
-        )
-        new_rows = [
-            (r["cell_id"], [r[f"c{i}"] for i in range(dim)])
-            for r in means.collect()
+    ).persist()
+    try:
+        init = [
+            (i, list(r["v"]))
+            for i, r in enumerate(unit.orderBy("id").limit(k).collect())
         ]
-        # spherical: re-normalize the mean; empty cells keep their centroid
-        kept = {}
-        for cid, vec in new_rows:
-            nrm = sum(x * x for x in vec) ** 0.5
-            if nrm > 0:
-                kept[cid] = [x / nrm for x in vec]
-        cent_rows = [
-            (cid, kept.get(cid, vec)) for cid, vec in cent_rows
-        ]
+        dim = len(init[0][1])
+        cent_rows = init
+        for _ in range(iters):
+            cell = _nearest_cell(
+                cent_rows, lambda c: _dot(F.col("v"), c["cv"])
+            )
+            means = (
+                unit.select(cell.alias("cell_id"), "v")
+                .groupBy("cell_id")
+                .agg(*[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)])
+            )
+            new_rows = [
+                (r["cell_id"], [r[f"c{i}"] for i in range(dim)])
+                for r in means.collect()
+            ]
+            # spherical: re-normalize the mean; empty cells keep their centroid
+            kept = {}
+            for cid, vec in new_rows:
+                nrm = sum(x * x for x in vec) ** 0.5
+                if nrm > 0:
+                    kept[cid] = [x / nrm for x in vec]
+            cent_rows = [(cid, kept.get(cid, vec)) for cid, vec in cent_rows]
+    finally:
+        unit.unpersist()
     cent = spark.createDataFrame(cent_rows, "cell_id int, cv array<double>")
     return cent.select(
         "cell_id", "cv", F.sqrt(_dot(F.col("cv"), F.col("cv"))).alias("cn")
@@ -173,20 +201,42 @@ def _ivf_probe(
     k: int,
     nprobe: int,
 ) -> DataFrame:
-    sim_to_cell = F.round(
-        _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cn")), 6
+    # Centroids are tiny by construction — collect once and inline them
+    # as a broadcast literal (at 100 TB this is a broadcast variable; the
+    # old crossJoin+window plan shuffled the full n × k expansion).
+    cent_rows = [
+        (int(r["cell_id"]), list(r["cv"]), float(r["cn"])) for r in seeds.collect()
+    ]
+
+    def cos_to_cell(vec: str, nrm: str):
+        return lambda c: F.round(
+            _dot(F.col(vec), c["cv"]) / (F.col(nrm) * c["cn"]), 6
+        )
+
+    # nearest cell per corpus vector: map-side argmax, deterministic ties
+    assigned = base.select(
+        "id", "v", "norm",
+        _nearest_cell(cent_rows, cos_to_cell("v", "norm")).alias("cell_id"),
     )
-    # nearest cell per corpus vector (rank over cells; deterministic ties)
-    assign_w = W.partitionBy("id").orderBy(F.desc("cell_sim"), F.asc("cell_id"))
-    assigned = (
-        base.crossJoin(F.broadcast(seeds))
-        .withColumn("cell_sim", sim_to_cell)
-        .withColumn("cell_rank", F.row_number().over(assign_w))
-        .filter(F.col("cell_rank") <= 1)
-        .select("id", "v", "norm", "cell_id")
+    # queries probe their nprobe nearest cells: sort the scored centroid
+    # array ascending on (-sim, cell_id) — same order as the old
+    # orderBy(desc(sim), asc(cell_id)) window — then explode the head.
+    probe_cells = F.transform(
+        F.slice(
+            F.array_sort(
+                F.transform(
+                    _cent_array(cent_rows),
+                    lambda c: F.struct(
+                        (-cos_to_cell("qv", "qn")(c)).alias("nsim"),
+                        c["cell_id"].alias("cell_id"),
+                    ),
+                )
+            ),
+            1,
+            nprobe,
+        ),
+        lambda s: s["cell_id"],
     )
-    # queries probe their nprobe nearest cells
-    probe_w = W.partitionBy("query_id").orderBy(F.desc("cell_sim"), F.asc("cell_id"))
     probes = (
         base.filter(F.col("id").isin(query_ids))
         .select(
@@ -194,14 +244,9 @@ def _ivf_probe(
             F.col("v").alias("qv"),
             F.col("norm").alias("qn"),
         )
-        .crossJoin(F.broadcast(seeds))
-        .withColumn(
-            "cell_sim",
-            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6),
+        .select(
+            "query_id", "qv", "qn", F.explode(probe_cells).alias("cell_id")
         )
-        .withColumn("cell_rank", F.row_number().over(probe_w))
-        .filter(F.col("cell_rank") <= nprobe)
-        .select("query_id", "qv", "qn", "cell_id")
     )
     scored = (
         probes.join(assigned, "cell_id")
