@@ -59,21 +59,36 @@ def get_spark(app: str = "tagminder_spark", master: str | None = None) -> SparkS
     return spark
 
 
-_TS_NANO_COLS: dict[str, list[str]] = {}
+_TS_COLS: dict[str, tuple[list[str], list[str]]] = {}
 
 
-def _nano_ts_columns(path: str) -> list[str]:
-    """Columns stored as parquet TIMESTAMP(NANOS) (read by Spark as long)."""
-    if path not in _TS_NANO_COLS:
+def _ts_columns(path: str) -> tuple[list[str], list[str]]:
+    """Classify parquet timestamp columns: (nanos_cols, naive_cols).
+
+    - ``nanos_cols``: TIMESTAMP(NANOS) — Spark's reader rejects these unless
+      the legacy ``nanosAsLong`` conf is set, so they are read as long and
+      converted.
+    - ``naive_cols``: µs/ms timestamps with no zone (isAdjustedToUTC=false) —
+      Spark 4 infers TIMESTAMP_NTZ for these.  Downstream code (epoch casts,
+      lag arithmetic) and the round-2 oracle hashes all assume session-zoned
+      TIMESTAMP, so these get a cast after read.
+    """
+    if path not in _TS_COLS:
         import pyarrow.parquet as pq
 
         import pyarrow as pa
 
         schema = pq.read_schema(path)
-        _TS_NANO_COLS[path] = [
-            f.name for f in schema if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
-        ]
-    return _TS_NANO_COLS[path]
+        nanos, naive = [], []
+        for f in schema:
+            if not pa.types.is_timestamp(f.type):
+                continue
+            if f.type.unit == "ns":
+                nanos.append(f.name)
+            elif f.type.tz is None:
+                naive.append(f.name)
+        _TS_COLS[path] = (nanos, naive)
+    return _TS_COLS[path]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -81,14 +96,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     did not build (the driver constructs its own session and calls
     ``queries()[name](spark, sf_dir)``).
 
-    The testdata parquet stores TIMESTAMP(NANOS), which Spark's reader
-    rejects unless ``spark.sql.legacy.parquet.nanosAsLong`` is set.  It is a
-    runtime SQLConf, so set it on the passed session at read time rather than
-    assuming ``get_spark()`` built it; fall back to an explicit schema read
-    (ns columns typed LongType) if the conf cannot be set.
+    Timestamp columns are normalized to session-zoned TIMESTAMP regardless of
+    how the testdata generation stored them (TIMESTAMP(NANOS) in earlier
+    rounds, naive µs since): with the session zone pinned to UTC the wall
+    values are unchanged, and every downstream plan and oracle sees one
+    stable type across testdata generations.
     """
     path = f"{sf_dir}/{name}.parquet"
-    nano_cols = _nano_ts_columns(path)
+    nano_cols, naive_cols = _ts_columns(path)
     if nano_cols:
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -100,6 +115,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in nano_cols:
         # exact integer ns→µs division, matching DuckDB's µs truncation
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    for c in naive_cols:
+        # NTZ→LTZ: interpreted in the (UTC) session zone, so the instant and
+        # its rendering are identical; only the type changes.
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

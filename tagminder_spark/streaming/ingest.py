@@ -18,28 +18,54 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# ts is physically TIMESTAMP(NANOS) → read as long (nanosAsLong) and
-# convert with exact integer division, same as session.load_table.
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(path_dir: str) -> tuple[T.StructType, str]:
+    """Stream-read schema for the events table plus the ts read mode.
+
+    readStream needs an explicit schema, and the testdata generation has
+    stored ``ts`` as TIMESTAMP(NANOS) (→ read as long, divide) or as a naive
+    µs timestamp (→ read as NTZ, cast) in different rounds — mirror
+    session.load_table's normalization so both stream and batch plans see
+    session-zoned TIMESTAMP.
+    """
+    import pyarrow.parquet as pq
+
+    import pyarrow as pa
+
+    f = pq.read_schema(f"{path_dir}/events.parquet").field("ts")
+    if pa.types.is_timestamp(f.type) and f.type.unit == "ns":
+        ts_field, mode = T.StructField("ts", T.LongType()), "nanos"
+    elif pa.types.is_timestamp(f.type) and f.type.tz is None:
+        ts_field, mode = T.StructField("ts", T.TimestampNTZType()), "ntz"
+    else:
+        ts_field, mode = T.StructField("ts", T.TimestampType()), "ltz"
+    return (
+        T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                ts_field,
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        ),
+        mode,
+    )
 
 
 def _events_stream(spark: SparkSession, path_dir: str) -> DataFrame:
+    schema, mode = _events_schema(path_dir)
     raw = (
         spark.readStream.format("parquet")
-        .schema(EVENTS_SCHEMA)
+        .schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .load(path_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if mode == "nanos":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if mode == "ntz":
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def windowed_event_counts(
