@@ -4,6 +4,14 @@
 Prints ONE JSON line:
 {"metric": "...", "value": <total sec>, "unit": "sec",
  "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Noise guards (round 4): every query is timed over N passes
+($SPARK_GRAFT_BENCH_PASSES, default 2) and the MIN is recorded — the min is
+the least-noise estimator for a deterministic workload on a shared machine.
+The 1/5/15-minute load averages are captured before and after the run and
+embedded in the JSON so the artifact is self-qualifying: a recorded number
+taken at loadavg 30 on a 32-cpu box can be discounted at read time instead
+of silently poisoning the round-over-round comparison.
 """
 
 from __future__ import annotations
@@ -47,9 +55,23 @@ HEADLINE = [
     "er_five_phase",
 ]
 
+# Measured separately, NOT in the headline total (BASELINE.md §5 records
+# their standing numbers): rename planner + offline ANN training.
+EXTRA = ["s98_rename_plan", "ann_ivf_trained", "h_works_role_pairs"]
+
+
+def _run_once(spark, qs, name: str, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = qs[name](spark, sf_dir)
+    # noop sink: materializes every output column (count() would let
+    # Catalyst prune the computed projections away).
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.0
 
@@ -59,34 +81,27 @@ def main() -> None:
     spark = get_spark("bench")
     qs = entry.queries()
 
+    load_before = os.getloadavg()
+
     # Warm the JVM + file listing once with a trivial action.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs.get(name)
-        if fn is None:
-            continue
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # noop sink: materializes every output column (count() would let
-        # Catalyst prune the computed projections away).
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
-
-    # Round-3 operators, timed separately: NOT in the headline total
-    # until a first measurement is on record (BASELINE.md protocol).
     extra: dict[str, float] = {}
-    for name in ("s98_rename_plan", "ann_ivf_trained", "h_works_role_pairs"):
-        fn = qs.get(name)
-        if fn is None:
-            continue
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        extra[name] = round(time.perf_counter() - t0, 3)
-        print(f"# extra {name}: {extra[name]:.3f}s", file=sys.stderr)
+    # Pass-major order: pass 0 warms every query's scan/broadcast state the
+    # same way for everyone, then later passes measure steady-state; min of
+    # the passes is recorded.
+    for p in range(passes):
+        for name in HEADLINE + EXTRA:
+            if name not in qs:
+                continue
+            sink = extra if name in EXTRA else timings
+            t = _run_once(spark, qs, name, sf_dir)
+            prev = sink.get(name)
+            sink[name] = round(t if prev is None else min(prev, t), 3)
+            print(f"# pass{p} {name}: {t:.3f}s", file=sys.stderr)
 
+    load_after = os.getloadavg()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -97,6 +112,10 @@ def main() -> None:
                 "queries": timings,
                 "extra_queries": extra,
                 "sf": sf,
+                "passes": passes,
+                "loadavg_before": [round(x, 2) for x in load_before],
+                "loadavg_after": [round(x, 2) for x in load_after],
+                "cpus": os.cpu_count(),
             }
         )
     )

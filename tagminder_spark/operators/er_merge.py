@@ -126,7 +126,11 @@ def consistent(a: Column, b: Column) -> Column:
 
 
 def contributors_merge(
-    mb: DataFrame, wd: DataFrame, amg: DataFrame, checkpoint: bool = True
+    mb: DataFrame,
+    wd: DataFrame,
+    amg: DataFrame,
+    checkpoint: bool = True,
+    checkpointer=None,
 ) -> DataFrame:
     """The full 5-phase merge for the contributor column contract.
 
@@ -139,12 +143,25 @@ def contributors_merge(
     with source-prefixed columns, has_*_row flags, the staged match
     stage, and per-source enrichment-phase provenance.
 
-    ``checkpoint`` truncates lineage at each phase boundary
-    (localCheckpoint): the sequential-residual structure otherwise
-    compounds to a plan Catalyst re-optimizes super-linearly. On a
-    cluster use reliable checkpointing to the same effect.
+    Execution shape (round 4): the sequential-residual phase logic runs
+    entirely over SMALL keyed frames — each phase emits an id-pair map
+    ``(mb_id, wd_id|amg_id)`` — and the wide output is assembled in ONE
+    final join pass (mbn ⟕ wd-map ⟕ wdn ⟕ amg-map ⟕ amgn).  Only the
+    tiny match maps are checkpointed to bound plan-compounding; the wide
+    frame is never materialized mid-flight (round 3 checkpointed it six
+    times, which dominated runtime and, via ``localCheckpoint``, was
+    fragile to executor loss at cluster scale).
+
+    ``checkpoint`` truncates lineage at each phase boundary.
+    ``checkpointer`` makes the primitive pluggable: pass
+    ``lambda d: d.checkpoint()`` (with ``sparkContext.setCheckpointDir``)
+    for reliable cluster-scale checkpoints; the default is
+    ``localCheckpoint`` — right for single-node / gate scale.
     """
-    _cp = (lambda d: d.localCheckpoint()) if checkpoint else (lambda d: d)
+    if checkpointer is not None:
+        _cp = checkpointer
+    else:
+        _cp = (lambda d: d.localCheckpoint()) if checkpoint else (lambda d: d)
     mbn = mb.select(
         "mb_id",
         F.col("name").alias("mb_name"),
@@ -197,81 +214,35 @@ def contributors_merge(
         right_quarantine={"mbid": "k_qid", "qid": "k_mnid"},
     )
     matches = _cp(matches)
-    wd_res = _cp(wd_res)
-    base = (
-        mbn.join(matches, "mb_id", "left")
-        .join(wdn, "wd_id", "left")
-        .withColumn("has_musicbrainz_row", F.lit(1))
-        .withColumn("has_wikimedia_row", F.col("wd_id").isNotNull().cast("int"))
-        .withColumn("has_allmusic_row", F.lit(0))
-        .withColumn(
-            "wd_phase",
-            F.when(F.col("wd_id").isNotNull(), F.lit("staged")),
-        )
-        .withColumn("amg_phase", F.lit(None).cast("string"))
-        .withColumn("amg_name", F.lit(None).cast("string"))
-        .withColumn("amg_mnid", F.lit(None).cast("string"))
+    wd_res = _cp(wd_res.select("wd_id"))
+
+    # ---- phase 1: MNID bridge (:1669) — staged MB+WD rows reach AMG
+    # through the WD-side MNID (AMG is MNID-unique by rollup
+    # construction). unique_on guard: a malformed input with a duplicated
+    # MNID would fan this join out and silently duplicate output rows —
+    # enforce the contract here (same guard family as the name phases).
+    bridge_targets = (
+        matches.select("mb_id", "wd_id")
+        .join(wdn.select("wd_id", "wd_mnid_n"), "wd_id")
+        .filter(F.col("wd_mnid_n").isNotNull())
+        .select("mb_id", F.col("wd_mnid_n").alias("k"))
     )
-    base = _cp(base)
-    amg_res = amgn
-
-    def fill_amg(base: DataFrame, amg_res: DataFrame, m: DataFrame, phase: str):
-        """Apply an AMG match set (mb_id, amg_id): fill amg_* columns,
-        flip the flag, record the phase, consume the AMG rows."""
-        picked = m.join(amg_res, "amg_id").select(
-            F.col("mb_id").alias("__m_id"),
-            F.col("amg_name").alias("__m_name"),
-            F.col("amg_mnid").alias("__m_mnid"),
-        )
-        out = (
-            base.join(picked, base.mb_id == F.col("__m_id"), "left")
-            .withColumn(
-                "amg_phase",
-                F.when(F.col("__m_id").isNotNull(), F.lit(phase)).otherwise(
-                    F.col("amg_phase")
-                ),
-            )
-            .withColumn("amg_name", F.coalesce(F.col("amg_name"), F.col("__m_name")))
-            .withColumn("amg_mnid", F.coalesce(F.col("amg_mnid"), F.col("__m_mnid")))
-            .withColumn(
-                "has_allmusic_row",
-                F.when(F.col("__m_id").isNotNull(), F.lit(1)).otherwise(
-                    F.col("has_allmusic_row")
-                ),
-            )
-            .drop("__m_id", "__m_name", "__m_mnid")
-        )
-        # amg_res is checkpointed too: it is consumed twice per phase
-        # (fill join + next residual), and lazily it would re-execute its
-        # whole anti-join chain per consumer — measured 2× slower overall
-        return _cp(out), _cp(amg_res.join(m.select("amg_id"), "amg_id", "left_anti"))
-
-    # ---- phase 1: MNID bridge (:1669) — MB+WD rows reach AMG through
-    # the WD-side MNID (AMG is MNID-unique by rollup construction) ----
-    bridge_targets = base.filter(
-        (F.col("has_wikimedia_row") == 1)
-        & (F.col("has_allmusic_row") == 0)
-        & F.col("wd_mnid_n").isNotNull()
-    ).select("mb_id", F.col("wd_mnid_n").alias("k"))
-    # unique_on guard: AMG is MNID-unique by rollup construction (:558),
-    # but a malformed input with a duplicated MNID would fan this join
-    # out and silently duplicate base rows — enforce the contract here
-    # (same guard family as the name phases).
-    m1 = bridge_targets.join(
-        unique_on(amg_res, "amg_mnid_n").select(
-            "amg_id", F.col("amg_mnid_n").alias("k")
-        ),
-        "k",
-    ).select("mb_id", "amg_id")
-    base, amg_res = fill_amg(base, amg_res, m1, "bridge")
+    m1 = _cp(
+        bridge_targets.join(
+            unique_on(amgn, "amg_mnid_n").select(
+                "amg_id", F.col("amg_mnid_n").alias("k")
+            ),
+            "k",
+        ).select("mb_id", "amg_id")
+    )
 
     # ---- phase 2: WD exact-name fallback (:1853) — rows without a WD
     # match take the residual WD row of the same unique normalized name,
     # guarded by id consistency ----
     t2 = unique_on(
-        base.filter(
-            (F.col("has_wikimedia_row") == 0) & F.col("mb_name_n").isNotNull()
-        ).select("mb_id", F.col("mb_name_n").alias("k"), "mb_mbid_n", "mb_qid_n", "mb_mnid_n"),
+        mbn.join(matches.select("mb_id"), "mb_id", "left_anti")
+        .filter(F.col("mb_name_n").isNotNull())
+        .select("mb_id", F.col("mb_name_n").alias("k"), "mb_mbid_n", "mb_qid_n", "mb_mnid_n"),
         "k",
     )
     s2 = unique_on(
@@ -280,67 +251,44 @@ def contributors_merge(
         .select("wd_id", F.col("wd_name_n").alias("k"), "wd_mbid_n", "wd_qid_n", "wd_mnid_n"),
         "k",
     )
-    m2 = (
+    m2 = _cp(
         t2.join(s2, "k")
         .filter(
             consistent(F.col("mb_mbid_n"), F.col("wd_mbid_n"))
             & consistent(F.col("mb_qid_n"), F.col("wd_qid_n"))
             & consistent(F.col("mb_mnid_n"), F.col("wd_mnid_n"))
         )
-        .select("mb_id", F.col("wd_id").alias("__w_id"))
+        .select("mb_id", "wd_id")
     )
-    w_fill = m2.join(wdn, F.col("__w_id") == wdn.wd_id).select(
-        F.col("mb_id").alias("__m_id"),
-        F.col("wd_id").alias("__w_wd_id"),
-        F.col("wd_name").alias("__w_name"),
-        F.col("wd_mbid").alias("__w_mbid"),
-        F.col("wd_qid").alias("__w_qid"),
-        F.col("wd_mnid").alias("__w_mnid"),
-        F.col("wd_name_n").alias("__w_name_n"),
-        F.col("wd_mbid_n").alias("__w_mbid_n"),
-        F.col("wd_qid_n").alias("__w_qid_n"),
-        F.col("wd_mnid_n").alias("__w_mnid_n"),
-    )
-    base = (
-        base.join(w_fill, base.mb_id == F.col("__m_id"), "left")
-        .withColumn("wd_id", F.coalesce(F.col("wd_id"), F.col("__w_wd_id")))
-        .withColumn("wd_name", F.coalesce(F.col("wd_name"), F.col("__w_name")))
-        .withColumn("wd_mbid", F.coalesce(F.col("wd_mbid"), F.col("__w_mbid")))
-        .withColumn("wd_qid", F.coalesce(F.col("wd_qid"), F.col("__w_qid")))
-        .withColumn("wd_mnid", F.coalesce(F.col("wd_mnid"), F.col("__w_mnid")))
-        .withColumn("wd_name_n", F.coalesce(F.col("wd_name_n"), F.col("__w_name_n")))
-        .withColumn("wd_mbid_n", F.coalesce(F.col("wd_mbid_n"), F.col("__w_mbid_n")))
-        .withColumn("wd_qid_n", F.coalesce(F.col("wd_qid_n"), F.col("__w_qid_n")))
-        .withColumn("wd_mnid_n", F.coalesce(F.col("wd_mnid_n"), F.col("__w_mnid_n")))
-        .withColumn(
-            "wd_phase",
-            F.when(F.col("__m_id").isNotNull(), F.lit("wd_name")).otherwise(
-                F.col("wd_phase")
-            ),
-        )
-        .withColumn(
-            "has_wikimedia_row",
-            F.when(F.col("__m_id").isNotNull(), F.lit(1)).otherwise(
-                F.col("has_wikimedia_row")
-            ),
-        )
-        .drop(
-            "__m_id", "__w_wd_id", "__w_name", "__w_mbid", "__w_qid", "__w_mnid",
-            "__w_name_n", "__w_mbid_n", "__w_qid_n", "__w_mnid_n",
+
+    # WD assignment map: staged matches carry the stage name; name-phase
+    # matches carry the phase label only (the reference records no stage
+    # for name fallbacks).
+    wd_map = matches.select(
+        "mb_id", "wd_id", "match_stage", F.lit("staged").alias("wd_phase")
+    ).unionByName(
+        m2.select(
+            "mb_id",
+            "wd_id",
+            F.lit(None).cast("string").alias("match_stage"),
+            F.lit("wd_name").alias("wd_phase"),
         )
     )
-    base = _cp(base)
-    # wd_res is not consumed after phase 2 — no residual update needed
 
     # ---- phase 3: AMG exact-name fallback (:2164) — WD-carrying rows
-    # match residual AMG by the WD label ----
+    # (staged OR name-matched) not already bridged match residual AMG by
+    # the WD label ----
     t3 = unique_on(
-        base.filter(
-            (F.col("has_allmusic_row") == 0)
-            & (F.col("has_wikimedia_row") == 1)
-            & F.col("wd_name_n").isNotNull()
-        ).select("mb_id", F.col("wd_name_n").alias("k"), "mb_mnid_n"),
+        wd_map.select("mb_id", "wd_id")
+        .join(m1.select("mb_id"), "mb_id", "left_anti")
+        .join(wdn.select("wd_id", "wd_name_n"), "wd_id")
+        .join(mbn.select("mb_id", "mb_mnid_n"), "mb_id")
+        .filter(F.col("wd_name_n").isNotNull())
+        .select("mb_id", F.col("wd_name_n").alias("k"), "mb_mnid_n"),
         "k",
+    )
+    amg_res = amgn.select("amg_id", "amg_name_n", "amg_mnid_n").join(
+        m1.select("amg_id"), "amg_id", "left_anti"
     )
     s3 = unique_on(
         amg_res.filter(F.col("amg_name_n").isNotNull()).select(
@@ -348,48 +296,75 @@ def contributors_merge(
         ),
         "k",
     )
-    m3 = (
+    m3 = _cp(
         t3.join(s3, "k")
         .filter(consistent(F.col("mb_mnid_n"), F.col("amg_mnid_n")))
         .select("mb_id", "amg_id")
     )
-    base, amg_res = fill_amg(base, amg_res, m3, "amg_name")
 
     # ---- phase 4: terminal lower-name (:2440) — MB-only rows, strictly
     # unique normalized names on both sides ----
     t4 = unique_on(
-        base.filter(
-            (F.col("has_allmusic_row") == 0)
-            & (F.col("has_wikimedia_row") == 0)
-            & F.col("mb_name_n").isNotNull()
-        ).select("mb_id", F.col("mb_name_n").alias("k"), "mb_mnid_n"),
+        mbn.join(wd_map.select("mb_id"), "mb_id", "left_anti")
+        .join(
+            m1.select("mb_id").unionByName(m3.select("mb_id")), "mb_id", "left_anti"
+        )
+        .filter(F.col("mb_name_n").isNotNull())
+        .select("mb_id", F.col("mb_name_n").alias("k"), "mb_mnid_n"),
         "k",
     )
+    amg_res = amg_res.join(m3.select("amg_id"), "amg_id", "left_anti")
     s4 = unique_on(
         amg_res.filter(F.col("amg_name_n").isNotNull()).select(
             "amg_id", F.col("amg_name_n").alias("k"), "amg_mnid_n"
         ),
         "k",
     )
-    m4 = (
+    m4 = _cp(
         t4.join(s4, "k")
         .filter(consistent(F.col("mb_mnid_n"), F.col("amg_mnid_n")))
         .select("mb_id", "amg_id")
     )
-    base, amg_res = fill_amg(base, amg_res, m4, "amg_lower")
 
     # ---- phase 5: allocation (:2615) — seed enrichment through the
-    # MB-side MNID, then residual AMG appended as new output rows ----
-    t5 = base.filter(
-        (F.col("has_allmusic_row") == 0) & F.col("mb_mnid_n").isNotNull()
-    ).select("mb_id", F.col("mb_mnid_n").alias("k"))
+    # MB-side MNID over everything still unmatched ----
+    consumed_mb = (
+        m1.select("mb_id").unionByName(m3.select("mb_id")).unionByName(m4.select("mb_id"))
+    )
+    t5 = (
+        mbn.join(consumed_mb, "mb_id", "left_anti")
+        .filter(F.col("mb_mnid_n").isNotNull())
+        .select("mb_id", F.col("mb_mnid_n").alias("k"))
+    )
+    amg_res = amg_res.join(m4.select("amg_id"), "amg_id", "left_anti")
     m5 = t5.join(
         unique_on(amg_res, "amg_mnid_n").select(
             "amg_id", F.col("amg_mnid_n").alias("k")
         ),
         "k",
     ).select("mb_id", "amg_id")
-    base, amg_res = fill_amg(base, amg_res, m5, "allocation")
+
+    # AMG assignment map with phase provenance.
+    amg_map = _cp(
+        m1.withColumn("amg_phase", F.lit("bridge"))
+        .unionByName(m3.withColumn("amg_phase", F.lit("amg_name")))
+        .unionByName(m4.withColumn("amg_phase", F.lit("amg_lower")))
+        .unionByName(m5.withColumn("amg_phase", F.lit("allocation")))
+    )
+
+    # ---- final assembly: ONE wide pass ----
+    base = (
+        mbn.join(wd_map, "mb_id", "left")
+        .join(wdn, "wd_id", "left")
+        .join(amg_map, "mb_id", "left")
+        .join(amgn.select("amg_id", "amg_name", "amg_mnid"), "amg_id", "left")
+        .withColumn("has_musicbrainz_row", F.lit(1))
+        .withColumn("has_wikimedia_row", F.col("wd_id").isNotNull().cast("int"))
+        .withColumn("has_allmusic_row", F.col("amg_id").isNotNull().cast("int"))
+    )
+    amg_res = amg_res.join(m5.select("amg_id"), "amg_id", "left_anti").join(
+        amgn.select("amg_id", "amg_name", "amg_mnid"), "amg_id"
+    )
 
     out_cols = [
         "contributor_row_id",

@@ -59,7 +59,7 @@ def get_spark(app: str = "tagminder_spark", master: str | None = None) -> SparkS
     return spark
 
 
-_TS_COLS: dict[str, tuple[list[str], list[str]]] = {}
+_TS_COLS: dict[tuple[str, float, int], tuple[list[str], list[str]]] = {}
 
 
 def _ts_columns(path: str) -> tuple[list[str], list[str]]:
@@ -73,7 +73,11 @@ def _ts_columns(path: str) -> tuple[list[str], list[str]]:
       lag arithmetic) and the round-2 oracle hashes all assume session-zoned
       TIMESTAMP, so these get a cast after read.
     """
-    if path not in _TS_COLS:
+    # Cache keyed on (path, mtime, size): if testdata is regenerated in-place
+    # during one process lifetime, the stale classification is not reused.
+    st = os.stat(path)
+    key = (path, st.st_mtime, st.st_size)
+    if key not in _TS_COLS:
         import pyarrow.parquet as pq
 
         import pyarrow as pa
@@ -87,8 +91,8 @@ def _ts_columns(path: str) -> tuple[list[str], list[str]]:
                 nanos.append(f.name)
             elif f.type.tz is None:
                 naive.append(f.name)
-        _TS_COLS[path] = (nanos, naive)
-    return _TS_COLS[path]
+        _TS_COLS[key] = (nanos, naive)
+    return _TS_COLS[key]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -104,6 +108,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     path = f"{sf_dir}/{name}.parquet"
     nano_cols, naive_cols = _ts_columns(path)
+    if nano_cols or naive_cols:
+        # The nano div-1000 epoch math and the NTZ->LTZ cast are only
+        # instant-preserving under a UTC session zone; sessions the engine
+        # did not build may carry another zone, so pin it defensively.
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        except Exception:
+            pass
     if nano_cols:
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -99,9 +99,14 @@ def test_multimodal_frame_sampling(spark):
 def test_streaming_windowed_counts_matches_batch(spark):
     stream = windowed_event_counts(spark, SF_DIR)
     got = run_stream_to_memory(stream, "stream_counts", mode="complete")
+    from tagminder_spark.session import load_table
+
+    # Read the batch side through the shared loader rather than re-implementing
+    # one testdata generation's ts encoding — load_table normalizes nanos/naive
+    # parquet timestamps identically for batch and the streaming twin.
     batch = (
-        spark.read.parquet(f"{SF_DIR}/events.parquet")
-        .groupBy(F.window(F.timestamp_micros(F.expr("ts div 1000")), "1 hour").alias("w"), "event_type")
+        load_table(spark, SF_DIR, "events")
+        .groupBy(F.window(F.col("ts"), "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n")
     )
