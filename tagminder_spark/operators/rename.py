@@ -7,17 +7,20 @@ preserve rollback connectivity (:173-285).
 
 The Spark shape: a **pure plan DataFrame** — every row of the catalog
 gets `(new_filename, new_dirname, new_path, collision, action)` derived
-entirely from expressions, two directory-partitioned windows, and one
-per-directory aggregate join. Nothing touches a filesystem; the actual
+entirely from expressions, ONE per-directory aggregate (album facts +
+track-pad width + live-filename set) rejoined to the rows, and one
+duplicate-target count window. Nothing touches a filesystem; the actual
 rename is an injected callable over the plan (`apply_renames`, same
 pattern as sources/export.py `export_tags`), and the DB side
 (`update_paths_after_rename`) is two joins.
 
-At 100 TB the plan is map-heavy: the only shuffles are the per-directory
-aggregate and windows, all keyed on `__dirpath` (bounded groups — a
-directory holds tens of files, never millions), plus two equi-joins for
-collision detection. No driver-side loops; the reference's per-row
-Python (`process_files` :478-546) becomes one declarative pass.
+At 100 TB the plan is map-heavy with exactly two `__dirpath`-keyed
+exchanges: the facts aggregate and its rejoin (broadcast when the dir
+count allows; the collision window reuses the join's partitioning via
+the clustering-subset rule, costing a local sort only). Groups are
+bounded — a directory holds tens of files, never millions. No
+driver-side loops; the reference's per-row Python (`process_files`
+:478-546) becomes one declarative pass.
 
 Semantics ported (reference file:line cited per function):
 - `extract_year` :285-303 — first ``(19|20)\\d{2}`` word in the date.
@@ -129,43 +132,20 @@ def rename_plan(alib: DataFrame, include_year: bool = False) -> DataFrame:
     new_dirname, new_dirpath, new_path, file_changed, dir_changed,
     collision, action ∈ {rename, noop, skip-empty, skip-collision}.
     """
-    dir_w = W.partitionBy("__dirpath")
-
-    ext = F.regexp_extract(F.col("__filename"), r"\.([^.]*)$", 1)
-    max_track = F.max(F.trim(F.col("track")).try_cast("int")).over(dir_w)
-    track_p = sanitize_component(zero_pad_track(F.col("track"), max_track))
-    artist_s = sanitize_component(F.col("artist"))
-    title_s = sanitize_component(F.col("title"))
-
-    disc_part = F.when(
-        ~is_blank(F.col("discnumber")), F.concat(F.trim(F.col("discnumber")), F.lit("-"))
-    ).otherwise(F.lit(""))
-    track_part = F.when(
-        ~is_blank(track_p), F.concat(F.trim(track_p), F.lit(" - "))
-    ).otherwise(F.lit(""))
-    artist_part = F.when(
-        (F.col("compilation") == "1") & ~is_blank(artist_s),
-        F.concat(artist_s, F.lit(" - ")),
-    ).otherwise(F.lit(""))
-    base = F.trim(
-        F.concat(disc_part, track_part, artist_part, F.coalesce(title_s, F.lit("")))
-    )
-    raw_name = F.when(is_blank(base), F.lit("")).otherwise(
-        F.when(base.endswith(F.concat(F.lit("."), ext)), base).otherwise(
-            F.concat(base, F.lit("."), ext)
-        )
-    )
-
-    rows = alib.withColumn("__new_filename_raw", raw_name).withColumn(
-        "new_filename", _truncate_filename(F.col("__new_filename_raw"))
-    )
-
     # ---- per-directory album facts → new dirname (:548-660) ----
+    # ONE aggregate carries everything per-directory state the plan
+    # needs: the album facts, the track-pad width (max_track — round 3
+    # computed it as a separate window, a redundant exchange), and the
+    # live-filename set (collision target detection — round 3 used a
+    # per-directory self-join, another exchange).  Directory groups are
+    # bounded (tens of files), so collect_set stays small.
     hi = (
         (F.coalesce(F.col("__bitspersample").try_cast("double"), F.lit(0.0)) > 16)
         | (F.coalesce(F.col("__frequency_num").try_cast("double"), F.lit(0.0)) > 44.1)
     )
-    dir_facts = rows.groupBy("__dirpath").agg(
+    dir_facts = alib.groupBy("__dirpath").agg(
+        F.max(F.trim(F.col("track")).try_cast("int")).alias("__max_track"),
+        F.collect_set(F.col("__filename")).alias("__dir_files"),
         F.max((F.col("compilation") == "1").cast("int")).alias("is_comp"),
         F.count_distinct(
             F.when(~is_blank(F.col("discnumber")), F.trim(F.col("discnumber")))
@@ -238,10 +218,46 @@ def rename_plan(alib: DataFrame, include_year: bool = False) -> DataFrame:
         ),
     ).otherwise(F.lit(""))
     dir_facts = dir_facts.select(
-        "__dirpath", F.concat(base_dirname, suffix).alias("new_dirname")
+        "__dirpath",
+        "__max_track",
+        "__dir_files",
+        F.concat(base_dirname, suffix).alias("new_dirname"),
     )
 
-    planned = rows.join(dir_facts, "__dirpath")
+    # One equi-join on __dirpath distributes the directory facts to the
+    # rows; every per-row expression below (filename build, collision
+    # checks) then runs inside this partitioning — the plan has exactly
+    # two __dirpath-keyed exchanges (the aggregate and this join).
+    joined = alib.join(dir_facts, "__dirpath")
+
+    ext = F.regexp_extract(F.col("__filename"), r"\.([^.]*)$", 1)
+    track_p = sanitize_component(
+        zero_pad_track(F.col("track"), F.col("__max_track"))
+    )
+    artist_s = sanitize_component(F.col("artist"))
+    title_s = sanitize_component(F.col("title"))
+
+    disc_part = F.when(
+        ~is_blank(F.col("discnumber")), F.concat(F.trim(F.col("discnumber")), F.lit("-"))
+    ).otherwise(F.lit(""))
+    track_part = F.when(
+        ~is_blank(track_p), F.concat(F.trim(track_p), F.lit(" - "))
+    ).otherwise(F.lit(""))
+    artist_part = F.when(
+        (F.col("compilation") == "1") & ~is_blank(artist_s),
+        F.concat(artist_s, F.lit(" - ")),
+    ).otherwise(F.lit(""))
+    base = F.trim(
+        F.concat(disc_part, track_part, artist_part, F.coalesce(title_s, F.lit("")))
+    )
+    raw_name = F.when(is_blank(base), F.lit("")).otherwise(
+        F.when(base.endswith(F.concat(F.lit("."), ext)), base).otherwise(
+            F.concat(base, F.lit("."), ext)
+        )
+    )
+    planned = joined.withColumn("__new_filename_raw", raw_name).withColumn(
+        "new_filename", _truncate_filename(F.col("__new_filename_raw"))
+    )
 
     old_dirname = F.regexp_extract(F.col("__dirpath"), r"[^/]*$", 0)
     parent = F.regexp_replace(F.col("__dirpath"), r"/[^/]*$", "")
@@ -261,35 +277,34 @@ def rename_plan(alib: DataFrame, include_year: bool = False) -> DataFrame:
         "new_dirname",
         new_dirpath.alias("new_dirpath"),
         F.concat(new_dirpath, F.lit("/"), eff_filename).alias("new_path"),
+        "__dir_files",
     )
 
     # ---- collision detection (rename_file :449-452 target-exists check,
     # lifted to plan level) ----
-    # (a) two rows in one directory map to the same new filename;
+    # (a) two rows in one directory map to the same new filename — a
+    #     count window over (old_dirpath, nf); hash partitioning on
+    #     __dirpath from the facts join satisfies the window's clustering
+    #     requirement (subset rule), so this adds a local sort, not an
+    #     exchange;
     # (b) a row's new filename equals a DIFFERENT row's current filename
-    #     in the same directory (the rename would land on a live file).
+    #     in the same directory (the rename would land on a live file) —
+    #     filenames are unique within a directory (they are path
+    #     components), so this is membership in the per-dir filename set
+    #     carried by the facts aggregate, excluding the row's own name.
     nf = F.when(is_blank(F.col("new_filename")), F.col("old_filename")).otherwise(
         F.col("new_filename")
     )
     planned = planned.withColumn(
         "_nf_dupes", F.count(F.lit(1)).over(W.partitionBy("old_dirpath", nf))
     )
-    current = planned.select(
-        F.col("old_dirpath").alias("c_dir"),
-        F.col("old_filename").alias("c_name"),
-        F.col("__path").alias("c_path"),
+    live_hit = F.array_contains(F.col("__dir_files"), nf) & (
+        nf != F.col("old_filename")
     )
-    planned = planned.join(
-        current,
-        (F.col("old_dirpath") == F.col("c_dir"))
-        & (nf == F.col("c_name"))
-        & (F.col("__path") != F.col("c_path")),
-        "left",
-    ).drop("c_dir", "c_name")
 
     file_changed = F.col("new_filename") != F.col("old_filename")
     dir_changed = F.col("new_dirpath") != F.col("old_dirpath")
-    collision = (F.col("_nf_dupes") > 1) | F.col("c_path").isNotNull()
+    collision = (F.col("_nf_dupes") > 1) | live_hit
     action = (
         F.when(is_blank(F.col("new_filename")), F.lit("skip-empty"))
         .when(~file_changed & ~dir_changed, F.lit("noop"))
@@ -301,7 +316,7 @@ def rename_plan(alib: DataFrame, include_year: bool = False) -> DataFrame:
         .withColumn("dir_changed", dir_changed.cast("int"))
         .withColumn("collision", (collision & file_changed).cast("int"))
         .withColumn("action", action)
-        .drop("_nf_dupes", "c_path")
+        .drop("_nf_dupes", "__dir_files")
     )
 
 
