@@ -87,14 +87,224 @@ def w_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_returnflag", "l_orderkey", "l_extendedprice")
 
 
-@q("pl_chain_e2e", None)  # rows-only: five deterministic steps chained
+# The chain oracle composes the five per-step oracle idioms (the same
+# SQL shapes value-proven by pl_step02/04/09/20 + f_tokens_dedup) into
+# one CTE chain over the chain fixture, then replays diff-audit's
+# normalized comparison and counts changes per column.  Step 17 appears
+# as the genre-dedup CTE only: on this fixture composer is already
+# caseless-deduped by step 04 (a case-sensitive order-preserving dedup
+# of it is an identity), and artist/style are NULL throughout.
+_NORMV = "NULLIF(NULLIF(trim({x}), ''), '\"\"')"
+_LIVE_RE = r"(?i)(?:[\(\[\{{<]\s*live\s*[\)\]\}}>]|- live)\s*$"
+
+_CHAIN_SQL = rf"""
+WITH alib AS (
+  -- DISTINCT: the synthetic lineitem does not enforce (orderkey,
+  -- linenumber) uniqueness; every derived column is a function of that
+  -- pair, so DISTINCT makes __path a true key (diff-audit joins on it)
+  SELECT DISTINCT
+         'p' || l_orderkey || '-' || l_linenumber AS __path,
+         'Song ' || l_orderkey
+           || (CASE WHEN l_orderkey % 4 = 0 THEN ' (Live)' ELSE '' END)
+           || (CASE WHEN l_orderkey % 5 = 0 THEN chr(13) || chr(10) ELSE '' END)
+           AS title,
+         CASE WHEN l_orderkey % 3 = 0 THEN '  '
+              ELSE 'Sub ' || l_linenumber END AS subtitle,
+         'Album ' || CAST(l_orderkey % 500 AS VARCHAR) AS album,
+         '0' AS live,
+         'C' || CAST(l_orderkey % 7 AS VARCHAR) AS composer,
+         CASE WHEN l_orderkey % 2 = 0
+              THEN 'W' || CAST(l_orderkey % 7 AS VARCHAR) END AS writer,
+         CAST(NULL AS VARCHAR) AS arranger,
+         CAST(NULL AS VARCHAR) AS lyricist,
+         'Rock{D}Rock{D}Pop' AS genre,
+         CASE WHEN l_orderkey % 2 = 0
+              THEN '1999-03-0' || CAST(l_linenumber % 7 + 1 AS VARCHAR)
+              ELSE '2001{D}2001' END AS year
+  FROM lineitem
+),
+-- step 02: CRLF strip, mojibake apostrophe, blank=>NULL (title, subtitle,
+-- album, composer; artist is NULL throughout)
+s02 AS (
+  SELECT __path, album, live, writer, arranger, lyricist, genre, year,
+         CASE WHEN trim(regexp_replace(title, chr(13) || '?' || chr(10), '', 'g'))
+                   IN ('â€™', 'Ì') THEN ''''
+              ELSE NULLIF(NULLIF(trim(
+                regexp_replace(title, chr(13) || '?' || chr(10), '', 'g')), ''), '""')
+         END AS title,
+         CASE WHEN trim(regexp_replace(subtitle, chr(13) || '?' || chr(10), '', 'g'))
+                   IN ('â€™', 'Ì') THEN ''''
+              ELSE NULLIF(NULLIF(trim(
+                regexp_replace(subtitle, chr(13) || '?' || chr(10), '', 'g')), ''), '""')
+         END AS subtitle,
+         CASE WHEN trim(regexp_replace(composer, chr(13) || '?' || chr(10), '', 'g'))
+                   IN ('â€™', 'Ì') THEN ''''
+              ELSE NULLIF(NULLIF(trim(
+                regexp_replace(composer, chr(13) || '?' || chr(10), '', 'g')), ''), '""')
+         END AS composer
+  FROM alib
+),
+-- step 04: caseless ordered merge of composer/arranger/lyricist/writer
+c_toks AS (
+  SELECT __path, trim(tok) AS tok, (src * 1000 + ord) AS pos
+  FROM s02, LATERAL (
+    SELECT 1 AS src, unnest(string_split(coalesce(composer, ''), '{D}')) AS tok,
+           generate_subscripts(string_split(coalesce(composer, ''), '{D}'), 1) AS ord
+    UNION ALL
+    SELECT 2, unnest(string_split(coalesce(arranger, ''), '{D}')),
+           generate_subscripts(string_split(coalesce(arranger, ''), '{D}'), 1)
+    UNION ALL
+    SELECT 3, unnest(string_split(coalesce(lyricist, ''), '{D}')),
+           generate_subscripts(string_split(coalesce(lyricist, ''), '{D}'), 1)
+    UNION ALL
+    SELECT 4, unnest(string_split(coalesce(writer, ''), '{D}')),
+           generate_subscripts(string_split(coalesce(writer, ''), '{D}'), 1)
+  )
+  WHERE trim(tok) <> ''
+),
+c_first AS (
+  SELECT __path, lower(tok) AS key, MIN(pos) AS mp FROM c_toks GROUP BY 1, 2
+),
+c_chosen AS (
+  SELECT t.__path, t.tok, f.mp
+  FROM c_toks t JOIN c_first f
+    ON f.__path = t.__path AND f.key = lower(t.tok) AND f.mp = t.pos
+),
+c_agg AS (
+  SELECT __path, STRING_AGG(tok, '{D}' ORDER BY mp) AS composer
+  FROM c_chosen GROUP BY __path
+),
+s04 AS (
+  SELECT s.__path, s.title, s.subtitle, s.album, s.live, c.composer,
+         s.genre, s.year
+  FROM s02 s LEFT JOIN c_agg c USING (__path)
+),
+-- step 09: live markers
+marked AS (
+  SELECT *,
+         (title IS NOT NULL AND regexp_matches(title, '{_LIVE_RE}'))
+         OR (album IS NOT NULL AND regexp_matches(album, '{_LIVE_RE}')) AS hit,
+         trim(regexp_replace(regexp_replace(subtitle, '\\\\', '; ', 'g'),
+                             '\s*;\s*', '; ', 'g')) AS sub_norm
+  FROM s04
+),
+s09 AS (
+  SELECT __path, album, composer, genre, year,
+         CASE WHEN hit THEN NULLIF(trim(
+                regexp_replace(title, '{_LIVE_RE}', '')), '')
+              ELSE title END AS title,
+         CASE WHEN NOT hit THEN subtitle
+              WHEN subtitle IS NOT NULL AND regexp_matches(sub_norm, '(?i)\blive\b')
+                THEN sub_norm
+              WHEN subtitle IS NOT NULL THEN sub_norm || '; [Live]'
+              ELSE '[Live]' END AS subtitle,
+         CASE WHEN hit THEN '1' ELSE live END AS live
+  FROM marked
+),
+-- step 17: order-preserving multi-value dedup (genre; see header comment)
+g_toks AS (
+  SELECT __path, trim(tok) AS tok, ord
+  FROM s09, LATERAL (
+    SELECT unnest(string_split(genre, '{D}')) AS tok,
+           generate_subscripts(string_split(genre, '{D}'), 1) AS ord
+  )
+  WHERE trim(tok) <> ''
+),
+g_first AS (
+  SELECT __path, tok, MIN(ord) AS mo FROM g_toks GROUP BY 1, 2
+),
+g_agg AS (
+  SELECT __path, STRING_AGG(tok, '{D}' ORDER BY mo) AS genre
+  FROM g_first GROUP BY __path
+),
+s17 AS (
+  SELECT s.__path, s.title, s.subtitle, s.album, s.live, s.composer,
+         g.genre, s.year
+  FROM s09 s LEFT JOIN g_agg g USING (__path)
+),
+-- step 20: canonicalize multi-value date tokens (year; originalyear NULL)
+y_toks AS (
+  SELECT __path, trim(tok) AS tok, ord
+  FROM s17, LATERAL (
+    SELECT unnest(string_split(year, '{D}')) AS tok,
+           generate_subscripts(string_split(year, '{D}'), 1) AS ord
+  )
+  WHERE trim(tok) <> ''
+),
+y_norm AS (
+  SELECT __path, ord,
+    CASE
+      WHEN tok ~ '^[0-9]{{4}}$' THEN tok
+      WHEN tok ~ '^[0-9]{{4}}-[0-9]{{2}}$' THEN substr(tok, 1, 4)
+      WHEN regexp_replace(regexp_replace(tok,
+             '^([0-9]{{4}})([0-9]{{2}})([0-9]{{2}})$', '\1-\2-\3'),
+             '^([0-9]{{4}})[/.]([0-9]{{2}})[/.]([0-9]{{2}})$', '\1-\2-\3')
+           ~ '^[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}$'
+      THEN regexp_replace(regexp_replace(tok,
+             '^([0-9]{{4}})([0-9]{{2}})([0-9]{{2}})$', '\1-\2-\3'),
+             '^([0-9]{{4}})[/.]([0-9]{{2}})[/.]([0-9]{{2}})$', '\1-\2-\3')
+      ELSE NULL END AS val
+  FROM y_toks
+),
+y_dedup AS (
+  SELECT __path, val, MIN(ord) AS mo FROM y_norm WHERE val IS NOT NULL
+  GROUP BY __path, val
+),
+y_agg AS (
+  SELECT __path, STRING_AGG(val, '{D}' ORDER BY mo) AS year
+  FROM y_dedup GROUP BY __path
+),
+s20 AS (
+  SELECT s.__path, s.title, s.subtitle, s.album, s.live, s.composer,
+         s.genre, y.year
+  FROM s17 s LEFT JOIN y_agg y USING (__path)
+),
+-- diff-audit: normalized old-vs-new per tracked column, count changes
+pair AS (
+  SELECT a.__path,
+         {_NORMV.format(x='a.title')} AS o_title, {_NORMV.format(x='n.title')} AS n_title,
+         {_NORMV.format(x='a.subtitle')} AS o_subtitle, {_NORMV.format(x='n.subtitle')} AS n_subtitle,
+         {_NORMV.format(x='a.album')} AS o_album, {_NORMV.format(x='n.album')} AS n_album,
+         {_NORMV.format(x='a.live')} AS o_live, {_NORMV.format(x='n.live')} AS n_live,
+         {_NORMV.format(x='a.composer')} AS o_composer, {_NORMV.format(x='n.composer')} AS n_composer,
+         {_NORMV.format(x='a.genre')} AS o_genre, {_NORMV.format(x='n.genre')} AS n_genre,
+         {_NORMV.format(x='a.year')} AS o_year, {_NORMV.format(x='n.year')} AS n_year
+  FROM alib a JOIN s20 n USING (__path)
+)
+SELECT alib_column, n_changes FROM (
+  SELECT 'title' AS alib_column, COUNT(*) AS n_changes FROM pair
+    WHERE o_title IS DISTINCT FROM n_title HAVING COUNT(*) > 0
+  UNION ALL
+  SELECT 'subtitle', COUNT(*) FROM pair
+    WHERE o_subtitle IS DISTINCT FROM n_subtitle HAVING COUNT(*) > 0
+  UNION ALL
+  SELECT 'album', COUNT(*) FROM pair
+    WHERE o_album IS DISTINCT FROM n_album HAVING COUNT(*) > 0
+  UNION ALL
+  SELECT 'live', COUNT(*) FROM pair
+    WHERE o_live IS DISTINCT FROM n_live HAVING COUNT(*) > 0
+  UNION ALL
+  SELECT 'composer', COUNT(*) FROM pair
+    WHERE o_composer IS DISTINCT FROM n_composer HAVING COUNT(*) > 0
+  UNION ALL
+  SELECT 'genre', COUNT(*) FROM pair
+    WHERE o_genre IS DISTINCT FROM n_genre HAVING COUNT(*) > 0
+  UNION ALL
+  SELECT 'year', COUNT(*) FROM pair
+    WHERE o_year IS DISTINCT FROM n_year HAVING COUNT(*) > 0
+)
+ORDER BY alib_column
+"""
+
+
+@q("pl_chain_e2e", _CHAIN_SQL)
 def pl_chain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end pipeline run (the reference's primary workload): a
     synthesized alib flows through steps 02→04→09→17→20 sequentially,
     then one diff-audit against the original produces the changelog;
-    returns per-column change counts. Rows-only check by design — the
-    oracle would be a five-step SQL re-implementation; the individual
-    steps are each value-checked by their own gate queries."""
+    returns per-column change counts. Value-checked since round 4: the
+    oracle composes the five per-step SQL idioms into one CTE chain and
+    replays diff-audit's normalized comparison."""
     from tagminder_spark.operators.diff_audit import diff_audit
     from tagminder_spark.pipeline import (
         step02_clean_text,
@@ -136,7 +346,9 @@ def pl_chain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("year"),
         F.lit(None).cast("string").alias("originalyear"),
         F.lit(0).alias("__sqlmodded"),
-    )
+    ).distinct()  # (orderkey, linenumber) is not unique in the synthetic
+    # lineitem; every column is a function of that pair, so distinct()
+    # makes __path a true key for the diff-audit join
     def chain(d):
         return step20_dates(
             step17_dedupe_tags(
