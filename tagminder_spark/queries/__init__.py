@@ -65,7 +65,9 @@ GATE_WINDOW: tuple[str, ...] = (
     "a18_covers_detection",
     "g_feature_edges",
     "s13_sync_by_uuid",
-    "s14_tsv_parse",
+    # round 4: the member-routing deep form subsumes s14_tsv_parse's
+    # split/null semantics (that gate stays registered outside the window)
+    "s14_mb_member_routing",
     "s15_jsonl_identity",
     # skew / scale proofs + round-2 scale-path gates
     "a_salted_agg",

@@ -72,6 +72,196 @@ def s14_tsv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# S14 deep form: mbdump member routing + works join graph
+# --------------------------------------------------------------------------
+
+# Shared fixture line builders (Spark dialect; _mbr_duck translates).
+# Decoys make every guard load-bearing: short rows (width guard),
+# \N keys (int guard + drop), \N names (text clean), blank role names.
+_T = "chr(9)"
+_N = "(chr(92) || 'N')"
+
+_W = "(o_orderkey % 500)"
+_MBR_WORK_LINE = (
+    f"CASE WHEN {_W} % 19 = 0 THEN 'short'"
+    f" WHEN {_W} % 23 = 0 THEN {_N} || {_T} || 'w-x' || {_T} || 'T'"
+    f" ELSE CAST({_W} AS STRING) || {_T} || 'w-' || CAST({_W} AS STRING)"
+    f" || {_T} || ' Work ' || CAST({_W} AS STRING) || ' '"
+    f" || {_T} || CASE WHEN {_W} % 3 = 0 THEN {_N}"
+    f"            ELSE CAST({_W} % 7 AS STRING) END"
+    f" || {_T} || {_N} END"
+)
+
+_A = "(c_custkey % 300)"
+_MBR_ARTIST_LINE = (
+    f"CAST({_A} AS STRING) || {_T} || 'am-' || CAST({_A} AS STRING) || {_T} ||"
+    f" CASE WHEN {_A} % 31 = 0 THEN {_N}"
+    f" ELSE 'Artist ' || CAST({_A} AS STRING) END"
+)
+
+_L = "(o_orderkey % 40)"
+# positions 0=id, 1=link_type, 2..9 filler, 10=ended
+_MBR_LINK_LINE = (
+    f"CAST({_L} AS STRING) || {_T} || CAST({_L} % 8 AS STRING)"
+    + "".join(f" || {_T} || {_N}" for _ in range(8))
+    + f" || {_T} || CASE WHEN {_L} % 2 = 1 THEN 't' ELSE '0' END"
+)
+
+_LT = "(n_nationkey % 8)"
+_MBR_LINKTYPE_LINE = (
+    f"CAST({_LT} AS STRING) || {_T} || {_N} || {_T} || '0' || {_T} ||"
+    f" 'gid-' || CAST({_LT} AS STRING) || {_T} || 'artist' || {_T} || 'work'"
+    f" || {_T} ||"
+    f" CASE CAST({_LT} % 6 AS INT) WHEN 0 THEN 'composer' WHEN 1 THEN 'lyricist'"
+    f" WHEN 2 THEN 'arranger' WHEN 3 THEN 'orchestrator'"
+    f" WHEN 4 THEN 'translator' ELSE '' END"
+    f" || {_T} || {_N} || {_T} || 'phrase' || {_T} || 'rphrase'"
+)
+
+# positions 0=rowid, 1=link, 2=artist, 3=work
+_MBR_LAW_LINE = (
+    f"CASE WHEN l_linenumber = 7 THEN 'short'"
+    f" ELSE CAST(l_orderkey AS STRING) || {_T}"
+    f" || CAST((l_orderkey + l_partkey) % 40 AS STRING) || {_T}"
+    f" || CASE WHEN l_suppkey % 29 = 0 THEN {_N}"
+    f"    ELSE CAST(l_partkey % 300 AS STRING) END || {_T}"
+    f" || CAST(l_orderkey % 500 AS STRING) END"
+)
+
+
+def _mbr_duck(e: str) -> str:
+    return e.replace("AS STRING", "AS VARCHAR")
+
+
+def _cl(x: str) -> str:
+    """DuckDB twin of mbdump._clean_text."""
+    return (
+        f"CASE WHEN {x} IS NULL OR trim({x}) = '' OR trim({x}) = chr(92)||'N'"
+        f" THEN NULL ELSE trim({x}) END"
+    )
+
+
+def _ki(x: str) -> str:
+    """DuckDB twin of mbdump._to_int."""
+    return f"TRY_CAST({_cl(x)} AS BIGINT)"
+
+
+_S14R_SQL = f"""
+WITH work_raw AS (SELECT {_mbr_duck(_MBR_WORK_LINE)} AS value FROM orders),
+work_f AS (
+  SELECT string_split(value, chr(9)) AS f FROM work_raw
+  WHERE len(string_split(value, chr(9))) >= 3
+),
+work_t AS (
+  SELECT DISTINCT {_ki('f[1]')} AS work_id,
+         {_cl('f[2]')} AS musicbrainz_workid,
+         {_cl('f[3]')} AS work_title,
+         {_ki('f[4]')} AS work_type_id
+  FROM work_f WHERE {_ki('f[1]')} IS NOT NULL
+),
+artist_raw AS (SELECT {_mbr_duck(_MBR_ARTIST_LINE)} AS value FROM customer),
+artist_f AS (SELECT string_split(value, chr(9)) AS f FROM artist_raw),
+artist_t AS (
+  SELECT DISTINCT {_ki('f[1]')} AS artist_id, {_cl('f[3]')} AS artist_name
+  FROM artist_f WHERE {_ki('f[1]')} IS NOT NULL
+),
+link_raw AS (SELECT {_mbr_duck(_MBR_LINK_LINE)} AS value FROM orders),
+link_f AS (SELECT string_split(value, chr(9)) AS f FROM link_raw),
+link_t AS (
+  SELECT DISTINCT {_ki('f[1]')} AS link_id, {_ki('f[2]')} AS link_type_id
+  FROM link_f WHERE {_ki('f[1]')} IS NOT NULL
+),
+lt_raw AS (SELECT {_mbr_duck(_MBR_LINKTYPE_LINE)} AS value FROM nation),
+lt_f AS (SELECT string_split(value, chr(9)) AS f FROM lt_raw),
+lt_t AS (
+  SELECT DISTINCT {_ki('f[1]')} AS link_type_id, {_cl('f[7]')} AS rel_name
+  FROM lt_f WHERE {_ki('f[1]')} IS NOT NULL
+),
+law_raw AS (SELECT {_mbr_duck(_MBR_LAW_LINE)} AS value FROM lineitem),
+law_f AS (
+  SELECT string_split(value, chr(9)) AS f FROM law_raw
+  WHERE len(string_split(value, chr(9))) >= 4
+),
+law_t AS (
+  SELECT {_ki('f[2]')} AS link_id, {_ki('f[3]')} AS artist_id,
+         {_ki('f[4]')} AS work_id
+  FROM law_f
+  WHERE {_ki('f[2]')} IS NOT NULL AND {_ki('f[3]')} IS NOT NULL
+    AND {_ki('f[4]')} IS NOT NULL
+),
+toks AS (
+  SELECT law.work_id, lt.rel_name || ':' || a.artist_name AS tok
+  FROM law_t law
+  JOIN link_t l USING (link_id)
+  JOIN lt_t lt ON lt.link_type_id = l.link_type_id
+  JOIN artist_t a USING (artist_id)
+  WHERE lt.rel_name IS NOT NULL AND a.artist_name IS NOT NULL
+),
+agg AS (
+  SELECT work_id,
+         STRING_AGG(DISTINCT tok, '\\\\' ORDER BY tok) AS role_pairs,
+         CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_pairs
+  FROM toks GROUP BY work_id
+)
+SELECT w.work_id, w.work_title, w.work_type_id,
+       p.role_pairs, COALESCE(p.n_pairs, 0) AS n_pairs
+FROM work_t w LEFT JOIN agg p USING (work_id)
+"""
+
+
+@q("s14_mb_member_routing", _S14R_SQL)
+def s14_mb_member_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14 deep form (harvest_mb_works.py:257-475): route five mbdump
+    member TSVs — work, artist, link, link_type, l_artist_work — through
+    the REAL positional parsers (sources/mbdump.parse_member: width
+    guard, \\N nulls, int-key drops) and replay the works join graph
+    (law→link→link_type role, law→artist name) into per-work sorted
+    role:name pairs. Decoy lines make every parser guard load-bearing.
+    The three dimension members broadcast; l_artist_work is the fact."""
+    from tagminder_spark.functions.core import MV_DELIM  # noqa: PLC0415
+    from tagminder_spark.sources.mbdump import parse_member  # noqa: PLC0415
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    work = parse_member(
+        o.selectExpr(f"{_MBR_WORK_LINE} AS value"), "work"
+    ).select("work_id", "musicbrainz_workid", "work_title", "work_type_id").distinct()
+    artist = parse_member(
+        c.selectExpr(f"{_MBR_ARTIST_LINE} AS value"), "artist"
+    ).select("artist_id", "artist_name").distinct()
+    link = parse_member(
+        o.selectExpr(f"{_MBR_LINK_LINE} AS value"), "link"
+    ).select("link_id", "link_type_id").distinct()
+    link_type = parse_member(
+        n.selectExpr(f"{_MBR_LINKTYPE_LINE} AS value"), "link_type"
+    ).select("link_type_id", "rel_name").distinct()
+    law = parse_member(li.selectExpr(f"{_MBR_LAW_LINE} AS value"), "l_artist_work")
+
+    toks = (
+        law.join(F.broadcast(link), "link_id")
+        .join(F.broadcast(link_type), "link_type_id")
+        .join(F.broadcast(artist), "artist_id")
+        .filter(F.col("rel_name").isNotNull() & F.col("artist_name").isNotNull())
+        .select(
+            "work_id",
+            F.concat(F.col("rel_name"), F.lit(":"), F.col("artist_name")).alias("tok"),
+        )
+    )
+    agg = toks.groupBy("work_id").agg(
+        F.array_join(F.sort_array(F.collect_set("tok")), MV_DELIM).alias("role_pairs"),
+        F.count_distinct("tok").alias("n_pairs"),
+    )
+    return (
+        work.join(agg, "work_id", "left")
+        .withColumn("n_pairs", F.coalesce(F.col("n_pairs"), F.lit(0)))
+        .select("work_id", "work_title", "work_type_id", "role_pairs", "n_pairs")
+    )
+
+
+# --------------------------------------------------------------------------
 # S15: Wikidata JSON-lines identity filter
 # --------------------------------------------------------------------------
 

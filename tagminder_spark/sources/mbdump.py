@@ -1,0 +1,256 @@
+"""MusicBrainz dump member-routing source (SURVEY §2.1 S14 deep form).
+
+Reference: scripts/mdm/harvest/harvest_mb_works.py:257-475 routes 15
+member TSVs out of ONE ``mbdump.tar.bz2`` pass — per-member positional
+parsers with ``\\N``-null and int guards — and exits the tar scan early
+once every target member has been seen (:473-475).
+
+Spark shape:
+
+- ``parse_member(lines, member)`` — the member parsers as pure
+  expressions (split → positional extract → null/int guards); zero
+  UDFs, so routing N members is N projections over text scans.
+- ``read_member_dir`` — the CLUSTER path: MusicBrainz also publishes
+  per-table dump files, and a tar.bz2 is an unsplittable stream, so at
+  scale the dump is extracted once to object storage and every member
+  parses in parallel (splittable text scans, predicate/column pruning).
+- ``stream_tar_members`` — the reference's literal shape for when only
+  the tarball exists: one sequential pass, early exit. The format makes
+  this inherently single-reader (bz2 has no random access); it exists
+  for parity and small dumps, and the docstring says so.
+
+Member layouts are the reference's observed mbdump layouts
+(harvest_mb_works.py:92-170 parse functions, :296-470 routing loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: member → (min_len, [(column, 0-based position, kind)]).
+#: kind: 'key'  = int, row DROPPED when unparseable (_to_int guard + continue)
+#:       'int'  = int, NULL when unparseable
+#:       'text' = _clean_text: blank/\N → NULL, else strip
+#:       'bool' = _to_bool_int: 1/t/true/y/yes → 1 else 0
+MEMBER_SPECS: dict[str, tuple[int, list[tuple[str, int, str]]]] = {
+    # :92-114 — 0=id ... 6=name, 8=link_phrase, 9=reverse_link_phrase
+    "link_type": (1, [
+        ("link_type_id", 0, "key"),
+        ("rel_name", 6, "text"),
+        ("link_phrase", 8, "text"),
+        ("reverse_link_phrase", 9, "text"),
+    ]),
+    # :341-347 — 0=id, 1=link_type, 10=ended
+    "link": (1, [
+        ("link_id", 0, "key"),
+        ("link_type_id", 1, "int"),
+        ("ended", 10, "bool"),
+    ]),
+    # :117-130 — 0=id, 5=name (3=fallback name in older layouts)
+    "link_attribute_type": (1, [
+        ("attr_type_id", 0, "key"),
+        ("attr_name", 5, "text"),
+        ("attr_name_fallback", 3, "text"),
+    ]),
+    # :355-362 — 0=link, 1=attribute_type, 2=text_value
+    "link_attribute_text_value": (1, [
+        ("link_id", 0, "key"),
+        ("attr_type_id", 1, "key"),
+        ("text_value", 2, "text"),
+    ]),
+    # :364-371 — 0=link, 1=attribute_type, 2=credited_as
+    "link_attribute_credit": (1, [
+        ("link_id", 0, "key"),
+        ("attr_type_id", 1, "key"),
+        ("credited_as", 2, "text"),
+    ]),
+    # :373-381 — 0=link, 1=attribute_type (len>=2 guard)
+    "link_attribute": (2, [
+        ("link_id", 0, "key"),
+        ("attr_type_id", 1, "key"),
+    ]),
+    # :139-155 — 0=id, 1=name
+    "work_type": (1, [
+        ("work_type_id", 0, "key"),
+        ("work_type_name", 1, "text"),
+    ]),
+    # :157-170 — 0=id, iso 3 (fallback 1), name 4 (fallback 2)
+    "language": (1, [
+        ("lang_id", 0, "key"),
+        ("iso_code", 3, "text"),
+        ("iso_code_fallback", 1, "text"),
+        ("lang_name", 4, "text"),
+        ("lang_name_fallback", 2, "text"),
+    ]),
+    # :398-409 — 0=id, 1=gid, 2=name
+    "artist": (1, [
+        ("artist_id", 0, "key"),
+        ("artist_mbid", 1, "text"),
+        ("artist_name", 2, "text"),
+    ]),
+    # :411-429 — len>=3; 0=id, 1=gid, 2=name, 3=type, 4=comment
+    "work": (3, [
+        ("work_id", 0, "key"),
+        ("musicbrainz_workid", 1, "text"),
+        ("work_title", 2, "text"),
+        ("work_type_id", 3, "int"),
+        ("work_disambiguation", 4, "text"),
+    ]),
+    # :431-441 — 0=work, 1=language, 2=is_primary (len>=2)
+    "work_language": (2, [
+        ("work_id", 0, "key"),
+        ("lang_id", 1, "key"),
+        ("is_primary", 2, "bool"),
+    ]),
+    # :443-448 — 1=work, 2=name; both required
+    "work_alias": (2, [
+        ("work_id", 1, "key"),
+        ("alias", 2, "text"),
+    ]),
+    # :450-455 — 1=work, 2=iswc; both required
+    "iswc": (2, [
+        ("work_id", 1, "key"),
+        ("iswc", 2, "text"),
+    ]),
+    # :457-465 — len>=4; 1=link, 2=artist, 3=work
+    "l_artist_work": (4, [
+        ("link_id", 1, "key"),
+        ("artist_id", 2, "key"),
+        ("work_id", 3, "key"),
+    ]),
+    # :467-475 — len>=4; 1=link, 2=from_work, 3=to_work
+    "l_work_work": (4, [
+        ("link_id", 1, "key"),
+        ("from_work_id", 2, "key"),
+        ("to_work_id", 3, "key"),
+    ]),
+}
+
+#: non-NULL text requirements beyond key ints (the routing loop's
+#: ``if x is None: continue`` on text fields)
+_REQUIRED_TEXT: dict[str, tuple[str, ...]] = {
+    "work_alias": ("alias",),
+    "iswc": ("iswc",),
+}
+
+
+def _nullish(c: Column) -> Column:
+    """The reference's _is_nullish (:34-38): NULL, blank, or ``\\N``."""
+    t = F.trim(c)
+    return c.isNull() | (t == "") | (t == "\\N")
+
+
+def _clean_text(c: Column) -> Column:
+    return F.when(_nullish(c), F.lit(None).cast("string")).otherwise(F.trim(c))
+
+
+def _to_int(c: Column) -> Column:
+    # int(str.strip()) with ValueError→None ≡ ANSI try_cast(long):
+    # fractional/garbage strings become NULL in both.
+    return F.when(_nullish(c), F.lit(None).cast("long")).otherwise(
+        F.trim(c).try_cast("long")
+    )
+
+
+def _to_bool(c: Column) -> Column:
+    return (
+        F.lower(F.trim(F.coalesce(c, F.lit(""))))
+        .isin("1", "t", "true", "y", "yes")
+        .cast("int")
+    )
+
+
+def parse_member(
+    lines: DataFrame, member: str, line_col: str = "value"
+) -> DataFrame:
+    """Positional TSV decode of one mbdump member from raw lines.
+
+    Mirrors the reference's per-member parser exactly: split on tab,
+    extract by observed position, ``\\N``/blank → NULL, rows whose key
+    ints fail to parse (or that are shorter than the member's minimum
+    width) are dropped. Pure expressions — routing N members is N
+    cheap projections, each pushed into the text scan.
+    """
+    min_len, cols = MEMBER_SPECS[member]
+    arr = F.split(F.col(line_col), "\t", -1)
+    out = lines.select(arr.alias("__f")).filter(F.size("__f") >= min_len)
+    exprs = []
+    for name, pos, kind in cols:
+        # try_element_at: NULL past the end of a short-but-valid row
+        # (element_at raises under ANSI semantics in Spark 4)
+        cell = F.try_element_at("__f", F.lit(pos + 1))
+        if kind == "key" or kind == "int":
+            exprs.append(_to_int(cell).alias(name))
+        elif kind == "bool":
+            exprs.append(_to_bool(cell).alias(name))
+        else:
+            exprs.append(_clean_text(cell).alias(name))
+    out = out.select(*exprs)
+    for name, _, kind in cols:
+        if kind == "key":
+            out = out.filter(F.col(name).isNotNull())
+    for name in _REQUIRED_TEXT.get(member, ()):
+        out = out.filter(F.col(name).isNotNull())
+    return out
+
+
+def read_member_dir(
+    spark: SparkSession, root: str, members: list[str] | None = None
+) -> dict[str, DataFrame]:
+    """Route an extracted dump directory (``<root>/<member>`` text
+    files) to typed DataFrames — the cluster path: each member is a
+    splittable distributed text scan; unlisted members are never read
+    (the early-exit economy of the reference's tar pass, achieved by
+    file pruning instead of stream truncation)."""
+    members = members or list(MEMBER_SPECS)
+    return {
+        m: parse_member(spark.read.text(f"{root}/{m}"), m) for m in members
+    }
+
+
+def stream_tar_members(
+    spark: SparkSession,
+    tar_path: str,
+    members: list[str] | None = None,
+    max_rows_per_member: int | None = None,
+) -> dict[str, DataFrame]:
+    """One sequential pass over ``mbdump.tar[.bz2|.gz]`` with early
+    exit once every requested member has been seen — the reference's
+    literal scan shape (:317-475).
+
+    A compressed tar has no random access, so this is inherently a
+    single-reader stream; it runs on the driver and parallelizes only
+    after decode. Use for parity tests and small dumps; at 100 TB
+    extract once and use ``read_member_dir``.
+    """
+    import io
+    import tarfile
+
+    members = members or list(MEMBER_SPECS)
+    want = {f"mbdump/{m}": m for m in members}
+    raw: dict[str, list[str]] = {m: [] for m in members}
+    found: set[str] = set()
+    with tarfile.open(tar_path, "r:*") as tar:
+        for info in tar:
+            m = want.get(info.name)
+            if m is None:
+                continue
+            fh = tar.extractfile(info)
+            if fh is None:
+                continue
+            text = io.TextIOWrapper(fh, encoding="utf-8")
+            for i, line in enumerate(text):
+                if max_rows_per_member is not None and i >= max_rows_per_member:
+                    break
+                raw[m].append(line.rstrip("\n"))
+            found.add(info.name)
+            if found == set(want):
+                break  # early exit (:473-475)
+    out = {}
+    for m in members:
+        lines = spark.createDataFrame(
+            [(x,) for x in raw[m]], "value string"
+        )
+        out[m] = parse_member(lines, m)
+    return out

@@ -1,0 +1,114 @@
+"""mbdump member-routing source tests (sources/mbdump.py; reference
+scripts/mdm/harvest/harvest_mb_works.py:257-475)."""
+
+from __future__ import annotations
+
+import io
+import tarfile
+
+import pytest
+
+from tagminder_spark.sources.mbdump import (
+    MEMBER_SPECS,
+    parse_member,
+    read_member_dir,
+    stream_tar_members,
+)
+
+WORK_LINES = [
+    "1\tw-1\t Work One \t3\t\\N",          # full row, padded title
+    "2\tw-2\tWork Two",                     # minimum width (3)
+    "\\N\tw-x\tGhost",                      # \N key -> dropped
+    "nope\tw-y\tGhost2",                    # unparseable key -> dropped
+    "short",                                # width guard -> dropped
+    "3\t\\N\t\\N\t\\N\t\\N",               # nulls everywhere but the key
+]
+
+LAW_LINES = [
+    "10\t100\t200\t300",
+    "11\t100\t\\N\t300",   # artist key null -> dropped
+    "12\t100\t200",        # width guard -> dropped
+]
+
+
+def test_parse_member_work(spark):
+    lines = spark.createDataFrame([(x,) for x in WORK_LINES], "value string")
+    rows = {r.work_id: r for r in parse_member(lines, "work").collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].work_title == "Work One"          # trimmed
+    assert rows[1].work_type_id == 3
+    assert rows[2].work_type_id is None              # past end of row
+    assert rows[3].musicbrainz_workid is None        # \N -> NULL
+    assert rows[3].work_title is None
+
+
+def test_parse_member_l_artist_work(spark):
+    lines = spark.createDataFrame([(x,) for x in LAW_LINES], "value string")
+    rows = parse_member(lines, "l_artist_work").collect()
+    assert len(rows) == 1
+    assert (rows[0].link_id, rows[0].artist_id, rows[0].work_id) == (100, 200, 300)
+
+
+def test_parse_member_bool_and_fallbacks(spark):
+    lines = spark.createDataFrame(
+        [("5\t7\ta\tb\tc\td\te\tf\tg\th\tt",), ("6\t8\ta\tb\tc\td\te\tf\tg\th\tno",)],
+        "value string",
+    )
+    rows = {r.link_id: r for r in parse_member(lines, "link").collect()}
+    assert rows[5].ended == 1 and rows[6].ended == 0
+
+
+def _make_tar(tmp_path, members: dict[str, list[str]], name="mbdump.tar.gz"):
+    p = tmp_path / name
+    with tarfile.open(p, "w:gz") as tar:
+        for member, lines in members.items():
+            data = ("\n".join(lines) + "\n").encode()
+            info = tarfile.TarInfo(name=f"mbdump/{member}")
+            info.size = len(data)
+            tar.addfile(info, io.BytesIO(data))
+    return str(p)
+
+
+def test_stream_tar_members_routing_and_early_exit(spark, tmp_path):
+    tar = _make_tar(
+        tmp_path,
+        {
+            "work": WORK_LINES,
+            "l_artist_work": LAW_LINES,
+            "ignored_member": ["junk\tjunk"],
+        },
+    )
+    out = stream_tar_members(spark, tar, members=["work", "l_artist_work"])
+    assert set(out) == {"work", "l_artist_work"}
+    assert out["work"].count() == 3
+    assert out["l_artist_work"].count() == 1
+
+
+def test_read_member_dir(spark, tmp_path):
+    root = tmp_path / "dump"
+    root.mkdir()
+    (root / "work").write_text("\n".join(WORK_LINES) + "\n")
+    out = read_member_dir(spark, str(root), members=["work"])
+    assert out["work"].count() == 3
+
+
+def test_member_specs_cover_reference_targets():
+    # harvest_mb_works.py:296-311 target_members — all 15 routed
+    assert len(MEMBER_SPECS) == 15
+    for m in (
+        "link_type", "link", "link_attribute_type",
+        "link_attribute_text_value", "link_attribute_credit",
+        "link_attribute", "work_type", "language", "artist", "work",
+        "work_language", "work_alias", "iswc", "l_artist_work", "l_work_work",
+    ):
+        assert m in MEMBER_SPECS
+
+
+@pytest.mark.parametrize("member", sorted(MEMBER_SPECS))
+def test_every_member_parses_empty_and_garbage(spark, member):
+    lines = spark.createDataFrame(
+        [("",), ("\\N",), ("garbage",), ("1\t2\t3\t4\t5\t6\t7\t8\t9\t10\t11",)],
+        "value string",
+    )
+    # must not raise; keys are ints or the row is dropped
+    parse_member(lines, member).collect()
