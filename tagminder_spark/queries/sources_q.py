@@ -265,46 +265,92 @@ def s14_mb_member_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # S15: Wikidata JSON-lines identity filter
 # --------------------------------------------------------------------------
 
-_S15_SQL = r"""
+# Rank-bearing claim fixtures (round 4): the occupation property carries
+# ranked statements so the truthy gate is load-bearing —
+#   %7=1: preferred AFTER a normal decoy (preferred-wins is observable)
+#   %7=2: deprecated musician first (naive first-statement pick would
+#         wrongly keep this entity)
+#   %7=4: all statements deprecated -> no occupation -> dropped
+#   %7=6: empty claim list -> dropped
+_S15_CLAIMS = {
+    0: '[{"rank":"normal","value":"painter"}]',
+    1: '[{"rank":"normal","value":"painter"},{"rank":"preferred","value":"musician"}]',
+    2: '[{"rank":"deprecated","value":"musician"},{"rank":"normal","value":"painter"}]',
+    3: '[{"rank":"normal","value":"composer"},{"rank":"normal","value":"painter"}]',
+    4: '[{"rank":"deprecated","value":"singer"}]',
+    5: '[{"rank":"preferred","value":"singer"},{"rank":"deprecated","value":"composer"}]',
+    6: "[]",
+}
+
+_S15_CLAIMS_SQL = " ".join(
+    f"WHEN {i} THEN '{_S15_CLAIMS[i].replace(chr(39), chr(39) * 2)}'"
+    for i in range(7)
+)
+
+_S15_SQL = rf"""
 WITH raw AS (
-  SELECT '{"id": "Q' || o_orderkey || '", "occupation": "'
-         || CASE CAST(o_orderkey % 4 AS INT)
-              WHEN 0 THEN 'musician' WHEN 1 THEN 'composer'
-              WHEN 2 THEN 'painter' ELSE 'singer' END
-         || '", "mbid": ' ||
+  SELECT '{{"id": "Q' || o_orderkey || '", "claims": {{"occupation": '
+         || CASE CAST(o_orderkey % 7 AS INT) {_S15_CLAIMS_SQL} END
+         || '}}, "mbid": ' ||
          CASE WHEN o_orderkey % 5 = 0
-              THEN '"mb-' || o_orderkey || '"' ELSE 'null' END || '}'
+              THEN '"mb-' || o_orderkey || '"' ELSE 'null' END || '}}'
            AS line
   FROM orders
 ), parsed AS (
   SELECT json_extract_string(line, '$.id') AS qid,
-         json_extract_string(line, '$.occupation') AS occupation,
-         json_extract_string(line, '$.mbid') AS mbid
+         json_extract_string(line, '$.mbid') AS mbid,
+         json_extract(line, '$.claims.occupation') AS occ
   FROM raw
+), unnested AS (
+  SELECT qid, mbid, i,
+         json_extract_string(occ, '$[' || i || '].rank') AS rank,
+         trim(json_extract_string(occ, '$[' || i || '].value')) AS value
+  FROM parsed, LATERAL (
+    SELECT unnest(range(CAST(json_array_length(occ) AS INT))) AS i
+  )
+), chosen AS (
+  -- truthy gate: deprecated dropped; (preferred-if-any, else normal) +
+  -- first-in-statement-order == arg_min over (rank priority, position)
+  SELECT qid, mbid,
+         arg_min(value, CASE rank WHEN 'preferred' THEN 0 ELSE 1 END * 100000 + i)
+           AS occupation
+  FROM unnested
+  WHERE rank IN ('preferred', 'normal')
+    AND value IS NOT NULL AND value <> ''
+  GROUP BY qid, mbid
 )
 SELECT qid, occupation, mbid
-FROM parsed
+FROM chosen
 WHERE occupation IN ('musician', 'composer', 'singer')
 """
 
 
 @q("s15_jsonl_identity", _S15_SQL)
 def s15_jsonl_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S15 (scripts/mdm/harvest/harvest_wikimedia.py:1-30, 115-131):
-    stream JSON lines, keep music-identity entities (occupation filter),
-    project the identifiers. get_json_object keeps the parse JVM-side;
-    the filter pushes below the projection."""
+    """S15 (scripts/mdm/harvest/harvest_wikimedia.py:115-131 routing,
+    :198-217 ``_truthy_statements``, :266-272 ``_first_truthy_text``):
+    stream JSON lines, apply truthy statement selection per property
+    (deprecated dropped, preferred replaces normal, first value wins),
+    keep music-identity entities, project the identifiers. The claim
+    fixture carries rank decoys so the truthy gate is load-bearing; the
+    selection runs as higher-order functions inside codegen — no UDF."""
+    from tagminder_spark.sources.wikidata import (  # noqa: PLC0415
+        CLAIM_SCHEMA,
+        first_truthy_value,
+    )
+
     o = load_table(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
+    claims_json = F.element_at(
+        F.array(*[F.lit(_S15_CLAIMS[i]) for i in range(7)]),
+        (k % 7).cast("int") + 1,
+    )
     line = F.concat(
         F.lit('{"id": "Q'),
         k,
-        F.lit('", "occupation": "'),
-        F.when(k % 4 == 0, F.lit("musician"))
-        .when(k % 4 == 1, F.lit("composer"))
-        .when(k % 4 == 2, F.lit("painter"))
-        .otherwise(F.lit("singer")),
-        F.lit('", "mbid": '),
+        F.lit('", "claims": {"occupation": '),
+        claims_json,
+        F.lit('}, "mbid": '),
         F.when(k % 5 == 0, F.concat(F.lit('"mb-'), k, F.lit('"'))).otherwise(
             F.lit("null")
         ),
@@ -313,12 +359,15 @@ def s15_jsonl_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = o.select(line.alias("line"))
     parsed = raw.select(
         F.get_json_object("line", "$.id").alias("qid"),
-        F.get_json_object("line", "$.occupation").alias("occupation"),
         F.get_json_object("line", "$.mbid").alias("mbid"),
+        F.from_json(
+            F.get_json_object("line", "$.claims.occupation"), CLAIM_SCHEMA
+        ).alias("occ"),
     )
-    return parsed.filter(
-        F.col("occupation").isin("musician", "composer", "singer")
+    out = parsed.select(
+        "qid", first_truthy_value(F.col("occ")).alias("occupation"), "mbid"
     )
+    return out.filter(F.col("occupation").isin("musician", "composer", "singer"))
 
 
 _S3_SQL = """
