@@ -243,3 +243,77 @@ def step11_genre_enrich(df: DataFrame, norms: DataFrame) -> DataFrame:
         .withColumn("style", merge("style", "ref_style"))
         .drop("ref_genre", "ref_style")
     )
+
+
+# ---------------------------------------------------------------------------
+# 89: validate vetted-contributor multi-values
+# ---------------------------------------------------------------------------
+
+def validate_vetted_multivalues(
+    vetted: DataFrame, entities: DataFrame, entity_col: str = "lpreferred_name"
+) -> DataFrame:
+    """89-validate-vetted-contributor-multi-values.py:79-121 — rows of
+    ``_REF_vetted_contributors`` with NULL status and a delimited
+    ``replacement_val`` are accepted (status '1') when every distinct
+    stripped token resolves in the disambiguated entity set (lowercase
+    lookup), rejected ('empty segments') when any segment is blank, and
+    left untouched when a token is simply unknown (a later harvest may
+    learn it).
+
+    The reference walks tokens IN ORDER and returns at the first
+    offence, so an unknown token before a blank segment means
+    "skipped", not "empty segments" — replicated here by comparing the
+    position of the first blank segment with the position of the first
+    unknown token.
+
+    Spark shape: the blank-position probe is ``array_position`` over the
+    raw split (map-side); the membership check posexplodes candidate
+    rows and broadcast-anti-joins the entity dimension — the only
+    shuffle is the per-row min-position regroup of that small candidate
+    set.  Adds ``status_out`` and ``decision`` (accepted /
+    empty_segments / skipped_missing / not_candidate).
+    """
+    delim_re = MV_DELIM.replace("\\", "\\\\")
+    raw_segments = F.transform(
+        F.split(F.col("replacement_val"), delim_re), lambda x: F.trim(x)
+    )
+    is_candidate = (
+        F.col("status").isNull()
+        & F.col("replacement_val").isNotNull()
+        & F.col("replacement_val").contains(MV_DELIM)
+    )
+    # 1-based position of the first blank segment, 0 when none
+    empty_pos = F.array_position(raw_segments, "")
+
+    cand = vetted.filter(is_candidate)
+    toks = cand.select(
+        "rowid", F.posexplode(raw_segments).alias("pos", "tok")
+    ).filter(F.col("tok") != "")
+    ent = F.broadcast(
+        entities.select(F.lower(F.col(entity_col)).alias("__ent"))
+        .filter(F.col("__ent").isNotNull())
+        .distinct()
+    )
+    missing = (
+        toks.join(ent, F.lower(F.col("tok")) == F.col("__ent"), "left_anti")
+        .groupBy("rowid")
+        .agg(F.min("pos").alias("__miss_pos"))  # 0-based first unknown
+    )
+    out = vetted.join(missing, "rowid", "left")
+    first_empty_wins = (empty_pos > 0) & (
+        F.col("__miss_pos").isNull() | (empty_pos - 1 < F.col("__miss_pos"))
+    )
+    decision = (
+        F.when(~is_candidate, F.lit("not_candidate"))
+        .when(first_empty_wins, F.lit("empty_segments"))
+        .when(F.col("__miss_pos").isNotNull(), F.lit("skipped_missing"))
+        .otherwise(F.lit("accepted"))
+    )
+    status_out = (
+        F.when(decision == "accepted", F.lit("1"))
+        .when(decision == "empty_segments", F.lit("empty segments"))
+        .otherwise(F.col("status"))
+    )
+    return out.withColumn("decision", decision).withColumn(
+        "status_out", status_out
+    ).drop("__miss_pos")

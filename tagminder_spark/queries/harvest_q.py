@@ -384,3 +384,132 @@ def h_readiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_missing.cast("long").alias("n_missing"),
         (n_missing > 0).cast("int").alias("strict_exit"),
     )
+
+
+# --------------------------------------------------------------------------
+# 89-validate-vetted multi-value validation
+# --------------------------------------------------------------------------
+
+_V89_SQL = r"""
+WITH vetted AS (
+  SELECT s_suppkey AS rowid,
+         CASE CAST(s_suppkey % 5 AS INT)
+           WHEN 0 THEN 'Solo ' || CAST(s_suppkey % 60 AS VARCHAR)
+           WHEN 1 THEN 'Name ' || CAST(s_suppkey % 50 AS VARCHAR) || '\\'
+                    || 'Name ' || CAST((s_suppkey + 1) % 50 AS VARCHAR)
+           WHEN 2 THEN CASE WHEN s_suppkey % 2 = 0
+                  THEN 'ZZ ' || CAST(s_suppkey AS VARCHAR) || '\\' || ' '
+                  ELSE 'Name ' || CAST(s_suppkey % 50 AS VARCHAR)
+                       || '\\' || '  ' || '\\'
+                       || 'Name ' || CAST((s_suppkey + 1) % 50 AS VARCHAR) END
+           WHEN 3 THEN 'Name ' || CAST(s_suppkey % 50 AS VARCHAR) || '\\'
+                    || 'ZZ ' || CAST(s_suppkey % 90 AS VARCHAR)
+           ELSE 'Name ' || CAST(s_suppkey % 50 AS VARCHAR) || '\\'
+                    || 'Name ' || CAST((s_suppkey + 2) % 50 AS VARCHAR) END
+           AS replacement_val,
+         CASE WHEN s_suppkey % 5 = 4 THEN '1' END AS status
+  FROM supplier
+), entities AS (
+  SELECT DISTINCT lower('Name ' || CAST(c_custkey % 50 AS VARCHAR)) AS ent
+  FROM customer WHERE c_custkey % 50 < 45
+), segs AS (
+  SELECT rowid, trim(seg) AS seg, ord
+  FROM vetted, LATERAL (
+    SELECT unnest(string_split(replacement_val, '\\')) AS seg,
+           generate_subscripts(string_split(replacement_val, '\\'), 1) AS ord
+  )
+  WHERE status IS NULL AND strpos(replacement_val, '\\') > 0
+), empty_first AS (
+  SELECT rowid, MIN(ord) AS e_ord FROM segs WHERE seg = '' GROUP BY rowid
+), miss_first AS (
+  SELECT rowid, MIN(ord) AS m_ord FROM segs
+  WHERE seg <> '' AND lower(seg) NOT IN (SELECT ent FROM entities)
+  GROUP BY rowid
+), decided AS (
+  SELECT v.rowid, v.replacement_val, v.status,
+    CASE
+      WHEN v.status IS NOT NULL OR v.replacement_val IS NULL
+           OR strpos(v.replacement_val, '\\') = 0 THEN 'not_candidate'
+      WHEN e.e_ord IS NOT NULL AND (m.m_ord IS NULL OR e.e_ord < m.m_ord)
+           THEN 'empty_segments'
+      WHEN m.m_ord IS NOT NULL THEN 'skipped_missing'
+      ELSE 'accepted' END AS decision
+  FROM vetted v
+  LEFT JOIN empty_first e USING (rowid)
+  LEFT JOIN miss_first m USING (rowid)
+)
+SELECT rowid, replacement_val,
+       CASE decision WHEN 'accepted' THEN '1'
+            WHEN 'empty_segments' THEN 'empty segments'
+            ELSE status END AS status_out,
+       decision
+FROM decided
+"""
+
+
+@q("v89_validate_vetted", _V89_SQL)
+def v89_validate_vetted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """89-validate-vetted-contributor-multi-values.py:79-121: delimited
+    NULL-status vetted rows are accepted when every token resolves in
+    the disambiguated entity set, rejected ('empty segments') on a blank
+    segment, left pending on an unknown token — first offence in token
+    order wins, exactly as the reference's per-token walk. The fixture
+    carries all five outcomes, including an unknown-before-blank row
+    that distinguishes ordered from unordered checking."""
+    from tagminder_spark.pipeline.steps_contrib import (  # noqa: PLC0415
+        validate_vetted_multivalues,
+    )
+
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    sk = F.col("s_suppkey")
+    m5 = (sk % 5).cast("int")
+    rv = (
+        F.when(m5 == 0, F.concat(F.lit("Solo "), (sk % 60).cast("string")))
+        .when(
+            m5 == 1,
+            F.concat(
+                F.lit("Name "), (sk % 50).cast("string"), F.lit(D),
+                F.lit("Name "), ((sk + 1) % 50).cast("string"),
+            ),
+        )
+        .when(
+            m5 == 2,
+            F.when(
+                sk % 2 == 0,
+                F.concat(F.lit("ZZ "), sk.cast("string"), F.lit(D), F.lit(" ")),
+            ).otherwise(
+                F.concat(
+                    F.lit("Name "), (sk % 50).cast("string"), F.lit(D),
+                    F.lit("  "), F.lit(D),
+                    F.lit("Name "), ((sk + 1) % 50).cast("string"),
+                )
+            ),
+        )
+        .when(
+            m5 == 3,
+            F.concat(
+                F.lit("Name "), (sk % 50).cast("string"), F.lit(D),
+                F.lit("ZZ "), (sk % 90).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("Name "), (sk % 50).cast("string"), F.lit(D),
+                F.lit("Name "), ((sk + 2) % 50).cast("string"),
+            )
+        )
+    )
+    vetted = supp.select(
+        sk.alias("rowid"),
+        rv.alias("replacement_val"),
+        F.when(sk % 5 == 4, F.lit("1")).alias("status"),
+    )
+    entities = cust.filter(F.col("c_custkey") % 50 < 45).select(
+        F.concat(F.lit("Name "), (F.col("c_custkey") % 50).cast("string")).alias(
+            "lpreferred_name"
+        )
+    )
+    return validate_vetted_multivalues(vetted, entities).select(
+        "rowid", "replacement_val", "status_out", "decision"
+    )

@@ -420,3 +420,117 @@ def j15_staged_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("terminal"))
         .alias("resolve_phase"),
     )
+
+
+# --------------------------------------------------------------------------
+# 91-compare: per-column coverage deltas between two snapshot runs
+# --------------------------------------------------------------------------
+
+_R91_COLS = ("title", "artist", "year")
+
+_R91_SQL = r"""
+WITH alib_before AS (
+  SELECT DISTINCT
+         'p' || l_orderkey || '-' || l_linenumber AS __path,
+         '/m/a' || CAST(l_orderkey % 200 AS VARCHAR) AS __dirpath,
+         CASE WHEN l_orderkey % 4 = 0 THEN '' ELSE 'T' || l_orderkey END AS title,
+         CASE WHEN l_orderkey % 3 = 0 THEN NULL
+              ELSE 'A' || CAST(l_orderkey % 70 AS VARCHAR) END AS artist,
+         CASE WHEN l_orderkey % 5 = 0 THEN '  '
+              ELSE CAST(1960 + l_orderkey % 60 AS VARCHAR) END AS year
+  FROM lineitem
+), alib_after AS (
+  SELECT __path, __dirpath,
+         CASE WHEN title = '' AND CAST(substr(__path, 2, strpos(__path, '-') - 2) AS BIGINT) % 8 = 0
+              THEN 'Fixed' ELSE title END AS title,
+         COALESCE(artist, 'Inferred') AS artist,
+         year
+  FROM alib_before
+), snap AS (
+  SELECT phase, col,
+         CAST(SUM(nonblank) AS DOUBLE) / COUNT(*) AS track_ratio,
+         0 AS _pad
+  FROM (
+    SELECT phase, col,
+           CASE WHEN v IS NULL OR trim(v) = '' OR trim(v) = '""' THEN 0 ELSE 1 END AS nonblank
+    FROM (
+      SELECT 'before' AS phase, __path, 'title' AS col, title AS v FROM alib_before
+      UNION ALL SELECT 'before', __path, 'artist', artist FROM alib_before
+      UNION ALL SELECT 'before', __path, 'year', year FROM alib_before
+      UNION ALL SELECT 'after', __path, 'title', title FROM alib_after
+      UNION ALL SELECT 'after', __path, 'artist', artist FROM alib_after
+      UNION ALL SELECT 'after', __path, 'year', year FROM alib_after
+    )
+  ) GROUP BY phase, col
+), albsnap AS (
+  SELECT phase, col, AVG(ratio) AS album_ratio
+  FROM (
+    SELECT phase, col, __aroot,
+           CAST(SUM(nonblank) AS DOUBLE) / COUNT(*) AS ratio
+    FROM (
+      SELECT phase, col, __dirpath AS __aroot,
+             CASE WHEN v IS NULL OR trim(v) = '' OR trim(v) = '""' THEN 0 ELSE 1 END AS nonblank
+      FROM (
+        SELECT 'before' AS phase, __dirpath, 'title' AS col, title AS v FROM alib_before
+        UNION ALL SELECT 'before', __dirpath, 'artist', artist FROM alib_before
+        UNION ALL SELECT 'before', __dirpath, 'year', year FROM alib_before
+        UNION ALL SELECT 'after', __dirpath, 'title', title FROM alib_after
+        UNION ALL SELECT 'after', __dirpath, 'artist', artist FROM alib_after
+        UNION ALL SELECT 'after', __dirpath, 'year', year FROM alib_after
+      )
+    ) GROUP BY phase, col, __aroot
+  ) GROUP BY phase, col
+), merged AS (
+  SELECT s.col AS "column", s.phase, s.track_ratio, a.album_ratio
+  FROM snap s JOIN albsnap a ON a.phase = s.phase AND a.col = s.col
+)
+SELECT b."column",
+       b.track_ratio AS track_before, f.track_ratio AS track_after,
+       f.track_ratio - b.track_ratio AS track_delta,
+       b.album_ratio AS album_before, f.album_ratio AS album_after,
+       f.album_ratio - b.album_ratio AS album_delta
+FROM merged b JOIN merged f
+  ON b."column" = f."column" AND b.phase = 'before' AND f.phase = 'after'
+"""
+
+
+@q("r91_snapshot_compare", _R91_SQL)
+def r91_snapshot_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """91-compare data layer (scripts/snapshots/91-snapshot-library-
+    health-after.py:820-1006): coverage_snapshot runs for a BEFORE and
+    an AFTER library state, then per-column track/album coverage deltas.
+    The AFTER state fills a deterministic subset of blanks (title for
+    k%8 rows, every missing artist) so each delta is non-trivial."""
+    from tagminder_spark.reports.snapshots import (  # noqa: PLC0415
+        coverage_snapshot,
+        snapshot_compare,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey")
+    before = li.select(
+        F.concat(F.lit("p"), k, F.lit("-"), F.col("l_linenumber")).alias("__path"),
+        F.concat(F.lit("/m/a"), (k % 200).cast("string")).alias("__dirpath"),
+        F.when(k % 4 == 0, F.lit("")).otherwise(F.concat(F.lit("T"), k)).alias("title"),
+        F.when(k % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("A"), (k % 70).cast("string")))
+        .alias("artist"),
+        F.when(k % 5 == 0, F.lit("  "))
+        .otherwise((1960 + k % 60).cast("string"))
+        .alias("year"),
+    ).distinct()
+    key_num = F.substring(F.col("__path"), 2, 100)
+    key_num = F.split(key_num, "-").getItem(0).cast("bigint")
+    after = before.select(
+        "__path",
+        "__dirpath",
+        F.when((F.col("title") == "") & (key_num % 8 == 0), F.lit("Fixed"))
+        .otherwise(F.col("title"))
+        .alias("title"),
+        F.coalesce(F.col("artist"), F.lit("Inferred")).alias("artist"),
+        "year",
+    )
+    cols = list(_R91_COLS)
+    snap_b = coverage_snapshot(before, cols, "run-b", "before")
+    snap_a = coverage_snapshot(after, cols, "run-a", "after")
+    return snapshot_compare(snap_b, snap_a, cols)

@@ -104,6 +104,11 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
             [("owner", "str"), ("status", "str"), ("n_missing", "num"),
              ("strict_exit", "num")],
         ),
+        "v89_validate_vetted": (
+            ["rowid"],
+            [("replacement_val", "str"), ("status_out", "str"),
+             ("decision", "str")],
+        ),
     },
     # dedup family + diff-audit + streaming state
     "suite_dedup_audit": {
@@ -218,6 +223,12 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
         ),
         "r92_persona": (["persona"], [("score", "num"), ("selected", "num")]),
         "r92_genre_spotlight": (["composer_tok"], [("albums", "num")]),
+        "r91_snapshot_compare": (
+            ["column"],
+            [("track_before", "num"), ("track_after", "num"),
+             ("track_delta", "num"), ("album_before", "num"),
+             ("album_after", "num"), ("album_delta", "num")],
+        ),
     },
 }
 

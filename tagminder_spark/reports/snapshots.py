@@ -104,3 +104,47 @@ def snapshot_if_changed(
     ).withColumn("recorded_at", F.current_timestamp())
     run_row.write.mode("append").parquet(runs_dir)
     return snap
+
+
+def snapshot_compare(
+    before: DataFrame, after: DataFrame, columns: list[str]
+) -> DataFrame:
+    """Per-column coverage deltas between two run snapshots — the
+    91-compare dashboard's data layer (scripts/snapshots/
+    91-snapshot-library-health-after.py:820-1006: fetch BEFORE/AFTER
+    rows per column, overlay, delta).
+
+    Input: two single-row frames from ``coverage_snapshot``. Output:
+    one row per column with track-level coverage ratio before/after/
+    delta and the album-level metric before/after/delta. Long format is
+    the join-friendly shape for the HTML layer and the driver oracle;
+    the melt is a union of constant-width selects over one-row frames —
+    no shuffle of consequence at any scale."""
+
+    def melt(snap: DataFrame, suffix: str) -> DataFrame:
+        pieces = [
+            snap.select(
+                F.lit(c).alias("column"),
+                (F.col(f"nonblank_{c}") / F.col("total_rows")).alias(
+                    f"track_{suffix}"
+                ),
+                F.col(f"album_ratio_{c}").alias(f"album_{suffix}"),
+            )
+            for c in columns
+        ]
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        return out
+
+    b = melt(before, "before")
+    a = melt(after, "after")
+    return b.join(a, "column").select(
+        "column",
+        "track_before",
+        "track_after",
+        (F.col("track_after") - F.col("track_before")).alias("track_delta"),
+        "album_before",
+        "album_after",
+        (F.col("album_after") - F.col("album_before")).alias("album_delta"),
+    )
