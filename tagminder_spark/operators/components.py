@@ -28,12 +28,22 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    checkpointer=None,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """(node, component) — component = min node id reachable from node.
 
     ``pairs`` is an undirected edge list (each pair once, any order);
     isolated nodes simply don't appear (callers union them back with
     component = their own id if needed).
+
+    ``checkpointer`` (e.g. ``lambda d: d.checkpoint()`` after
+    ``sparkContext.setCheckpointDir``) truncates label lineage every
+    ``checkpoint_every`` rounds: persist keeps the DATA hot but the
+    logical plan still deepens per iteration, and on a cluster a
+    reliable checkpoint also survives executor loss mid-propagation.
+    Default None keeps the persist-only behavior — right for the short
+    diameters of near-dup clusters at gate scale.
     """
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -48,7 +58,7 @@ def connected_components(
         .persist()
     )
     try:
-        for _ in range(max_iter):
+        for it in range(max_iter):
             # neighbor-min pass: every node adopts min(own, neighbors')
             neighbor_min = (
                 edges.join(labels, edges["b"] == labels["node"])
@@ -65,6 +75,8 @@ def connected_components(
                 )
                 .persist()
             )
+            if checkpointer is not None and (it + 1) % checkpoint_every == 0:
+                new_labels = checkpointer(new_labels)
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "node")
