@@ -66,7 +66,15 @@ def _run_once(spark, qs, name: str, sf_dir: str) -> float:
     # noop sink: materializes every output column (count() would let
     # Catalyst prune the computed projections away).
     df.write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - t0
+    t = time.perf_counter() - t0
+    # Isolation: queries that checkpoint/persist (er_five_phase's phase
+    # maps, components' label rounds) leave blocks in the block manager
+    # after their result is consumed; measured: a leaked set of
+    # localCheckpoint blocks made the NEXT query up to 4x slower. Each
+    # query is measured on a quiet JVM; cleanup time is not billed.
+    for _rid, rdd in dict(spark.sparkContext._jsc.getPersistentRDDs()).items():
+        rdd.unpersist()
+    return t
 
 
 def main() -> None:

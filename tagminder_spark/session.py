@@ -48,6 +48,15 @@ def get_spark(app: str = "tagminder_spark", master: str | None = None) -> SparkS
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Long sessions run hundreds of distinct whole-stage-codegen
+        # classes; the JVM default 240m code cache evicts hot compiled
+        # methods and later queries fall back to re-JIT/interpreter
+        # (measured: the same query 2-4x slower late in a 23-query
+        # bench than in a fresh session).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
         # testdata parquet uses TIMESTAMP(NANOS) which Spark's vectorized
