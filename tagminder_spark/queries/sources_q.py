@@ -472,3 +472,188 @@ def s78_incremental_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("new").alias("bucket"), "path"
     )
     return modified.unionByName(orphans).unionByName(new)
+
+
+# --------------------------------------------------------------------------
+# S14 works metadata resolution (harvest [2/6])
+# --------------------------------------------------------------------------
+
+_WT = "(n_nationkey % 8)"
+_MBR_WORKTYPE_LINE = (
+    f"CAST({_WT} AS STRING) || {_T} ||"
+    f" CASE CAST({_WT} AS INT) WHEN 0 THEN 'Song' WHEN 1 THEN 'Aria'"
+    f" WHEN 2 THEN 'Opera' WHEN 3 THEN {_N} WHEN 4 THEN 'Suite'"
+    f" WHEN 5 THEN 'Musical' WHEN 6 THEN 'Cantata' ELSE 'Ballet' END"
+)
+
+_LG = "(n_nationkey % 10)"
+# short rows exercise the iso/name positional fallbacks (:157-170)
+_MBR_LANG_LINE = (
+    f"CASE WHEN {_LG} % 3 = 0"
+    f" THEN CAST({_LG} AS STRING) || {_T} || 'xx' || CAST({_LG} AS STRING)"
+    f"      || {_T} || 'Lang ' || CAST({_LG} AS STRING)"
+    f" ELSE CAST({_LG} AS STRING) || {_T} || {_N} || {_T} || {_N} || {_T} ||"
+    f"      'is' || CAST({_LG} AS STRING) || {_T} || 'Language ' || CAST({_LG} AS STRING)"
+    f" END"
+)
+
+# every value a function of (orderkey, linenumber): the synthetic
+# lineitem duplicates that pair, so duplicate rows must be FULL
+# duplicates or the min_by tie-break would be nondeterministic
+_WLW = "(l_orderkey % 500)"
+_WLL = "((l_orderkey + 3 * l_linenumber) % 12)"
+_MBR_WORKLANG_LINE = (
+    f"CASE WHEN l_linenumber = 6 THEN {_N} || {_T} || '3' || {_T} || '1'"
+    f" ELSE CAST({_WLW} AS STRING) || {_T} || CAST({_WLL} AS STRING) || {_T} ||"
+    f" CASE CAST((l_orderkey + l_linenumber) % 5 AS INT)"
+    f"   WHEN 0 THEN 't' WHEN 1 THEN '1' ELSE '0' END END"
+)
+_WL_POS = "(l_orderkey * 10 + l_linenumber)"
+
+_AL = "(p_partkey % 500)"
+_MBR_ALIAS_LINE = (
+    f"'0' || {_T} || CAST({_AL} AS STRING) || {_T} ||"
+    f" CASE WHEN p_partkey % 13 = 0 THEN {_N}"
+    f" ELSE 'Alias ' || CAST(p_partkey % 37 AS STRING) END"
+)
+
+_IW = "((p_partkey + 3) % 500)"
+_MBR_ISWC_LINE = (
+    f"'0' || {_T} || CAST({_IW} AS STRING) || {_T} ||"
+    f" CASE WHEN p_partkey % 17 = 0 THEN {_N}"
+    f" ELSE 'T-' || CAST(p_partkey % 97 AS STRING) || '.'"
+    f"      || CAST(p_partkey % 9 AS STRING) END"
+)
+
+_S14W_SQL = f"""
+WITH work_raw AS (SELECT {_mbr_duck(_MBR_WORK_LINE)} AS value FROM orders),
+work_f AS (
+  SELECT string_split(value, chr(9)) AS f FROM work_raw
+  WHERE len(string_split(value, chr(9))) >= 3
+),
+work_t AS (
+  SELECT DISTINCT {_ki('f[1]')} AS work_id,
+         {_cl('f[2]')} AS musicbrainz_workid,
+         {_cl('f[3]')} AS work_title,
+         {_ki('f[4]')} AS work_type_id,
+         {_cl('f[5]')} AS work_disambiguation
+  FROM work_f WHERE {_ki('f[1]')} IS NOT NULL
+),
+wt_raw AS (SELECT {_mbr_duck(_MBR_WORKTYPE_LINE)} AS value FROM nation),
+wt_f AS (SELECT string_split(value, chr(9)) AS f FROM wt_raw),
+wt_t AS (
+  SELECT DISTINCT {_ki('f[1]')} AS work_type_id, {_cl('f[2]')} AS work_type_name
+  FROM wt_f WHERE {_ki('f[1]')} IS NOT NULL
+),
+lang_raw AS (SELECT {_mbr_duck(_MBR_LANG_LINE)} AS value FROM nation),
+lang_f AS (SELECT string_split(value, chr(9)) AS f FROM lang_raw),
+lang_t AS (
+  SELECT DISTINCT {_ki('f[1]')} AS lang_id,
+         COALESCE({_cl('f[4]')}, {_cl('f[2]')}) AS language_code,
+         COALESCE({_cl('f[5]')}, {_cl('f[3]')}) AS language_name
+  FROM lang_f WHERE {_ki('f[1]')} IS NOT NULL
+),
+wl_raw AS (
+  SELECT {_mbr_duck(_MBR_WORKLANG_LINE)} AS value,
+         {_mbr_duck(_WL_POS)} AS pos
+  FROM lineitem
+),
+wl_f AS (
+  SELECT string_split(value, chr(9)) AS f, pos FROM wl_raw
+  WHERE len(string_split(value, chr(9))) >= 2
+),
+wl_t AS (
+  SELECT {_ki('f[1]')} AS work_id, {_ki('f[2]')} AS lang_id,
+         CASE WHEN lower(trim(COALESCE(f[3], ''))) IN ('1','t','true','y','yes')
+              THEN 1 ELSE 0 END AS is_primary,
+         pos
+  FROM wl_f
+  WHERE {_ki('f[1]')} IS NOT NULL AND {_ki('f[2]')} IS NOT NULL
+),
+lang_choice AS (
+  SELECT work_id,
+         arg_min(lang_id, (1 - is_primary) * 100000000 + pos) AS lang_id
+  FROM wl_t GROUP BY work_id
+),
+langs AS (
+  SELECT c.work_id, c.lang_id AS language_id, l.language_code, l.language_name
+  FROM lang_choice c LEFT JOIN lang_t l USING (lang_id)
+),
+al_raw AS (SELECT {_mbr_duck(_MBR_ALIAS_LINE)} AS value FROM part),
+al_f AS (
+  SELECT string_split(value, chr(9)) AS f FROM al_raw
+  WHERE len(string_split(value, chr(9))) >= 2
+),
+al_t AS (
+  SELECT {_ki('f[2]')} AS work_id, {_cl('f[3]')} AS alias
+  FROM al_f WHERE {_ki('f[2]')} IS NOT NULL AND {_cl('f[3]')} IS NOT NULL
+),
+aliases AS (
+  SELECT work_id, STRING_AGG(DISTINCT alias, '\\\\' ORDER BY alias) AS aliases,
+         CAST(COUNT(DISTINCT alias) AS BIGINT) AS n_aliases
+  FROM al_t GROUP BY work_id
+),
+is_raw AS (SELECT {_mbr_duck(_MBR_ISWC_LINE)} AS value FROM part),
+is_f AS (
+  SELECT string_split(value, chr(9)) AS f FROM is_raw
+  WHERE len(string_split(value, chr(9))) >= 2
+),
+is_t AS (
+  SELECT {_ki('f[2]')} AS work_id, {_cl('f[3]')} AS iswc
+  FROM is_f WHERE {_ki('f[2]')} IS NOT NULL AND {_cl('f[3]')} IS NOT NULL
+),
+iswcs AS (
+  SELECT work_id, STRING_AGG(DISTINCT iswc, '\\\\' ORDER BY iswc) AS iswcs,
+         CAST(COUNT(DISTINCT iswc) AS BIGINT) AS n_iswcs
+  FROM is_t GROUP BY work_id
+)
+SELECT w.work_id, w.musicbrainz_workid, w.work_title, w.work_type_id,
+       t.work_type_name, w.work_disambiguation,
+       g.language_id, g.language_code, g.language_name,
+       a.aliases, COALESCE(a.n_aliases, 0) AS n_aliases,
+       i.iswcs, COALESCE(i.n_iswcs, 0) AS n_iswcs
+FROM work_t w
+LEFT JOIN wt_t t USING (work_type_id)
+LEFT JOIN langs g USING (work_id)
+LEFT JOIN aliases a USING (work_id)
+LEFT JOIN iswcs i USING (work_id)
+"""
+
+
+@q("s14_works_enrich", _S14W_SQL)
+def s14_works_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Works metadata resolution (harvest_mb_works.py:480-600, [2/6])
+    over member-routed inputs: work-type name join, primary-language
+    choice (first primary in source order, else first seen — the
+    :431-441 replacement rule, as one min_by aggregate), positional
+    iso/name fallbacks (:157-170), and sorted-distinct alias/ISWC
+    multi-value aggregation (``_mv_sorted_list`` :82-89). Decoys:
+    \\N type names, unresolvable language ids, short language rows
+    (fallback path), \\N aliases/ISWCs, \\N work_language keys."""
+    from tagminder_spark.sources.mbdump import parse_member, resolve_works  # noqa: PLC0415
+
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+
+    work = parse_member(
+        o.selectExpr(f"{_MBR_WORK_LINE} AS value"), "work"
+    ).distinct()
+    work_type = parse_member(
+        n.selectExpr(f"{_MBR_WORKTYPE_LINE} AS value"), "work_type"
+    ).distinct()
+    language = parse_member(
+        n.selectExpr(f"{_MBR_LANG_LINE} AS value"), "language"
+    ).distinct()
+    work_language = parse_member(
+        li.selectExpr(f"{_MBR_WORKLANG_LINE} AS value", f"{_WL_POS} AS pos"),
+        "work_language",
+        passthrough=("pos",),
+    )
+    work_alias = parse_member(
+        p.selectExpr(f"{_MBR_ALIAS_LINE} AS value"), "work_alias"
+    )
+    iswc = parse_member(p.selectExpr(f"{_MBR_ISWC_LINE} AS value"), "iswc")
+
+    return resolve_works(work, work_type, work_language, language, work_alias, iswc)

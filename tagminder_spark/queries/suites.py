@@ -109,6 +109,13 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
             [("replacement_val", "str"), ("status_out", "str"),
              ("decision", "str")],
         ),
+        "s14_works_enrich": (
+            ["work_id"],
+            [("work_title", "str"), ("work_type_name", "str"),
+             ("language_code", "str"), ("language_name", "str"),
+             ("aliases", "str"), ("n_aliases", "num"),
+             ("iswcs", "str"), ("n_iswcs", "num")],
+        ),
     },
     # dedup family + diff-audit + streaming state
     "suite_dedup_audit": {

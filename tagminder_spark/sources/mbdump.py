@@ -162,7 +162,10 @@ def _to_bool(c: Column) -> Column:
 
 
 def parse_member(
-    lines: DataFrame, member: str, line_col: str = "value"
+    lines: DataFrame,
+    member: str,
+    line_col: str = "value",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Positional TSV decode of one mbdump member from raw lines.
 
@@ -171,10 +174,17 @@ def parse_member(
     ints fail to parse (or that are shorter than the member's minimum
     width) are dropped. Pure expressions — routing N members is N
     cheap projections, each pushed into the text scan.
+
+    ``passthrough`` names input columns carried to the output unchanged
+    — e.g. a source-order ``pos`` column (the reference's tar stream
+    order is load-bearing for work_language primary choice; a file
+    source derives it from line offsets).
     """
     min_len, cols = MEMBER_SPECS[member]
     arr = F.split(F.col(line_col), "\t", -1)
-    out = lines.select(arr.alias("__f")).filter(F.size("__f") >= min_len)
+    out = lines.select(arr.alias("__f"), *passthrough).filter(
+        F.size("__f") >= min_len
+    )
     exprs = []
     for name, pos, kind in cols:
         # try_element_at: NULL past the end of a short-but-valid row
@@ -186,7 +196,7 @@ def parse_member(
             exprs.append(_to_bool(cell).alias(name))
         else:
             exprs.append(_clean_text(cell).alias(name))
-    out = out.select(*exprs)
+    out = out.select(*exprs, *passthrough)
     for name, _, kind in cols:
         if kind == "key":
             out = out.filter(F.col(name).isNotNull())
@@ -254,3 +264,93 @@ def stream_tar_members(
         )
         out[m] = parse_member(lines, m)
     return out
+
+
+def resolve_works(
+    work: DataFrame,
+    work_type: DataFrame,
+    work_language: DataFrame,
+    language: DataFrame,
+    work_alias: DataFrame,
+    iswc: DataFrame,
+    mv_delim: str = "\\\\",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """The works metadata-resolution phase (harvest_mb_works.py:480-600,
+    [2/6]): attach the work-type name, choose ONE language per work —
+    the FIRST primary row in source order, else the first row seen
+    (:431-441 replacement rule) — resolve its code/name with the
+    reference's positional fallbacks (:157-170), and aggregate aliases
+    and ISWCs as sorted-distinct multi-value cells (``_mv_sorted_list``
+    :82-89).
+
+    ``work_language`` must carry ``pos_col`` (source order — the
+    reference streams the member sequentially, so order is
+    load-bearing); ``parse_member(..., passthrough=("pos",))`` supplies
+    it.  The reference's driver-side dict passes become: two broadcast
+    dimension joins (work_type, language are tiny), one min_by
+    aggregate for the language choice, and one sorted collect_set per
+    multi-value emission — all equi-keyed on work_id, no skew risk
+    (a work has bounded aliases/languages).
+    """
+    wt = F.broadcast(
+        work_type.select("work_type_id", "work_type_name").dropDuplicates(
+            ["work_type_id"]
+        )
+    )
+    # first-primary-wins-else-first-seen == arg-min over
+    # (primary-desc, source-pos) — lexicographic struct ordering
+    lang_choice = work_language.groupBy("work_id").agg(
+        F.min_by(
+            F.col("lang_id"),
+            F.struct(
+                (1 - F.col("is_primary")).alias("p"), F.col(pos_col).alias("o")
+            ),
+        ).alias("lang_id")
+    )
+    lang_dim = F.broadcast(
+        language.select(
+            "lang_id",
+            F.coalesce(F.col("iso_code"), F.col("iso_code_fallback")).alias(
+                "language_code"
+            ),
+            F.coalesce(F.col("lang_name"), F.col("lang_name_fallback")).alias(
+                "language_name"
+            ),
+        ).dropDuplicates(["lang_id"])
+    )
+    langs = lang_choice.join(lang_dim, "lang_id", "left").select(
+        "work_id",
+        F.col("lang_id").alias("language_id"),
+        "language_code",
+        "language_name",
+    )
+    aliases = work_alias.groupBy("work_id").agg(
+        F.array_join(F.sort_array(F.collect_set("alias")), mv_delim).alias("aliases"),
+        F.count_distinct("alias").alias("n_aliases"),
+    )
+    iswcs = iswc.groupBy("work_id").agg(
+        F.array_join(F.sort_array(F.collect_set("iswc")), mv_delim).alias("iswcs"),
+        F.count_distinct("iswc").alias("n_iswcs"),
+    )
+    return (
+        work.join(wt, "work_type_id", "left")
+        .join(langs, "work_id", "left")
+        .join(aliases, "work_id", "left")
+        .join(iswcs, "work_id", "left")
+        .select(
+            "work_id",
+            "musicbrainz_workid",
+            "work_title",
+            "work_type_id",
+            "work_type_name",
+            "work_disambiguation",
+            "language_id",
+            "language_code",
+            "language_name",
+            "aliases",
+            F.coalesce("n_aliases", F.lit(0)).alias("n_aliases"),
+            "iswcs",
+            F.coalesce("n_iswcs", F.lit(0)).alias("n_iswcs"),
+        )
+    )

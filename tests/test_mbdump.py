@@ -112,3 +112,39 @@ def test_every_member_parses_empty_and_garbage(spark, member):
     )
     # must not raise; keys are ints or the row is dropped
     parse_member(lines, member).collect()
+
+
+def test_resolve_works_language_choice(spark):
+    from tagminder_spark.sources.mbdump import resolve_works
+
+    work = spark.createDataFrame(
+        [(1, "w-1", "W1", 7, None), (2, "w-2", "W2", None, None)],
+        "work_id long, musicbrainz_workid string, work_title string, "
+        "work_type_id long, work_disambiguation string",
+    )
+    wt = spark.createDataFrame([(7, "Song")], "work_type_id long, work_type_name string")
+    # work 1: normal rows first, a primary LATER in source order -> the
+    # primary must win; work 2: no primary -> first seen wins
+    wl = spark.createDataFrame(
+        [(1, 10, 0, 100), (1, 11, 0, 101), (1, 12, 1, 102),
+         (2, 11, 0, 200), (2, 10, 0, 201)],
+        "work_id long, lang_id long, is_primary int, pos long",
+    )
+    lang = spark.createDataFrame(
+        [(10, "en", None, "English", None), (11, None, "de", None, "German"),
+         (12, "fr", None, "French", None)],
+        "lang_id long, iso_code string, iso_code_fallback string, "
+        "lang_name string, lang_name_fallback string",
+    )
+    alias = spark.createDataFrame(
+        [(1, "B alias"), (1, "A alias"), (1, "B alias")],
+        "work_id long, alias string",
+    )
+    iswc = spark.createDataFrame([(2, "T-1")], "work_id long, iswc string")
+    rows = {r.work_id: r for r in resolve_works(work, wt, wl, lang, alias, iswc).collect()}
+    assert rows[1].work_type_name == "Song"
+    assert rows[1].language_code == "fr"          # later primary beats earlier normal
+    assert rows[2].language_code == "de"          # fallback column + first-seen
+    assert rows[2].language_name == "German"
+    assert rows[1].aliases == "A alias\\\\B alias" and rows[1].n_aliases == 2
+    assert rows[1].n_iswcs == 0 and rows[2].iswcs == "T-1"
