@@ -657,3 +657,107 @@ def s14_works_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     iswc = parse_member(p.selectExpr(f"{_MBR_ISWC_LINE} AS value"), "iswc")
 
     return resolve_works(work, work_type, work_language, language, work_alias, iswc)
+
+
+# --------------------------------------------------------------------------
+# S14 related-works lineage (harvest [3/6])
+# --------------------------------------------------------------------------
+
+# positions 0=rowid, 1=link, 2=from_work, 3=to_work
+_MBR_LWW_LINE = (
+    f"CASE WHEN l_linenumber = 5 THEN 'short'"
+    f" ELSE CAST(l_orderkey AS STRING) || {_T}"
+    f" || CAST((l_orderkey + l_partkey) % 40 AS STRING) || {_T}"
+    f" || CAST(l_orderkey % 500 AS STRING) || {_T}"
+    f" || CAST((l_orderkey * 7 + 3 * l_linenumber) % 500 AS STRING) END"
+)
+
+_S14RW_SQL = f"""
+WITH work_raw AS (SELECT {_mbr_duck(_MBR_WORK_LINE)} AS value FROM orders),
+work_f AS (
+  SELECT string_split(value, chr(9)) AS f FROM work_raw
+  WHERE len(string_split(value, chr(9))) >= 3
+),
+work_t AS (
+  SELECT DISTINCT {_ki('f[1]')} AS work_id,
+         {_cl('f[2]')} AS musicbrainz_workid,
+         {_cl('f[3]')} AS work_title
+  FROM work_f WHERE {_ki('f[1]')} IS NOT NULL
+),
+link_raw AS (SELECT {_mbr_duck(_MBR_LINK_LINE)} AS value FROM orders),
+link_f AS (SELECT string_split(value, chr(9)) AS f FROM link_raw),
+link_t AS (
+  SELECT DISTINCT {_ki('f[1]')} AS link_id, {_ki('f[2]')} AS link_type_id
+  FROM link_f WHERE {_ki('f[1]')} IS NOT NULL
+),
+lt_raw AS (SELECT {_mbr_duck(_MBR_LINKTYPE_LINE)} AS value FROM nation),
+lt_f AS (SELECT string_split(value, chr(9)) AS f FROM lt_raw),
+lt_t AS (
+  SELECT DISTINCT {_ki('f[1]')} AS link_type_id, {_cl('f[7]')} AS rel_name
+  FROM lt_f WHERE {_ki('f[1]')} IS NOT NULL
+),
+lww_raw AS (SELECT {_mbr_duck(_MBR_LWW_LINE)} AS value FROM lineitem),
+lww_f AS (
+  SELECT string_split(value, chr(9)) AS f FROM lww_raw
+  WHERE len(string_split(value, chr(9))) >= 4
+),
+lww_t AS (
+  SELECT {_ki('f[2]')} AS link_id, {_ki('f[3]')} AS from_work_id,
+         {_ki('f[4]')} AS to_work_id
+  FROM lww_f
+  WHERE {_ki('f[2]')} IS NOT NULL AND {_ki('f[3]')} IS NOT NULL
+    AND {_ki('f[4]')} IS NOT NULL
+),
+rels AS (
+  SELECT w.from_work_id, w.to_work_id, lt.rel_name
+  FROM lww_t w
+  LEFT JOIN link_t l USING (link_id)
+  LEFT JOIN lt_t lt ON lt.link_type_id = l.link_type_id
+),
+sym AS (
+  SELECT from_work_id AS work_id, to_work_id AS rid, rel_name FROM rels
+  UNION ALL
+  SELECT to_work_id, from_work_id, rel_name FROM rels
+),
+joined AS (
+  SELECT s.work_id, s.rel_name, a.work_title AS r_title,
+         a.musicbrainz_workid AS r_mbid
+  FROM sym s LEFT JOIN work_t a ON a.work_id = s.rid
+)
+SELECT work_id,
+       COALESCE(STRING_AGG(DISTINCT r_title, '\\\\' ORDER BY r_title), '')
+         AS related_work_titles,
+       COALESCE(STRING_AGG(DISTINCT r_mbid, '\\\\' ORDER BY r_mbid), '')
+         AS related_work_mbids,
+       COALESCE(STRING_AGG(DISTINCT rel_name, '\\\\' ORDER BY rel_name), '')
+         AS related_work_relationship_names
+FROM joined GROUP BY work_id
+"""
+
+
+@q("s14_related_works", _S14RW_SQL)
+def s14_related_works(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related-works lineage (harvest_mb_works.py:545-556, 628-654):
+    l_work_work edges symmetrized so both endpoints relate, rel names
+    resolved through link→link_type, and per-work sorted-distinct MV
+    emissions of related titles / MBIDs / relationship names. Decoys:
+    short edge rows, edges pointing at parsed-out works (their titles
+    drop; the edge still contributes its rel name)."""
+    from tagminder_spark.sources.mbdump import parse_member, related_works  # noqa: PLC0415
+
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    work = parse_member(
+        o.selectExpr(f"{_MBR_WORK_LINE} AS value"), "work"
+    ).distinct()
+    link = parse_member(
+        o.selectExpr(f"{_MBR_LINK_LINE} AS value"), "link"
+    ).select("link_id", "link_type_id").distinct()
+    link_type = parse_member(
+        n.selectExpr(f"{_MBR_LINKTYPE_LINE} AS value"), "link_type"
+    ).select("link_type_id", "rel_name").distinct()
+    lww = parse_member(li.selectExpr(f"{_MBR_LWW_LINE} AS value"), "l_work_work")
+
+    return related_works(work, lww, link, link_type)

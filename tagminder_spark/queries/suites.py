@@ -116,6 +116,11 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
              ("aliases", "str"), ("n_aliases", "num"),
              ("iswcs", "str"), ("n_iswcs", "num")],
         ),
+        "s14_related_works": (
+            ["work_id"],
+            [("related_work_titles", "str"), ("related_work_mbids", "str"),
+             ("related_work_relationship_names", "str")],
+        ),
     },
     # dedup family + diff-audit + streaming state
     "suite_dedup_audit": {

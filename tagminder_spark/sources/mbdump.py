@@ -354,3 +354,59 @@ def resolve_works(
             F.coalesce("n_iswcs", F.lit(0)).alias("n_iswcs"),
         )
     )
+
+
+def related_works(
+    work: DataFrame,
+    l_work_work: DataFrame,
+    link: DataFrame,
+    link_type: DataFrame,
+    mv_delim: str = "\\\\",
+) -> DataFrame:
+    """Related-works lineage (harvest_mb_works.py:545-556, 628-654):
+    every ``l_work_work`` edge relates BOTH endpoints (symmetrize), and
+    each work aggregates the distinct titles and MBIDs of its related
+    works plus the distinct relationship names of its incident edges —
+    all as sorted multi-value cells (``_mv_sorted_list`` :82-89). Works
+    without a usable title/MBID contribute nothing to those lists
+    (:487-493 non-blank guards).
+
+    Shape: one unionByName symmetrization, a broadcast rel-name
+    resolution (link/link_type are dimensions), an equi-join to the
+    work attributes, and one grouped sorted-set aggregate per emission.
+    """
+    rels = l_work_work.join(
+        F.broadcast(link.select("link_id", "link_type_id")), "link_id", "left"
+    ).join(
+        F.broadcast(link_type.select("link_type_id", "rel_name")),
+        "link_type_id",
+        "left",
+    )
+    sym = rels.select(
+        F.col("from_work_id").alias("work_id"),
+        F.col("to_work_id").alias("rid"),
+        "rel_name",
+    ).unionByName(
+        rels.select(
+            F.col("to_work_id").alias("work_id"),
+            F.col("from_work_id").alias("rid"),
+            "rel_name",
+        )
+    )
+    attrs = work.select(
+        F.col("work_id").alias("rid"),
+        F.col("work_title").alias("r_title"),
+        F.col("musicbrainz_workid").alias("r_mbid"),
+    )
+    joined = sym.join(attrs, "rid", "left")
+    return joined.groupBy("work_id").agg(
+        F.array_join(
+            F.sort_array(F.collect_set("r_title")), mv_delim
+        ).alias("related_work_titles"),
+        F.array_join(
+            F.sort_array(F.collect_set("r_mbid")), mv_delim
+        ).alias("related_work_mbids"),
+        F.array_join(
+            F.sort_array(F.collect_set("rel_name")), mv_delim
+        ).alias("related_work_relationship_names"),
+    )
