@@ -269,6 +269,19 @@ def rename_plan(alib: DataFrame, include_year: bool = False) -> DataFrame:
         is_blank(F.col("new_filename")), F.col("__filename")
     ).otherwise(F.col("new_filename"))
 
+    # ---- collision detection (rename_file :449-452 target-exists check,
+    # lifted to plan level) ----
+    # (b) a row's new filename equals a DIFFERENT row's current filename
+    #     in the same directory (the rename would land on a live file) —
+    #     filenames are unique within a directory (they are path
+    #     components), so this is membership in the per-dir filename set
+    #     carried by the facts aggregate, excluding the row's own name.
+    #     Computed HERE, map-side, so the per-dir array is dropped
+    #     BEFORE the collision window's exchange — carrying it per row
+    #     through the shuffle would move gigabytes at sf0.1.
+    nf_pre = F.when(
+        is_blank(F.col("new_filename")), F.col("__filename")
+    ).otherwise(F.col("new_filename"))
     planned = planned.select(
         "__path",
         F.col("__filename").alias("old_filename"),
@@ -277,30 +290,24 @@ def rename_plan(alib: DataFrame, include_year: bool = False) -> DataFrame:
         "new_dirname",
         new_dirpath.alias("new_dirpath"),
         F.concat(new_dirpath, F.lit("/"), eff_filename).alias("new_path"),
-        "__dir_files",
+        (
+            F.array_contains(F.col("__dir_files"), nf_pre)
+            & (nf_pre != F.col("__filename"))
+        ).alias("_live_hit"),
     )
 
-    # ---- collision detection (rename_file :449-452 target-exists check,
-    # lifted to plan level) ----
     # (a) two rows in one directory map to the same new filename — a
     #     count window over (old_dirpath, nf); hash partitioning on
     #     __dirpath from the facts join satisfies the window's clustering
     #     requirement (subset rule), so this adds a local sort, not an
-    #     exchange;
-    # (b) a row's new filename equals a DIFFERENT row's current filename
-    #     in the same directory (the rename would land on a live file) —
-    #     filenames are unique within a directory (they are path
-    #     components), so this is membership in the per-dir filename set
-    #     carried by the facts aggregate, excluding the row's own name.
+    #     exchange.
     nf = F.when(is_blank(F.col("new_filename")), F.col("old_filename")).otherwise(
         F.col("new_filename")
     )
     planned = planned.withColumn(
         "_nf_dupes", F.count(F.lit(1)).over(W.partitionBy("old_dirpath", nf))
     )
-    live_hit = F.array_contains(F.col("__dir_files"), nf) & (
-        nf != F.col("old_filename")
-    )
+    live_hit = F.col("_live_hit")
 
     file_changed = F.col("new_filename") != F.col("old_filename")
     dir_changed = F.col("new_dirpath") != F.col("old_dirpath")
@@ -316,7 +323,7 @@ def rename_plan(alib: DataFrame, include_year: bool = False) -> DataFrame:
         .withColumn("dir_changed", dir_changed.cast("int"))
         .withColumn("collision", (collision & file_changed).cast("int"))
         .withColumn("action", action)
-        .drop("_nf_dupes", "__dir_files")
+        .drop("_nf_dupes", "_live_hit")
     )
 
 
