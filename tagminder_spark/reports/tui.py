@@ -84,3 +84,36 @@ def render_neighbor_tree(
         suffix = f"  (w={weight})" if level else ""
         lines.append(f"{indent}{node}{suffix}")
     return "\n".join(lines)
+
+
+def search_nodes(
+    edges: DataFrame, query: str | None, limit: int = 200
+) -> list[tuple[str, int]]:
+    """The explorer's search box / starter list (tm_tui.py:271-309):
+    blank query → the degree-sorted starter list (top ``limit`` nodes by
+    link count, name tiebreak); otherwise case-insensitive substring
+    matches with their degrees, capped at ``limit``.
+
+    Distributed: degree is one groupBy over the symmetrized edge frame,
+    the substring filter pushes into the scan, and only the rendered
+    page is collected.
+    """
+    degrees = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    q = (query or "").strip().lower()
+    if q:
+        degrees = degrees.filter(F.lower(F.col("node")).contains(q))
+    ranked = degrees.orderBy(
+        F.col("degree").desc(), F.lower(F.col("node")).asc()
+    ).limit(limit)
+    return [(str(r.node), int(r.degree)) for r in ranked.collect()]
+
+
+def render_search_results(
+    edges: DataFrame, query: str | None, limit: int = 200
+) -> str:
+    """Text twin of the results pane: ``name  (N links)`` per line."""
+    return "\n".join(
+        f"{n}  ({d} links)" for n, d in search_nodes(edges, query, limit)
+    )

@@ -306,3 +306,22 @@ def test_cli_run_query(spark, capsys):
 
     assert cmd_run("h_readiness", SF_DIR) == 0
     assert "h_readiness: 9 rows" in capsys.readouterr().out
+
+
+def test_tui_search_nodes(spark):
+    from tagminder_spark.reports.tui import render_search_results, search_nodes
+
+    edges = spark.createDataFrame(
+        [("Alpha", "Beta", 3), ("Alpha", "Gamma", 2), ("Beta", "Alpha", 3),
+         ("Gamma", "Alpha", 2), ("Beta", "Gamma", 1), ("Gamma", "Beta", 1)],
+        "src string, dst string, weight int",
+    )
+    # blank query: degree-sorted starter list
+    starter = search_nodes(edges, None)
+    assert starter[0] == ("Alpha", 2) or starter[0][1] == 2
+    assert len(starter) == 3
+    # substring search, case-insensitive
+    hits = search_nodes(edges, "AMM")
+    assert hits == [("Gamma", 2)]
+    text = render_search_results(edges, "a")
+    assert "Alpha  (2 links)" in text
