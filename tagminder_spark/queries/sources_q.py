@@ -761,3 +761,42 @@ def s14_related_works(spark: SparkSession, sf_dir: str) -> DataFrame:
     lww = parse_member(li.selectExpr(f"{_MBR_LWW_LINE} AS value"), "l_work_work")
 
     return related_works(work, lww, link, link_type)
+
+
+# --------------------------------------------------------------------------
+# S14 end-to-end works lookup (harvest [5/6] final_df assembly)
+# --------------------------------------------------------------------------
+
+_S14LOOKUP_SQL = f"""
+SELECT e.work_id, e.musicbrainz_workid, e.work_title, e.work_type_id,
+       e.work_type_name, e.work_disambiguation,
+       e.language_id, e.language_code, e.language_name,
+       e.aliases, e.n_aliases, e.iswcs, e.n_iswcs,
+       r.role_pairs, COALESCE(r.n_pairs, 0) AS n_pairs,
+       w.related_work_titles, w.related_work_mbids,
+       w.related_work_relationship_names
+FROM ({_S14W_SQL}) e
+LEFT JOIN (SELECT work_id, role_pairs, n_pairs FROM ({_S14R_SQL})) r
+  USING (work_id)
+LEFT JOIN ({_S14RW_SQL}) w USING (work_id)
+"""
+
+
+@q("s14_works_lookup", _S14LOOKUP_SQL)
+def s14_works_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end works lookup table (harvest_mb_works.py:678-700,
+    [5/6] final_df): member routing → metadata resolution → role-pair
+    aggregation → related-works lineage, assembled with left joins on
+    work_id exactly as the reference materializes its final frame. Each
+    constituent is independently value-gated; this gate pins the
+    composition."""
+    enrich = s14_works_enrich(spark, sf_dir)
+    roles = s14_mb_member_routing(spark, sf_dir).select(
+        "work_id", "role_pairs", "n_pairs"
+    )
+    related = s14_related_works(spark, sf_dir)
+    return (
+        enrich.join(roles, "work_id", "left")
+        .join(related, "work_id", "left")
+        .withColumn("n_pairs", F.coalesce(F.col("n_pairs"), F.lit(0)))
+    )
