@@ -56,6 +56,7 @@ def staged_positional_match(
     right_id: str,
     stages: list[tuple[str, str, Column | None]],
     right_quarantine: dict[str, str] | None = None,
+    cp=None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(matches, left_residual, right_residual).
 
@@ -72,7 +73,13 @@ def staged_positional_match(
     duplicated QIDs quarantined before the qid stage, duplicated MNIDs
     before the mnid stage). Positional matching over ambiguous
     duplicates would otherwise pair them arbitrarily.
+
+    ``cp``: optional lineage-truncating materializer applied to each
+    stage's (small, id-pair) match frame — it is consumed three times
+    (matches union + both residual anti-joins) and would otherwise
+    recompute its window joins per consumer.
     """
+    cp = cp or (lambda d: d)
     matches: DataFrame | None = None
     l_res, r_res = left, right
     for key, name, r_filter in stages:
@@ -87,8 +94,10 @@ def staged_positional_match(
         r = r.withColumn(
             "__rn", F.row_number().over(W.partitionBy(key).orderBy(right_id))
         ).select(right_id, key, "__rn")
-        m = l.join(r, [key, "__rn"]).select(
-            left_id, right_id, F.lit(name).alias("match_stage")
+        m = cp(
+            l.join(r, [key, "__rn"]).select(
+                left_id, right_id, F.lit(name).alias("match_stage")
+            )
         )
         matches = m if matches is None else matches.unionByName(m)
         l_res = l_res.join(m.select(left_id), left_id, "left_anti")
@@ -212,6 +221,7 @@ def contributors_merge(
         # duplicated QIDs leave before the qid stage, duplicated MNIDs
         # before the mnid stage — and stay out of the later name phases
         right_quarantine={"mbid": "k_qid", "qid": "k_mnid"},
+        cp=_cp,
     )
     matches = _cp(matches)
     wd_res = _cp(wd_res.select("wd_id"))
