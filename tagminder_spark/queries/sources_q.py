@@ -800,3 +800,162 @@ def s14_works_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(related, "work_id", "left")
         .withColumn("n_pairs", F.coalesce(F.col("n_pairs"), F.lit(0)))
     )
+
+
+# --------------------------------------------------------------------------
+# S14 role-label derivation (link phrases + attribute fallback)
+# --------------------------------------------------------------------------
+
+_LT2 = "(n_nationkey % 8)"
+# variants: %4=0 named; 1 fwd wins; 2 rev wins; 3 all null -> attr fallback
+_MBR_LINKTYPE2_LINE = (
+    f"CAST({_LT2} AS STRING) || {_T} || {_N} || {_T} || '0' || {_T} ||"
+    f" 'gid-' || CAST({_LT2} AS STRING) || {_T} || 'artist' || {_T} || 'work'"
+    f" || {_T} ||"
+    f" CASE CAST({_LT2} % 4 AS INT) WHEN 0 THEN 'composer' ELSE {_N} END"
+    f" || {_T} || {_N} || {_T} ||"
+    f" CASE CAST({_LT2} % 4 AS INT) WHEN 1 THEN 'performed on' ELSE {_N} END"
+    f" || {_T} ||"
+    f" CASE CAST({_LT2} % 4 AS INT) WHEN 1 THEN 'performance of'"
+    f" WHEN 2 THEN 'revision of' ELSE {_N} END"
+)
+
+# positions 0=link, 1=attribute_type
+_MBR_LINKATTR_LINE = (
+    f"CASE WHEN l_linenumber = 4 THEN 'short'"
+    f" ELSE CAST((l_orderkey + l_partkey) % 40 AS STRING) || {_T}"
+    f" || CAST(l_partkey % 6 AS STRING) END"
+)
+
+# 0=id,1=parent,2=root,3=fallback-name,4=gid,5=name
+_LA = "(n_nationkey % 6)"
+_MBR_LINKATTRTYPE_LINE = (
+    f"CAST({_LA} AS STRING) || {_T} || {_N} || {_T} || '0' || {_T} ||"
+    f" 'alt' || CAST({_LA} AS STRING) || {_T} ||"
+    f" 'gg-' || CAST({_LA} AS STRING) || {_T} ||"
+    f" CASE CAST({_LA} AS INT) WHEN 0 THEN 'guitar' WHEN 1 THEN 'piano'"
+    f" WHEN 2 THEN {_N} WHEN 3 THEN 'violin' WHEN 4 THEN 'orchestra'"
+    f" ELSE 'strings' END"
+)
+
+# 0=link, 1=attribute_type, 2=text_value
+_MBR_LINKATTRTEXT_LINE = (
+    f"CAST(p_partkey % 40 AS STRING) || {_T}"
+    f" || CAST(p_partkey % 6 AS STRING) || {_T}"
+    f" || CASE WHEN p_partkey % 5 = 0 THEN {_N}"
+    f" ELSE 'v' || CAST(p_partkey % 9 AS STRING) END"
+)
+
+_S14RL_SQL = f"""
+WITH link_raw AS (SELECT {_mbr_duck(_MBR_LINK_LINE)} AS value FROM orders),
+link_f AS (SELECT string_split(value, chr(9)) AS f FROM link_raw),
+link_t AS (
+  SELECT DISTINCT {_ki('f[1]')} AS link_id, {_ki('f[2]')} AS link_type_id
+  FROM link_f WHERE {_ki('f[1]')} IS NOT NULL
+),
+lt_raw AS (SELECT {_mbr_duck(_MBR_LINKTYPE2_LINE)} AS value FROM nation),
+lt_f AS (SELECT string_split(value, chr(9)) AS f FROM lt_raw),
+lt_t AS (
+  SELECT DISTINCT {_ki('f[1]')} AS link_type_id, {_cl('f[7]')} AS rel_name,
+         {_cl('f[9]')} AS link_phrase, {_cl('f[10]')} AS reverse_link_phrase
+  FROM lt_f WHERE {_ki('f[1]')} IS NOT NULL
+),
+la_raw AS (SELECT {_mbr_duck(_MBR_LINKATTR_LINE)} AS value FROM lineitem),
+la_f AS (
+  SELECT string_split(value, chr(9)) AS f FROM la_raw
+  WHERE len(string_split(value, chr(9))) >= 2
+),
+la_t AS (
+  SELECT {_ki('f[1]')} AS link_id, {_ki('f[2]')} AS attr_type_id
+  FROM la_f WHERE {_ki('f[1]')} IS NOT NULL AND {_ki('f[2]')} IS NOT NULL
+),
+lat_raw AS (SELECT {_mbr_duck(_MBR_LINKATTRTYPE_LINE)} AS value FROM nation),
+lat_f AS (SELECT string_split(value, chr(9)) AS f FROM lat_raw),
+lat_t AS (
+  SELECT DISTINCT {_ki('f[1]')} AS attr_type_id,
+         COALESCE({_cl('f[6]')}, {_cl('f[4]')}) AS role
+  FROM lat_f WHERE {_ki('f[1]')} IS NOT NULL
+),
+ltv_raw AS (SELECT {_mbr_duck(_MBR_LINKATTRTEXT_LINE)} AS value FROM part),
+ltv_f AS (SELECT string_split(value, chr(9)) AS f FROM ltv_raw),
+ltv_t AS (
+  SELECT {_ki('f[1]')} AS link_id, {_ki('f[2]')} AS attr_type_id
+  FROM ltv_f WHERE {_ki('f[1]')} IS NOT NULL AND {_ki('f[2]')} IS NOT NULL
+),
+lt_join AS (
+  SELECT l.link_id,
+         COALESCE(t.rel_name, t.link_phrase, t.reverse_link_phrase) AS primary_
+  FROM link_t l LEFT JOIN lt_t t USING (link_type_id)
+),
+with_primary AS (
+  SELECT link_id, primary_ AS role FROM lt_join WHERE primary_ IS NOT NULL
+),
+attr_ids AS (
+  SELECT DISTINCT link_id, attr_type_id FROM (
+    SELECT link_id, attr_type_id FROM la_t
+    UNION ALL SELECT link_id, attr_type_id FROM ltv_t
+  )
+),
+attr_names AS (
+  SELECT a.link_id, n.role
+  FROM attr_ids a JOIN lat_t n USING (attr_type_id)
+  WHERE n.role IS NOT NULL
+),
+fallback AS (
+  SELECT DISTINCT an.link_id, an.role
+  FROM attr_names an
+  WHERE an.link_id IN (SELECT link_id FROM lt_join WHERE primary_ IS NULL)
+),
+roles AS (
+  SELECT DISTINCT link_id, role FROM (
+    SELECT * FROM with_primary UNION ALL SELECT * FROM fallback
+  )
+)
+SELECT link_id,
+       STRING_AGG(DISTINCT role, '\\\\' ORDER BY role) AS roles,
+       CAST(COUNT(DISTINCT role) AS BIGINT) AS n_roles
+FROM roles GROUP BY link_id
+"""
+
+
+@q("s14_role_labels", _S14RL_SQL)
+def s14_role_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role-label derivation (harvest_mb_works.py:172-198 + attrs_by_link
+    :507-524): relationship name wins, else forward phrase, else reverse
+    phrase, else the link's attribute names (several labels per link).
+    Exercises four more member parsers — link_type phrase columns,
+    link_attribute, link_attribute_type with the positional name
+    fallback, link_attribute_text_value key contribution — with decoys
+    on each (short rows, \\N names, all-null link types)."""
+    from tagminder_spark.functions.core import MV_DELIM  # noqa: PLC0415
+    from tagminder_spark.sources.mbdump import derive_role_labels, parse_member  # noqa: PLC0415
+
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+
+    link = parse_member(
+        o.selectExpr(f"{_MBR_LINK_LINE} AS value"), "link"
+    ).select("link_id", "link_type_id").distinct()
+    link_type = parse_member(
+        n.selectExpr(f"{_MBR_LINKTYPE2_LINE} AS value"), "link_type"
+    ).distinct()
+    link_attr = parse_member(
+        li.selectExpr(f"{_MBR_LINKATTR_LINE} AS value"), "link_attribute"
+    )
+    link_attr_type = parse_member(
+        n.selectExpr(f"{_MBR_LINKATTRTYPE_LINE} AS value"), "link_attribute_type"
+    ).distinct()
+    text_vals = parse_member(
+        p.selectExpr(f"{_MBR_LINKATTRTEXT_LINE} AS value"),
+        "link_attribute_text_value",
+    )
+
+    roles = derive_role_labels(
+        link, link_type, link_attr, link_attr_type, text_vals
+    )
+    return roles.groupBy("link_id").agg(
+        F.array_join(F.sort_array(F.collect_set("role")), MV_DELIM).alias("roles"),
+        F.count_distinct("role").alias("n_roles"),
+    )

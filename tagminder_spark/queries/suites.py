@@ -121,6 +121,9 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
             [("related_work_titles", "str"), ("related_work_mbids", "str"),
              ("related_work_relationship_names", "str")],
         ),
+        "s14_role_labels": (
+            ["link_id"], [("roles", "str"), ("n_roles", "num")],
+        ),
     },
     # dedup family + diff-audit + streaming state
     "suite_dedup_audit": {

@@ -410,3 +410,69 @@ def related_works(
             F.sort_array(F.collect_set("rel_name")), mv_delim
         ).alias("related_work_relationship_names"),
     )
+
+
+def derive_role_labels(
+    link: DataFrame,
+    link_type: DataFrame,
+    link_attribute: DataFrame,
+    link_attribute_type: DataFrame,
+    link_attribute_text_value: DataFrame | None = None,
+    link_attribute_credit: DataFrame | None = None,
+) -> DataFrame:
+    """Explicit role labels per link (harvest_mb_works.py:172-198 +
+    attrs_by_link :507-524): the relationship name wins; a missing name
+    falls back to the forward phrase, then the reverse phrase; when the
+    link type carries none of the three, the names of the link's
+    attributes become the label surface (one link → several labels).
+    Attribute ids per link are the UNION of the link_attribute rows and
+    the text-value / credit key sets (:509-512).
+
+    Output: (link_id, role) exploded rows, distinct. All inputs but the
+    attribute fact are dimensions — broadcast joins, no shuffle of
+    consequence.
+    """
+    lt = link.select("link_id", "link_type_id").join(
+        F.broadcast(
+            link_type.select(
+                "link_type_id", "rel_name", "link_phrase", "reverse_link_phrase"
+            ).dropDuplicates(["link_type_id"])
+        ),
+        "link_type_id",
+        "left",
+    )
+    primary = F.coalesce(
+        F.col("rel_name"), F.col("link_phrase"), F.col("reverse_link_phrase")
+    )
+    with_primary = lt.filter(primary.isNotNull()).select(
+        "link_id", primary.alias("role")
+    )
+
+    attr_ids = link_attribute.select("link_id", "attr_type_id")
+    if link_attribute_text_value is not None:
+        attr_ids = attr_ids.unionByName(
+            link_attribute_text_value.select("link_id", "attr_type_id")
+        )
+    if link_attribute_credit is not None:
+        attr_ids = attr_ids.unionByName(
+            link_attribute_credit.select("link_id", "attr_type_id")
+        )
+    attr_names = (
+        attr_ids.dropDuplicates()
+        .join(
+            F.broadcast(
+                link_attribute_type.select(
+                    "attr_type_id",
+                    F.coalesce(
+                        F.col("attr_name"), F.col("attr_name_fallback")
+                    ).alias("role"),
+                ).dropDuplicates(["attr_type_id"])
+            ),
+            "attr_type_id",
+        )
+        .filter(F.col("role").isNotNull())
+        .select("link_id", "role")
+    )
+    no_primary = lt.filter(primary.isNull()).select("link_id")
+    fallback = attr_names.join(no_primary, "link_id", "left_semi")
+    return with_primary.unionByName(fallback).dropDuplicates()

@@ -148,3 +148,33 @@ def test_resolve_works_language_choice(spark):
     assert rows[2].language_name == "German"
     assert rows[1].aliases == "A alias\\\\B alias" and rows[1].n_aliases == 2
     assert rows[1].n_iswcs == 0 and rows[2].iswcs == "T-1"
+
+
+def test_derive_role_labels_precedence(spark):
+    from tagminder_spark.sources.mbdump import derive_role_labels
+
+    link = spark.createDataFrame(
+        [(1, 10), (2, 11), (3, 12), (4, 13)], "link_id long, link_type_id long"
+    )
+    lt = spark.createDataFrame(
+        [(10, "composer", "wrote", "written by"),   # name wins
+         (11, None, "performed", "performance of"),  # fwd wins over rev
+         (12, None, None, "revision of"),            # rev
+         (13, None, None, None)],                    # attr fallback
+        "link_type_id long, rel_name string, link_phrase string, "
+        "reverse_link_phrase string",
+    )
+    la = spark.createDataFrame(
+        [(4, 100), (4, 101), (1, 100)], "link_id long, attr_type_id long"
+    )
+    lat = spark.createDataFrame(
+        [(100, "guitar", None), (101, None, "alt101")],
+        "attr_type_id long, attr_name string, attr_name_fallback string",
+    )
+    got = {}
+    for r in derive_role_labels(link, lt, la, lat).collect():
+        got.setdefault(r.link_id, set()).add(r.role)
+    assert got[1] == {"composer"}       # attrs do NOT add when primary exists
+    assert got[2] == {"performed"}
+    assert got[3] == {"revision of"}
+    assert got[4] == {"guitar", "alt101"}  # several labels + name fallback
