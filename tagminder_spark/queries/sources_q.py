@@ -959,3 +959,158 @@ def s14_role_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.sort_array(F.collect_set("role")), MV_DELIM).alias("roles"),
         F.count_distinct("role").alias("n_roles"),
     )
+
+
+# --------------------------------------------------------------------------
+# S14 artists harvest (harvest_mb_artists.py end-to-end)
+# --------------------------------------------------------------------------
+
+_U = "(p_partkey % 400)"
+_MBR_URL_LINE = (
+    f"CAST({_U} AS STRING) || {_T} || 'gid' || {_T} ||"
+    f" CASE CAST({_U} % 5 AS INT)"
+    f" WHEN 0 THEN 'https://www.wikidata.org/wiki/Q' || CAST({_U} AS STRING)"
+    f" WHEN 1 THEN 'https://allmusic.com/artist/mn' ||"
+    f"      lpad(CAST({_U} AS STRING), 10, '0')"
+    f" WHEN 2 THEN 'https://example.com/x' || CAST({_U} AS STRING)"
+    f" WHEN 3 THEN 'https://ALLMUSIC.com/artist/MN' ||"
+    f"      lpad(CAST({_U} AS STRING), 10, '0')"
+    f" ELSE {_N} END"
+)
+
+# positions 0=rowid, 1=link, 2=artist, 3=url; everything a function of
+# (orderkey, linenumber) so duplicate lineitem pairs stay full duplicates
+_LAU_A = "((l_orderkey + 2 * l_linenumber) % 300)"
+_LAU_U = "((l_orderkey * 3 + l_linenumber) % 400)"
+_MBR_LAU_LINE = (
+    f"CASE WHEN l_linenumber = 3 THEN 'short'"
+    f" ELSE CAST(l_orderkey AS STRING) || {_T} || '0' || {_T}"
+    f" || CAST({_LAU_A} AS STRING) || {_T} || CAST({_LAU_U} AS STRING) END"
+)
+_LAU_POS = "(l_orderkey * 10 + l_linenumber)"
+
+_AF = "(c_custkey % 300)"
+_MBR_ARTISTFULL_LINE = (
+    f"CAST({_AF} AS STRING) || {_T} || 'am-' || CAST({_AF} AS STRING) || {_T} ||"
+    f" CASE WHEN {_AF} % 31 = 0 THEN {_N}"
+    f" ELSE 'Artist ' || CAST({_AF} AS STRING) END"
+    f" || {_T} || {_N}"  # 3 = sort name (unused)
+    f" || {_T} || CASE WHEN {_AF} % 4 = 0 THEN {_N}"
+    f"            ELSE CAST(1900 + {_AF} % 100 AS STRING) END"  # 4 begin_year
+    f" || {_T} || CAST({_AF} % 12 + 1 AS STRING)"  # 5 begin_month
+    f" || {_T} || 'xx'"  # 6 begin_day: garbage -> NULL int
+    f" || {_T} || {_N} || {_T} || {_N} || {_T} || {_N}"  # 7-9 end date
+    f" || {_T} || CAST({_AF} % 3 AS STRING)"  # 10 type
+    f" || {_T} || CAST({_AF} % 50 AS STRING)"  # 11 area
+    f" || {_T} || CAST({_AF} % 2 + 1 AS STRING)"  # 12 gender
+    f" || {_T} || CASE WHEN {_AF} % 7 = 0"
+    f"            THEN 'dis ' || CAST({_AF} AS STRING) ELSE {_N} END"  # 13
+    f" || {_T} || {_N} || {_T} || {_N}"  # 14-15 filler
+    f" || {_T} || CASE CAST({_AF} % 3 AS INT) WHEN 0 THEN 't'"
+    f"            WHEN 1 THEN '1' ELSE 'f' END"  # 16 ended
+)
+
+_S14A_SQL = f"""
+WITH url_raw AS (SELECT {_mbr_duck(_MBR_URL_LINE)} AS value FROM part),
+url_f AS (SELECT string_split(value, chr(9)) AS f FROM url_raw),
+url_t AS (
+  SELECT DISTINCT {_ki('f[1]')} AS url_id, {_cl('f[3]')} AS url
+  FROM url_f WHERE {_ki('f[1]')} IS NOT NULL AND {_cl('f[3]')} IS NOT NULL
+),
+url_map AS (
+  SELECT url_id,
+         CASE WHEN wd <> '' THEN 'wikidata'
+              WHEN am <> '' THEN 'allmusic' END AS source,
+         CASE WHEN wd <> '' THEN wd WHEN am <> '' THEN am END AS norm_id
+  FROM (
+    SELECT url_id,
+           upper(regexp_extract(url, '(?i)wikidata\\.org/.+?(Q\\d+)', 1)) AS wd,
+           lower(regexp_extract(url, '(?i)(mn\\d{{10}})', 1)) AS am
+    FROM url_t
+  )
+  WHERE wd <> '' OR am <> ''
+),
+lau_raw AS (
+  SELECT {_mbr_duck(_MBR_LAU_LINE)} AS value, {_mbr_duck(_LAU_POS)} AS pos
+  FROM lineitem
+),
+lau_f AS (
+  SELECT string_split(value, chr(9)) AS f, pos FROM lau_raw
+  WHERE len(string_split(value, chr(9))) >= 4
+),
+lau_t AS (
+  SELECT {_ki('f[3]')} AS artist_id, {_ki('f[4]')} AS url_id, pos
+  FROM lau_f
+  WHERE {_ki('f[3]')} IS NOT NULL AND {_ki('f[4]')} IS NOT NULL
+),
+links AS (
+  SELECT l.artist_id, m.source, m.norm_id, l.pos
+  FROM lau_t l JOIN url_map m USING (url_id)
+),
+agg AS (
+  SELECT artist_id,
+         arg_max(CASE WHEN source = 'wikidata' THEN norm_id END,
+                 CASE WHEN source = 'wikidata' THEN pos END) AS wikidata_id,
+         arg_max(CASE WHEN source = 'allmusic' THEN norm_id END,
+                 CASE WHEN source = 'allmusic' THEN pos END) AS allmusic_mnid
+  FROM links GROUP BY artist_id
+),
+af_raw AS (SELECT {_mbr_duck(_MBR_ARTISTFULL_LINE)} AS value FROM customer),
+af_f AS (
+  SELECT string_split(value, chr(9)) AS f FROM af_raw
+  WHERE len(string_split(value, chr(9))) >= 17
+),
+af_t AS (
+  SELECT DISTINCT {_ki('f[1]')} AS artist_id,
+         {_cl('f[2]')} AS artist_mbid, {_cl('f[3]')} AS artist_name,
+         {_ki('f[5]')} AS begin_year, {_ki('f[6]')} AS begin_month,
+         {_ki('f[7]')} AS begin_day,
+         {_ki('f[11]')} AS artist_type, {_ki('f[12]')} AS area,
+         {_ki('f[13]')} AS gender, {_cl('f[14]')} AS disambiguation,
+         CASE WHEN lower(trim(COALESCE(f[17], ''))) IN ('1','t','true','y','yes')
+              THEN 1 ELSE 0 END AS ended
+  FROM af_f WHERE {_ki('f[1]')} IS NOT NULL
+)
+SELECT a.artist_id, a.artist_mbid, a.artist_name, a.begin_year,
+       a.begin_month, a.begin_day, a.artist_type, a.area, a.gender,
+       a.disambiguation, a.ended,
+       CASE WHEN g.wikidata_id LIKE 'Q%'
+            THEN 'http://www.wikidata.org/entity/' || g.wikidata_id END
+         AS wikidata_uri,
+       g.wikidata_id, g.allmusic_mnid
+FROM af_t a LEFT JOIN agg g USING (artist_id)
+"""
+
+
+@q("s14_artists_harvest", _S14A_SQL)
+def s14_artists_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The musicbrainz_artists harvest end-to-end (harvest_mb_artists
+    .py:138-345): URL-registry regex routing (wikidata first, qid
+    uppercased; allmusic mnid lowercased; unsupported URLs drop),
+    last-link-wins artist↔URL resolution in source order, and the full
+    17-column artist row parse (garbage ints → NULL, bool ended).
+    Decoys: unmatched URLs, \\N URLs, short link rows, \\N names,
+    garbage date ints, mixed-case allmusic hosts."""
+    from tagminder_spark.sources.mbdump import harvest_artists, parse_member  # noqa: PLC0415
+
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+
+    url = parse_member(p.selectExpr(f"{_MBR_URL_LINE} AS value"), "url").distinct()
+    lau = parse_member(
+        li.selectExpr(f"{_MBR_LAU_LINE} AS value", f"{_LAU_POS} AS pos"),
+        "l_artist_url",
+        passthrough=("pos",),
+    )
+    artist = parse_member(
+        c.selectExpr(f"{_MBR_ARTISTFULL_LINE} AS value"), "artist_full"
+    ).distinct()
+
+    out = harvest_artists(url, lau, artist)
+    return out.select(
+        "artist_id", "artist_mbid", "artist_name", "begin_year",
+        "begin_month", "begin_day", "artist_type", "area", "gender",
+        "disambiguation", "ended", "wikidata_uri", "wikidata_id",
+        "allmusic_mnid",
+    )

@@ -124,6 +124,14 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
         "s14_role_labels": (
             ["link_id"], [("roles", "str"), ("n_roles", "num")],
         ),
+        "s14_artists_harvest": (
+            ["artist_id"],
+            [("artist_name", "str"), ("begin_year", "num"),
+             ("artist_type", "num"), ("gender", "num"),
+             ("disambiguation", "str"), ("ended", "num"),
+             ("wikidata_uri", "str"), ("wikidata_id", "str"),
+             ("allmusic_mnid", "str")],
+        ),
     },
     # dedup family + diff-audit + streaming state
     "suite_dedup_audit": {

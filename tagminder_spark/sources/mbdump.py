@@ -125,6 +125,33 @@ MEMBER_SPECS: dict[str, tuple[int, list[tuple[str, int, str]]]] = {
         ("from_work_id", 2, "key"),
         ("to_work_id", 3, "key"),
     ]),
+    # harvest_mb_artists.py:165-180 — 0=id, 2=url (both required)
+    "url": (1, [
+        ("url_id", 0, "key"),
+        ("url", 2, "text"),
+    ]),
+    # harvest_mb_artists.py:186-222 — len>=4; 2=artist, 3=url
+    "l_artist_url": (4, [
+        ("artist_id", 2, "key"),
+        ("url_id", 3, "key"),
+    ]),
+    # harvest_mb_artists.py:300-329 — the full 17-column artist row
+    "artist_full": (17, [
+        ("artist_id", 0, "key"),
+        ("artist_mbid", 1, "text"),
+        ("artist_name", 2, "text"),
+        ("begin_year", 4, "int"),
+        ("begin_month", 5, "int"),
+        ("begin_day", 6, "int"),
+        ("end_year", 7, "int"),
+        ("end_month", 8, "int"),
+        ("end_day", 9, "int"),
+        ("artist_type", 10, "int"),
+        ("area", 11, "int"),
+        ("gender", 12, "int"),
+        ("disambiguation", 13, "text"),
+        ("ended", 16, "bool"),
+    ]),
 }
 
 #: non-NULL text requirements beyond key ints (the routing loop's
@@ -132,6 +159,7 @@ MEMBER_SPECS: dict[str, tuple[int, list[tuple[str, int, str]]]] = {
 _REQUIRED_TEXT: dict[str, tuple[str, ...]] = {
     "work_alias": ("alias",),
     "iswc": ("iswc",),
+    "url": ("url",),
 }
 
 
@@ -476,3 +504,64 @@ def derive_role_labels(
     no_primary = lt.filter(primary.isNull()).select("link_id")
     fallback = attr_names.join(no_primary, "link_id", "left_semi")
     return with_primary.unionByName(fallback).dropDuplicates()
+
+
+#: harvest_mb_artists.py:33-36 — URL-registry routing patterns.
+WIKIDATA_ENTITY_PREFIX = "http://www.wikidata.org/entity/"
+_WIKIDATA_URL_RE = r"(?i)wikidata\.org/.+?(Q\d+)"
+_ALLMUSIC_URL_RE = r"(?i)(mn\d{10})"
+
+
+def parse_external_links(url: DataFrame) -> DataFrame:
+    """The URL registry (harvest_mb_artists.py:64-75, 164-180):
+    (url_id, source, norm_id) for supported URL types — wikidata checked
+    FIRST (qid uppercased), then allmusic (mnid lowercased); unsupported
+    URLs drop. Pure regexp expressions on the url member frame."""
+    wd = F.upper(F.regexp_extract(F.col("url"), _WIKIDATA_URL_RE, 1))
+    am = F.lower(F.regexp_extract(F.col("url"), _ALLMUSIC_URL_RE, 1))
+    source = (
+        F.when(wd != "", F.lit("wikidata"))
+        .when(am != "", F.lit("allmusic"))
+    )
+    norm = F.when(wd != "", wd).when(am != "", am)
+    return (
+        url.select("url_id", source.alias("source"), norm.alias("norm_id"))
+        .filter(F.col("source").isNotNull())
+    )
+
+
+def harvest_artists(
+    url: DataFrame,
+    l_artist_url: DataFrame,
+    artist: DataFrame,
+    pos_col: str = "pos",
+) -> DataFrame:
+    """The musicbrainz_artists emission (harvest_mb_artists.py:138-345):
+    route the URL registry, resolve artist↔URL relationships — the
+    reference's dict assignment means the LAST link in stream order wins
+    per (artist, source), replicated as max_by over the source-order
+    column — and attach wikidata_uri / wikidata_id / allmusic_mnid to
+    the full artist rows.
+
+    ``l_artist_url`` must carry ``pos_col`` (parse_member passthrough).
+    url_map broadcasts (the relevant registry subset is tiny next to the
+    link fact); the only shuffle is the per-artist last-link aggregate.
+    """
+    url_map = F.broadcast(parse_external_links(url).dropDuplicates(["url_id"]))
+    links = l_artist_url.join(url_map, "url_id")
+    is_wd = F.col("source") == "wikidata"
+    is_am = F.col("source") == "allmusic"
+    agg = links.groupBy("artist_id").agg(
+        F.max_by(
+            F.when(is_wd, F.col("norm_id")), F.when(is_wd, F.col(pos_col))
+        ).alias("wikidata_id"),
+        F.max_by(
+            F.when(is_am, F.col("norm_id")), F.when(is_am, F.col(pos_col))
+        ).alias("allmusic_mnid"),
+    )
+    out = artist.join(agg, "artist_id", "left")
+    uri = F.when(
+        F.col("wikidata_id").startswith("Q"),
+        F.concat(F.lit(WIKIDATA_ENTITY_PREFIX), F.col("wikidata_id")),
+    )
+    return out.withColumn("wikidata_uri", uri)

@@ -93,8 +93,12 @@ def test_read_member_dir(spark, tmp_path):
 
 
 def test_member_specs_cover_reference_targets():
-    # harvest_mb_works.py:296-311 target_members — all 15 routed
-    assert len(MEMBER_SPECS) == 15
+    # harvest_mb_works.py:296-311 target_members (15) plus the artists
+    # harvest's url / l_artist_url / full artist row (harvest_mb_artists
+    # .py:156) — 18 member layouts routed
+    assert len(MEMBER_SPECS) == 18
+    for m in ("url", "l_artist_url", "artist_full"):
+        assert m in MEMBER_SPECS
     for m in (
         "link_type", "link", "link_attribute_type",
         "link_attribute_text_value", "link_attribute_credit",
