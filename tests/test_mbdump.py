@@ -182,3 +182,105 @@ def test_derive_role_labels_precedence(spark):
     assert got[2] == {"performed"}
     assert got[3] == {"revision of"}
     assert got[4] == {"guitar", "alt101"}  # several labels + name fallback
+
+
+# ---------------------------------------------------------------------------
+# property tests: the parsers' guards hold for arbitrary input lines
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_CELL = st.one_of(
+    st.just(r"\N"),
+    st.just(""),
+    st.just("  "),
+    st.integers(-5, 5000).map(str),
+    st.text(
+        alphabet=st.characters(blacklist_characters="\t\n\r", max_codepoint=0x2FF),
+        max_size=8,
+    ),
+)
+_LINE = st.lists(_CELL, min_size=0, max_size=12).map("\t".join)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(lines=st.lists(_LINE, min_size=1, max_size=20))
+def test_parse_member_guards_hold_for_arbitrary_lines(spark, lines):
+    from tagminder_spark.sources.mbdump import MEMBER_SPECS
+
+    df = spark.createDataFrame([(x,) for x in lines], "value string")
+    for member in ("work", "l_artist_work", "link", "url", "artist_full"):
+        min_len, cols = MEMBER_SPECS[member]
+        rows = parse_member(df, member).collect()
+        for r in rows:
+            d = r.asDict()
+            for name, _, kind in cols:
+                if kind == "key":
+                    assert d[name] is not None          # key guard
+                if kind == "text" and d[name] is not None:
+                    v = d[name]
+                    assert v == v.strip() and v not in ("", r"\N")  # clean
+                if kind == "bool":
+                    assert d[name] in (0, 1)
+        # row count never exceeds lines that are wide enough
+        wide = [x for x in lines if len(x.split("\t")) >= min_len]
+        assert len(rows) <= len(wide)
+
+
+def test_parse_member_matches_reference_model(spark):
+    """Pin the Spark parser against a pure-python replay of the
+    reference's parse loop for the work member (harvest_mb_works.py
+    :411-429) on a tricky fixed corpus."""
+
+    def ref_parse(lines):
+        out = []
+        for line in lines:
+            row = line.split("\t")
+            if len(row) < 3:
+                continue
+            def clean(v):
+                if v is None:
+                    return None
+                t = v.strip()
+                return None if t in ("", r"\N") else t
+            def to_int(v):
+                c = clean(v)
+                if c is None:
+                    return None
+                try:
+                    return int(c)
+                except ValueError:
+                    return None
+            wid = to_int(row[0])
+            if wid is None:
+                continue
+            out.append((
+                wid, clean(row[1]), clean(row[2]),
+                to_int(row[3]) if len(row) > 3 else None,
+                clean(row[4]) if len(row) > 4 else None,
+            ))
+        return sorted(out)
+
+    corpus = [
+        "1\tg\t Title \t2\tc",
+        "2\tg2\tT2",
+        " 3 \tg3\tT3\tnope\t\\N",
+        "4\t\\N\t\\N\t\\N",
+        "\\N\tg\tT",
+        "x\tg\tT",
+        "short",
+        "5\tg5\tT5\t6\tc5\textra\tcols",
+        "6\t  \t\t7",
+    ]
+    df = spark.createDataFrame([(x,) for x in corpus], "value string")
+    got = sorted(
+        (r.work_id, r.musicbrainz_workid, r.work_title, r.work_type_id,
+         r.work_disambiguation)
+        for r in parse_member(df, "work").collect()
+    )
+    assert got == ref_parse(corpus)
