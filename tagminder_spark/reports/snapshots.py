@@ -122,20 +122,18 @@ def snapshot_compare(
     no shuffle of consequence at any scale."""
 
     def melt(snap: DataFrame, suffix: str) -> DataFrame:
-        pieces = [
-            snap.select(
-                F.lit(c).alias("column"),
-                (F.col(f"nonblank_{c}") / F.col("total_rows")).alias(
-                    f"track_{suffix}"
-                ),
-                F.col(f"album_ratio_{c}").alias(f"album_{suffix}"),
-            )
+        # stack(): ONE reference to the snapshot frame — a union of
+        # per-column selects would re-evaluate the underlying two-level
+        # aggregation once per column (audited: 12 scans of the input
+        # for a 3-column compare; stack makes it 4)
+        args = ", ".join(
+            f"'{c}', nonblank_{c} / total_rows, album_ratio_{c}"
             for c in columns
-        ]
-        out = pieces[0]
-        for p in pieces[1:]:
-            out = out.unionByName(p)
-        return out
+        )
+        return snap.selectExpr(
+            f"stack({len(columns)}, {args})"
+            f" AS (column, track_{suffix}, album_{suffix})"
+        )
 
     b = melt(before, "before")
     a = melt(after, "after")

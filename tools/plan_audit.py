@@ -50,15 +50,28 @@ def audit(plan: str) -> dict:
 def main() -> None:
     import os
 
-    from bench import HEADLINE
+    from bench import EXTRA, HEADLINE
 
     import __spark_entry__ as entry
     from tagminder_spark.session import get_spark
 
+    # round-4 source/harvest gates: not in the bench sets but their
+    # join-graph plans are exactly what the scale audit should see
+    R4_GATES = [
+        "s14_mb_member_routing",
+        "s14_works_enrich",
+        "s14_related_works",
+        "s14_role_labels",
+        "s14_artists_harvest",
+        "s14_works_lookup",
+        "v89_validate_vetted",
+        "r91_snapshot_compare",
+    ]
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
     )
-    only = sys.argv[2:] or HEADLINE
+    only = sys.argv[2:] or (HEADLINE + EXTRA + R4_GATES)
     spark = get_spark("plan_audit")
     qs = entry.queries()
     for name in only:
