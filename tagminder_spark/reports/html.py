@@ -135,3 +135,68 @@ P.forEach(([px, py], i) => x.fillText(G.names[i], px + 3, py));
     out.parent.mkdir(parents=True, exist_ok=True)
     out.write_text(page)
     return out
+
+
+def render_compare_dashboard(
+    deltas: DataFrame,
+    out_path: str | Path,
+    title: str = "library health compare",
+    changelog_summary: DataFrame | None = None,
+) -> Path:
+    """The compare-HTML sink (reference scripts/snapshots/
+    91-snapshot-library-health-after.py:991-1055 writes
+    ``tagminder-library-health-compare.html`` from the before/after
+    coverage overlay). Input is ``snapshot_compare``'s per-column delta
+    frame; bars are rendered as dependency-free inline-block divs (the
+    reference uses Plotly — not in this container) with the same
+    before/after overlay semantics. Optionally embeds the changelog
+    summary table (the "What Changed" panel, :903-918).
+
+    All aggregation stayed distributed; only the per-column delta rows
+    (bounded by the column contract) are collected here.
+    """
+    rows = deltas.collect()
+
+    def bar(v: float | None, color: str) -> str:
+        pct = 0.0 if v is None else max(0.0, min(1.0, float(v))) * 100
+        return (
+            f'<div style="background:{color};width:{pct:.1f}%;'
+            f'height:10px"></div>'
+        )
+
+    def fmt(v) -> str:
+        return "—" if v is None else f"{float(v):.1%}"
+
+    def sign(v) -> str:
+        if v is None:
+            return "—"
+        s = f"{float(v):+.1%}"
+        return f'<span style="color:{"#060" if v >= 0 else "#900"}">{s}</span>'
+
+    body = [
+        "<table><caption>Tag completeness — before vs after</caption>",
+        "<tr><th>column</th><th>track before</th><th>track after</th>"
+        "<th>Δ track</th><th>album before</th><th>album after</th>"
+        "<th>Δ album</th><th></th></tr>",
+    ]
+    for r in rows:
+        overlay = (
+            f'<div style="width:160px">{bar(r.track_before, "#b9a")}'
+            f'{bar(r.track_after, "#47a")}</div>'
+        )
+        body.append(
+            "<tr>"
+            f"<td>{html.escape(str(r.column))}</td>"
+            f"<td>{fmt(r.track_before)}</td><td>{fmt(r.track_after)}</td>"
+            f"<td>{sign(r.track_delta)}</td>"
+            f"<td>{fmt(r.album_before)}</td><td>{fmt(r.album_after)}</td>"
+            f"<td>{sign(r.album_delta)}</td>"
+            f"<td>{overlay}</td></tr>"
+        )
+    body.append("</table>")
+    sections = "".join(body)
+    if changelog_summary is not None:
+        sections += _table("What changed — by column", changelog_summary, 200)
+    out = Path(out_path)
+    out.write_text(_PAGE.format(title=html.escape(title), sections=sections))
+    return out

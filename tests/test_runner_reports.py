@@ -325,3 +325,24 @@ def test_tui_search_nodes(spark):
     assert hits == [("Gamma", 2)]
     text = render_search_results(edges, "a")
     assert "Alpha  (2 links)" in text
+
+
+def test_render_compare_dashboard(spark, tmp_path):
+    from tagminder_spark.reports.html import render_compare_dashboard
+
+    deltas = spark.createDataFrame(
+        [("title", 0.75, 0.80, 0.05, 0.7, 0.78, 0.08),
+         ("artist", 0.66, 0.66, 0.0, 0.6, 0.6, 0.0)],
+        "column string, track_before double, track_after double, "
+        "track_delta double, album_before double, album_after double, "
+        "album_delta double",
+    )
+    cl = spark.createDataFrame(
+        [("title", 120)], "alib_column string, n_changes long"
+    )
+    out = render_compare_dashboard(deltas, tmp_path / "compare.html",
+                                   changelog_summary=cl)
+    text = out.read_text()
+    assert "before vs after" in text
+    assert "+5.0%" in text and "75.0%" in text
+    assert "What changed" in text and "120" in text
