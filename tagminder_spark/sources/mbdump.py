@@ -565,3 +565,91 @@ def harvest_artists(
         F.concat(F.lit(WIKIDATA_ENTITY_PREFIX), F.col("wikidata_id")),
     )
     return out.withColumn("wikidata_uri", uri)
+
+
+def work_role_pairs(
+    l_artist_work: DataFrame,
+    link: DataFrame,
+    link_type: DataFrame,
+    artist: DataFrame,
+    mv_delim: str = "\\\\",
+) -> DataFrame:
+    """Per-work sorted ``role:artist`` pair emission over member frames
+    (harvest_mb_works.py:526-543 aggregation loop → ``_mv_role_pairs``
+    :201-214): resolve each l_artist_work edge's role through
+    link→link_type, pair it with the artist name, and aggregate
+    sorted-distinct multi-value cells per work. Dimension members
+    broadcast; the one shuffle is the per-work aggregate."""
+    toks = (
+        l_artist_work.join(
+            F.broadcast(link.select("link_id", "link_type_id")), "link_id"
+        )
+        .join(
+            F.broadcast(
+                link_type.select("link_type_id", "rel_name").dropDuplicates(
+                    ["link_type_id"]
+                )
+            ),
+            "link_type_id",
+        )
+        .join(
+            F.broadcast(
+                artist.select("artist_id", "artist_name").dropDuplicates(
+                    ["artist_id"]
+                )
+            ),
+            "artist_id",
+        )
+        .filter(F.col("rel_name").isNotNull() & F.col("artist_name").isNotNull())
+        .select(
+            "work_id",
+            F.concat(F.col("rel_name"), F.lit(":"), F.col("artist_name")).alias(
+                "tok"
+            ),
+        )
+    )
+    return toks.groupBy("work_id").agg(
+        F.array_join(F.sort_array(F.collect_set("tok")), mv_delim).alias(
+            "role_pairs"
+        ),
+        F.count_distinct("tok").alias("n_pairs"),
+    )
+
+
+def works_lookup(members: dict[str, DataFrame], mv_delim: str = "\\\\") -> DataFrame:
+    """The complete works lookup table from ONE set of member frames
+    (harvest_mb_works.py [5/6] final_df): metadata resolution + role
+    pairs + related-works lineage, left-joined on work_id. ``members``
+    is the dict shape ``read_member_dir`` / ``stream_tar_members``
+    return (work_language must carry a ``pos`` column via passthrough).
+    Each member parses ONCE here — the per-phase gate queries rebuild
+    their members independently only because their oracles replay the
+    same construction."""
+    enriched = resolve_works(
+        members["work"],
+        members["work_type"],
+        members["work_language"],
+        members["language"],
+        members["work_alias"],
+        members["iswc"],
+        mv_delim=mv_delim,
+    )
+    roles = work_role_pairs(
+        members["l_artist_work"],
+        members["link"],
+        members["link_type"],
+        members["artist"],
+        mv_delim=mv_delim,
+    )
+    related = related_works(
+        members["work"],
+        members["l_work_work"],
+        members["link"],
+        members["link_type"],
+        mv_delim=mv_delim,
+    )
+    return (
+        enriched.join(roles, "work_id", "left")
+        .join(related, "work_id", "left")
+        .withColumn("n_pairs", F.coalesce(F.col("n_pairs"), F.lit(0)))
+    )

@@ -284,3 +284,41 @@ def test_parse_member_matches_reference_model(spark):
         for r in parse_member(df, "work").collect()
     )
     assert got == ref_parse(corpus)
+
+
+def test_works_lookup_from_member_dict(spark, tmp_path):
+    """End-to-end: a member directory routes through read_member_dir and
+    works_lookup assembles the final frame from ONE parse per member."""
+    from tagminder_spark.sources.mbdump import read_member_dir, works_lookup
+
+    root = tmp_path / "dump"
+    root.mkdir()
+    files = {
+        "work": ["1\tw-1\tSymphony\t7\t\\N", "2\tw-2\tSong Two"],
+        "work_type": ["7\tSymphonic"],
+        "language": ["3\tde\tGerman"],
+        "work_language": ["1\t3\t1"],
+        "work_alias": ["0\t1\tAlias A", "0\t1\tAlias B"],
+        "iswc": ["0\t2\tT-9"],
+        "l_artist_work": ["0\t10\t100\t1"],
+        "l_work_work": ["0\t10\t1\t2"],
+        "link": ["10\t20\ta\tb\tc\td\te\tf\tg\th\t1"],
+        "link_type": ["20\t\\N\t0\tg\tartist\twork\tcomposer\t\\N\tp\tq"],
+        "artist": ["100\tam-1\tMaestro"],
+    }
+    for m, lines in files.items():
+        (root / m).write_text("\n".join(lines) + "\n")
+    members = read_member_dir(spark, str(root), members=list(files))
+    from pyspark.sql import functions as F
+
+    members["work_language"] = members["work_language"].withColumn(
+        "pos", F.lit(0)
+    )
+    rows = {r.work_id: r for r in works_lookup(members).collect()}
+    assert rows[1].work_type_name == "Symphonic"
+    assert rows[1].language_code == "de" and rows[1].language_name == "German"
+    assert rows[1].aliases == "Alias A\\\\Alias B"
+    assert rows[1].role_pairs == "composer:Maestro" and rows[1].n_pairs == 1
+    assert rows[1].related_work_titles == "Song Two"
+    assert rows[2].related_work_titles == "Symphony"
+    assert rows[2].iswcs == "T-9" and rows[2].n_pairs == 0
