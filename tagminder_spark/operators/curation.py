@@ -1,0 +1,310 @@
+"""Training-data curation operators: the filtering / sampling / packing
+passes a large-scale LLM data pipeline runs between raw ingest and
+tokenization.  All column-expression or narrow-shuffle implementations —
+no Python in the hot path.
+
+Family (each has an exact DuckDB oracle in queries/curation_q.py):
+
+- **Repetition metrics** (Gopher-style, Rae et al. 2021 §A1.1): fraction
+  of tokens taken by the single most frequent word, by the most frequent
+  bigram, and the fraction of trigram occurrences that are duplicates.
+  Documents exceeding the thresholds are flagged, not dropped — the flag
+  composes with any downstream policy.
+- **Benchmark decontamination** (GPT-3 paper §C / PaLM §7): any document
+  sharing a word 8-gram with a held-out benchmark set is flagged.  The
+  benchmark n-gram set is tiny relative to the corpus → broadcast
+  semi-join; the corpus side is a map-side explode with no shuffle of
+  document text.
+- **Deterministic hash sampling** with per-stratum temperature rates
+  (multilingual mixture balancing à la mT5): keep-decision is a pure
+  function of the stable document id (md5-prefix as uniform[0,1)), so
+  the sample is reproducible across runs/engines and needs no RNG state.
+- **Sequence packing**: documents are packed into fixed token-budget
+  shards per language partition via a cumulative-sum window — the
+  pre-tokenization sharding step of a training run.
+- **Per-source quota** (domain capping): top-k documents per source by
+  a deterministic priority, bounding any one domain's contribution.
+- **Quality buckets** (CCNet, Wenzek et al. 2020): per-language ntile
+  into head/middle/tail by quality score.
+
+Scale notes (100 TB): repetition metrics and decontamination are the two
+that touch every token — both are a single explode + partial-aggregated
+groupBy(doc_id, gram) whose key cardinality is bounded by corpus token
+count; no pairwise joins anywhere.  Packing's window is partitioned by
+language (parallel across partitions); for a single giant language,
+pre-split by (lang, doc_id range) and pack each range independently —
+the budget boundary error is at most one document per range.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# ---------------------------------------------------------------------------
+# shared primitives
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """Word n-grams of a whitespace-tokenized text column, as an array of
+    space-joined strings.  Guarded: Spark's ``sequence(1, 0)`` counts
+    DOWN (yielding [1, 0]), so short documents must short-circuit to an
+    empty array rather than rely on an empty sequence."""
+    toks = F.split(F.trim(col), " ")
+    n_grams = F.size(toks) - F.lit(n - 1)
+    idx = F.sequence(F.lit(1), n_grams)
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.when(n_grams >= 1, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def uniform_hash(col: Column) -> Column:
+    """Deterministic uniform[0, 1) from any key column: the first 8 hex
+    digits of md5 as an integer over 16^8.  Identical in DuckDB
+    (``CAST('0x' || substring(md5(x),1,8) AS BIGINT) / 4294967296.0``)."""
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+    return h.cast("long") / F.lit(4294967296.0)
+
+
+# ---------------------------------------------------------------------------
+# repetition metrics (Gopher rules)
+
+
+def repetition_metrics(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    top_word_max: float = 0.20,
+    top_bigram_max: float = 0.18,
+    dup_trigram_max: float = 0.30,
+) -> DataFrame:
+    """Per-document repetition statistics + a pass/fail flag.
+
+    One explode per n-gram order, aggregated by (doc, gram) with
+    map-side partial aggregation; the per-doc rollup then reduces to one
+    row per document.  The most-frequent-gram count uses ``max(cnt)``
+    (not the gram itself) so ties cannot make the result nondeterministic.
+    """
+
+    def top_frac(n: int) -> DataFrame:
+        grams = docs.select(
+            F.col(id_col),
+            F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+        )
+        per_gram = grams.groupBy(id_col, "gram").agg(F.count("*").alias("cnt"))
+        return per_gram.groupBy(id_col).agg(
+            F.sum("cnt").alias(f"n_{n}grams"),
+            F.max("cnt").alias(f"top_{n}gram_cnt"),
+            F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(0)).alias(
+                f"dup_{n}gram_occ"
+            ),
+        )
+
+    uni = top_frac(1)
+    bi = top_frac(2)
+    tri = top_frac(3)
+    out = (
+        docs.select(id_col)
+        .join(uni, id_col, "left")
+        .join(bi, id_col, "left")
+        .join(tri, id_col, "left")
+    )
+    top_word = F.col("top_1gram_cnt") / F.col("n_1grams")
+    top_bigram = F.col("top_2gram_cnt") / F.col("n_2grams")
+    dup_trigram = F.col("dup_3gram_occ") / F.col("n_3grams")
+    return out.select(
+        id_col,
+        F.col("n_1grams").cast("int").alias("n_words"),
+        F.round(top_word, 6).cast("double").alias("top_word_frac"),
+        F.round(top_bigram, 6).cast("double").alias("top_bigram_frac"),
+        F.round(dup_trigram, 6).cast("double").alias("dup_trigram_frac"),
+        (
+            (top_word <= top_word_max)
+            & (top_bigram <= top_bigram_max)
+            & (dup_trigram <= dup_trigram_max)
+        )
+        .cast("int")
+        .alias("passes_repetition"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 8,
+) -> DataFrame:
+    """Flag corpus documents sharing any word ``n``-gram with the
+    benchmark set.
+
+    The benchmark gram set is distinct-ed and **broadcast** — at 100 TB
+    the corpus side never shuffles; contamination is decided map-side and
+    only the (doc_id, hit-count) pairs are aggregated."""
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+        )
+        .distinct()
+    )
+    corpus_grams = docs.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    )
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "gram", "inner")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated_grams"))
+    )
+    return docs.select(id_col).join(hits, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_contaminated_grams"), F.lit(0))
+        .cast("int")
+        .alias("n_contaminated_grams"),
+        (F.coalesce(F.col("n_contaminated_grams"), F.lit(0)) > 0)
+        .cast("int")
+        .alias("is_contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic temperature sampling
+
+
+def temperature_sample(
+    docs: DataFrame,
+    strata: list[str],
+    id_col: str = "doc_id",
+    *,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Deterministic stratified sampling with temperature-balanced rates.
+
+    Stratum weight ∝ N^alpha (alpha<1 upweights small strata, mT5 §3.2);
+    per-stratum keep-rate is (N_s / N_min)^(alpha-1) so the smallest
+    stratum keeps everything.  The keep decision hashes the document id —
+    reproducible, engine-independent, and purely map-side after one tiny
+    aggregate (stratum counts) that broadcasts back."""
+    counts = docs.groupBy(*strata).agg(F.count("*").alias("n_s"))
+    n_min = counts.agg(F.min("n_s").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        *strata,
+        F.pow(F.col("n_s") / F.col("n_min"), F.lit(alpha - 1.0)).alias(
+            "keep_rate"
+        ),
+    )
+    u = uniform_hash(F.col(id_col))
+    return (
+        docs.join(F.broadcast(rates), strata, "inner")
+        .where(u < F.col("keep_rate"))
+        .select(
+            id_col,
+            *strata,
+            F.round(F.col("keep_rate"), 6).cast("double").alias("keep_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partition_col: str = "lang",
+    *,
+    budget: int = 512,
+) -> DataFrame:
+    """Pack documents into fixed token-budget shards, per partition
+    column, in stable ``id_col`` order: a document starts a new shard
+    when its start offset crosses a budget boundary (contiguous fill —
+    the streaming-friendly packing a tokenizer shard-writer uses).
+
+    Output: one row per shard with document/token rollups.  The window
+    is partitioned by ``partition_col`` so packing parallelizes across
+    languages; see module docstring for the single-giant-partition path.
+    """
+    toks = F.size(F.split(F.trim(F.col(text_col)), " "))
+    w = Window.partitionBy(partition_col).orderBy(id_col)
+    packed = docs.select(
+        F.col(partition_col), F.col(id_col), toks.alias("n_tokens")
+    ).withColumn(
+        "start_offset",
+        F.coalesce(
+            F.sum("n_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).withColumn(
+        "shard_id", F.floor(F.col("start_offset") / F.lit(budget))
+    )
+    return packed.groupBy(partition_col, "shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-source quota
+
+
+def source_quota(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    *,
+    k: int = 25,
+) -> DataFrame:
+    """Cap any one source's contribution at its top-``k`` documents by
+    (n_chars desc, id asc) — the domain-balancing pass that stops one
+    crawl host from dominating a mixture.  Single shuffle on the source
+    key; skewed sources are bounded by the rank cutoff itself."""
+    w = Window.partitionBy(source_col).orderBy(
+        F.col("n_chars").desc(), F.col(id_col).asc()
+    )
+    return (
+        docs.withColumn("rank_in_source", F.row_number().over(w))
+        .where(F.col("rank_in_source") <= k)
+        .select(id_col, source_col, "n_chars", "rank_in_source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style quality buckets
+
+
+def quality_buckets(
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    partition_col: str = "lang",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Per-language head/middle/tail terciles by quality score (CCNet's
+    perplexity-bucket split, with this engine's quality score standing in
+    for the LM perplexity).  Fully tie-broken ordering (score desc, id
+    asc) keeps ntile deterministic across engines."""
+    w = Window.partitionBy(partition_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    tile = F.ntile(3).over(w)
+    return scored.select(
+        id_col,
+        partition_col,
+        F.col(score_col).cast("double").alias(score_col),
+        tile.alias("tercile"),
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), tile
+        ).alias("bucket"),
+    )

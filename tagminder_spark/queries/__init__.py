@@ -50,7 +50,8 @@ GATE_WINDOW: tuple[str, ...] = (
     "w_group_count_attached",
     "t_sessionize",
     "f_json_extract",
-    "p_truthy_flags",
+    # p_truthy_flags: green r2+r3, moved into suite_core in round 4 to
+    # free this slot for suite_curation (still registered individually)
     "t_tumbling_window",
     # round-3 feature gates (the round-1 hash recoveries a_pivot_status /
     # p_md5_validity / p_blank_normalize — green twice running — moved
@@ -83,12 +84,16 @@ GATE_WINDOW: tuple[str, ...] = (
     "suite_dedup_audit",
     "suite_textscale",
     "suite_reports",
+    # round 4: training-data curation family (repetition filter,
+    # decontamination, temperature sampling, packing, quotas, buckets)
+    "suite_curation",
 )
 
 
 def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from tagminder_spark.queries import (  # noqa: PLC0415
         audit,
+        curation_q,
         dedup,
         er_q,
         harvest_q,
@@ -117,6 +122,7 @@ def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
         relational,
         relational_ext,
         scalarfns,
+        curation_q,
         dedup,
         er_q,
         harvest_q,

@@ -1,0 +1,218 @@
+"""Training-data curation queries over the documents table: Gopher-style
+repetition filtering, benchmark decontamination, deterministic
+temperature sampling, token-budget sequence packing, per-source quotas,
+and CCNet-style quality buckets.
+
+Each delegates to ``tagminder_spark.operators.curation`` and carries an
+exact DuckDB oracle; all six ride the ``suite_curation`` recorded gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tagminder_spark.operators.curation import (
+    decontaminate,
+    pack_sequences,
+    quality_buckets,
+    repetition_metrics,
+    source_quota,
+    temperature_sample,
+)
+from tagminder_spark.operators.text import quality_score
+from tagminder_spark.queries import QueryFn
+from tagminder_spark.session import load_table
+
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+# DuckDB twin of operators.curation.word_ngrams over a pre-split `arr`:
+# 1-based inclusive list slices, upper bound excluded by range().
+def _grams_sql(n: int) -> str:
+    if n == 1:
+        return "arr"
+    return (
+        f"[array_to_string(arr[i:i+{n - 1}], ' ') "
+        f"for i in range(1, len(arr) - {n - 2})]"
+    )
+
+
+_TOKS_CTE = (
+    "toks AS (SELECT doc_id, lang, source,"
+    " string_split(trim(text), ' ') AS arr FROM documents)"
+)
+
+
+def _rep_branch(n: int) -> str:
+    return f"""
+g{n} AS (SELECT doc_id, unnest({_grams_sql(n)}) AS gram FROM toks),
+c{n} AS (SELECT doc_id, gram, count(*) AS cnt FROM g{n} GROUP BY doc_id, gram),
+a{n} AS (SELECT doc_id, sum(cnt) AS n_{n}grams, max(cnt) AS top_{n}gram_cnt,
+                sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS dup_{n}gram_occ
+         FROM c{n} GROUP BY doc_id)"""
+
+
+_REPETITION_SQL = f"""
+WITH {_TOKS_CTE},
+{_rep_branch(1)},
+{_rep_branch(2)},
+{_rep_branch(3)}
+SELECT d.doc_id,
+       CAST(a1.n_1grams AS INT) AS n_words,
+       CAST(ROUND(a1.top_1gram_cnt * 1.0 / a1.n_1grams, 6) AS DOUBLE) AS top_word_frac,
+       CAST(ROUND(a2.top_2gram_cnt * 1.0 / a2.n_2grams, 6) AS DOUBLE) AS top_bigram_frac,
+       CAST(ROUND(a3.dup_3gram_occ * 1.0 / a3.n_3grams, 6) AS DOUBLE) AS dup_trigram_frac,
+       CASE WHEN a1.top_1gram_cnt * 1.0 / a1.n_1grams <= 0.20
+             AND a2.top_2gram_cnt * 1.0 / a2.n_2grams <= 0.18
+             AND a3.dup_3gram_occ * 1.0 / a3.n_3grams <= 0.30
+            THEN 1 ELSE 0 END AS passes_repetition
+FROM documents d
+LEFT JOIN a1 USING (doc_id)
+LEFT JOIN a2 USING (doc_id)
+LEFT JOIN a3 USING (doc_id)
+"""
+
+
+@q("cur_repetition", _REPETITION_SQL)
+def cur_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rules (Rae et al. 2021 §A1.1): top-word /
+    top-bigram / duplicate-trigram fractions + pass flag.  Explode →
+    partial-agg groupBy — the 100 TB cost is one shuffle keyed on
+    (doc, gram) with no pairwise work."""
+    return repetition_metrics(load_table(spark, sf_dir, "documents"))
+
+
+_DECONTAM_SQL = f"""
+WITH {_TOKS_CTE},
+bench AS (SELECT DISTINCT gram
+          FROM (SELECT unnest({_grams_sql(4)}) AS gram FROM toks
+                WHERE doc_id % 97 = 0)),
+corpus AS (SELECT doc_id, unnest({_grams_sql(4)}) AS gram FROM toks),
+hits AS (SELECT doc_id, count(*) AS n
+         FROM corpus JOIN bench USING (gram) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(h.n, 0) AS INT) AS n_contaminated_grams,
+       CASE WHEN coalesce(h.n, 0) > 0 THEN 1 ELSE 0 END AS is_contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
+@q("cur_decontaminate", _DECONTAM_SQL)
+def cur_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 §C): flag corpus documents that
+    share a word n-gram with the held-out set (here: every 97th doc id
+    stands in for the benchmark).  The benchmark gram set broadcasts;
+    the corpus side is decided map-side.  Gate uses n=4 so the synthetic
+    corpus yields cross-document hits (8 beyond the 6 benchmark
+    self-hits); production default is n=8."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, bench, n=4)
+
+
+_SAMPLE_SQL = """
+WITH c AS (SELECT lang, source, count(*) AS n_s FROM documents GROUP BY lang, source),
+r AS (SELECT lang, source,
+             pow(n_s * 1.0 / (SELECT min(n_s) FROM c), -0.5) AS keep_rate
+      FROM c)
+SELECT d.doc_id, d.lang, d.source,
+       CAST(ROUND(r.keep_rate, 6) AS DOUBLE) AS keep_rate
+FROM documents d JOIN r USING (lang, source)
+WHERE CAST(concat('0x', substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      / 4294967296.0 < r.keep_rate
+"""
+
+
+@q("cur_temperature_sample", _SAMPLE_SQL)
+def cur_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic temperature sampling (mT5 §3.2, alpha=0.5) over
+    (lang, source) strata: keep-rate (N_s/N_min)^(alpha-1), keep
+    decision = md5-prefix uniform hash of doc_id — reproducible, no RNG
+    state, purely map-side after a broadcast of the stratum rates."""
+    return temperature_sample(
+        load_table(spark, sf_dir, "documents"), ["lang", "source"], alpha=0.5
+    )
+
+
+_PACK_SQL = """
+WITH t AS (SELECT lang, doc_id,
+                  len(string_split(trim(text), ' ')) AS n_tokens
+           FROM documents),
+p AS (SELECT lang, doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS start_offset
+      FROM t)
+SELECT lang, CAST(floor(start_offset / 512) AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM p GROUP BY lang, shard_id
+"""
+
+
+@q("cur_pack_shards", _PACK_SQL)
+def cur_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: cumulative-sum window per language
+    assigns each doc a shard; rollup emits per-shard doc/token counts.
+    Window parallelizes across languages; a single giant language is
+    pre-split by id range (see operators.curation docstring)."""
+    return pack_sequences(load_table(spark, sf_dir, "documents"), budget=512)
+
+
+_QUOTA_SQL = """
+SELECT doc_id, source, n_chars, rank_in_source
+FROM (SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                 ORDER BY n_chars DESC, doc_id ASC) AS rank_in_source
+      FROM documents)
+WHERE rank_in_source <= 15
+"""
+
+
+@q("cur_source_quota", _QUOTA_SQL)
+def cur_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota: top-15 docs per source by (n_chars desc, id) —
+    domain capping so no crawl host dominates the mixture.  One shuffle
+    on the source key; output bounded by k×|sources| (the testdata has
+    exactly 25 docs per source, so k=15 makes the cutoff load-bearing)."""
+    return source_quota(load_table(spark, sf_dir, "documents"), k=15)
+
+
+# quality expression twin: textops._QUALITY_SQL reprojected for buckets
+from tagminder_spark.queries.textops import _QUALITY_SQL  # noqa: E402
+
+_BUCKETS_SQL = f"""
+WITH q AS ({_QUALITY_SQL}),
+j AS (SELECT q.doc_id, d.lang, CAST(q.quality AS DOUBLE) AS quality
+      FROM q JOIN documents d USING (doc_id)),
+t AS (SELECT doc_id, lang, quality,
+             ntile(3) OVER (PARTITION BY lang
+                 ORDER BY quality DESC, doc_id ASC) AS tercile
+      FROM j)
+SELECT doc_id, lang, quality, tercile,
+       CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM t
+"""
+
+
+@q("cur_quality_buckets", _BUCKETS_SQL)
+def cur_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail terciles (Wenzek et al. 2020) per language,
+    with the engine's quality score standing in for LM perplexity.
+    Fully tie-broken ordering keeps ntile deterministic across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "lang", quality_score(F.col("text")).alias("quality")
+    )
+    return quality_buckets(scored)

@@ -66,6 +66,9 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
         ),
         "p_md5_validity": (["source"], [("n_rows", "num"), ("n_invalid", "num")]),
         "p_blank_normalize": (["source"], [("n_blank", "num"), ("n_set", "num")]),
+        # round-4 window swap: green individually in r2+r3, moved here to
+        # free the slot for suite_curation (stays registered individually)
+        "p_truthy_flags": (["event_type"], [("n", "num"), ("n_truthy", "num")]),
     },
     # joins, graph, set ops, scalar-string functions
     "suite_shapes": {
@@ -186,6 +189,37 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
             [("nfc_md5", "str"), ("nfc_len", "num"), ("already_nfc", "num")],
         ),
     },
+    # training-data curation family (round 4)
+    "suite_curation": {
+        "cur_repetition": (
+            ["doc_id"],
+            [("n_words", "num"), ("top_word_frac", "num"),
+             ("top_bigram_frac", "num"), ("dup_trigram_frac", "num"),
+             ("passes_repetition", "num")],
+        ),
+        "cur_decontaminate": (
+            ["doc_id"],
+            [("n_contaminated_grams", "num"), ("is_contaminated", "num")],
+        ),
+        "cur_temperature_sample": (
+            ["doc_id"],
+            [("lang", "str"), ("source", "str"), ("keep_rate", "num")],
+        ),
+        "cur_pack_shards": (
+            ["lang", "shard_id"],
+            [("n_docs", "num"), ("total_tokens", "num"),
+             ("first_doc", "num"), ("last_doc", "num")],
+        ),
+        "cur_source_quota": (
+            ["doc_id"],
+            [("source", "str"), ("n_chars", "num"), ("rank_in_source", "num")],
+        ),
+        "cur_quality_buckets": (
+            ["doc_id"],
+            [("lang", "str"), ("quality", "num"), ("tercile", "num"),
+             ("bucket", "str")],
+        ),
+    },
     # the report family (92/94/95/96)
     "suite_reports": {
         "r92_album_stats": (
@@ -260,6 +294,7 @@ def _base_registry() -> dict[str, tuple[QueryFn, str | None]]:
     """name -> (fn, sql) for every non-suite query module."""
     from tagminder_spark.queries import (  # noqa: PLC0415
         audit,
+        curation_q,
         dedup,
         er_q,
         harvest_q,
@@ -283,7 +318,7 @@ def _base_registry() -> dict[str, tuple[QueryFn, str | None]]:
 
     out: dict[str, tuple[QueryFn, str | None]] = {}
     for mod in (
-        relational, relational_ext, scalarfns, dedup, er_q, harvest_q, textops, simsearch,
+        relational, relational_ext, scalarfns, curation_q, dedup, er_q, harvest_q, textops, simsearch,
         audit, pipelinesteps, pipelinesteps_ext, pipelinesteps_grp,
         pipelinesteps_lookup, pipelinesteps_works, reports, reports_insights,
         reports_insights2, scale_q, sources_q, rename_q,

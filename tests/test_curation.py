@@ -1,0 +1,135 @@
+"""Semantics tests for the training-data curation operators
+(operators/curation.py) on hand-built frames with known answers."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from tagminder_spark.operators.curation import (
+    decontaminate,
+    pack_sequences,
+    quality_buckets,
+    repetition_metrics,
+    source_quota,
+    temperature_sample,
+    word_ngrams,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars int")
+
+
+def test_word_ngrams_short_doc_guard(spark):
+    # Spark's sequence(1, 0) counts DOWN; the guard must yield [] instead.
+    df = spark.range(1).select(
+        word_ngrams(F.lit("a b"), 3).alias("g3"),
+        word_ngrams(F.lit("a b c"), 3).alias("g3x"),
+        word_ngrams(F.lit("a b c d"), 2).alias("g2"),
+    )
+    row = df.first()
+    assert row.g3 == []
+    assert row.g3x == ["a b c"]
+    assert row.g2 == ["a b", "b c", "c d"]
+
+
+def test_repetition_metrics_exact(spark):
+    docs = _docs(
+        spark,
+        [
+            # "spam spam spam spam": top word 4/4, top bigram 3/3, dup trigrams 2/2
+            (1, "spam spam spam spam", "en", "s", 19),
+            # all-distinct words: top fractions 1/n, no dup trigrams
+            (2, "a b c d e f g h i j k l", "en", "s", 23),
+        ],
+    )
+    out = {r.doc_id: r for r in repetition_metrics(docs).collect()}
+    assert out[1].top_word_frac == 1.0
+    assert out[1].top_bigram_frac == 1.0
+    assert out[1].dup_trigram_frac == 1.0
+    assert out[1].passes_repetition == 0
+    assert out[2].n_words == 12
+    assert out[2].top_word_frac == pytest.approx(1 / 12, abs=1e-6)
+    assert out[2].dup_trigram_frac == 0.0
+    assert out[2].passes_repetition == 1
+
+
+def test_decontaminate_cross_hits(spark):
+    corpus = _docs(
+        spark,
+        [
+            (1, "w x y z tail one", "en", "s", 1),  # shares 'w x y z' with bench
+            (2, "totally different words here now", "en", "s", 1),
+            (3, "w x y z", "en", "s", 1),  # exactly the benchmark 4-gram
+        ],
+    )
+    bench = _docs(spark, [(99, "prefix w x y z suffix", "en", "s", 1)])
+    out = {r.doc_id: r for r in decontaminate(corpus, bench, n=4).collect()}
+    assert out[1].is_contaminated == 1
+    assert out[2].is_contaminated == 0
+    assert out[3].n_contaminated_grams == 1
+    # every corpus doc gets a row even with zero hits
+    assert len(out) == 3
+
+
+def test_temperature_sample_rates_and_determinism(spark):
+    rows = [(i, "t", "en" if i < 90 else "de", "s", 1) for i in range(100)]
+    docs = _docs(spark, rows)
+    out = temperature_sample(docs, ["lang"], alpha=0.5)
+    rates = {r.lang: r.keep_rate for r in out.select("lang", "keep_rate").distinct().collect()}
+    # smallest stratum keeps everything; bigger stratum at (90/10)^-0.5
+    assert rates["de"] == 1.0
+    assert rates["en"] == pytest.approx((90 / 10) ** -0.5, abs=1e-6)
+    kept_de = out.where(F.col("lang") == "de").count()
+    assert kept_de == 10  # rate 1.0 → all kept
+    # pure function of ids: identical output across runs
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in temperature_sample(docs, ["lang"], alpha=0.5).collect())
+    assert a == b
+
+
+def test_pack_sequences_budget_boundaries(spark):
+    # token counts 3,3,3 with budget 4: offsets 0,3,6 → shards 0,0,1
+    docs = _docs(
+        spark,
+        [(1, "a b c", "en", "s", 1), (2, "d e f", "en", "s", 1), (3, "g h i", "en", "s", 1)],
+    )
+    out = {r.shard_id: r for r in pack_sequences(docs, budget=4).collect()}
+    assert out[0].n_docs == 2
+    assert out[0].total_tokens == 6
+    assert out[0].first_doc == 1 and out[0].last_doc == 2
+    assert out[1].n_docs == 1
+    assert out[1].first_doc == 3
+
+
+def test_source_quota_cap_and_tiebreak(spark):
+    rows = [(i, "t", "en", f"src{i % 2}", 100 - (i % 3)) for i in range(10)]
+    out = source_quota(_docs(spark, rows), k=2)
+    rows_out = out.collect()
+    assert len(rows_out) == 4  # 2 sources × k=2
+    per_src = {}
+    for r in rows_out:
+        per_src.setdefault(r.source, []).append(r)
+    for src, rs in per_src.items():
+        assert [r.rank_in_source for r in sorted(rs, key=lambda r: r.rank_in_source)] == [1, 2]
+        # ties on n_chars break by ascending doc_id
+        rs = sorted(rs, key=lambda r: r.rank_in_source)
+        assert rs[0].n_chars > rs[1].n_chars or (
+            rs[0].n_chars == rs[1].n_chars and rs[0].doc_id < rs[1].doc_id
+        )
+
+
+def test_quality_buckets_tercile_sizes(spark):
+    scored = spark.createDataFrame(
+        [(i, "en", float(i)) for i in range(9)] + [(100, "de", 1.0)],
+        "doc_id long, lang string, quality double",
+    )
+    out = quality_buckets(scored)
+    en = [r for r in out.collect() if r.lang == "en"]
+    assert sorted(r.tercile for r in en) == [1, 1, 1, 2, 2, 2, 3, 3, 3]
+    # highest scores land in the head bucket
+    head_ids = {r.doc_id for r in en if r.bucket == "head"}
+    assert head_ids == {8, 7, 6}
+    de = [r for r in out.collect() if r.lang == "de"]
+    assert de[0].bucket == "head" and de[0].tercile == 1
