@@ -117,3 +117,66 @@ def render_search_results(
     return "\n".join(
         f"{n}  ({d} links)" for n, d in search_nodes(edges, query, limit)
     )
+
+
+class ExplorerSession:
+    """Navigation state machine of the artist-graph explorer screen
+    (reference tm_tui.py:157-360: _set_current/_history/action_back/
+    _refresh_neighbors), decoupled from the widget layer.
+
+    Holds the tiny driver-side state — focus node and back-history — and
+    answers every pane refresh with a DISTRIBUTED query over the edge
+    frame; only rendered rows are collected.  ``visit`` pushes the old
+    focus onto history exactly when it changes (the reference's
+    push_history=True path); ``back`` pops without re-pushing.
+    """
+
+    def __init__(self, edges: DataFrame, neighbor_limit: int = 300) -> None:
+        self.edges = edges
+        self.neighbor_limit = neighbor_limit
+        self.current: str | None = None
+        self.history: list[str] = []
+
+    def visit(self, name: str) -> None:
+        name = (name or "").strip()
+        if not name:
+            return
+        if self.current and self.current != name:
+            self.history.append(self.current)
+        self.current = name
+
+    def back(self) -> bool:
+        """Return to the previous focus; False when history is empty
+        (the reference rings the bell and stays put)."""
+        if not self.history:
+            return False
+        self.current = self.history.pop()
+        return True
+
+    def results(self, query: str | None, limit: int = 200) -> list[tuple[str, int]]:
+        """Matches pane: search hits or the degree-sorted starter list."""
+        return search_nodes(self.edges, query, limit)
+
+    def neighbors(self) -> list[tuple[str, int]]:
+        """Neighbors pane for the focus node: (name, weight), weight
+        desc with name tiebreak, capped at ``neighbor_limit``
+        (tm_tui.py:345-352 renders the same top slice)."""
+        if not self.current:
+            return []
+        rows = (
+            self.edges.filter(F.col("src") == self.current)
+            .orderBy(F.col("weight").desc(), F.col("dst").asc())
+            .limit(self.neighbor_limit)
+            .collect()
+        )
+        return [(str(r.dst), int(r.weight)) for r in rows]
+
+    def status(self) -> str:
+        """The status line (tm_tui.py:338-341)."""
+        if not self.current:
+            return "Ready. Type to search, then Enter."
+        n = len(self.neighbors())
+        return (
+            f"Focus: {self.current} | neighbors: {n:,d} | "
+            f"history: {len(self.history):,d}"
+        )
