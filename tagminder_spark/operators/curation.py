@@ -72,6 +72,50 @@ def uniform_hash(col: Column) -> Column:
 # repetition metrics (Gopher rules)
 
 
+def _gram_stats(grams: Column) -> Column:
+    """struct(total, top, dup) of an n-gram array, computed WITHIN the
+    row: sort the array, then one run-length fold — ``top`` is the
+    longest run (= the most frequent gram's count; using the count, not
+    the gram, keeps ties deterministic), ``dup`` the occurrences inside
+    runs of length ≥ 2.  Pure higher-order functions ⇒ the whole
+    repetition pass is map-only with zero shuffle at any scale."""
+    acc0 = F.struct(
+        F.lit("").alias("prev_g"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit(0).alias("dups"),
+    )
+
+    def step(acc: Column, g: Column) -> Column:
+        same = acc["prev_g"] == g
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1))
+        closed = F.when(
+            same | (acc["run"] < 2), acc["dups"]
+        ).otherwise(acc["dups"] + acc["run"])
+        return F.struct(
+            g.alias("prev_g"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+            closed.alias("dups"),
+        )
+
+    def finish(acc: Column) -> Column:
+        return F.struct(
+            acc["best"].alias("top"),
+            (
+                acc["dups"]
+                + F.when(acc["run"] >= 2, acc["run"]).otherwise(0)
+            ).alias("dup"),
+        )
+
+    folded = F.aggregate(F.array_sort(grams), acc0, step, finish)
+    return F.struct(
+        F.size(grams).alias("total"),
+        folded["top"].alias("top"),
+        folded["dup"].alias("dup"),
+    )
+
+
 def repetition_metrics(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -83,50 +127,36 @@ def repetition_metrics(
 ) -> DataFrame:
     """Per-document repetition statistics + a pass/fail flag.
 
-    One explode per n-gram order, aggregated by (doc, gram) with
-    map-side partial aggregation; the per-doc rollup then reduces to one
-    row per document.  The most-frequent-gram count uses ``max(cnt)``
-    (not the gram itself) so ties cannot make the result nondeterministic.
+    Every metric is computed inside the row via ``_gram_stats`` (sorted
+    array + run-length fold): ONE parquet scan, ZERO shuffles, zero
+    joins — the plan a 100 TB repetition filter wants, vs the naive
+    explode → groupBy(doc, gram) → rejoin (4 scans + 6 shuffles).
+    Documents too short for an order (e.g. 2 words, no trigrams) get
+    NULL fractions and fail the flag, matching SQL CASE semantics.
     """
-
-    def top_frac(n: int) -> DataFrame:
-        grams = docs.select(
-            F.col(id_col),
-            F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
-        )
-        per_gram = grams.groupBy(id_col, "gram").agg(F.count("*").alias("cnt"))
-        return per_gram.groupBy(id_col).agg(
-            F.sum("cnt").alias(f"n_{n}grams"),
-            F.max("cnt").alias(f"top_{n}gram_cnt"),
-            F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(0)).alias(
-                f"dup_{n}gram_occ"
-            ),
-        )
-
-    uni = top_frac(1)
-    bi = top_frac(2)
-    tri = top_frac(3)
-    out = (
-        docs.select(id_col)
-        .join(uni, id_col, "left")
-        .join(bi, id_col, "left")
-        .join(tri, id_col, "left")
+    s1 = _gram_stats(word_ngrams(F.col(text_col), 1))
+    s2 = _gram_stats(word_ngrams(F.col(text_col), 2))
+    s3 = _gram_stats(word_ngrams(F.col(text_col), 3))
+    staged = docs.select(
+        F.col(id_col), s1.alias("_s1"), s2.alias("_s2"), s3.alias("_s3")
     )
-    top_word = F.col("top_1gram_cnt") / F.col("n_1grams")
-    top_bigram = F.col("top_2gram_cnt") / F.col("n_2grams")
-    dup_trigram = F.col("dup_3gram_occ") / F.col("n_3grams")
-    return out.select(
+    nz = lambda c: F.when(c > 0, c)  # noqa: E731  null out 0-gram denominators
+    top_word = F.col("_s1.top") / nz(F.col("_s1.total"))
+    top_bigram = F.col("_s2.top") / nz(F.col("_s2.total"))
+    dup_trigram = F.col("_s3.dup") / nz(F.col("_s3.total"))
+    return staged.select(
         id_col,
-        F.col("n_1grams").cast("int").alias("n_words"),
+        F.col("_s1.total").cast("int").alias("n_words"),
         F.round(top_word, 6).cast("double").alias("top_word_frac"),
         F.round(top_bigram, 6).cast("double").alias("top_bigram_frac"),
         F.round(dup_trigram, 6).cast("double").alias("dup_trigram_frac"),
-        (
+        F.when(
             (top_word <= top_word_max)
             & (top_bigram <= top_bigram_max)
-            & (dup_trigram <= dup_trigram_max)
+            & (dup_trigram <= dup_trigram_max),
+            F.lit(1),
         )
-        .cast("int")
+        .otherwise(F.lit(0))
         .alias("passes_repetition"),
     )
 
