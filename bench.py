@@ -56,8 +56,15 @@ HEADLINE = [
 ]
 
 # Measured separately, NOT in the headline total (BASELINE.md §5 records
-# their standing numbers): rename planner + offline ANN training.
-EXTRA = ["s98_rename_plan", "ann_ivf_trained", "h_works_role_pairs"]
+# their standing numbers): rename planner + offline ANN training + the
+# round-4 curation family's two token-heavy members.
+EXTRA = [
+    "s98_rename_plan",
+    "ann_ivf_trained",
+    "h_works_role_pairs",
+    "cur_repetition",
+    "cur_decontaminate",
+]
 
 
 def _run_once(spark, qs, name: str, sf_dir: str) -> float:
