@@ -60,6 +60,20 @@ def word_ngrams(col: Column, n: int) -> Column:
     )
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Adaptive parallelism guard for CPU-heavy map-only passes: a small
+    corpus often arrives as ONE indivisible parquet row group (the sf0.1
+    documents table is a single 580 KB row group), pinning the whole op
+    to one core while 31 idle.  When the scan yields fewer partitions
+    than the cluster's default parallelism, pay one tiny round-robin
+    shuffle to spread the rows; at real scale (thousands of row groups ≥
+    parallelism) this is a no-op and the fact table never reshuffles."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def uniform_hash(col: Column) -> Column:
     """Deterministic uniform[0, 1) from any key column: the first 8 hex
     digits of md5 as an integer over 16^8.  Identical in DuckDB
@@ -81,6 +95,7 @@ def _gram_stats(grams: Column) -> Column:
     repetition pass is map-only with zero shuffle at any scale."""
     acc0 = F.struct(
         F.lit("").alias("prev_g"),
+        F.lit(0).alias("cnt"),
         F.lit(0).alias("run"),
         F.lit(0).alias("best"),
         F.lit(0).alias("dups"),
@@ -94,26 +109,32 @@ def _gram_stats(grams: Column) -> Column:
         ).otherwise(acc["dups"] + acc["run"])
         return F.struct(
             g.alias("prev_g"),
+            (acc["cnt"] + 1).alias("cnt"),
             run.alias("run"),
             F.greatest(acc["best"], run).alias("best"),
             closed.alias("dups"),
         )
 
     def finish(acc: Column) -> Column:
+        # everything derives from the accumulator alone (total is counted
+        # during the fold — referencing `grams` here would re-evaluate the
+        # whole gram construction a second time), and the fractions are
+        # computed HERE, inside the single fold expression: Catalyst's
+        # project collapse re-evaluates an expensive expression once per
+        # downstream struct-field access (measured ~0.7 s per extra
+        # access at sf0.1), so the struct carries exactly the fields the
+        # caller reads once each.
+        nz = F.when(acc["cnt"] > 0, acc["cnt"])
+        dup = acc["dups"] + F.when(acc["run"] >= 2, acc["run"]).otherwise(0)
         return F.struct(
+            acc["cnt"].alias("total"),
             acc["best"].alias("top"),
-            (
-                acc["dups"]
-                + F.when(acc["run"] >= 2, acc["run"]).otherwise(0)
-            ).alias("dup"),
+            dup.alias("dup"),
+            F.round(acc["best"] / nz, 6).cast("double").alias("top_frac"),
+            F.round(dup / nz, 6).cast("double").alias("dup_frac"),
         )
 
-    folded = F.aggregate(F.array_sort(grams), acc0, step, finish)
-    return F.struct(
-        F.size(grams).alias("total"),
-        folded["top"].alias("top"),
-        folded["dup"].alias("dup"),
-    )
+    return F.aggregate(F.array_sort(grams), acc0, step, finish)
 
 
 def repetition_metrics(
@@ -137,23 +158,23 @@ def repetition_metrics(
     s1 = _gram_stats(word_ngrams(F.col(text_col), 1))
     s2 = _gram_stats(word_ngrams(F.col(text_col), 2))
     s3 = _gram_stats(word_ngrams(F.col(text_col), 3))
-    staged = docs.select(
-        F.col(id_col), s1.alias("_s1"), s2.alias("_s2"), s3.alias("_s3")
+    staged = fan_out(docs).select(
+        F.col(id_col),
+        s1["total"].cast("int").alias("n_words"),
+        s1["top_frac"].alias("top_word_frac"),
+        s2["top_frac"].alias("top_bigram_frac"),
+        s3["dup_frac"].alias("dup_trigram_frac"),
     )
-    nz = lambda c: F.when(c > 0, c)  # noqa: E731  null out 0-gram denominators
-    top_word = F.col("_s1.top") / nz(F.col("_s1.total"))
-    top_bigram = F.col("_s2.top") / nz(F.col("_s2.total"))
-    dup_trigram = F.col("_s3.dup") / nz(F.col("_s3.total"))
     return staged.select(
         id_col,
-        F.col("_s1.total").cast("int").alias("n_words"),
-        F.round(top_word, 6).cast("double").alias("top_word_frac"),
-        F.round(top_bigram, 6).cast("double").alias("top_bigram_frac"),
-        F.round(dup_trigram, 6).cast("double").alias("dup_trigram_frac"),
+        "n_words",
+        "top_word_frac",
+        "top_bigram_frac",
+        "dup_trigram_frac",
         F.when(
-            (top_word <= top_word_max)
-            & (top_bigram <= top_bigram_max)
-            & (dup_trigram <= dup_trigram_max),
+            (F.col("top_word_frac") <= top_word_max)
+            & (F.col("top_bigram_frac") <= top_bigram_max)
+            & (F.col("dup_trigram_frac") <= dup_trigram_max),
             F.lit(1),
         )
         .otherwise(F.lit(0))
@@ -185,7 +206,7 @@ def decontaminate(
         )
         .distinct()
     )
-    corpus_grams = docs.select(
+    corpus_grams = fan_out(docs).select(
         F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
     )
     hits = (

@@ -135,6 +135,50 @@ MEMBER_SPECS: dict[str, tuple[int, list[tuple[str, int, str]]]] = {
         ("artist_id", 2, "key"),
         ("url_id", 3, "key"),
     ]),
+    # harvest_mb_recordings.py:131-144 — 0=id, 1=gid, 2=name; rows with
+    # a parsing id but <3 columns are DROPPED here (the reference raises;
+    # a distributed parse quarantines instead of aborting the job)
+    "recording": (3, [
+        ("recording_id", 0, "key"),
+        ("recording_mbid", 1, "text"),
+        ("title", 2, "text"),
+    ]),
+    # harvest_mb_recording_work_relationships.py:270-294 /
+    # harvest_mb_artist_relationships.py:303-326 — the full link row:
+    # 0=id, 1=link_type, 2-7=begin/end y/m/d, 10=ended
+    "link_full": (1, [
+        ("link_id", 0, "key"),
+        ("link_type_id", 1, "int"),
+        ("begin_year", 2, "int"),
+        ("begin_month", 3, "int"),
+        ("begin_day", 4, "int"),
+        ("end_year", 5, "int"),
+        ("end_month", 6, "int"),
+        ("end_day", 7, "int"),
+        ("is_ended", 10, "bool"),
+    ]),
+    # harvest_mb_recording_work_relationships.py:377-412 — 0=id, 1=link,
+    # 2=recording, 3=work, 4=link_order, 5/6=entity credits
+    "l_recording_work": (4, [
+        ("edge_row_id", 0, "key"),
+        ("link_id", 1, "key"),
+        ("entity0_id", 2, "key"),
+        ("entity1_id", 3, "key"),
+        ("link_order", 4, "int"),
+        ("entity0_credit", 5, "text"),
+        ("entity1_credit", 6, "text"),
+    ]),
+    # harvest_mb_artist_relationships.py:369-400 — same shape but the
+    # entity credits sit at 7/8 in l_artist_artist
+    "l_artist_artist": (4, [
+        ("edge_row_id", 0, "key"),
+        ("link_id", 1, "key"),
+        ("entity0_id", 2, "key"),
+        ("entity1_id", 3, "key"),
+        ("link_order", 4, "int"),
+        ("entity0_credit", 7, "text"),
+        ("entity1_credit", 8, "text"),
+    ]),
     # harvest_mb_artists.py:300-329 — the full 17-column artist row
     "artist_full": (17, [
         ("artist_id", 0, "key"),
@@ -504,6 +548,134 @@ def derive_role_labels(
     no_primary = lt.filter(primary.isNull()).select("link_id")
     fallback = attr_names.join(no_primary, "link_id", "left_semi")
     return with_primary.unionByName(fallback).dropDuplicates()
+
+
+def relationship_edges(
+    edges: DataFrame, link_full: DataFrame, link_type: DataFrame
+) -> DataFrame:
+    """Typed relationship edges — the shared core of the recording↔work
+    and artist↔artist harvests (harvest_mb_recording_work_relationships
+    .py:298-420, harvest_mb_artist_relationships.py:369-430).
+
+    ``edges``: an l_recording_work / l_artist_artist parse.  The link
+    dimension joins INNER (the reference skips edges whose link id is
+    absent from the dump — ``skipped_missing_link``); link_type joins
+    LEFT (``link_type_map.get(..., (None,)*3)``).  Both dimensions are
+    id-unique in a dump; dedup defensively, then broadcast link_type —
+    at full-dump scale only the edge fact and the link dimension
+    shuffle, each hashed once on link_id."""
+    lf = link_full.dropDuplicates(["link_id"])
+    lt = (
+        link_type.select(
+            "link_type_id",
+            F.col("rel_name").alias("relationship_name"),
+            F.col("link_phrase").alias("relationship_phrase_forward"),
+            F.col("reverse_link_phrase").alias("relationship_phrase_reverse"),
+        )
+        .dropDuplicates(["link_type_id"])
+    )
+    return (
+        edges.join(lf, "link_id", "inner")
+        .join(F.broadcast(lt), "link_type_id", "left")
+        .select(
+            "edge_row_id",
+            "link_id",
+            "entity0_id",
+            "entity1_id",
+            "link_order",
+            "entity0_credit",
+            "entity1_credit",
+            "link_type_id",
+            "relationship_name",
+            "relationship_phrase_forward",
+            "relationship_phrase_reverse",
+            "begin_year",
+            "begin_month",
+            "begin_day",
+            "end_year",
+            "end_month",
+            "end_day",
+            "is_ended",
+        )
+    )
+
+
+def relationship_attributes(
+    edges: DataFrame,
+    link_attribute: DataFrame,
+    link_attribute_type: DataFrame,
+    link_attribute_text_value: DataFrame | None = None,
+    link_attribute_credit: DataFrame | None = None,
+) -> DataFrame:
+    """Per-edge attribute rows (harvest_mb_recording_work_relationships
+    .py:438-500): each link_attribute row fans out to every edge sharing
+    its link (the reference's ``edge_by_link`` dict), with the attribute
+    name resolved through link_attribute_type (positional fallback) and
+    text/credit values looked up by (link_id, attr_type_id).
+
+    The name dimension broadcasts; text/credit maps join on the compound
+    key.  Attributes whose link has no surviving edge vanish, exactly as
+    in the reference."""
+    eb = edges.select("edge_row_id", "link_id")
+    names = F.broadcast(
+        link_attribute_type.select(
+            "attr_type_id",
+            F.coalesce(F.col("attr_name"), F.col("attr_name_fallback")).alias(
+                "attribute_name"
+            ),
+        ).dropDuplicates(["attr_type_id"])
+    )
+    out = (
+        link_attribute.select("link_id", "attr_type_id")
+        .join(eb, "link_id", "inner")
+        .join(names, "attr_type_id", "left")
+    )
+    if link_attribute_text_value is not None:
+        tv = link_attribute_text_value.select(
+            "link_id", "attr_type_id",
+            F.col("text_value").alias("attribute_text_value"),
+        ).dropDuplicates(["link_id", "attr_type_id"])
+        out = out.join(tv, ["link_id", "attr_type_id"], "left")
+    else:
+        out = out.withColumn(
+            "attribute_text_value", F.lit(None).cast("string")
+        )
+    if link_attribute_credit is not None:
+        cr = link_attribute_credit.select(
+            "link_id", "attr_type_id",
+            F.col("credited_as").alias("credited_as"),
+        ).dropDuplicates(["link_id", "attr_type_id"])
+        out = out.join(cr, ["link_id", "attr_type_id"], "left")
+    else:
+        out = out.withColumn("credited_as", F.lit(None).cast("string"))
+    return out.select(
+        "edge_row_id", "link_id", "attr_type_id", "attribute_name",
+        "attribute_text_value", "credited_as",
+    )
+
+
+def attach_attributes_json(edges: DataFrame, attrs: DataFrame) -> DataFrame:
+    """Fold the per-edge attribute rows into one ``attributes_json``
+    column on the edge frame (the reference's json_group_array UPDATE,
+    harvest_mb_recording_work_relationships.py:502-535).  Deterministic
+    normalization: elements sort by (attr_type_id, name) — the reference
+    keeps tar-stream file order, which no distributed aggregation can
+    reproduce; edges without attributes keep NULL."""
+    j = attrs.groupBy("edge_row_id").agg(
+        F.to_json(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("attr_type_id").alias("attribute_type_id"),
+                        F.col("attribute_name"),
+                        F.col("attribute_text_value"),
+                        F.col("credited_as"),
+                    )
+                )
+            )
+        ).alias("attributes_json")
+    )
+    return edges.join(j, "edge_row_id", "left")
 
 
 #: harvest_mb_artists.py:33-36 — URL-registry routing patterns.
