@@ -1114,3 +1114,367 @@ def s14_artists_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "disambiguation", "ended", "wikidata_uri", "wikidata_id",
         "allmusic_mnid",
     )
+
+
+# --------------------------------------------------------------------------
+# S14 relationship harvests: recording↔work and artist↔artist edges
+# (harvest_mb_recording_work_relationships.py, harvest_mb_artist_relationships.py)
+# --------------------------------------------------------------------------
+
+# full link row w/ dates: 0=id, 1=link_type, 2-7=begin/end ymd, 8=attr
+# count, 9=created, 10=ended.  Decoy: %37=0 rows are short (ids 0 and 37
+# never parse, so edges referencing them exercise the missing-link skip).
+_LF = "(o_orderkey % 40)"
+_MBR_LINKFULL_LINE = (
+    f"CASE WHEN {_LF} % 37 = 0 THEN 'short' ELSE"
+    f" CAST({_LF} AS STRING) || {_T} || CAST({_LF} % 8 AS STRING) || {_T} ||"
+    f" CASE WHEN {_LF} % 5 = 0 THEN {_N}"
+    f"      ELSE CAST(1950 + {_LF} AS STRING) END || {_T} ||"
+    f" CAST({_LF} % 12 + 1 AS STRING) || {_T} || {_N} || {_T} ||"
+    f" CASE WHEN {_LF} % 3 = 0 THEN {_N}"
+    f"      ELSE CAST(2000 + {_LF} % 20 AS STRING) END || {_T} ||"
+    f" {_N} || {_T} || {_N} || {_T} || '0' || {_T} || 'x' || {_T} ||"
+    f" CASE WHEN {_LF} % 2 = 1 THEN 't' ELSE '0' END END"
+)
+
+# l_recording_work from customer: 0=rowid, 1=link (%44: 40-43 are
+# absent from the link dump → skip path), 2=recording, 3=work,
+# 4=link_order, 5/6=credits.  Decoys: short rows, \N link key.
+_RW = "c_custkey"
+_MBR_LRW_LINE = (
+    f"CASE WHEN {_RW} % 53 = 0 THEN 'short'"
+    f" WHEN {_RW} % 47 = 0 THEN CAST({_RW} AS STRING) || {_T} || {_N}"
+    f"      || {_T} || '1' || {_T} || '2'"
+    f" ELSE CAST({_RW} AS STRING) || {_T}"
+    f" || CAST({_RW} % 44 AS STRING) || {_T}"
+    f" || CAST(({_RW} * 7) % 300 AS STRING) || {_T}"
+    f" || CAST({_RW} % 500 AS STRING) || {_T}"
+    f" || CAST({_RW} % 5 AS STRING) || {_T}"
+    f" || CASE WHEN {_RW} % 3 = 0 THEN {_N}"
+    f"    ELSE 'c0-' || CAST({_RW} % 9 AS STRING) END || {_T}"
+    f" || CASE WHEN {_RW} % 4 = 0 THEN {_N}"
+    f"    ELSE 'c1-' || CAST({_RW} % 6 AS STRING) END END"
+)
+
+# recording member from customer: 0=id, 1=gid, 2=title.  Decoy: short
+# rows (the reference RAISES there; the distributed parse quarantines,
+# so those recording ids resolve to NULL metadata through the left join).
+_RC = "(c_custkey % 300)"
+_MBR_RECORDING_LINE = (
+    f"CASE WHEN {_RC} % 41 = 0 THEN CAST({_RC} AS STRING)"
+    f" ELSE CAST({_RC} AS STRING) || {_T} || 'rec-' || CAST({_RC} AS STRING)"
+    f" || {_T} || CASE WHEN {_RC} % 13 = 0 THEN {_N}"
+    f"    ELSE 'Rec ' || CAST({_RC} AS STRING) END END"
+)
+
+# link_attribute / text-value / credit fixtures from part, keyed %44 so
+# some attribute links miss the edge set too
+_PA = "p_partkey"
+_MBR_LINKATTR2_LINE = (
+    f"CASE WHEN {_PA} % 59 = 0 THEN 'short'"
+    f" ELSE CAST({_PA} % 44 AS STRING) || {_T}"
+    f" || CAST({_PA} % 6 AS STRING) END"
+)
+# text/credit values are FUNCTIONS of their (link, attr_type) key —
+# several part rows collapse onto one key, so a key-independent value
+# would make the per-key dedup pick arbitrary in both engines
+_MBR_LINKATTRTEXT2_LINE = (
+    f"CAST({_PA} % 44 AS STRING) || {_T} || CAST({_PA} % 6 AS STRING) || {_T}"
+    f" || CASE WHEN ({_PA} % 44 + {_PA} % 6) % 5 = 0 THEN {_N}"
+    f" ELSE 'v' || CAST(({_PA} % 44 + {_PA} % 6) % 9 AS STRING) END"
+)
+_MBR_LINKATTRCREDIT_LINE = (
+    f"CAST({_PA} % 44 AS STRING) || {_T} || CAST(({_PA} + 1) % 6 AS STRING)"
+    f" || {_T} || CASE WHEN ({_PA} % 44 + ({_PA} + 1) % 6) % 7 = 0 THEN {_N}"
+    f" ELSE 'as ' || CAST(({_PA} % 44 + ({_PA} + 1) % 6) % 4 AS STRING) END"
+)
+
+_BOOLSQL = (
+    "CASE WHEN lower(trim(coalesce({x}, ''))) IN ('1','t','true','y','yes')"
+    " THEN 1 ELSE 0 END"
+)
+
+_LINKFULL_CTE = f"""
+lf_raw AS (SELECT {_mbr_duck(_MBR_LINKFULL_LINE)} AS value FROM orders),
+lf_f AS (SELECT string_split(value, chr(9)) AS f FROM lf_raw),
+lf_t AS (
+  SELECT DISTINCT {_ki('f[1]')} AS link_id, {_ki('f[2]')} AS link_type_id,
+         {_ki('f[3]')} AS begin_year, {_ki('f[4]')} AS begin_month,
+         {_ki('f[5]')} AS begin_day, {_ki('f[6]')} AS end_year,
+         {_ki('f[7]')} AS end_month, {_ki('f[8]')} AS end_day,
+         {_BOOLSQL.format(x="f[11]")} AS is_ended
+  FROM lf_f WHERE {_ki('f[1]')} IS NOT NULL
+),
+lt2_raw AS (SELECT {_mbr_duck(_MBR_LINKTYPE2_LINE)} AS value FROM nation),
+lt2_f AS (SELECT string_split(value, chr(9)) AS f FROM lt2_raw),
+lt2_t AS (
+  SELECT DISTINCT {_ki('f[1]')} AS link_type_id, {_cl('f[7]')} AS relationship_name,
+         {_cl('f[9]')} AS relationship_phrase_forward,
+         {_cl('f[10]')} AS relationship_phrase_reverse
+  FROM lt2_f WHERE {_ki('f[1]')} IS NOT NULL
+)"""
+
+_S14RWR_SQL = f"""
+WITH {_LINKFULL_CTE},
+rw_raw AS (SELECT {_mbr_duck(_MBR_LRW_LINE)} AS value FROM customer),
+rw_f AS (
+  SELECT string_split(value, chr(9)) AS f FROM rw_raw
+  WHERE len(string_split(value, chr(9))) >= 4
+),
+rw_t AS (
+  SELECT {_ki('f[1]')} AS edge_row_id, {_ki('f[2]')} AS link_id,
+         {_ki('f[3]')} AS entity0_id, {_ki('f[4]')} AS entity1_id,
+         {_ki('f[5]')} AS link_order, {_cl('f[6]')} AS entity0_credit,
+         {_cl('f[7]')} AS entity1_credit
+  FROM rw_f
+  WHERE {_ki('f[1]')} IS NOT NULL AND {_ki('f[2]')} IS NOT NULL
+    AND {_ki('f[3]')} IS NOT NULL AND {_ki('f[4]')} IS NOT NULL
+),
+rec_raw AS (SELECT {_mbr_duck(_MBR_RECORDING_LINE)} AS value FROM customer),
+rec_f AS (
+  SELECT string_split(value, chr(9)) AS f FROM rec_raw
+  WHERE len(string_split(value, chr(9))) >= 3
+),
+rec_t AS (
+  SELECT DISTINCT {_ki('f[1]')} AS recording_id, {_cl('f[2]')} AS recording_mbid,
+         {_cl('f[3]')} AS title
+  FROM rec_f WHERE {_ki('f[1]')} IS NOT NULL
+),
+la2_raw AS (SELECT {_mbr_duck(_MBR_LINKATTR2_LINE)} AS value FROM part),
+la2_f AS (
+  SELECT string_split(value, chr(9)) AS f FROM la2_raw
+  WHERE len(string_split(value, chr(9))) >= 2
+),
+la2_t AS (
+  SELECT {_ki('f[1]')} AS link_id, {_ki('f[2]')} AS attr_type_id FROM la2_f
+  WHERE {_ki('f[1]')} IS NOT NULL AND {_ki('f[2]')} IS NOT NULL
+),
+lat_raw AS (SELECT {_mbr_duck(_MBR_LINKATTRTYPE_LINE)} AS value FROM nation),
+lat_f AS (SELECT string_split(value, chr(9)) AS f FROM lat_raw),
+lat_t AS (
+  SELECT DISTINCT {_ki('f[1]')} AS attr_type_id,
+         COALESCE({_cl('f[6]')}, {_cl('f[4]')}) AS attribute_name
+  FROM lat_f WHERE {_ki('f[1]')} IS NOT NULL
+),
+ltv2_raw AS (SELECT {_mbr_duck(_MBR_LINKATTRTEXT2_LINE)} AS value FROM part),
+ltv2_f AS (SELECT string_split(value, chr(9)) AS f FROM ltv2_raw),
+ltv2_t AS (
+  SELECT DISTINCT {_ki('f[1]')} AS link_id, {_ki('f[2]')} AS attr_type_id,
+         {_cl('f[3]')} AS attribute_text_value
+  FROM ltv2_f WHERE {_ki('f[1]')} IS NOT NULL AND {_ki('f[2]')} IS NOT NULL
+),
+lac_raw AS (SELECT {_mbr_duck(_MBR_LINKATTRCREDIT_LINE)} AS value FROM part),
+lac_f AS (SELECT string_split(value, chr(9)) AS f FROM lac_raw),
+lac_t AS (
+  SELECT DISTINCT {_ki('f[1]')} AS link_id, {_ki('f[2]')} AS attr_type_id,
+         {_cl('f[3]')} AS credited_as
+  FROM lac_f WHERE {_ki('f[1]')} IS NOT NULL AND {_ki('f[2]')} IS NOT NULL
+),
+edges AS (
+  SELECT rw.*, lf.link_type_id, lf.begin_year, lf.end_year, lf.is_ended,
+         lt.relationship_name
+  FROM rw_t rw
+  JOIN lf_t lf USING (link_id)
+  LEFT JOIN lt2_t lt USING (link_type_id)
+),
+attrs AS (
+  SELECT e.edge_row_id,
+         n.attribute_name || '=' || coalesce(tv.attribute_text_value, '')
+           || '/' || coalesce(cr.credited_as, '') AS tok
+  FROM la2_t a
+  JOIN edges e USING (link_id)
+  LEFT JOIN lat_t n USING (attr_type_id)
+  LEFT JOIN ltv2_t tv USING (link_id, attr_type_id)
+  LEFT JOIN lac_t cr USING (link_id, attr_type_id)
+),
+attr_agg AS (
+  SELECT edge_row_id, CAST(COUNT(*) AS BIGINT) AS n_attrs,
+         STRING_AGG(DISTINCT tok, '\\\\' ORDER BY tok) AS attr_toks
+  FROM attrs GROUP BY edge_row_id
+)
+SELECT e.edge_row_id, e.link_id, e.entity0_id AS recording_id,
+       e.entity1_id AS work_id, e.link_order, e.entity0_credit,
+       e.entity1_credit, e.link_type_id, e.relationship_name,
+       e.begin_year, e.end_year, e.is_ended,
+       r.recording_mbid, r.title,
+       COALESCE(a.n_attrs, 0) AS n_attrs, a.attr_toks
+FROM edges e
+LEFT JOIN rec_t r ON r.recording_id = e.entity0_id
+LEFT JOIN attr_agg a USING (edge_row_id)
+"""
+
+
+@q("s14_recording_work_rels", _S14RWR_SQL)
+def s14_recording_work_rels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recording↔work relationship harvest
+    (harvest_mb_recording_work_relationships.py:298-500): typed edges
+    from l_recording_work × full link (dates + ended, INNER — absent
+    links skip the edge) × link_type (LEFT), recording identity bridged
+    in (harvest_mb_recordings.py:131-144), and per-edge attributes with
+    name fallback, text values and credited-as.  Four more member
+    parsers exercised with decoys: link_full short rows (missing-link
+    skip), \\N link keys, short recording rows (the reference raises;
+    the distributed parse quarantines → NULL metadata), %44 attr links
+    that miss the edge set."""
+    from tagminder_spark.functions.core import MV_DELIM  # noqa: PLC0415
+    from tagminder_spark.sources.mbdump import (  # noqa: PLC0415
+        parse_member,
+        relationship_attributes,
+        relationship_edges,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+
+    lf = parse_member(
+        o.selectExpr(f"{_MBR_LINKFULL_LINE} AS value"), "link_full"
+    ).distinct()
+    lt = parse_member(
+        n.selectExpr(f"{_MBR_LINKTYPE2_LINE} AS value"), "link_type"
+    ).distinct()
+    rw = parse_member(
+        c.selectExpr(f"{_MBR_LRW_LINE} AS value"), "l_recording_work"
+    )
+    rec = parse_member(
+        c.selectExpr(f"{_MBR_RECORDING_LINE} AS value"), "recording"
+    ).distinct()
+    la = parse_member(
+        p.selectExpr(f"{_MBR_LINKATTR2_LINE} AS value"), "link_attribute"
+    )
+    lat = parse_member(
+        n.selectExpr(f"{_MBR_LINKATTRTYPE_LINE} AS value"),
+        "link_attribute_type",
+    ).distinct()
+    ltv = parse_member(
+        p.selectExpr(f"{_MBR_LINKATTRTEXT2_LINE} AS value"),
+        "link_attribute_text_value",
+    )
+    lac = parse_member(
+        p.selectExpr(f"{_MBR_LINKATTRCREDIT_LINE} AS value"),
+        "link_attribute_credit",
+    )
+
+    edges = relationship_edges(rw, lf, lt)
+    attrs = relationship_attributes(edges, la, lat, ltv, lac)
+    tok = F.concat(
+        F.col("attribute_name"), F.lit("="),
+        F.coalesce(F.col("attribute_text_value"), F.lit("")),
+        F.lit("/"), F.coalesce(F.col("credited_as"), F.lit("")),
+    )
+    attr_agg = attrs.groupBy("edge_row_id").agg(
+        F.count(F.lit(1)).alias("n_attrs"),
+        F.array_join(F.sort_array(F.collect_set(tok)), MV_DELIM).alias(
+            "attr_toks"
+        ),
+    )
+    return (
+        edges.join(
+            rec, edges["entity0_id"] == rec["recording_id"], "left"
+        )
+        .join(attr_agg, "edge_row_id", "left")
+        .select(
+            "edge_row_id",
+            "link_id",
+            edges["entity0_id"].alias("recording_id"),
+            edges["entity1_id"].alias("work_id"),
+            "link_order",
+            "entity0_credit",
+            "entity1_credit",
+            "link_type_id",
+            "relationship_name",
+            "begin_year",
+            "end_year",
+            "is_ended",
+            "recording_mbid",
+            "title",
+            F.coalesce(F.col("n_attrs"), F.lit(0)).alias("n_attrs"),
+            "attr_toks",
+        )
+    )
+
+
+# l_artist_artist from supplier: credits sit at positions 7/8
+_AA = "s_suppkey"
+_MBR_LAA_LINE = (
+    f"CASE WHEN {_AA} % 31 = 0 THEN 'short'"
+    f" ELSE CAST({_AA} AS STRING) || {_T}"
+    f" || CAST({_AA} % 44 AS STRING) || {_T}"
+    f" || CAST({_AA} % 300 AS STRING) || {_T}"
+    f" || CAST(({_AA} * 3) % 300 AS STRING) || {_T}"
+    f" || CAST({_AA} % 4 AS STRING) || {_T} || 'f5' || {_T} || 'f6' || {_T}"
+    f" || CASE WHEN {_AA} % 5 = 0 THEN {_N}"
+    f"    ELSE 'p0-' || CAST({_AA} % 8 AS STRING) END || {_T}"
+    f" || 'p1-' || CAST({_AA} % 7 AS STRING) END"
+)
+
+_S14AAR_SQL = f"""
+WITH {_LINKFULL_CTE},
+aa_raw AS (SELECT {_mbr_duck(_MBR_LAA_LINE)} AS value FROM supplier),
+aa_f AS (
+  SELECT string_split(value, chr(9)) AS f FROM aa_raw
+  WHERE len(string_split(value, chr(9))) >= 4
+),
+aa_t AS (
+  SELECT {_ki('f[1]')} AS edge_row_id, {_ki('f[2]')} AS link_id,
+         {_ki('f[3]')} AS entity0_id, {_ki('f[4]')} AS entity1_id,
+         {_ki('f[5]')} AS link_order, {_cl('f[8]')} AS entity0_credit,
+         {_cl('f[9]')} AS entity1_credit
+  FROM aa_f
+  WHERE {_ki('f[1]')} IS NOT NULL AND {_ki('f[2]')} IS NOT NULL
+    AND {_ki('f[3]')} IS NOT NULL AND {_ki('f[4]')} IS NOT NULL
+)
+SELECT e.edge_row_id, e.link_id, e.entity0_id AS from_artist_id,
+       e.entity1_id AS to_artist_id, e.link_order, e.entity0_credit,
+       e.entity1_credit, lt.relationship_name,
+       lt.relationship_phrase_forward, lt.relationship_phrase_reverse,
+       lf.begin_year, lf.begin_month, lf.end_year, lf.is_ended
+FROM aa_t e
+JOIN lf_t lf USING (link_id)
+LEFT JOIN lt2_t lt USING (link_type_id)
+"""
+
+
+@q("s14_artist_rels", _S14AAR_SQL)
+def s14_artist_rels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Artist↔artist relationship harvest
+    (harvest_mb_artist_relationships.py:369-430): same edge composition
+    as recording↔work but the entity credits sit at columns 7/8 of
+    l_artist_artist — the member spec difference IS the port surface.
+    Short-row decoys + %44 links exercise the width guard and the
+    missing-link skip."""
+    from tagminder_spark.sources.mbdump import (  # noqa: PLC0415
+        parse_member,
+        relationship_edges,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+
+    lf = parse_member(
+        o.selectExpr(f"{_MBR_LINKFULL_LINE} AS value"), "link_full"
+    ).distinct()
+    lt = parse_member(
+        n.selectExpr(f"{_MBR_LINKTYPE2_LINE} AS value"), "link_type"
+    ).distinct()
+    aa = parse_member(
+        s.selectExpr(f"{_MBR_LAA_LINE} AS value"), "l_artist_artist"
+    )
+    return relationship_edges(aa, lf, lt).select(
+        "edge_row_id",
+        "link_id",
+        F.col("entity0_id").alias("from_artist_id"),
+        F.col("entity1_id").alias("to_artist_id"),
+        "link_order",
+        "entity0_credit",
+        "entity1_credit",
+        "relationship_name",
+        "relationship_phrase_forward",
+        "relationship_phrase_reverse",
+        "begin_year",
+        "begin_month",
+        "end_year",
+        "is_ended",
+    )

@@ -135,6 +135,24 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
              ("wikidata_uri", "str"), ("wikidata_id", "str"),
              ("allmusic_mnid", "str")],
         ),
+        # round 4 second sweep: relationship harvests
+        "s14_recording_work_rels": (
+            ["edge_row_id"],
+            [("link_id", "num"), ("recording_id", "num"), ("work_id", "num"),
+             ("link_order", "num"), ("entity0_credit", "str"),
+             ("entity1_credit", "str"), ("relationship_name", "str"),
+             ("begin_year", "num"), ("end_year", "num"), ("is_ended", "num"),
+             ("recording_mbid", "str"), ("title", "str"),
+             ("n_attrs", "num"), ("attr_toks", "str")],
+        ),
+        "s14_artist_rels": (
+            ["edge_row_id"],
+            [("from_artist_id", "num"), ("to_artist_id", "num"),
+             ("entity0_credit", "str"), ("entity1_credit", "str"),
+             ("relationship_name", "str"),
+             ("relationship_phrase_forward", "str"),
+             ("begin_year", "num"), ("is_ended", "num")],
+        ),
     },
     # dedup family + diff-audit + streaming state
     "suite_dedup_audit": {

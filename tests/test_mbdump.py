@@ -95,8 +95,11 @@ def test_read_member_dir(spark, tmp_path):
 def test_member_specs_cover_reference_targets():
     # harvest_mb_works.py:296-311 target_members (15) plus the artists
     # harvest's url / l_artist_url / full artist row (harvest_mb_artists
-    # .py:156) — 18 member layouts routed
-    assert len(MEMBER_SPECS) == 18
+    # .py:156), plus the relationship harvests' recording / link_full /
+    # l_recording_work / l_artist_artist — 22 member layouts routed
+    assert len(MEMBER_SPECS) == 22
+    for m in ("recording", "link_full", "l_recording_work", "l_artist_artist"):
+        assert m in MEMBER_SPECS
     for m in ("url", "l_artist_url", "artist_full"):
         assert m in MEMBER_SPECS
     for m in (
@@ -322,3 +325,89 @@ def test_works_lookup_from_member_dict(spark, tmp_path):
     assert rows[1].related_work_titles == "Song Two"
     assert rows[2].related_work_titles == "Symphony"
     assert rows[2].iswcs == "T-9" and rows[2].n_pairs == 0
+
+
+def test_relationship_edges_and_attributes(spark, tmp_path):
+    """Recording↔work relationship composition on hand-built members
+    (harvest_mb_recording_work_relationships.py:298-535)."""
+    from tagminder_spark.sources.mbdump import (
+        attach_attributes_json,
+        read_member_dir,
+        relationship_attributes,
+        relationship_edges,
+    )
+
+    root = tmp_path / "dump"
+    root.mkdir()
+    files = {
+        # link 10 has full dates+ended; link 11 has a link_type absent
+        # from link_type (left-join null); link 99 is referenced by an
+        # edge but absent from link (edge must be SKIPPED)
+        "link_full": [
+            "10\t20\t1950\t6\t1\t1960\t\\N\t\\N\t0\tx\tt",
+            "11\t77\t\\N\t\\N\t\\N\t\\N\t\\N\t\\N\t0\tx\t0",
+        ],
+        "link_type": ["20\t\\N\t0\tg\tartist\twork\tperformance\t\\N\tfwd\trev"],
+        "l_recording_work": [
+            "1\t10\t500\t900\t0\tcredit-a\t\\N",
+            "2\t11\t501\t901\t1\t\\N\tcredit-b",
+            "3\t99\t502\t902\t0\t\\N\t\\N",  # missing link -> dropped
+            "short",
+        ],
+        "link_attribute": ["10\t7", "10\t8", "11\t7"],
+        "link_attribute_type": ["7\t\\N\t0\talt7\tg7\tguitar", "8\t\\N\t0\talt8\tg8\t\\N"],
+        "link_attribute_text_value": ["10\t7\tsolo"],
+        "link_attribute_credit": ["10\t8\tas Bob"],
+    }
+    for m, lines in files.items():
+        (root / m).write_text("\n".join(lines) + "\n")
+    members = read_member_dir(spark, str(root), members=list(files))
+
+    edges = relationship_edges(
+        members["l_recording_work"], members["link_full"], members["link_type"]
+    )
+    e = {r.edge_row_id: r for r in edges.collect()}
+    assert set(e) == {1, 2}  # edge 3's link is absent, short row dropped
+    assert e[1].relationship_name == "performance"
+    assert e[1].begin_year == 1950 and e[1].end_year == 1960
+    assert e[1].is_ended == 1 and e[2].is_ended == 0
+    assert e[2].relationship_name is None  # link_type 77 unknown
+    assert e[1].entity0_credit == "credit-a" and e[1].entity1_credit is None
+
+    attrs = relationship_attributes(
+        edges,
+        members["link_attribute"],
+        members["link_attribute_type"],
+        members["link_attribute_text_value"],
+        members["link_attribute_credit"],
+    )
+    a = {(r.edge_row_id, r.attr_type_id): r for r in attrs.collect()}
+    assert a[(1, 7)].attribute_name == "guitar"
+    assert a[(1, 7)].attribute_text_value == "solo"
+    assert a[(1, 8)].attribute_name == "alt8"  # positional name fallback
+    assert a[(1, 8)].credited_as == "as Bob"
+    assert a[(2, 7)].attribute_text_value is None
+    assert len(a) == 3
+
+    withjson = {r.edge_row_id: r for r in attach_attributes_json(edges, attrs).collect()}
+    import json
+
+    parsed = json.loads(withjson[1].attributes_json)
+    assert [p["attribute_type_id"] for p in parsed] == [7, 8]  # sorted
+    assert parsed[0]["attribute_name"] == "guitar"
+    assert parsed[0]["attribute_text_value"] == "solo"
+    assert "attributes_json" in withjson[2].asDict()
+
+
+def test_artist_artist_credit_positions(spark, tmp_path):
+    """l_artist_artist reads entity credits from columns 7/8
+    (harvest_mb_artist_relationships.py:399-401), not 5/6."""
+    from tagminder_spark.sources.mbdump import parse_member
+
+    df = spark.createDataFrame(
+        [("1\t10\t100\t200\t0\tf5\tf6\tAs P0\tAs P1",)], "value string"
+    )
+    row = parse_member(df, "l_artist_artist").first()
+    assert row.entity0_credit == "As P0" and row.entity1_credit == "As P1"
+    row2 = parse_member(df, "l_recording_work").first()
+    assert row2.entity0_credit == "f5" and row2.entity1_credit == "f6"
