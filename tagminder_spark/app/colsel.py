@@ -1,6 +1,8 @@
 """Column-selection matrix model — the engine behind the reference TUI's
 "Configure column selections" screen (src/tagminder/app/tm_tui.py:462-827,
-ColumnSelectionMatrixScreen + the _colsel_* helpers).
+ColumnSelectionMatrixScreen + the _colsel_* helpers) and its standalone
+CLI twin (scripts/config/zz-configure-column-selections-in-toml.py:68-290,
+which shares the same TOML-surgery helper set).
 
 The Textual widget layer stays driver-side UI and is not ported; this
 module ports its semantics as a plain, fully-testable state machine:

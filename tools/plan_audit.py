@@ -66,6 +66,13 @@ def main() -> None:
         "s14_works_lookup",
         "v89_validate_vetted",
         "r91_snapshot_compare",
+        # round-4 second sweep: relationship harvests + curation family
+        "s14_recording_work_rels",
+        "s14_artist_rels",
+        "cur_temperature_sample",
+        "cur_pack_shards",
+        "cur_source_quota",
+        "cur_quality_buckets",
     ]
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
