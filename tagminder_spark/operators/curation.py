@@ -67,7 +67,13 @@ def fan_out(df: DataFrame) -> DataFrame:
     to one core while 31 idle.  When the scan yields fewer partitions
     than the cluster's default parallelism, pay one tiny round-robin
     shuffle to spread the rows; at real scale (thousands of row groups ≥
-    parallelism) this is a no-op and the fact table never reshuffles."""
+    parallelism) this is a no-op and the fact table never reshuffles.
+
+    Streaming frames pass through untouched (no ``.rdd`` on a stream;
+    micro-batch parallelism is the source's concern), which also keeps
+    every map-only curation op usable as a streaming stage as-is."""
+    if df.isStreaming:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < max(2, target // 2):
         return df.repartition(target)

@@ -133,3 +133,42 @@ def test_quality_buckets_tercile_sizes(spark):
     assert head_ids == {8, 7, 6}
     de = [r for r in out.collect() if r.lang == "de"]
     assert de[0].bucket == "head" and de[0].tercile == 1
+
+
+def test_repetition_filter_runs_as_streaming_stage(spark, tmp_path):
+    """The map-only curation pass composes into Structured Streaming
+    unchanged: same repetition_metrics call on a readStream frame,
+    stream-vs-batch row parity (fan_out passes streams through)."""
+    from pyspark.sql import types as T
+
+    from tagminder_spark.streaming.ingest import run_stream_to_memory
+
+    src = tmp_path / "docs"
+    docs = _docs(
+        spark,
+        [
+            (1, "spam spam spam spam", "en", "s", 19),
+            (2, "a b c d e f g h i j k l", "en", "s", 23),
+            (3, "x y x y x y x y", "de", "s", 15),
+        ],
+    )
+    docs.write.parquet(str(src))
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.IntegerType()),
+        ]
+    )
+    stream = spark.readStream.format("parquet").schema(schema).load(str(src))
+    out = run_stream_to_memory(
+        repetition_metrics(stream), "cur_rep_stream"
+    )
+    got = {r.doc_id: r for r in out.collect()}
+    want = {r.doc_id: r for r in repetition_metrics(docs).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k].asDict() == want[k].asDict()
