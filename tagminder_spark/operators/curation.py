@@ -339,6 +339,49 @@ def source_quota(
 
 
 # ---------------------------------------------------------------------------
+# PII scrubbing
+
+#: mask patterns chosen to parse identically under Java regex (Spark)
+#: and RE2 (DuckDB): character classes, bounded repetition, \b, \d only.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ip": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "phone": (r"\+?\d?[- ]?\d{3}[- ]\d{3}[- ]\d{4}", "<PHONE>"),
+}
+
+
+def pii_scrub(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Mask emails / IPv4s / phone-shaped numbers and count each — the
+    privacy-scrub pass of a training-data pipeline.  Pure regexp
+    expressions, map-only, zero shuffle; the masked text is returned
+    whole (callers hash or store it) plus per-kind counts and a clean
+    flag.  Mask order is fixed (email → ip → phone) so overlapping
+    matches resolve identically everywhere."""
+    out = docs.select(F.col(id_col), F.col(text_col).alias("__t"))
+    counts = []
+    masked = F.col("__t")
+    for kind, (pat, mask) in PII_PATTERNS.items():
+        # group 0 = the whole match (the patterns carry no capture groups)
+        counts.append(
+            F.size(F.regexp_extract_all(F.col("__t"), F.lit(pat), F.lit(0)))
+            .alias(f"n_{kind}s")
+        )
+        masked = F.regexp_replace(masked, pat, mask)
+    total = sum(
+        F.size(F.regexp_extract_all(F.col("__t"), F.lit(p), F.lit(0)))
+        for p, _ in PII_PATTERNS.values()
+    )
+    return out.select(
+        id_col,
+        *counts,
+        masked.alias("masked_text"),
+        F.when(total == 0, F.lit(1)).otherwise(F.lit(0)).alias("is_clean"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # CCNet-style quality buckets
 
 

@@ -188,6 +188,62 @@ def cur_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_quota(load_table(spark, sf_dir, "documents"), k=15)
 
 
+# PII fixture: inject synthetic identifiers into the (PII-free) corpus
+# deterministically so the masks are load-bearing — emails on %3 docs,
+# IPs on %5, phone numbers on %7 (doc 0 etc. carry several kinds)
+_PII_TEXT = (
+    "text"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS {int_t})"
+    " || '@example.com now' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS {int_t})"
+    " || '.7' ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' call 555-123-' || CAST(1000 + doc_id % 9000 AS {int_t})"
+    " ELSE '' END"
+)
+
+_PII_SQL = f"""
+WITH injected AS (
+  SELECT doc_id, {_PII_TEXT.format(int_t="VARCHAR")} AS text FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS INT) AS n_ips,
+       CAST(len(regexp_extract_all(text, '\\+?\\d?[- ]?\\d{{3}}[- ]\\d{{3}}[- ]\\d{{4}}')) AS INT) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+           '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
+           '\\+?\\d?[- ]?\\d{{3}}[- ]\\d{{3}}[- ]\\d{{4}}', '<PHONE>', 'g')) AS masked_md5,
+       CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+               + len(regexp_extract_all(text, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b'))
+               + len(regexp_extract_all(text, '\\+?\\d?[- ]?\\d{{3}}[- ]\\d{{3}}[- ]\\d{{4}}')) = 0
+            THEN 1 ELSE 0 END AS is_clean
+FROM injected
+"""
+
+
+@q("cur_pii_scrub", _PII_SQL)
+def cur_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: mask emails / IPv4s / phone-shaped numbers with
+    per-kind counts and a clean flag (masked text gated as md5).  The
+    corpus is PII-free, so the gate injects synthetic identifiers
+    deterministically by doc id; patterns are the Java-regex ∩ RE2
+    subset so both engines mask identically.  Map-only, zero shuffle."""
+    from tagminder_spark.operators.curation import pii_scrub  # noqa: PLC0415
+
+    d = load_table(spark, sf_dir, "documents")
+    injected = d.selectExpr(
+        "doc_id", _PII_TEXT.format(int_t="STRING") + " AS text"
+    )
+    return pii_scrub(injected).select(
+        "doc_id",
+        "n_emails",
+        "n_ips",
+        "n_phones",
+        F.md5(F.col("masked_text")).alias("masked_md5"),
+        "is_clean",
+    )
+
+
 # quality expression twin: textops._QUALITY_SQL reprojected for buckets
 from tagminder_spark.queries.textops import _QUALITY_SQL  # noqa: E402
 

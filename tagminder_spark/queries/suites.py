@@ -237,6 +237,11 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
             [("lang", "str"), ("quality", "num"), ("tercile", "num"),
              ("bucket", "str")],
         ),
+        "cur_pii_scrub": (
+            ["doc_id"],
+            [("n_emails", "num"), ("n_ips", "num"), ("n_phones", "num"),
+             ("masked_md5", "str"), ("is_clean", "num")],
+        ),
     },
     # the report family (92/94/95/96)
     "suite_reports": {

@@ -172,3 +172,23 @@ def test_repetition_filter_runs_as_streaming_stage(spark, tmp_path):
     assert set(got) == set(want)
     for k in want:
         assert got[k].asDict() == want[k].asDict()
+
+
+def test_pii_scrub_masks_and_counts(spark):
+    from tagminder_spark.operators.curation import pii_scrub
+
+    docs = _docs(
+        spark,
+        [
+            (1, "mail a.b+c@ex-1.org or x@y.io from 10.0.200.7", "en", "s", 1),
+            (2, "call +1 555-123-4567 today", "en", "s", 1),
+            (3, "nothing sensitive here", "en", "s", 1),
+        ],
+    )
+    out = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert out[1].n_emails == 2 and out[1].n_ips == 1 and out[1].n_phones == 0
+    assert out[1].masked_text == "mail <EMAIL> or <EMAIL> from <IP>"
+    assert out[1].is_clean == 0
+    assert out[2].n_phones == 1 and "<PHONE>" in out[2].masked_text
+    assert out[3].is_clean == 1
+    assert out[3].masked_text == "nothing sensitive here"
