@@ -233,27 +233,89 @@ def ngram_jaccard_pairs(
         observed = counts.agg(F.max("df")).first()[0]
         if observed is None or observed <= max_df:
             return jaccard_from_shingles(sh, threshold)
-        # Candidate keys = shingles with DF <= cap; verify on full sets.
+        # Candidate keys = shingles with DF <= cap; verification
+        # reconstructs the EXACT full-set intersection as
+        #   n_common = n_capped + |hot_a ∩ hot_b|
+        # so the full shingle table is never re-shuffled per pair (the
+        # old path ran distinct over candidates and then joined ALL
+        # shingles twice — three extra wide shuffles). The self-join's
+        # groupBy doubles as the capped share-count, the hot set is
+        # broadcast-tiny by construction (≤ Σdf/max_df entries), and the
+        # per-id hot-shingle arrays are a slim frame that joins against
+        # the pair-sized candidate output only.
         hot = counts.filter(F.col("df") > max_df).select("h")
         capped = sh.join(F.broadcast(hot), "h", "left_anti")
-        pairs = (
+        inter_capped = (
             capped.alias("a")
             .join(
                 capped.alias("b"),
                 (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")),
             )
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .distinct()
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_capped"))
+        )
+        hot_sets = (
+            sh.join(F.broadcast(hot), "h")
+            .groupBy("id")
+            .agg(F.collect_set("h").alias("hs"))
+        )
+        card = sh.groupBy("id").agg(F.count(F.lit(1)).alias("card"))
+        no_hot = F.array().cast("array<long>")
+        # hot_sets/card are per-id frames: tiny at gate scale (AQE
+        # broadcasts them), but O(n_docs) at 100 TB — no forced broadcast.
+        out = (
+            inter_capped.join(
+                hot_sets.select(
+                    F.col("id").alias("id_a"), F.col("hs").alias("hs_a")
+                ),
+                "id_a",
+                "left",
+            )
+            .join(
+                hot_sets.select(
+                    F.col("id").alias("id_b"), F.col("hs").alias("hs_b")
+                ),
+                "id_b",
+                "left",
+            )
+            .withColumn(
+                "n_hot",
+                F.size(
+                    F.array_intersect(
+                        F.coalesce(F.col("hs_a"), no_hot),
+                        F.coalesce(F.col("hs_b"), no_hot),
+                    )
+                ),
+            )
+            .withColumn("n_common", F.col("n_capped") + F.col("n_hot"))
+            .join(
+                card.select(
+                    F.col("id").alias("id_a"), F.col("card").alias("card_a")
+                ),
+                "id_a",
+            )
+            .join(
+                card.select(
+                    F.col("id").alias("id_b"), F.col("card").alias("card_b")
+                ),
+                "id_b",
+            )
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("n_common")
+                    / (F.col("card_a") + F.col("card_b") - F.col("n_common")),
+                    6,
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "n_common", "jaccard")
         )
         # Eager localCheckpoint pins the (pair-sized, small) verified
         # output so the shingle cache can be released here instead of
         # leaking for the session lifetime (the returned DataFrame's
         # lazy plan would otherwise be the only handle on the cache).
-        return (
-            jaccard_for_pairs(sh, pairs)
-            .filter(F.col("jaccard") >= threshold)
-            .localCheckpoint(eager=True)
-        )
+        return out.localCheckpoint(eager=True)
     finally:
         counts.unpersist()
         sh.unpersist()
@@ -481,19 +543,34 @@ def embedding_lsh_pairs(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
     signs = hyperplane_signs(bits, dim)
-    bit_cols = [
-        (F.expr(signed_sum_expr(signs[j], "element_at(v, {i})")) > 0)
-        .cast("int")
-        .alias(f"bit_{j}")
-        for j in range(bits)
-    ]
-    sigs = v.select("id", "v", *bit_cols)
+    # Signs-matrix literal + nested higher-order functions, NOT bits×dim
+    # inline ± terms: the flat expansion is a ~2k-node expression tree that
+    # janino re-compiles in every stage the signature frame appears in
+    # (both sides of the band self-join) — measured 2.6 s vs 0.3 s for the
+    # signature stage alone at sf0.1. The fold keeps the IDENTICAL
+    # left-to-right IEEE summation as the oracle's ± chain (fold seeds
+    # 0.0, and 0.0 + x == x, 0.0 - x == -x, ±1.0 * x exact), so
+    # signatures stay bit-equal to the generated oracle SQL.
+    signs_lit = F.array(
+        *[F.array(*[F.lit(float(s)) for s in row]) for row in signs]
+    )
+    sums = F.transform(
+        signs_lit,
+        lambda row: F.aggregate(
+            F.zip_with(row, F.col("v"), lambda s, x: s * x),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        ),
+    )
+    sigs = v.select("id", "v", sums.alias("s"))
     bucket_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
                 sum(
-                    F.col(f"bit_{b * r + k}") * (1 << (r - 1 - k)) for k in range(r)
+                    (F.element_at(F.col("s"), b * r + k + 1) > 0).cast("int")
+                    * (1 << (r - 1 - k))
+                    for k in range(r)
                 ).alias("bucket"),
             )
             for b in range(bands)

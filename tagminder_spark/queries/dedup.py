@@ -371,3 +371,111 @@ def d_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # via their members, bridged hubs via the bridge), so no isolated-
     # node union-back is needed here
     return cc.select("node", "component")
+
+# --------------------------------------------------------------------------
+# end-to-end dedup compositions: pairs → clusters → keeper election
+# --------------------------------------------------------------------------
+# A real training-data pipeline does not stop at pair mining: the pairs
+# feed transitive closure and one canonical document is elected per
+# cluster. These two gates run the WHOLE chain on the driver's tables —
+# candidate generation (MinHash-LSH / hyperplane-LSH), exact verification,
+# iterative connected components, keeper election — and the oracle
+# replays it with a recursive CTE (min-label closure), so the composition
+# is value-exact, not just each stage in isolation.
+
+
+def _cc_closure_sql(pairs_sql: str, universe_sql: str, id_name: str) -> str:
+    """Recursive-CTE oracle for pairs→clusters→keeper over a universe.
+
+    ``reach`` seeds every universe id with itself and propagates labels one
+    hop per iteration over the symmetrized edge list; UNION dedups, so the
+    recursion terminates at the transitive closure. MIN(lab) per node is
+    the min-reachable id — exactly the engine's min-label fixpoint — and
+    doubles as the keeper (cluster id = smallest member id)."""
+    return f"""
+WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ({pairs_sql}) p),
+und AS (SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
+reach(node, lab) AS (
+    SELECT {id_name}, {id_name} FROM ({universe_sql}) uni
+    UNION
+    SELECT und.u, r.lab FROM und JOIN reach r ON r.node = und.v
+),
+comp AS (SELECT node AS {id_name}, MIN(lab) AS cluster_id
+         FROM reach GROUP BY node)
+SELECT {id_name}, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       CASE WHEN {id_name} <> cluster_id THEN 1 ELSE 0 END AS is_dup
+FROM comp
+"""
+
+
+def _cluster_and_elect(
+    universe: DataFrame, pairs: DataFrame, id_name: str
+) -> DataFrame:
+    """Shared Spark tail of both e2e gates: components over the verified
+    pairs, isolated ids unioned back as singleton clusters, cluster size
+    attached by window. One shuffle on cluster_id beyond the components
+    rounds; keeper = cluster_id (min member) by construction."""
+    from tagminder_spark.operators.components import connected_components
+
+    cc = connected_components(pairs, max_iter=10)
+    labeled = universe.join(
+        cc, universe[id_name] == cc["node"], "left"
+    ).select(
+        universe[id_name],
+        F.coalesce(cc["component"], universe[id_name]).alias("cluster_id"),
+    )
+    return (
+        labeled.withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(W.partitionBy("cluster_id")),
+        )
+        .withColumn(
+            "is_dup", (F.col(id_name) != F.col("cluster_id")).cast("int")
+        )
+        .select(id_name, "cluster_id", "cluster_size", "is_dup")
+    )
+
+
+def _fuzzy_e2e_sql() -> str:
+    # the minhash gate's full SQL as the pair generator, nested verbatim
+    # (DuckDB allows WITH inside a derived table), over all documents
+    return _cc_closure_sql(
+        _minhash_sql(), "SELECT doc_id FROM documents", "doc_id"
+    )
+
+
+@q("d_fuzzy_dedup_e2e", _fuzzy_e2e_sql())
+def d_fuzzy_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full fuzzy-dedup pipeline on documents: MinHash(32)+8×4 banding →
+    exact Jaccard ≥ 0.5 verification → iterative connected components →
+    keeper election (min doc_id per cluster) with cluster sizes. The
+    string_grouper-shaped dedup (§2.8) taken all the way to the decision
+    a 100 TB curation run actually ships: keep/drop per document."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, k=_K, bands=_BANDS, threshold=0.5
+    )
+    return _cluster_and_elect(d.select("doc_id"), pairs, "doc_id")
+
+
+def _semantic_e2e_sql() -> str:
+    return _cc_closure_sql(
+        _embedding_lsh_sql(), "SELECT vec_id FROM embeddings", "vec_id"
+    )
+
+
+@q("d_semantic_dedup_e2e", _semantic_e2e_sql())
+def d_semantic_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup, end-to-end: hyperplane-LSH buckets
+    propose embedding pairs, exact cosine ≥ 0.4 verifies, connected
+    components group semantic near-duplicates, and the min vec_id is
+    elected keeper per cluster. Same candidate→verify→cluster→elect
+    chain as the text path, over the embedding modality."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_lsh_pairs(
+        e, "vec_id", "embedding", dim=_EMB_DIM, bits=_EMB_BITS,
+        bands=_EMB_BANDS, threshold=0.4,
+    ).select("id_a", "id_b")
+    return _cluster_and_elect(e.select("vec_id"), pairs, "vec_id")

@@ -165,6 +165,15 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
         "d_simhash": (["id_a", "id_b"], [("hamming", "num")]),
         "d_embedding_neardup": (["id_a", "id_b"], [("cosine", "num")]),
         "d_connected_components": (["node"], [("component", "num")]),
+        # round-4 second sweep: full pairs→clusters→keeper compositions
+        "d_fuzzy_dedup_e2e": (
+            ["doc_id"],
+            [("cluster_id", "num"), ("cluster_size", "num"), ("is_dup", "num")],
+        ),
+        "d_semantic_dedup_e2e": (
+            ["vec_id"],
+            [("cluster_id", "num"), ("cluster_size", "num"), ("is_dup", "num")],
+        ),
         "c_diff_changelog": (
             ["alib_path", "alib_column"],
             [("old_value", "str"), ("new_value", "str"), ("script", "str")],

@@ -140,3 +140,50 @@ def test_kmeans_trained_ivf_beats_seed_ivf(spark):
     r_trained = len(trained & truth) / len(truth)
     assert r_trained >= r_seed, f"trained recall {r_trained} < seed {r_seed}"
     assert r_trained >= 0.5
+
+
+def test_e2e_dedup_composition_properties(spark):
+    """pairs→clusters→keeper invariants on a hand-built universe: known
+    chain {1,2,3} via (1,2),(2,3), pair (10,11), isolated 20/21."""
+    from tagminder_spark.queries.dedup import _cluster_and_elect
+
+    universe = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 20, 21)], ["doc_id"]
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in _cluster_and_elect(universe, pairs, "doc_id").collect()
+    }
+    assert len(rows) == 7
+    for d in (1, 2, 3):
+        assert rows[d]["cluster_id"] == 1 and rows[d]["cluster_size"] == 3
+    assert rows[1]["is_dup"] == 0 and rows[2]["is_dup"] == 1
+    for d in (10, 11):
+        assert rows[d]["cluster_id"] == 10 and rows[d]["cluster_size"] == 2
+    for d in (20, 21):  # isolated: singleton cluster, own keeper
+        assert rows[d]["cluster_id"] == d
+        assert rows[d]["cluster_size"] == 1 and rows[d]["is_dup"] == 0
+
+
+def test_e2e_fuzzy_dedup_covers_universe(docs, spark):
+    """Every document gets exactly one cluster assignment, keepers are
+    cluster minima, and cluster sizes sum to the corpus size."""
+    from tagminder_spark.queries.dedup import d_fuzzy_dedup_e2e
+
+    out = d_fuzzy_dedup_e2e(spark, SF_DIR)
+    n = docs.count()
+    assert out.count() == n
+    assert out.select("doc_id").distinct().count() == n
+    agg = out.groupBy("cluster_id").agg(
+        F.min("doc_id").alias("mn"), F.count(F.lit(1)).alias("sz")
+    )
+    assert agg.filter(F.col("mn") != F.col("cluster_id")).count() == 0
+    bad_sz = (
+        out.join(agg, "cluster_id")
+        .filter(F.col("cluster_size") != F.col("sz"))
+        .count()
+    )
+    assert bad_sz == 0
