@@ -403,6 +403,90 @@ def minhash_lsh_pairs(
 
 
 # --------------------------------------------------------------------------
+# incremental MinHash-LSH (new batch vs standing index)
+# --------------------------------------------------------------------------
+
+def lsh_index(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 32,
+    bands: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """(banded, hashed_shingles) — the standing dedup index for a corpus.
+
+    At 100 TB these two frames are what you PERSIST (bucketed by
+    (band, bucket) and by id respectively); each new ingest batch then
+    joins against them instead of re-mining the whole corpus. Both are
+    pure derivations of the corpus, so the gate recomputes them; a real
+    deployment reads them back from parquet.
+    """
+    rows_per_band = k // bands
+    sh = hashed_shingles(df, id_col, text_col, n)
+    sigs = minhash_signatures(sh, k)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"sig_{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select("id", F.explode(band_structs).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    return banded, sh
+
+
+def incremental_lsh_pairs(
+    new_index: tuple[DataFrame, DataFrame],
+    standing_index: tuple[DataFrame, DataFrame],
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs TOUCHING a new batch: new x standing plus new x new.
+
+    The candidate join probes only the new batch's bands against the
+    union of both band indexes, so per-ingest cost is
+    O(|new| + touched buckets) — independent of corpus size. This is the
+    shape that keeps fuzzy dedup affordable when 100 TB grows daily:
+    the standing index is an artifact, not a recomputation.
+
+    Identity: over the combined corpus this emits exactly the pairs of
+    the batch operator whose candidates include >=1 new id (same bands,
+    same buckets, same exact verification) — the equivalence the gate's
+    oracle states as a WHERE clause over the full-corpus SQL.
+    """
+    new_banded, new_sh = new_index
+    old_banded, old_sh = standing_index
+    all_banded = old_banded.unionByName(new_banded)
+    a = new_banded.alias("a")
+    b = all_banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    sh = old_sh.unionByName(new_sh)
+    return (
+        jaccard_for_pairs(sh, candidates)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
 

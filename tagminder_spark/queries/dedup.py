@@ -479,3 +479,38 @@ def d_semantic_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=_EMB_BANDS, threshold=0.4,
     ).select("id_a", "id_b")
     return _cluster_and_elect(e.select("vec_id"), pairs, "vec_id")
+
+
+# --------------------------------------------------------------------------
+# incremental dedup: new ingest batch vs standing LSH index
+# --------------------------------------------------------------------------
+
+def _incremental_sql() -> str:
+    # over the combined corpus the incremental probe emits exactly the
+    # full-corpus pairs with >=1 "new" side (same bands/buckets/verify) —
+    # so the oracle is the batch SQL plus that WHERE clause
+    return f"""
+SELECT id_a, id_b, jaccard FROM ({_minhash_sql()}) full_pairs
+WHERE id_a % 5 = 0 OR id_b % 5 = 0
+"""
+
+
+@q("d_incremental_dedup", _incremental_sql())
+def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental fuzzy dedup: documents with doc_id % 5 == 0 play the
+    new ingest batch, the rest the standing corpus. The new batch's bands
+    probe the union band index, so per-ingest cost is O(|new| + touched
+    buckets), not O(corpus) — the only affordable shape when a 100 TB
+    corpus grows daily. Verification is the exact Jaccard; the oracle is
+    the full-corpus SQL filtered to pairs touching the batch, stating the
+    incremental≡batch equivalence as a value-exact check."""
+    from tagminder_spark.operators.dedupe import incremental_lsh_pairs, lsh_index
+
+    d = load_table(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    old = d.filter(F.col("doc_id") % 5 != 0)
+    return incremental_lsh_pairs(
+        lsh_index(new, "doc_id", "text", n=3, k=_K, bands=_BANDS),
+        lsh_index(old, "doc_id", "text", n=3, k=_K, bands=_BANDS),
+        threshold=0.5,
+    )

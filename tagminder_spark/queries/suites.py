@@ -174,6 +174,9 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
             ["vec_id"],
             [("cluster_id", "num"), ("cluster_size", "num"), ("is_dup", "num")],
         ),
+        "d_incremental_dedup": (
+            ["id_a", "id_b"], [("jaccard", "num")]
+        ),
         "c_diff_changelog": (
             ["alib_path", "alib_column"],
             [("old_value", "str"), ("new_value", "str"), ("script", "str")],

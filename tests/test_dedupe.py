@@ -187,3 +187,30 @@ def test_e2e_fuzzy_dedup_covers_universe(docs, spark):
         .count()
     )
     assert bad_sz == 0
+
+
+def test_incremental_equals_batch_filtered(docs, spark):
+    """Incremental probe over a split corpus == full-corpus pairs that
+    touch the new batch (same bands, same verification)."""
+    from tagminder_spark.operators.dedupe import (
+        incremental_lsh_pairs,
+        lsh_index,
+    )
+
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    inc = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in incremental_lsh_pairs(
+            lsh_index(new, "doc_id", "text"),
+            lsh_index(old, "doc_id", "text"),
+            threshold=0.5,
+        ).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+        .collect()
+        if r["id_a"] % 5 == 0 or r["id_b"] % 5 == 0
+    }
+    assert inc == full and len(inc) > 0
