@@ -64,6 +64,9 @@ EXTRA = [
     "h_works_role_pairs",
     "cur_repetition",
     "cur_decontaminate",
+    # round-4 third sweep: full dedup compositions + incremental ingest
+    "d_fuzzy_dedup_e2e",
+    "d_incremental_dedup",
 ]
 
 
