@@ -111,28 +111,37 @@ def shingle_intersections(sh: DataFrame) -> DataFrame:
 def jaccard_for_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
     """Exact Jaccard for an explicit candidate-pair set only.
 
-    Intersections come from joining each pair with both sides' shingles —
-    cost is O(|pairs| · shingles/doc), independent of corpus-wide shingle
-    sharing. This is the verification half of any LSH scheme at scale.
-    Pairs with no common shingle drop out (jaccard would be 0).
+    The shingle table is rolled up ONCE into per-id sorted arrays (one
+    groupBy; array length bounded by document length), then each pair
+    joins two id-keyed rows and intersects in-row — cost
+    O(|pairs| · shingles/doc), and the corpus-proportional shingle table
+    is never re-shuffled per pair (the old shape joined it twice). This
+    is the verification half of any LSH scheme at scale. Pairs with no
+    common shingle drop out (jaccard would be 0), preserving the
+    contract of the previous join-based implementation.
     """
-    card = sh.groupBy("id").agg(F.count(F.lit(1)).alias("card"))
-    inter = (
-        pairs.join(sh.select(F.col("id").alias("id_a"), "h"), "id_a")
-        .join(sh.select(F.col("id").alias("id_b"), "h"), ["id_b", "h"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    sets = sh.groupBy("id").agg(
+        F.sort_array(F.collect_list("h")).alias("hs"),
+        F.count(F.lit(1)).alias("card"),
     )
-    ca = card.alias("ca")
-    cb = card.alias("cb")
+    sa = sets.select(
+        F.col("id").alias("id_a"), F.col("hs").alias("hs_a"), F.col("card").alias("card_a")
+    )
+    sb = sets.select(
+        F.col("id").alias("id_b"), F.col("hs").alias("hs_b"), F.col("card").alias("card_b")
+    )
     return (
-        inter.join(ca, F.col("id_a") == F.col("ca.id"))
-        .join(cb, F.col("id_b") == F.col("cb.id"))
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "n_common", F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+        )
+        .filter(F.col("n_common") > 0)
         .withColumn(
             "jaccard",
             F.round(
                 F.col("n_common")
-                / (F.col("ca.card") + F.col("cb.card") - F.col("n_common")),
+                / (F.col("card_a") + F.col("card_b") - F.col("n_common")),
                 6,
             ),
         )
