@@ -133,11 +133,22 @@ def _mbr_duck(e: str) -> str:
     return e.replace("AS STRING", "AS VARCHAR")
 
 
+# DuckDB expression for the Python str.strip() character set (shared
+# codepoint list with the Spark side — see mbdump.PY_STRIP_CODEPOINTS)
+from tagminder_spark.sources.mbdump import PY_STRIP_CODEPOINTS as _WS_CP
+
+_WS = "(" + "||".join(f"chr({i})" for i in _WS_CP) + ")"
+
+
+def _tr(x: str) -> str:
+    return f"trim({x}, {_WS})"
+
+
 def _cl(x: str) -> str:
     """DuckDB twin of mbdump._clean_text."""
     return (
-        f"CASE WHEN {x} IS NULL OR trim({x}) = '' OR trim({x}) = chr(92)||'N'"
-        f" THEN NULL ELSE trim({x}) END"
+        f"CASE WHEN {x} IS NULL OR {_tr(x)} = '' OR {_tr(x)} = chr(92)||'N'"
+        f" THEN NULL ELSE {_tr(x)} END"
     )
 
 
@@ -564,7 +575,7 @@ wl_f AS (
 ),
 wl_t AS (
   SELECT {_ki('f[1]')} AS work_id, {_ki('f[2]')} AS lang_id,
-         CASE WHEN lower(trim(COALESCE(f[3], ''))) IN ('1','t','true','y','yes')
+         CASE WHEN lower(trim(COALESCE(f[3], ''), (chr(9)||chr(10)||chr(11)||chr(12)||chr(13)||chr(28)||chr(29)||chr(30)||chr(31)||chr(32)||chr(133)||chr(160)||chr(5760)||chr(8192)||chr(8193)||chr(8194)||chr(8195)||chr(8196)||chr(8197)||chr(8198)||chr(8199)||chr(8200)||chr(8201)||chr(8202)||chr(8232)||chr(8233)||chr(8239)||chr(8287)||chr(12288)))) IN ('1','t','true','y','yes')
               THEN 1 ELSE 0 END AS is_primary,
          pos
   FROM wl_f
@@ -1067,7 +1078,7 @@ af_t AS (
          {_ki('f[7]')} AS begin_day,
          {_ki('f[11]')} AS artist_type, {_ki('f[12]')} AS area,
          {_ki('f[13]')} AS gender, {_cl('f[14]')} AS disambiguation,
-         CASE WHEN lower(trim(COALESCE(f[17], ''))) IN ('1','t','true','y','yes')
+         CASE WHEN lower(trim(COALESCE(f[17], ''), (chr(9)||chr(10)||chr(11)||chr(12)||chr(13)||chr(28)||chr(29)||chr(30)||chr(31)||chr(32)||chr(133)||chr(160)||chr(5760)||chr(8192)||chr(8193)||chr(8194)||chr(8195)||chr(8196)||chr(8197)||chr(8198)||chr(8199)||chr(8200)||chr(8201)||chr(8202)||chr(8232)||chr(8233)||chr(8239)||chr(8287)||chr(12288)))) IN ('1','t','true','y','yes')
               THEN 1 ELSE 0 END AS ended
   FROM af_f WHERE {_ki('f[1]')} IS NOT NULL
 )
@@ -1190,8 +1201,8 @@ _MBR_LINKATTRCREDIT_LINE = (
 )
 
 _BOOLSQL = (
-    "CASE WHEN lower(trim(coalesce({x}, ''))) IN ('1','t','true','y','yes')"
-    " THEN 1 ELSE 0 END"
+    "CASE WHEN lower(trim(coalesce({x}, ''), " + _WS + ")) IN"
+    " ('1','t','true','y','yes') THEN 1 ELSE 0 END"
 )
 
 _LINKFULL_CTE = f"""

@@ -207,27 +207,48 @@ _REQUIRED_TEXT: dict[str, tuple[str, ...]] = {
 }
 
 
+#: the exact character set Python's ``str.strip()`` removes (every
+#: codepoint <= U+3000 with ``isspace()``): ASCII whitespace, the
+#: C1/format separators 1C-1F and NEL 85, NBSP, and the Unicode Zs/Zl/Zp
+#: spaces. The reference cleans with ``.strip()`` (harvest_mb_works.py:37),
+#: and Spark's plain ``trim`` strips ASCII space ONLY — a hypothesis
+#: counterexample (\x1e inside a value) caught the divergence. Shared
+#: with the oracle generator so both engines trim the identical set.
+PY_STRIP_CODEPOINTS: tuple[int, ...] = (
+    0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x1C, 0x1D, 0x1E, 0x1F, 0x20,
+    0x85, 0xA0, 0x1680,
+    0x2000, 0x2001, 0x2002, 0x2003, 0x2004, 0x2005, 0x2006, 0x2007,
+    0x2008, 0x2009, 0x200A, 0x2028, 0x2029, 0x202F, 0x205F, 0x3000,
+)
+_PY_WS = "".join(map(chr, PY_STRIP_CODEPOINTS))
+
+
+def _pystrip(c: Column) -> Column:
+    """``str.strip()``-equivalent trim (see PY_STRIP_CODEPOINTS)."""
+    return F.btrim(c, F.lit(_PY_WS))
+
+
 def _nullish(c: Column) -> Column:
     """The reference's _is_nullish (:34-38): NULL, blank, or ``\\N``."""
-    t = F.trim(c)
+    t = _pystrip(c)
     return c.isNull() | (t == "") | (t == "\\N")
 
 
 def _clean_text(c: Column) -> Column:
-    return F.when(_nullish(c), F.lit(None).cast("string")).otherwise(F.trim(c))
+    return F.when(_nullish(c), F.lit(None).cast("string")).otherwise(_pystrip(c))
 
 
 def _to_int(c: Column) -> Column:
     # int(str.strip()) with ValueError→None ≡ ANSI try_cast(long):
     # fractional/garbage strings become NULL in both.
     return F.when(_nullish(c), F.lit(None).cast("long")).otherwise(
-        F.trim(c).try_cast("long")
+        _pystrip(c).try_cast("long")
     )
 
 
 def _to_bool(c: Column) -> Column:
     return (
-        F.lower(F.trim(F.coalesce(c, F.lit(""))))
+        F.lower(_pystrip(F.coalesce(c, F.lit(""))))
         .isin("1", "t", "true", "y", "yes")
         .cast("int")
     )
