@@ -65,18 +65,25 @@ def connected_components(
                 .groupBy(F.col("a").alias("node"))
                 .agg(F.min("component").alias("nmin"))
             )
-            new_labels = (
-                labels.join(neighbor_min, "node", "left")
-                .select(
-                    "node",
-                    F.least(
-                        F.col("component"), F.coalesce("nmin", F.col("component"))
-                    ).alias("component"),
-                )
-                .persist()
+            new_labels = labels.join(neighbor_min, "node", "left").select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nmin", F.col("component"))
+                ).alias("component"),
             )
+            # Lineage MUST be truncated every round, not just cached: the
+            # round's plan references the previous labels frame several
+            # times, so the logical plan multiplies per iteration —
+            # persist caches data but analysis/optimization still walks
+            # the exponentially-growing tree (measured 13 s → 36 s →
+            # 222 s per round by iteration 7, ending in a JVM stack
+            # overflow printing the plan). Eager localCheckpoint cuts the
+            # plan to a leaf; a supplied reliable checkpointer replaces
+            # it every checkpoint_every rounds for executor-loss safety.
             if checkpointer is not None and (it + 1) % checkpoint_every == 0:
                 new_labels = checkpointer(new_labels)
+            else:
+                new_labels = new_labels.localCheckpoint(eager=True)
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "node")
@@ -91,3 +98,107 @@ def connected_components(
         return labels.select("node", "component")
     finally:
         edges.unpersist()
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+    checkpointer=None,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """(node, component) via alternating large-star / small-star rounds.
+
+    The O(log d)-round alternative to plain min-label propagation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    large-star hooks every neighbor larger than a node onto the minimum
+    of its full neighborhood; small-star re-hooks each node and its
+    smaller parents onto the minimum parent. Tree heights roughly halve
+    per alternation, so convergence is logarithmic in component diameter
+    instead of linear. Use this when duplicate clusters can chain
+    arbitrarily (adversarial corpora); `connected_components` stays the
+    cheaper choice for the short diameters of organic near-dup clusters.
+
+    The edge state is a canonical child→parent map (parent < child,
+    both star steps preserve the invariant); at the fixpoint it is a
+    star forest child→component-min. Same contract as
+    `connected_components`: component = min node id; isolated nodes
+    (absent from ``pairs``) don't appear.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("child"), F.least("u", "v").alias("parent")
+        )
+        .dropDuplicates()
+        .persist()
+    )
+    nodes = (
+        edges.select(F.col("child").alias("node"))
+        .unionByName(edges.select(F.col("parent").alias("node")))
+        .dropDuplicates()
+        .persist()
+    )
+
+    def _large(e: DataFrame) -> DataFrame:
+        # for each u: m = min(neighborhood(u) + {u}); hook every LARGER
+        # neighbor onto m. (m <= u < w, so child>parent is preserved.)
+        sym = e.select(F.col("child").alias("u"), F.col("parent").alias("w")).unionByName(
+            e.select(F.col("parent").alias("u"), F.col("child").alias("w"))
+        )
+        m = sym.groupBy("u").agg(F.least(F.min("w"), F.first("u")).alias("m"))
+        return (
+            sym.filter(F.col("w") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("w").alias("child"), F.col("m").alias("parent"))
+            .dropDuplicates()
+        )
+
+    def _small(e: DataFrame) -> DataFrame:
+        # for each child u with parents P(u): m = min(P(u)); hook u and
+        # every other parent onto m. (parents < u and m = their min.)
+        m = e.groupBy("child").agg(F.min("parent").alias("m"))
+        own = m.select("child", F.col("m").alias("parent"))
+        siblings = (
+            e.join(m, "child")
+            .filter(F.col("parent") != F.col("m"))
+            .select(F.col("parent").alias("child"), F.col("m").alias("parent"))
+        )
+        return own.unionByName(siblings).dropDuplicates()
+
+    try:
+        for it in range(max_iter):
+            new_edges = _small(_large(edges))
+            # per-round lineage truncation — the star steps reference the
+            # previous edge frame ~4x each, so the plan tree multiplies
+            # per iteration; see the matching note in connected_components
+            if checkpointer is not None and (it + 1) % checkpoint_every == 0:
+                new_edges = checkpointer(new_edges)
+            else:
+                new_edges = new_edges.localCheckpoint(eager=True)
+            # converged when the child->parent map is unchanged (the star
+            # forest is the unique fixpoint): symmetric difference empty
+            changed = (
+                new_edges.join(edges, ["child", "parent"], "left_anti")
+                .limit(1)
+                .count()
+                + edges.join(new_edges, ["child", "parent"], "left_anti")
+                .limit(1)
+                .count()
+            )
+            edges.unpersist()
+            edges = new_edges
+            if changed == 0:
+                break
+        comp = edges.select(
+            F.col("child").alias("node"), F.col("parent").alias("component")
+        )
+        roots = nodes.join(
+            edges.select(F.col("child").alias("node")), "node", "left_anti"
+        ).select("node", F.col("node").alias("component"))
+        return comp.unionByName(roots)
+    finally:
+        edges.unpersist()
+        nodes.unpersist()
