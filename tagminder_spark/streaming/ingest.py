@@ -126,3 +126,59 @@ def run_stream_to_memory(
     finally:
         q.stop()
     return df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def streaming_dedup_probe(
+    stream: DataFrame,
+    standing_index,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    sink=None,
+    query_name: str = "dedup_probe",
+):
+    """Streaming twin of the incremental fuzzy-dedup probe: every
+    micro-batch of newly ingested documents is checked against the
+    standing LSH index via ``foreachBatch``.
+
+    ``standing_index`` is the (banded, shingles) pair from
+    ``operators.dedupe.lsh_index`` — in production read back from the
+    persisted parquet artifacts, so each micro-batch costs
+    O(|batch| + touched buckets), never O(corpus). ``sink(pairs_df,
+    batch_id)`` receives the verified near-dup pairs for the batch
+    (default: append to an in-memory list on the returned query object —
+    test/dev convenience).
+
+    The probe intentionally does NOT fold the batch into the index
+    mid-stream: index compaction is a periodic batch job (the same
+    separation the diff-audit MERGE uses), which keeps the streaming
+    path stateless and restart-safe.
+    """
+    from tagminder_spark.operators.dedupe import incremental_lsh_pairs, lsh_index
+
+    collected: list = []
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        batch_index = lsh_index(batch_df, id_col, text_col, n=n, k=k, bands=bands)
+        pairs = incremental_lsh_pairs(batch_index, standing_index, threshold=threshold)
+        if sink is not None:
+            sink(pairs, batch_id)
+        else:
+            collected.extend(
+                (r["id_a"], r["id_b"], r["jaccard"]) for r in pairs.collect()
+            )
+
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.collected_pairs = collected  # type: ignore[attr-defined]
+    return q
