@@ -408,3 +408,87 @@ def quality_buckets(
             F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), tile
         ).alias("bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-span flagging (substring-level dedup)
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 8,
+    min_df: int = 2,
+    max_dup_frac: float = 0.3,
+) -> DataFrame:
+    """Per-document coverage by word spans duplicated ANYWHERE in the
+    corpus — the substring-level dedup of Lee et al., "Deduplicating
+    Training Data Makes Language Models Better".
+
+    A duplicated span of ≥ k tokens contains a duplicated k-gram and
+    vice versa, so corpus-wide k-gram position matching finds exactly
+    the tokens covered by ≥k-token duplicated spans: positions of grams
+    whose corpus DF ≥ ``min_df`` are merged as [pos, pos+k) intervals
+    via one lead() window (union length = Σ min(k, next-pos)).
+
+    At 100 TB the single corpus-wide groupBy on the 8-byte gram hash is
+    the honest cost of substring dedup — the distributed analogue of the
+    suffix-array pass — and everything downstream touches only the
+    duplicated positions. Within-document repeats count (they are
+    duplicated text to a trainer too).
+    """
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    base = fan_out(docs).select(
+        F.col(id_col), F.size(toks).alias("n_tokens"),
+        word_ngrams(F.col(text_col), k).alias("grams"),
+    )
+    grams = base.select(
+        id_col, F.posexplode("grams").alias("pos", "gram")
+    ).select(
+        id_col,
+        "pos",
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("h")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    cov = (
+        grams.join(dup, "h")
+        .withColumn("nxt", F.lead("pos").over(w))
+        .withColumn(
+            "contrib",
+            F.when(F.col("nxt").isNull(), F.lit(k)).otherwise(
+                F.least(F.lit(k), F.col("nxt") - F.col("pos"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_grams"),
+            F.sum("contrib").alias("dup_tokens"),
+        )
+    )
+    return (
+        base.select(id_col, "n_tokens")
+        .join(cov, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.when(F.col("n_tokens") > 0, F.col("n_tokens")),
+                6,
+            ).alias("dup_frac"),
+        )
+        .withColumn(
+            "passes_dup_spans",
+            F.when(F.col("dup_frac") <= max_dup_frac, F.lit(1)).otherwise(F.lit(0)),
+        )
+    )

@@ -272,3 +272,54 @@ def cur_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", quality_score(F.col("text")).alias("quality")
     )
     return quality_buckets(scored)
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-span flagging (Lee et al. substring dedup)
+
+_DUP_K = 8
+
+_DUPSPAN_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS arr FROM documents),
+base AS (SELECT doc_id, len(arr) AS n_tokens FROM toks),
+gs AS (SELECT doc_id,
+              unnest([{{'pos': i - 1,
+                        'gram': array_to_string(arr[i:i+{_DUP_K - 1}], ' ')}}
+                      for i in range(1, len(arr) - {_DUP_K - 2})]) AS u
+       FROM toks),
+g2 AS (SELECT doc_id, u.pos AS pos,
+              CAST('0x' || substr(md5(u.gram), 1, 15) AS BIGINT) AS h
+       FROM gs),
+dup AS (SELECT h FROM g2 GROUP BY h HAVING count(*) >= 2),
+hits AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN dup USING (h)),
+cov AS (SELECT doc_id, pos,
+               lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        FROM hits),
+agg AS (SELECT doc_id, count(*) AS n_dup_grams,
+               SUM(CASE WHEN nxt IS NULL THEN {_DUP_K}
+                        ELSE LEAST({_DUP_K}, nxt - pos) END) AS dup_tokens
+        FROM cov GROUP BY doc_id),
+fin AS (
+  SELECT b.doc_id, b.n_tokens,
+         COALESCE(a.n_dup_grams, 0) AS n_dup_grams,
+         COALESCE(a.dup_tokens, 0) AS dup_tokens,
+         ROUND(COALESCE(a.dup_tokens, 0) * 1.0 / NULLIF(b.n_tokens, 0), 6)
+           AS dup_frac
+  FROM base b LEFT JOIN agg a USING (doc_id)
+)
+SELECT doc_id, n_tokens, n_dup_grams, dup_tokens, dup_frac,
+       CASE WHEN dup_frac <= 0.3 THEN 1 ELSE 0 END AS passes_dup_spans
+FROM fin
+"""
+
+
+@q("cur_dup_spans", _DUPSPAN_SQL)
+def cur_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup: per-document coverage by word spans of
+    >= 8 tokens duplicated anywhere in the corpus (Lee et al. exact
+    substring dedup re-expressed as corpus-wide k-gram position
+    matching + interval union)."""
+    from tagminder_spark.operators.curation import duplicated_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return duplicated_spans(d, "doc_id", "text", k=_DUP_K)

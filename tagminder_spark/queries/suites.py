@@ -254,6 +254,12 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
             [("n_emails", "num"), ("n_ips", "num"), ("n_phones", "num"),
              ("masked_md5", "str"), ("is_clean", "num")],
         ),
+        "cur_dup_spans": (
+            ["doc_id"],
+            [("n_tokens", "num"), ("n_dup_grams", "num"),
+             ("dup_tokens", "num"), ("dup_frac", "num"),
+             ("passes_dup_spans", "num")],
+        ),
     },
     # the report family (92/94/95/96)
     "suite_reports": {

@@ -192,3 +192,30 @@ def test_pii_scrub_masks_and_counts(spark):
     assert out[2].n_phones == 1 and "<PHONE>" in out[2].masked_text
     assert out[3].is_clean == 1
     assert out[3].masked_text == "nothing sensitive here"
+
+
+def test_duplicated_spans_reference_model(spark):
+    """Hand-built corpus: an 8-token span shared by docs 1 and 2 marks
+    exactly its tokens; doc 3 (unique text) stays clean; overlapping dup
+    grams merge into one interval (no double counting)."""
+    from tagminder_spark.operators.curation import duplicated_spans
+
+    span = "a b c d e f g h"          # 8 shared tokens
+    docs = spark.createDataFrame(
+        [
+            (1, span + " x1 y1 z1"),   # dup span at pos 0..7, 11 tokens
+            (2, "p2 q2 " + span),      # dup span at pos 2..9, 10 tokens
+            (3, "u v w only unique words here none repeat at all"),
+            (4, span + " " + span),    # self-repeat: 16 tokens all covered
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in duplicated_spans(docs, k=8).collect()}
+    assert got[1]["dup_tokens"] == 8 and got[1]["n_tokens"] == 11
+    assert got[2]["dup_tokens"] == 8 and got[2]["n_tokens"] == 10
+    assert got[3]["dup_tokens"] == 0 and got[3]["passes_dup_spans"] == 1
+    # doc 4: grams a..h, b..a, ..., all positions 0..8 are duplicated
+    # (each gram of the repeated text appears twice corpus-wide), so the
+    # union covers the whole 16 tokens
+    assert got[4]["dup_tokens"] == 16 and got[4]["passes_dup_spans"] == 0
+    assert got[1]["passes_dup_spans"] == 0  # 8/11 > 0.3
