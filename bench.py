@@ -67,6 +67,8 @@ EXTRA = [
     # round-4 third sweep: full dedup compositions + incremental ingest
     "d_fuzzy_dedup_e2e",
     "d_incremental_dedup",
+    # round-4 fifth sweep: substring-level dedup
+    "cur_dup_spans",
 ]
 
 
