@@ -332,7 +332,9 @@ def source_quota(
         F.col("n_chars").desc(), F.col(id_col).asc()
     )
     return (
-        docs.withColumn("rank_in_source", F.row_number().over(w))
+        # long, not int: the oracle's ROW_NUMBER() is BIGINT and the
+        # driver's value hash is type-sensitive (tools/type_sweep.py)
+        docs.withColumn("rank_in_source", F.row_number().over(w).cast("long"))
         .where(F.col("rank_in_source") <= k)
         .select(id_col, source_col, "n_chars", "rank_in_source")
     )
@@ -403,7 +405,7 @@ def quality_buckets(
         id_col,
         partition_col,
         F.col(score_col).cast("double").alias(score_col),
-        tile.alias("tercile"),
+        tile.cast("long").alias("tercile"),
         F.element_at(
             F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), tile
         ).alias("bucket"),
@@ -441,7 +443,7 @@ def duplicated_spans(
     """
     toks = F.split(F.trim(F.col(text_col)), " ")
     base = fan_out(docs).select(
-        F.col(id_col), F.size(toks).alias("n_tokens"),
+        F.col(id_col), F.size(toks).cast("long").alias("n_tokens"),
         word_ngrams(F.col(text_col), k).alias("grams"),
     )
     grams = base.select(

@@ -296,8 +296,9 @@ cov AS (SELECT doc_id, pos,
                lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
         FROM hits),
 agg AS (SELECT doc_id, count(*) AS n_dup_grams,
-               SUM(CASE WHEN nxt IS NULL THEN {_DUP_K}
-                        ELSE LEAST({_DUP_K}, nxt - pos) END) AS dup_tokens
+               CAST(SUM(CASE WHEN nxt IS NULL THEN {_DUP_K}
+                        ELSE LEAST({_DUP_K}, nxt - pos) END) AS BIGINT)
+                 AS dup_tokens
         FROM cov GROUP BY doc_id),
 fin AS (
   SELECT b.doc_id, b.n_tokens,
