@@ -349,6 +349,10 @@ def pl_chain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()  # (orderkey, linenumber) is not unique in the synthetic
     # lineitem; every column is a function of that pair, so distinct()
     # makes __path a true key for the diff-audit join
+    # persist: the diff joins alib against chain(alib) — without the
+    # cache the wide-string distinct (the most expensive stage here)
+    # runs once per side
+    alib = alib.persist()
     def chain(d):
         return step20_dates(
             step17_dedupe_tags(
