@@ -219,3 +219,49 @@ def test_duplicated_spans_reference_model(spark):
     # union covers the whole 16 tokens
     assert got[4]["dup_tokens"] == 16 and got[4]["passes_dup_spans"] == 0
     assert got[1]["passes_dup_spans"] == 0  # 8/11 > 0.3
+
+
+def test_duplicated_spans_random_model(spark):
+    """Random small-vocabulary corpora vs a pure-python reference model:
+    duplicated k-gram positions and interval-union coverage must match
+    exactly (seeded, 4 corpora)."""
+    import random
+
+    from tagminder_spark.operators.curation import duplicated_spans
+
+    k = 3
+    rng = random.Random(11)
+    for trial in range(4):
+        vocab = ["w%d" % i for i in range(6 + trial)]
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+            for i in range(12)
+        ]
+        # python reference model
+        gram_pos: dict[str, list[tuple[int, int]]] = {}
+        toks_by_doc = {}
+        for did, text in rows:
+            toks = text.split(" ")
+            toks_by_doc[did] = toks
+            for p in range(len(toks) - k + 1):
+                gram_pos.setdefault(" ".join(toks[p : p + k]), []).append((did, p))
+        expected = {}
+        dup_positions: dict[int, list[int]] = {}
+        for g, occ in gram_pos.items():
+            if len(occ) >= 2:
+                for did, p in occ:
+                    dup_positions.setdefault(did, []).append(p)
+        for did, toks in toks_by_doc.items():
+            ps = sorted(dup_positions.get(did, []))
+            covered = set()
+            for p in ps:
+                covered.update(range(p, p + k))
+            expected[did] = (len(toks), len(ps), len(covered))
+
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_dup_grams"], r["dup_tokens"])
+            for r in duplicated_spans(
+                spark.createDataFrame(rows, ["doc_id", "text"]), k=k
+            ).collect()
+        }
+        assert got == expected
