@@ -324,3 +324,97 @@ def cur_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return duplicated_spans(d, "doc_id", "text", k=_DUP_K)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end curation pipeline: repetition -> exact dedup -> decontaminate
+# -> source quota -> final keep set
+
+_PIPE_SQL = f"""
+WITH rep AS ({_REPETITION_SQL}),
+dec AS ({_DECONTAM_SQL}),
+s1 AS (SELECT d.doc_id, d.source, d.n_chars, md5(lower(trim(d.text))) AS th
+       FROM documents d JOIN rep USING (doc_id)
+       WHERE rep.passes_repetition = 1),
+s2 AS (SELECT doc_id, source, n_chars,
+              CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY th)
+                   THEN 1 ELSE 0 END AS is_exact_keeper
+       FROM s1),
+s3 AS (SELECT s2.doc_id, s2.source, s2.n_chars FROM s2
+       JOIN dec USING (doc_id)
+       WHERE s2.is_exact_keeper = 1 AND dec.is_contaminated = 0),
+s4 AS (SELECT doc_id, 1 AS within_quota
+       FROM (SELECT doc_id, row_number() OVER (PARTITION BY source
+                 ORDER BY n_chars DESC, doc_id ASC) AS rn FROM s3)
+       WHERE rn <= 10)
+SELECT d.doc_id,
+       rep.passes_repetition,
+       COALESCE(s2.is_exact_keeper, 0) AS is_exact_keeper,
+       CASE WHEN dec.is_contaminated = 0 THEN 1 ELSE 0 END AS is_clean,
+       COALESCE(s4.within_quota, 0) AS within_quota,
+       rep.passes_repetition * COALESCE(s2.is_exact_keeper, 0)
+         * (CASE WHEN dec.is_contaminated = 0 THEN 1 ELSE 0 END)
+         * COALESCE(s4.within_quota, 0) AS kept
+FROM documents d
+JOIN rep USING (doc_id)
+JOIN dec USING (doc_id)
+LEFT JOIN s2 USING (doc_id)
+LEFT JOIN s4 USING (doc_id)
+"""
+
+
+@q("cur_pipeline_e2e", _PIPE_SQL)
+def cur_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation run as ONE query — per-document stage flags and
+    the final keep decision: Gopher repetition filter → exact dedup
+    keeper election among survivors → benchmark decontamination → top-10
+    per-source quota. Stage populations chain (dedup runs on repetition
+    survivors; the quota ranks post-dedup clean docs), exactly as the
+    composed oracle states. At 100 TB this is one scan feeding three
+    keyed shuffles (gram agg, text-hash window, source window) plus a
+    broadcast of the benchmark grams."""
+    from tagminder_spark.operators.curation import (
+        decontaminate as _dec,
+        source_quota as _quota,
+    )
+    from tagminder_spark.operators.dedupe import exact_dup_keepers
+
+    docs = load_table(spark, sf_dir, "documents")
+    rep = repetition_metrics(docs).select("doc_id", "passes_repetition")
+    dec = _dec(docs, docs.where(F.col("doc_id") % 97 == 0), n=4).select(
+        "doc_id",
+        F.when(F.col("is_contaminated") == 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_clean"),
+    )
+    surv1 = docs.join(rep.filter(F.col("passes_repetition") == 1), "doc_id")
+    keepers = exact_dup_keepers(surv1, "doc_id", "text").select(
+        F.col("id").alias("doc_id"),
+        (1 - F.col("is_dup")).alias("is_exact_keeper"),
+    )
+    surv3 = (
+        surv1.join(keepers.filter(F.col("is_exact_keeper") == 1), "doc_id")
+        .join(dec.filter(F.col("is_clean") == 1), "doc_id")
+        .select("doc_id", "source", "n_chars")
+    )
+    quota = _quota(surv3, k=10).select("doc_id", F.lit(1).alias("within_quota"))
+    return (
+        docs.select("doc_id")
+        .join(rep, "doc_id")
+        .join(dec, "doc_id")
+        .join(keepers, "doc_id", "left")
+        .join(quota, "doc_id", "left")
+        .select(
+            "doc_id",
+            "passes_repetition",
+            F.coalesce("is_exact_keeper", F.lit(0)).alias("is_exact_keeper"),
+            "is_clean",
+            F.coalesce("within_quota", F.lit(0)).alias("within_quota"),
+            (
+                F.col("passes_repetition")
+                * F.coalesce("is_exact_keeper", F.lit(0))
+                * F.col("is_clean")
+                * F.coalesce("within_quota", F.lit(0))
+            ).alias("kept"),
+        )
+    )

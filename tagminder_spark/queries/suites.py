@@ -260,6 +260,11 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
              ("dup_tokens", "num"), ("dup_frac", "num"),
              ("passes_dup_spans", "num")],
         ),
+        "cur_pipeline_e2e": (
+            ["doc_id"],
+            [("passes_repetition", "num"), ("is_exact_keeper", "num"),
+             ("is_clean", "num"), ("within_quota", "num"), ("kept", "num")],
+        ),
     },
     # the report family (92/94/95/96)
     "suite_reports": {

@@ -265,3 +265,32 @@ def test_duplicated_spans_random_model(spark):
             ).collect()
         }
         assert got == expected
+
+
+def test_pipeline_e2e_stage_monotonicity(spark):
+    """Stage flags chain: kept implies every stage flag; quota caps each
+    source at 10 kept docs; total assignment covers the corpus."""
+    from tagminder_spark.queries.curation_q import cur_pipeline_e2e
+    from tests.conftest import SF_DIR
+
+    out = cur_pipeline_e2e(spark, SF_DIR)
+    n = out.count()
+    assert n == out.select("doc_id").distinct().count()
+    bad = out.filter(
+        (F.col("kept") == 1)
+        & (
+            (F.col("passes_repetition") == 0)
+            | (F.col("is_exact_keeper") == 0)
+            | (F.col("is_clean") == 0)
+            | (F.col("within_quota") == 0)
+        )
+    ).count()
+    assert bad == 0
+    kept = out.filter(F.col("kept") == 1)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    per_source = (
+        kept.join(docs, "doc_id").groupBy("source").count().collect()
+    )
+    assert per_source and all(r["count"] <= 10 for r in per_source)
