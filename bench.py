@@ -67,8 +67,10 @@ EXTRA = [
     # round-4 third sweep: full dedup compositions + incremental ingest
     "d_fuzzy_dedup_e2e",
     "d_incremental_dedup",
-    # round-4 fifth sweep: substring-level dedup
+    # round-4 fifth sweep: substring-level dedup + the one-query
+    # curation run
     "cur_dup_spans",
+    "cur_pipeline_e2e",
 ]
 
 
