@@ -315,7 +315,7 @@ WITH raw AS (
 ), unnested AS (
   SELECT qid, mbid, i,
          json_extract_string(occ, '$[' || i || '].rank') AS rank,
-         trim(json_extract_string(occ, '$[' || i || '].value')) AS value
+         trim(json_extract_string(occ, '$[' || i || '].value'), {_WS}) AS value
   FROM parsed, LATERAL (
     SELECT unnest(range(CAST(json_array_length(occ) AS INT))) AS i
   )

@@ -33,9 +33,14 @@ def truthy_statements(claims: Column) -> Column:
 
 def first_truthy_value(claims: Column) -> Column:
     """First truthy value in statement order (:266-272); NULL when no
-    statement survives the rank gate (blank values skipped)."""
+    statement survives the rank gate (blank values skipped). Values are
+    cleaned with the reference's ``str.strip()`` whitespace set (shared
+    codepoint list with the MB member parsers), not ASCII-space trim."""
+    from tagminder_spark.sources.mbdump import _PY_WS
+
+    strip = lambda c: F.btrim(c, F.lit(_PY_WS))  # noqa: E731
     vals = F.filter(
         truthy_statements(claims),
-        lambda s: s["value"].isNotNull() & (F.trim(s["value"]) != ""),
+        lambda s: s["value"].isNotNull() & (strip(s["value"]) != ""),
     )
-    return F.try_element_at(F.transform(vals, lambda s: F.trim(s["value"])), F.lit(1))
+    return F.try_element_at(F.transform(vals, lambda s: strip(s["value"])), F.lit(1))
