@@ -214,3 +214,36 @@ def test_incremental_equals_batch_filtered(docs, spark):
         if r["id_a"] % 5 == 0 or r["id_b"] % 5 == 0
     }
     assert inc == full and len(inc) > 0
+
+
+def test_df_cap_bounds_boilerplate_blowup(spark):
+    """Adversarial corpus: 200 docs share one boilerplate sentence. The
+    uncapped shared-shingle join proposes >= C(200,2) pairs from the hot
+    shingles alone; the DF cap drops hot shingles from the JOIN KEYS so
+    candidates collapse to near zero — while the reported pairs (exact
+    jaccard >= threshold) are identical, because boilerplate-only
+    overlap never reaches the threshold."""
+    from tagminder_spark.operators.dedupe import (
+        hashed_shingles,
+        shingle_intersections,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog again"
+    rows = [
+        (i, boiler + " " + " ".join(f"u{i}w{j}" for j in range(20)))
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = hashed_shingles(docs, "doc_id", "text", 3)
+    uncapped_candidates = shingle_intersections(sh).count()
+    assert uncapped_candidates >= 199 * 200 // 2  # quadratic in corpus
+
+    counts = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    hot = counts.filter(F.col("df") > 20).select("h")
+    capped = sh.join(hot, "h", "left_anti")
+    capped_candidates = shingle_intersections(capped).count()
+    assert capped_candidates == 0  # unique tails share nothing
+
+    full = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
+    cap = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5, max_df=20)
+    assert full.count() == 0 and cap.count() == 0  # identical verdicts
