@@ -494,3 +494,43 @@ def duplicated_spans(
             F.when(F.col("dup_frac") <= max_dup_frac, F.lit(1)).otherwise(F.lit(0)),
         )
     )
+
+
+def write_curated_shards(
+    docs: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partition_col: str = "lang",
+    *,
+    budget: int = 512,
+) -> None:
+    """Ship the curated corpus: every document tagged with its
+    token-budget shard (same window as :func:`pack_sequences`) and
+    written as parquet partitioned by (partition column, shard).
+
+    Directory-partitioned output is the contract a downstream tokenizer
+    fleet wants — each worker claims whole shard directories, no global
+    coordination. The write itself is Spark-native (no custom sink);
+    at 100 TB the only wide operation is the same per-language packing
+    window the shard assignment already needs.
+    """
+    toks = F.size(F.split(F.trim(F.col(text_col)), " "))
+    w = Window.partitionBy(partition_col).orderBy(id_col)
+    tagged = (
+        docs.withColumn("n_tokens", toks)
+        .withColumn(
+            "start_offset",
+            F.coalesce(
+                F.sum("n_tokens").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("shard_id", F.floor(F.col("start_offset") / F.lit(budget)))
+        .drop("start_offset")
+    )
+    tagged.write.mode("overwrite").partitionBy(partition_col, "shard_id").parquet(
+        out_dir
+    )

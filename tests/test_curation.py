@@ -294,3 +294,31 @@ def test_pipeline_e2e_stage_monotonicity(spark):
         kept.join(docs, "doc_id").groupBy("source").count().collect()
     )
     assert per_source and all(r["count"] <= 10 for r in per_source)
+
+
+def test_write_curated_shards_roundtrip(spark, tmp_path):
+    """Shard-partitioned write: directories per (lang, shard_id), rows
+    survive the round-trip, and shard assignment matches pack_sequences'
+    rollup counts."""
+    from tagminder_spark.operators.curation import (
+        pack_sequences,
+        write_curated_shards,
+    )
+    from tagminder_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = str(tmp_path / "curated")
+    write_curated_shards(docs, out, budget=512)
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    roll = {
+        (r["lang"], r["shard_id"]): r["n_docs"]
+        for r in pack_sequences(docs, budget=512).collect()
+    }
+    got = {
+        (r["lang"], r["shard_id"]): r["count"]
+        for r in back.groupBy("lang", "shard_id").count().collect()
+    }
+    assert got == roll
