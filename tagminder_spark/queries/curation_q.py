@@ -418,3 +418,31 @@ def cur_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus vocabulary (tokenizer-training prep)
+
+_VOCAB_SQL = """
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS arr FROM documents),
+occ AS (SELECT unnest(arr) AS token FROM toks),
+counts AS (SELECT token, count(*) AS n_occurrences FROM occ GROUP BY token),
+per_doc AS (SELECT doc_id, unnest(list_distinct(arr)) AS token FROM toks),
+dfreq AS (SELECT token, count(*) AS doc_frequency FROM per_doc GROUP BY token)
+SELECT c.token, c.n_occurrences, d.doc_frequency
+FROM counts c JOIN dfreq d USING (token)
+WHERE c.n_occurrences >= 2
+ORDER BY c.n_occurrences DESC, c.token ASC
+LIMIT 20
+"""
+
+
+@q("cur_vocabulary", _VOCAB_SQL)
+def cur_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary (tokenizer-training prep): top-20 tokens by
+    occurrence count with document frequencies, hapax tail pruned before
+    the bounded sort; deterministic token tie-break. k=20 < the
+    31-token synthetic vocabulary so the cut is load-bearing."""
+    from tagminder_spark.operators.curation import vocabulary
+
+    return vocabulary(load_table(spark, sf_dir, "documents"), top_k=20)

@@ -265,6 +265,10 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
             [("passes_repetition", "num"), ("is_exact_keeper", "num"),
              ("is_clean", "num"), ("within_quota", "num"), ("kept", "num")],
         ),
+        "cur_vocabulary": (
+            ["token"],
+            [("n_occurrences", "num"), ("doc_frequency", "num")],
+        ),
     },
     # the report family (92/94/95/96)
     "suite_reports": {
