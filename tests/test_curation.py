@@ -322,3 +322,17 @@ def test_write_curated_shards_roundtrip(spark, tmp_path):
         for r in back.groupBy("lang", "shard_id").count().collect()
     }
     assert got == roll
+
+
+def test_vocabulary_counts_and_cut(spark):
+    from tagminder_spark.operators.curation import vocabulary
+
+    docs = spark.createDataFrame(
+        [(1, "a a b c"), (2, "a b b z"), (3, "c a q")], ["doc_id", "text"]
+    )
+    rows = vocabulary(docs, top_k=2, min_count=2).collect()
+    # a: 4 occ / 3 docs; b: 3 occ / 2 docs; c: 2/2; z,q hapax-pruned
+    assert [(r["token"], r["n_occurrences"], r["doc_frequency"]) for r in rows] == [
+        ("a", 4, 3),
+        ("b", 3, 2),
+    ]
