@@ -30,10 +30,32 @@ Family (each has an exact DuckDB oracle in queries/curation_q.py):
 Scale notes (100 TB): repetition metrics and decontamination are the two
 that touch every token — both are a single explode + partial-aggregated
 groupBy(doc_id, gram) whose key cardinality is bounded by corpus token
-count; no pairwise joins anywhere.  Packing's window is partitioned by
-language (parallel across partitions); for a single giant language,
-pre-split by (lang, doc_id range) and pack each range independently —
-the budget boundary error is at most one document per range.
+count; no pairwise joins anywhere.  The three per-stratum orderings
+(packing's cumulative sum, the source quota's rank, the quality
+terciles) are the operators a naive window would serialize onto one
+reducer when a single language / crawl domain holds most of the corpus;
+each is rewritten skew-safe IN CODE:
+
+- packing: two-level cumulative sum — rows are range-tagged by
+  broadcast approximate-quantile boundaries of the order key
+  (:func:`_range_tag`), each (stratum, range) computes its local
+  exclusive cumsum in parallel, and a tiny per-range totals frame
+  (|strata| x |ranges| rows) supplies the exact global offset.  The
+  result is BIT-IDENTICAL to the single-window plan (addition is
+  associative over exact longs), so the oracle is untouched — the
+  decomposition changes only the shuffle layout, never the answer.
+- source quota: two-phase salted top-k — local rank inside
+  (source, salt) discards all but ``buckets * k`` survivors per source,
+  then the exact rank is computed over that bounded set.  A hot domain
+  never funnels its full row set through one reducer.
+- quality terciles: exact global rank via the same range-tag + offset
+  decomposition, then ntile's bucket boundaries computed in closed form
+  from the stratum count (sizes ceil-split exactly as SQL ntile).
+
+``range_splits`` controls the fan-out (default 16); 1 falls back to the
+plain single-window plan.  Boundary quality only affects load balance,
+never values — percentile_approx nondeterminism across partition merge
+order is therefore harmless.
 """
 
 from __future__ import annotations
@@ -78,6 +100,55 @@ def fan_out(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < max(2, target // 2):
         return df.repartition(target)
     return df
+
+
+#: default per-stratum fan-out for the skew-safe window decompositions —
+#: at 100 TB one language can be most of the corpus; 16 sub-ranges per
+#: stratum bounds any single sort task at ~1/16 of the hot stratum while
+#: adding only a |strata| x 16-row broadcast frame.
+DEFAULT_RANGE_SPLITS = 16
+
+
+def _range_tag(
+    df: DataFrame,
+    partition_col: str,
+    order_col: str,
+    n_ranges: int,
+    *,
+    descending: bool = False,
+) -> DataFrame:
+    """Tag each row with an order-preserving range id ``__rng`` within its
+    stratum, via broadcast approximate-quantile boundaries of the
+    (numeric) order column.
+
+    Order-preserving means: within a stratum, ``order_col`` a before b
+    (in the requested direction) implies ``__rng(a) <= __rng(b)``, and
+    ties always land in the same range — so a per-(stratum, range)
+    window plus an exact per-range offset reproduces the global window
+    EXACTLY.  Boundary placement (percentile_approx is a sketch, and its
+    merge order is partition-dependent) affects only balance, never
+    values.  NULL order keys go to the range Spark's default null
+    ordering puts them (first for asc, last for desc)."""
+    if n_ranges <= 1:
+        return df.withColumn("__rng", F.lit(0))
+    probs = [i / n_ranges for i in range(1, n_ranges)]
+    bounds = df.groupBy(partition_col).agg(
+        F.percentile_approx(
+            F.col(order_col).cast("double"), F.array(*[F.lit(p) for p in probs])
+        ).alias("__bnds")
+    )
+    v = F.col(order_col).cast("double")
+    if descending:
+        rng = F.size(F.filter(F.col("__bnds"), lambda b: b > v))
+        null_rng = F.lit(n_ranges - 1)  # desc => nulls last
+    else:
+        rng = F.size(F.filter(F.col("__bnds"), lambda b: b < v))
+        null_rng = F.lit(0)  # asc => nulls first
+    return (
+        df.join(F.broadcast(bounds), partition_col)
+        .withColumn("__rng", F.when(v.isNull(), null_rng).otherwise(rng))
+        .drop("__bnds")
+    )
 
 
 def uniform_hash(col: Column) -> Column:
@@ -273,6 +344,51 @@ def temperature_sample(
 # sequence packing
 
 
+def _shard_tagged(
+    docs: DataFrame,
+    id_col: str,
+    partition_col: str,
+    budget: int,
+    range_splits: int,
+) -> DataFrame:
+    """All input columns (which must include ``n_tokens``) + ``shard_id``
+    via the skew-safe two-level cumulative sum (see module docstring).
+    ``start_offset`` = exact tokens before this doc in (stratum, id-asc)
+    order = per-range exclusive cumsum + the summed totals of all
+    earlier ranges — equal to the single global window for every row,
+    any boundary placement."""
+    tagged = _range_tag(docs, partition_col, id_col, range_splits)
+    w = Window.partitionBy(partition_col, "__rng").orderBy(id_col)
+    totals = tagged.groupBy(partition_col, "__rng").agg(
+        F.sum("n_tokens").alias("__rng_tokens")
+    )
+    wo = Window.partitionBy(partition_col).orderBy("__rng")
+    offsets = totals.withColumn(
+        "__rng_offset",
+        F.coalesce(
+            F.sum("__rng_tokens").over(
+                wo.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("long"),
+        ),
+    ).select(partition_col, "__rng", "__rng_offset")
+    return (
+        tagged.join(F.broadcast(offsets), [partition_col, "__rng"])
+        .withColumn(
+            "start_offset",
+            F.col("__rng_offset")
+            + F.coalesce(
+                F.sum("n_tokens").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .withColumn("shard_id", F.floor(F.col("start_offset") / F.lit(budget)))
+        .drop("__rng", "__rng_offset", "start_offset")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -280,31 +396,23 @@ def pack_sequences(
     partition_col: str = "lang",
     *,
     budget: int = 512,
+    range_splits: int = DEFAULT_RANGE_SPLITS,
 ) -> DataFrame:
     """Pack documents into fixed token-budget shards, per partition
     column, in stable ``id_col`` order: a document starts a new shard
     when its start offset crosses a budget boundary (contiguous fill —
     the streaming-friendly packing a tokenizer shard-writer uses).
 
-    Output: one row per shard with document/token rollups.  The window
-    is partitioned by ``partition_col`` so packing parallelizes across
-    languages; see module docstring for the single-giant-partition path.
+    Output: one row per shard with document/token rollups.  The
+    cumulative sum is the two-level range decomposition (module
+    docstring): ~``range_splits`` parallel sort tasks per stratum even
+    when one language is the whole corpus, bit-identical results.
     """
-    toks = F.size(F.split(F.trim(F.col(text_col)), " "))
-    w = Window.partitionBy(partition_col).orderBy(id_col)
-    packed = docs.select(
+    toks = F.size(F.split(F.trim(F.col(text_col)), " ")).cast("long")
+    slim = docs.select(
         F.col(partition_col), F.col(id_col), toks.alias("n_tokens")
-    ).withColumn(
-        "start_offset",
-        F.coalesce(
-            F.sum("n_tokens").over(
-                w.rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ),
-    ).withColumn(
-        "shard_id", F.floor(F.col("start_offset") / F.lit(budget))
     )
+    packed = _shard_tagged(slim, id_col, partition_col, budget, range_splits)
     return packed.groupBy(partition_col, "shard_id").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
@@ -323,18 +431,37 @@ def source_quota(
     source_col: str = "source",
     *,
     k: int = 25,
+    buckets: int = 16,
 ) -> DataFrame:
     """Cap any one source's contribution at its top-``k`` documents by
     (n_chars desc, id asc) — the domain-balancing pass that stops one
-    crawl host from dominating a mixture.  Single shuffle on the source
-    key; skewed sources are bounded by the rank cutoff itself."""
-    w = Window.partitionBy(source_col).orderBy(
-        F.col("n_chars").desc(), F.col(id_col).asc()
+    crawl host from dominating a mixture.
+
+    Two-phase salted top-k (the `w_topk_salted`-proven shape from
+    operators/scale.py): phase 1 ranks inside (source, salt) and keeps
+    at most ``k`` rows per bucket, so a crawl domain holding half the
+    corpus contributes at most ``buckets * k`` rows to phase 2; phase 2
+    computes the EXACT rank over that bounded survivor set.  The
+    (n_chars desc, id asc) order is total, so every phase-2 survivor
+    set contains the true top-k and the output is identical to the
+    direct single-window plan."""
+    order = [F.col("n_chars").desc(), F.col(id_col).asc()]
+    slim = docs.select(id_col, source_col, "n_chars").withColumn(
+        "__salt", F.pmod(F.crc32(F.col(id_col).cast("string")), F.lit(buckets))
     )
+    w1 = Window.partitionBy(source_col, "__salt").orderBy(*order)
+    survivors = (
+        slim.withColumn("__rn", F.row_number().over(w1))
+        .where(F.col("__rn") <= k)
+        .drop("__rn", "__salt")
+    )
+    w2 = Window.partitionBy(source_col).orderBy(*order)
     return (
         # long, not int: the oracle's ROW_NUMBER() is BIGINT and the
         # driver's value hash is type-sensitive (tools/type_sweep.py)
-        docs.withColumn("rank_in_source", F.row_number().over(w).cast("long"))
+        survivors.withColumn(
+            "rank_in_source", F.row_number().over(w2).cast("long")
+        )
         .where(F.col("rank_in_source") <= k)
         .select(id_col, source_col, "n_chars", "rank_in_source")
     )
@@ -392,19 +519,69 @@ def quality_buckets(
     id_col: str = "doc_id",
     partition_col: str = "lang",
     score_col: str = "quality",
+    *,
+    range_splits: int = DEFAULT_RANGE_SPLITS,
 ) -> DataFrame:
     """Per-language head/middle/tail terciles by quality score (CCNet's
     perplexity-bucket split, with this engine's quality score standing in
     for the LM perplexity).  Fully tie-broken ordering (score desc, id
-    asc) keeps ntile deterministic across engines."""
-    w = Window.partitionBy(partition_col).orderBy(
+    asc) keeps the split deterministic across engines.
+
+    Skew-safe: the global per-language rank is the two-level range
+    decomposition (module docstring) — score-range tag via broadcast
+    quantile boundaries, per-(lang, range) local row_number, plus the
+    exact count of rows in better ranges.  The tercile then comes from
+    ntile's own bucket-size rule computed in closed form: with n rows,
+    bucket t holds floor(n/3) rows plus one extra for t <= n mod 3, so
+    the cumulative cutoffs are c_t = t*floor(n/3) + min(t, n mod 3) and
+    tercile = CASE rank <= c1 / <= c2 / else — exactly SQL ntile(3) for
+    every n, without ever sorting a whole language in one task."""
+    base = scored.select(
+        F.col(id_col),
+        F.col(partition_col),
+        F.col(score_col).cast("double").alias(score_col),
+    )
+    tagged = _range_tag(
+        base, partition_col, score_col, range_splits, descending=True
+    )
+    counts = tagged.groupBy(partition_col, "__rng").agg(
+        F.count(F.lit(1)).alias("__rng_n")
+    )
+    wo = Window.partitionBy(partition_col).orderBy("__rng")
+    offsets = (
+        counts.withColumn(
+            "__prior",
+            F.coalesce(
+                F.sum("__rng_n").over(
+                    wo.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .withColumn(
+            "__n", F.sum("__rng_n").over(Window.partitionBy(partition_col))
+        )
+        .select(partition_col, "__rng", "__prior", "__n")
+    )
+    w = Window.partitionBy(partition_col, "__rng").orderBy(
         F.col(score_col).desc(), F.col(id_col).asc()
     )
-    tile = F.ntile(3).over(w)
-    return scored.select(
+    ranked = tagged.join(
+        F.broadcast(offsets), [partition_col, "__rng"]
+    ).withColumn("__rank", F.col("__prior") + F.row_number().over(w))
+    q3 = F.floor(F.col("__n") / 3)
+    m3 = F.col("__n") % 3
+    c1 = q3 + F.least(F.lit(1).cast("long"), m3)
+    c2 = 2 * q3 + F.least(F.lit(2).cast("long"), m3)
+    tile = (
+        F.when(F.col("__rank") <= c1, F.lit(1))
+        .when(F.col("__rank") <= c2, F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    return ranked.select(
         id_col,
         partition_col,
-        F.col(score_col).cast("double").alias(score_col),
+        score_col,
         tile.cast("long").alias("tercile"),
         F.element_at(
             F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), tile
@@ -504,32 +681,26 @@ def write_curated_shards(
     partition_col: str = "lang",
     *,
     budget: int = 512,
+    range_splits: int = DEFAULT_RANGE_SPLITS,
 ) -> None:
     """Ship the curated corpus: every document tagged with its
-    token-budget shard (same window as :func:`pack_sequences`) and
+    token-budget shard (same assignment as :func:`pack_sequences`) and
     written as parquet partitioned by (partition column, shard).
 
     Directory-partitioned output is the contract a downstream tokenizer
     fleet wants — each worker claims whole shard directories, no global
     coordination. The write itself is Spark-native (no custom sink);
-    at 100 TB the only wide operation is the same per-language packing
-    window the shard assignment already needs.
+    at 100 TB the only wide work is the skew-safe two-level packing
+    decomposition the shard assignment already needs (full rows ride
+    the per-range window shuffle once; the offset frame broadcasts).
     """
-    toks = F.size(F.split(F.trim(F.col(text_col)), " "))
-    w = Window.partitionBy(partition_col).orderBy(id_col)
-    tagged = (
-        docs.withColumn("n_tokens", toks)
-        .withColumn(
-            "start_offset",
-            F.coalesce(
-                F.sum("n_tokens").over(
-                    w.rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        )
-        .withColumn("shard_id", F.floor(F.col("start_offset") / F.lit(budget)))
-        .drop("start_offset")
+    toks = F.size(F.split(F.trim(F.col(text_col)), " ")).cast("long")
+    tagged = _shard_tagged(
+        docs.withColumn("n_tokens", toks),
+        id_col,
+        partition_col,
+        budget,
+        range_splits,
     )
     tagged.write.mode("overwrite").partitionBy(partition_col, "shard_id").parquet(
         out_dir

@@ -336,3 +336,71 @@ def test_vocabulary_counts_and_cut(spark):
         ("a", 4, 3),
         ("b", 3, 2),
     ]
+
+
+def test_skewed_stratum_splits_and_exactness(spark):
+    """The 100x-skew scenario: one language holds 99% of rows. The
+    range decomposition must (a) actually split the hot stratum across
+    >1 window partition — no single task sorts the whole language —
+    and (b) produce BIT-IDENTICAL output to the single-window plan for
+    packing, quota, and terciles alike."""
+    from tagminder_spark.operators.curation import _range_tag
+
+    rows = [
+        (i, "w " * (1 + i % 7), "en" if i % 100 else "de", f"s{i % 3}", i % 50)
+        for i in range(2000)
+    ]
+    docs = _docs(spark, [(i, t.strip(), l, s, n) for i, t, l, s, n in rows])
+
+    # (a) the hot stratum really fans out across ranges
+    tagged = _range_tag(docs, "lang", "doc_id", 8)
+    n_ranges_en = (
+        tagged.where(F.col("lang") == "en").select("__rng").distinct().count()
+    )
+    assert n_ranges_en > 1
+
+    # (b) two-level cumsum == single-window cumsum, row for row
+    split = pack_sequences(docs, budget=64, range_splits=8).collect()
+    single = pack_sequences(docs, budget=64, range_splits=1).collect()
+    key = lambda r: (r.lang, r.shard_id)  # noqa: E731
+    assert sorted(map(tuple, split), key=lambda t: t[:2]) == sorted(
+        map(tuple, single), key=lambda t: t[:2]
+    )
+    assert len({key(r) for r in split if r.lang == "en"}) > 1
+
+    # terciles: decomposed rank + closed-form cutoffs == plain ntile
+    from pyspark.sql.window import Window
+
+    scored = docs.select(
+        "doc_id", "lang", (F.col("n_chars") * 1.0).alias("quality")
+    )
+    got = {
+        r.doc_id: (r.tercile, r.bucket)
+        for r in quality_buckets(scored, range_splits=8).collect()
+    }
+    w = Window.partitionBy("lang").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    want = {
+        r.doc_id: r.t
+        for r in scored.select("doc_id", F.ntile(3).over(w).alias("t")).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == want
+
+    # quota: two-phase salted == direct window (total order => unique answer)
+    got_q = {
+        r.doc_id: r.rank_in_source
+        for r in source_quota(docs, k=7, buckets=4).collect()
+    }
+    wq = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    want_q = {
+        r.doc_id: r.rn
+        for r in docs.select(
+            "doc_id", F.row_number().over(wq).cast("long").alias("rn")
+        )
+        .where(F.col("rn") <= 7)
+        .collect()
+    }
+    assert got_q == want_q
