@@ -91,7 +91,14 @@ def connected_components(
                 .limit(1)
                 .count()
             )
-            labels.unpersist()
+            if it == 0:
+                # only the round-0 labels frame is cache-manager persisted;
+                # later rounds are checkpoint frames, whose blocks are NOT
+                # in the cache manager — DataFrame.unpersist is a no-op on
+                # them and reclamation relies on the ContextCleaner once
+                # this loop drops the reference (bounded: at most one
+                # round's blocks are unreferenced at a time).
+                labels.unpersist()
             labels = new_labels
             if changed == 0:
                 break
@@ -188,7 +195,12 @@ def connected_components_star(
                 .limit(1)
                 .count()
             )
-            edges.unpersist()
+            if it == 0:
+                # same reclamation note as connected_components: only the
+                # round-0 frame is cache-manager persisted; checkpoint-frame
+                # blocks are freed by the ContextCleaner after the reference
+                # drops here.
+                edges.unpersist()
             edges = new_edges
             if changed == 0:
                 break

@@ -468,9 +468,19 @@ def incremental_lsh_pairs(
     the batch operator whose candidates include >=1 new id (same bands,
     same buckets, same exact verification) — the equivalence the gate's
     oracle states as a WHERE clause over the full-corpus SQL.
+
+    Re-ingested ids (present in BOTH indexes — an update) are resolved
+    new-version-wins: the standing index's rows for ids in the new batch
+    are anti-joined away before the union, so a doc is never compared
+    against its own stale shingles (which would silently understate
+    Jaccard by doubling the union cardinality). The anti-join's right
+    side is just the new batch's id set — O(|new|), broadcast at scale.
     """
     new_banded, new_sh = new_index
     old_banded, old_sh = standing_index
+    new_ids = new_sh.select("id").dropDuplicates()
+    old_banded = old_banded.join(F.broadcast(new_ids), "id", "left_anti")
+    old_sh = old_sh.join(F.broadcast(new_ids), "id", "left_anti")
     all_banded = old_banded.unionByName(new_banded)
     a = new_banded.alias("a")
     b = all_banded.alias("b")

@@ -416,10 +416,16 @@ def _cluster_and_elect(
     """Shared Spark tail of both e2e gates: components over the verified
     pairs, isolated ids unioned back as singleton clusters, cluster size
     attached by window. One shuffle on cluster_id beyond the components
-    rounds; keeper = cluster_id (min member) by construction."""
-    from tagminder_spark.operators.components import connected_components
+    rounds; keeper = cluster_id (min member) by construction.
 
-    cc = connected_components(pairs, max_iter=10)
+    Star-contraction components (O(log diameter) rounds + fixpoint
+    check) rather than plain min-label propagation with a fixed round
+    budget: a duplicate cluster chaining deeper than the budget would
+    silently diverge from the oracle's exact transitive closure, and
+    adversarial corpora (boilerplate chains) do produce long paths."""
+    from tagminder_spark.operators.components import connected_components_star
+
+    cc = connected_components_star(pairs)
     labeled = universe.join(
         cc, universe[id_name] == cc["node"], "left"
     ).select(

@@ -157,6 +157,15 @@ def streaming_dedup_probe(
     mid-stream: index compaction is a periodic batch job (the same
     separation the diff-audit MERGE uses), which keeps the streaming
     path stateless and restart-safe.
+
+    **Known recall gap (by design):** each micro-batch is compared only
+    against itself and the standing index — a near-dup pair whose two
+    members arrive in DIFFERENT micro-batches of the same stream is NOT
+    flagged until the periodic compaction folds earlier batches into
+    the index. Callers needing batch-equivalent recall must either run
+    the batch ``incremental_lsh_pairs`` after compaction or size the
+    compaction period to their staleness tolerance; this probe is the
+    low-latency leg, not a replacement for the batch operator.
     """
     from tagminder_spark.operators.dedupe import incremental_lsh_pairs, lsh_index
 

@@ -247,3 +247,32 @@ def test_df_cap_bounds_boilerplate_blowup(spark):
     full = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
     cap = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5, max_df=20)
     assert full.count() == 0 and cap.count() == 0  # identical verdicts
+
+
+def test_incremental_reingest_new_version_wins(spark):
+    """An id present in BOTH indexes (re-ingest/update) must be compared
+    via its NEW shingles only: stale standing rows are anti-joined away,
+    so the updated doc still pairs with its exact twin at jaccard 1.0
+    instead of a silently understated score against its own old text."""
+    from tagminder_spark.operators.dedupe import (
+        incremental_lsh_pairs,
+        lsh_index,
+    )
+
+    txt_new = "alpha beta gamma delta epsilon zeta eta theta"
+    old = spark.createDataFrame(
+        [(1, "totally different stale text body here now"),
+         (2, txt_new)],
+        ["doc_id", "text"],
+    )
+    # doc 1 re-ingested with text identical to standing doc 2
+    new = spark.createDataFrame([(1, txt_new)], ["doc_id", "text"])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in incremental_lsh_pairs(
+            lsh_index(new, "doc_id", "text"),
+            lsh_index(old, "doc_id", "text"),
+            threshold=0.5,
+        ).collect()
+    }
+    assert pairs == {(1, 2): 1.0}
