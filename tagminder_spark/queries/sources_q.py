@@ -51,7 +51,12 @@ def s14_tsv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S14 (scripts/mdm/harvest/harvest_mb_works.py:257-475): MB dump
     member tables are tab-separated with literal ``\\N`` for NULL. The
     single-pass tar scan becomes a plain distributed text parse; this
-    query pins the field-split + null-token semantics."""
+    query pins the field-split + null-token semantics.
+
+    Evidence status (deliberate): local oracle_check only — the
+    s14_mb_member_routing window gate exercises the same split/null
+    path on all 18 member layouts, so this primitive stays registered
+    outside the GATE_WINDOW and rides no suite."""
     n = load_table(spark, sf_dir, "nation")
     raw = n.select(
         F.concat_ws(

@@ -135,6 +135,21 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
              ("wikidata_uri", "str"), ("wikidata_id", "str"),
              ("allmusic_mnid", "str")],
         ),
+        # round 5: the composed end-to-end works lookup (constituents
+        # s14_works_enrich / s14_mb_member_routing / s14_related_works
+        # are already gated; this pins their left-join assembly)
+        "s14_works_lookup": (
+            ["work_id"],
+            [("musicbrainz_workid", "str"), ("work_title", "str"),
+             ("work_type_id", "num"), ("work_type_name", "str"),
+             ("work_disambiguation", "str"), ("language_id", "num"),
+             ("language_code", "str"), ("language_name", "str"),
+             ("aliases", "str"), ("n_aliases", "num"),
+             ("iswcs", "str"), ("n_iswcs", "num"),
+             ("role_pairs", "str"), ("n_pairs", "num"),
+             ("related_work_titles", "str"), ("related_work_mbids", "str"),
+             ("related_work_relationship_names", "str")],
+        ),
         # round 4 second sweep: relationship harvests
         "s14_recording_work_rels": (
             ["edge_row_id"],
