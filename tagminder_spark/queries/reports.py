@@ -88,6 +88,281 @@ def r94_missing_critical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 92: library-health card — keep-columns coverage + radar metric vector
+# --------------------------------------------------------------------------
+
+#: (column, missing-pattern key) — the alib fixture below injects a
+#: distinct deterministic blank/NULL pattern per critical column
+_HEALTH_CRITICAL = ("title", "artist", "albumartist", "year", "genre")
+#: keep-columns list includes one column absent from alib ("rating") to
+#: pin the reference's missing-column-is-0% rule
+_HEALTH_KEEP = ("title", "artist", "albumartist", "year", "genre", "rating")
+
+_HEALTH_ALIB_SQL = """
+  SELECT 'd' || CAST(l_orderkey % 120 AS VARCHAR) AS root,
+         CASE WHEN l_orderkey % 5 = 0 THEN NULL
+              WHEN l_orderkey % 11 = 0 THEN '  '
+              ELSE 'T' || CAST(l_orderkey AS VARCHAR) END AS title,
+         CASE WHEN l_partkey % 7 = 0 THEN ''
+              ELSE 'A' || CAST(l_partkey AS VARCHAR) END AS artist,
+         CASE WHEN l_suppkey % 13 = 0 THEN NULL
+              ELSE 'AA' || CAST(l_orderkey % 40 AS VARCHAR) END AS albumartist,
+         CASE WHEN l_linenumber % 3 = 0 THEN ' '
+              ELSE '19' || CAST(l_suppkey % 90 AS VARCHAR) END AS year,
+         CASE WHEN l_orderkey % 17 = 0 THEN NULL
+              ELSE 'G' || CAST(l_partkey % 25 AS VARCHAR) END AS genre,
+         CASE WHEN l_orderkey % 9 = 0 THEN '1' ELSE '0' END AS compilation
+  FROM lineitem
+"""
+
+
+def _h_missing(c: str) -> str:
+    return f"({c} IS NULL OR trim(CAST({c} AS VARCHAR)) = '')"
+
+
+def _health_sql() -> str:
+    crit = _HEALTH_CRITICAL
+    m_aggs = ",\n         ".join(
+        f"SUM(CASE WHEN {_h_missing(c)} THEN 1 ELSE 0 END) AS m_{c}" for c in crit
+    )
+    p_aggs = ",\n         ".join(
+        f"SUM(CASE WHEN {_h_missing(c)} THEN 0 ELSE 1 END) AS p_{c}" for c in crit
+    )
+    any_missing = " OR ".join(f"m2_{c} > 0" for c in crit)
+    zeroed = ",\n         ".join(
+        (
+            f"CASE WHEN is_comp = 1 THEN 0 ELSE m_{c} END AS m2_{c}"
+            if c == "albumartist"
+            else f"m_{c} AS m2_{c}"
+        )
+        for c in crit
+    )
+    rad_aggs = ",\n        ".join(
+        f"SUM(COALESCE(NULLIF(m2_{c}, 0), 0)) AS s_{c},"
+        f" COUNT(NULLIF(m2_{c}, 0)) AS a_{c}"
+        for c in crit
+    )
+    keep_t = ",\n        ".join(
+        f"SUM(CASE WHEN {_h_missing(c)} THEN 0 ELSE 1 END) AS kt_{c}" for c in crit
+    )
+    keep_a = ",\n        ".join(
+        f"AVG(p_{c} * 1.0 / NULLIF(n_tracks, 0)) AS ka_{c}" for c in crit
+    )
+    keep_rows = "\nUNION ALL\n".join(
+        (
+            f"SELECT 'keep_coverage' AS section, '{c}' AS col_name,\n"
+            f"       CAST(ROUND(kt_{c} * 100.0 / track_count, 6) AS DOUBLE) AS track_pct,\n"
+            f"       CAST(ROUND(ka_{c} * 100.0, 6) AS DOUBLE) AS album_pct\n"
+            f"FROM keep_t, keep_a, tot"
+        )
+        if c in _HEALTH_CRITICAL
+        else (
+            f"SELECT 'keep_coverage', '{c}', CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)"
+        )
+        for c in _HEALTH_KEEP
+    )
+    radar_rows = "\nUNION ALL\n".join(
+        f"SELECT 'radar_missing', '{c}',\n"
+        f"       CAST(ROUND(s_{c} * 100.0 / "
+        + ("aa_tracks" if c == "albumartist" else "track_count")
+        + f", 6) AS DOUBLE),\n"
+        f"       CAST(ROUND(a_{c} * 100.0 / "
+        + (
+            "(album_count - comp_albums)"
+            if c == "albumartist"
+            else "album_count"
+        )
+        + ", 6) AS DOUBLE)\n"
+        "FROM rad, tot, ac"
+        for c in crit
+    )
+    return f"""
+WITH alib AS ({_HEALTH_ALIB_SQL}),
+tot AS (SELECT COUNT(*) AS track_count,
+               SUM(CASE WHEN COALESCE(CAST(compilation AS INTEGER), 0) != 1
+                        THEN 1 ELSE 0 END) AS aa_tracks
+        FROM alib),
+roots AS (SELECT root, COUNT(*) AS n_tracks,
+         MAX(COALESCE(CAST(compilation AS INTEGER), 0)) AS is_comp,
+         {m_aggs},
+         {p_aggs}
+   FROM alib GROUP BY root),
+ac AS (SELECT COUNT(*) AS album_count,
+              SUM(CASE WHEN is_comp = 1 THEN 1 ELSE 0 END) AS comp_albums
+       FROM roots),
+rep AS (SELECT root, is_comp,
+         {zeroed}
+   FROM roots),
+rep2 AS (SELECT * FROM rep WHERE {any_missing}),
+rad AS (SELECT {rad_aggs} FROM rep2),
+keep_t AS (SELECT {keep_t} FROM alib),
+keep_a AS (SELECT {keep_a} FROM roots)
+{keep_rows}
+UNION ALL
+{radar_rows}
+"""
+
+
+@q("r92_health_radar", _health_sql())
+def r92_health_radar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library-health card metric assembly
+    (92-report-library-health.py:123-188 keep-columns coverage,
+    :410-455 radar metric vector, :364-407 denominators):
+
+    - ``keep_coverage`` rows: per keep-column, % of tracks with a
+      present (non-NULL, non-blank after trim) value, and the
+      equal-weight-per-album average of per-album-root presence ratios;
+      a keep-column absent from alib reports 0/0 (the reference's
+      missing-column rule).
+    - ``radar_missing`` rows: per critical column, the step-94 report's
+      missing rates — track numerator SUM(COALESCE(col, 0)) and album
+      numerator COUNT(col IS NOT NULL) over the exception-only report
+      (0→NULL readability conversion included, hence NULLIF), with
+      albumartist zeroed on compilation albums and its denominators
+      restricted to non-compilation tracks/albums.
+
+    Scale shape: one scan → one groupBy(album_root) plus one global
+    aggregate; everything downstream operates on the per-album frame or
+    single-row aggregates that cross-join via broadcast."""
+    crit = list(_HEALTH_CRITICAL)
+    li = load_table(spark, sf_dir, "lineitem")
+    alib = li.select(
+        F.concat(F.lit("d"), (F.col("l_orderkey") % 120).cast("string")).alias("root"),
+        F.when(F.col("l_orderkey") % 5 == 0, F.lit(None).cast("string"))
+        .when(F.col("l_orderkey") % 11 == 0, F.lit("  "))
+        .otherwise(F.concat(F.lit("T"), F.col("l_orderkey").cast("string")))
+        .alias("title"),
+        F.when(F.col("l_partkey") % 7 == 0, F.lit(""))
+        .otherwise(F.concat(F.lit("A"), F.col("l_partkey").cast("string")))
+        .alias("artist"),
+        F.when(F.col("l_suppkey") % 13 == 0, F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(F.lit("AA"), (F.col("l_orderkey") % 40).cast("string"))
+        )
+        .alias("albumartist"),
+        F.when(F.col("l_linenumber") % 3 == 0, F.lit(" "))
+        .otherwise(F.concat(F.lit("19"), (F.col("l_suppkey") % 90).cast("string")))
+        .alias("year"),
+        F.when(F.col("l_orderkey") % 17 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("G"), (F.col("l_partkey") % 25).cast("string")))
+        .alias("genre"),
+        F.when(F.col("l_orderkey") % 9 == 0, F.lit("1"))
+        .otherwise(F.lit("0"))
+        .alias("compilation"),
+    )
+
+    def missing(c: str):
+        return F.col(c).isNull() | (F.trim(F.col(c).cast("string")) == "")
+
+    comp_i = F.coalesce(F.col("compilation").cast("int"), F.lit(0))
+    tot = alib.agg(
+        F.count(F.lit(1)).alias("track_count"),
+        F.sum(F.when(comp_i != 1, 1).otherwise(0)).alias("aa_tracks"),
+        *[
+            F.sum(F.when(missing(c), 0).otherwise(1)).alias(f"kt_{c}")
+            for c in crit
+        ],
+    )
+    roots = alib.groupBy("root").agg(
+        F.count(F.lit(1)).alias("n_tracks"),
+        F.max(comp_i).alias("is_comp"),
+        *[
+            F.sum(F.when(missing(c), 1).otherwise(0)).alias(f"m_{c}")
+            for c in crit
+        ],
+        *[
+            F.sum(F.when(missing(c), 0).otherwise(1)).alias(f"p_{c}")
+            for c in crit
+        ],
+    )
+    ac = roots.agg(
+        F.count(F.lit(1)).alias("album_count"),
+        F.sum(F.when(F.col("is_comp") == 1, 1).otherwise(0)).alias("comp_albums"),
+        *[
+            F.avg(F.col(f"p_{c}") / F.nullif(F.col("n_tracks"), F.lit(0))).alias(
+                f"ka_{c}"
+            )
+            for c in crit
+        ],
+    )
+    zeroed = roots.select(
+        "root",
+        *[
+            (
+                F.when(F.col("is_comp") == 1, F.lit(0))
+                .otherwise(F.col(f"m_{c}"))
+                if c == "albumartist"
+                else F.col(f"m_{c}")
+            ).alias(f"m2_{c}")
+            for c in crit
+        ],
+    )
+    any_missing = None
+    for c in crit:
+        cond = F.col(f"m2_{c}") > 0
+        any_missing = cond if any_missing is None else (any_missing | cond)
+    rad = zeroed.filter(any_missing).agg(
+        *[
+            F.sum(F.coalesce(F.nullif(F.col(f"m2_{c}"), F.lit(0)), F.lit(0))).alias(
+                f"s_{c}"
+            )
+            for c in crit
+        ],
+        *[
+            F.count(F.nullif(F.col(f"m2_{c}"), F.lit(0))).alias(f"a_{c}")
+            for c in crit
+        ],
+    )
+    wide = tot.crossJoin(F.broadcast(ac)).crossJoin(F.broadcast(rad))
+    rows = []
+    for c in _HEALTH_KEEP:
+        if c in _HEALTH_CRITICAL:
+            rows.append(
+                F.struct(
+                    F.lit("keep_coverage").alias("section"),
+                    F.lit(c).alias("col_name"),
+                    F.round(F.col(f"kt_{c}") * 100.0 / F.col("track_count"), 6)
+                    .cast("double")
+                    .alias("track_pct"),
+                    F.round(F.col(f"ka_{c}") * 100.0, 6)
+                    .cast("double")
+                    .alias("album_pct"),
+                )
+            )
+        else:
+            rows.append(
+                F.struct(
+                    F.lit("keep_coverage").alias("section"),
+                    F.lit(c).alias("col_name"),
+                    F.lit(0.0).alias("track_pct"),
+                    F.lit(0.0).alias("album_pct"),
+                )
+            )
+    for c in crit:
+        t_den = F.col("aa_tracks") if c == "albumartist" else F.col("track_count")
+        a_den = (
+            F.col("album_count") - F.col("comp_albums")
+            if c == "albumartist"
+            else F.col("album_count")
+        )
+        rows.append(
+            F.struct(
+                F.lit("radar_missing").alias("section"),
+                F.lit(c).alias("col_name"),
+                F.round(F.col(f"s_{c}") * 100.0 / t_den, 6)
+                .cast("double")
+                .alias("track_pct"),
+                F.round(F.col(f"a_{c}") * 100.0 / a_den, 6)
+                .cast("double")
+                .alias("album_pct"),
+            )
+        )
+    return wide.select(F.explode(F.array(*rows)).alias("r")).select(
+        "r.section", "r.col_name", "r.track_pct", "r.album_pct"
+    )
+
+
+# --------------------------------------------------------------------------
 # 95: album-inconsistent tag values (A6)
 # --------------------------------------------------------------------------
 

@@ -345,6 +345,12 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
         ),
         "r92_persona": (["persona"], [("score", "num"), ("selected", "num")]),
         "r92_genre_spotlight": (["composer_tok"], [("albums", "num")]),
+        # round 5: library-health card (keep-columns coverage + radar
+        # missing-rate vector, compilation-aware albumartist denominators)
+        "r92_health_radar": (
+            ["section", "col_name"],
+            [("track_pct", "num"), ("album_pct", "num")],
+        ),
         "r91_snapshot_compare": (
             ["column"],
             [("track_before", "num"), ("track_after", "num"),
