@@ -284,6 +284,14 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
             ["token"],
             [("n_occurrences", "num"), ("doc_frequency", "num")],
         ),
+        # round 5: ingest-time curation of a new batch against standing
+        # artifacts (hash index + per-source top-k), oracle = full run
+        # with ingest-order keeper election filtered to batch docs
+        "cur_incremental_e2e": (
+            ["doc_id"],
+            [("passes_repetition", "num"), ("is_exact_keeper", "num"),
+             ("is_clean", "num"), ("within_quota", "num"), ("kept", "num")],
+        ),
     },
     # the report family (92/94/95/96)
     "suite_reports": {
