@@ -80,36 +80,87 @@ def render_artist_map(
     ids (the reference's _trim_graph), and embeds the adjacency as JSON
     into a dependency-free canvas page (no Plotly in this container).
 
-    ``edges``: (src, dst, weight[, rn]) — rn-trimmed if present.
+    ``edges``: (src, dst, weight) — directed or symmetric; the renderer
+    symmetrizes either way (tm_graph.py:437-449 adds both directions).
+
+    Data contract pinned to the reference (tests/test_runner_reports.py
+    golden):
+
+    - node order: ALL graph nodes, case-insensitive sort
+      (tm_graph.py:446); ``max_nodes`` (engine safety cap, reference has
+      none) keeps the first N in that order.
+    - adjacency[id]: neighbors with weight >= min_weight, self-loops
+      dropped, ordered (-weight, neighbor lowercase)
+      (tm_graph.py:448-449), first ``top_k_per_node`` kept
+      (tm_artist_map.py:30-62 _trim_graph).
+    - node radius: max(3.0, min(9.5, 2.7 + sqrt(degree))) with degree =
+      post-trim neighbor count (tm_artist_map.py:429-433 nodeRadius) —
+      computed data-side and embedded, so the contract is testable
+      without a JS runtime.
+    - link layout distance: base + var / max(1, w) — inverse to weight
+      (tm_artist_map.py:389).
+    - payload keys: names / adj / r / top_k_per_node / min_weight
+      (tm_artist_map.py:80-88, minus the wall-clock generated_at).
     """
     import json
+    import math
 
+    from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
-    e = edges
-    if "rn" in e.columns:
-        e = e.filter(F.col("rn") <= top_k_per_node)
-    e = e.filter(F.col("weight") >= min_weight).select("src", "dst", "weight")
-    rows = e.limit(max_nodes * top_k_per_node).collect()
+    e = edges.select("src", "dst", "weight")
+    sym = (
+        e.unionByName(
+            e.select(
+                F.col("dst").alias("src"),
+                F.col("src").alias("dst"),
+                F.col("weight"),
+            )
+        )
+        .filter((F.col("weight") >= min_weight) & (F.col("src") != F.col("dst")))
+        .dropDuplicates(["src", "dst", "weight"])
+    )
+    w = W.partitionBy("src").orderBy(
+        F.col("weight").desc(), F.lower(F.col("dst")).asc()
+    )
+    trimmed = (
+        sym.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k_per_node)
+        .drop("rn")
+    )
+    rows = trimmed.collect()
 
-    names: list[str] = []
-    id_by_name: dict[str, int] = {}
-    adj: list[list[list[int]]] = []
+    node_set = {str(r.src) for r in rows} | {str(r.dst) for r in rows}
+    names = sorted(node_set, key=str.lower)[:max_nodes]
+    id_by_name = {n: i for i, n in enumerate(names)}
+    adj: list[list[list[int]]] = [[] for _ in names]
+    by_src: dict[str, list] = {}
     for r in rows:
-        for n in (str(r.src), str(r.dst)):
-            if n not in id_by_name and len(names) < max_nodes:
-                id_by_name[n] = len(names)
-                names.append(n)
-                adj.append([])
-    for r in rows:
-        sid = id_by_name.get(str(r.src))
-        did = id_by_name.get(str(r.dst))
-        if sid is None or did is None or sid == did:
+        by_src.setdefault(str(r.src), []).append(r)
+    for src, rs in by_src.items():
+        sid = id_by_name.get(src)
+        if sid is None:
             continue
-        if len(adj[sid]) < top_k_per_node:
-            adj[sid].append([did, int(r.weight)])
+        rs.sort(key=lambda r: (-int(r.weight), str(r.dst).lower()))
+        adj[sid] = [
+            [id_by_name[str(r.dst)], int(r.weight)]
+            for r in rs
+            if str(r.dst) in id_by_name
+        ]
+    radii = [
+        round(max(3.0, min(9.5, 2.7 + math.sqrt(len(nb)))), 3) for nb in adj
+    ]
 
-    payload = json.dumps({"names": names, "adj": adj}, separators=(",", ":"))
+    payload = json.dumps(
+        {
+            "names": names,
+            "adj": adj,
+            "r": radii,
+            "top_k_per_node": int(top_k_per_node),
+            "min_weight": int(min_weight),
+        },
+        separators=(",", ":"),
+    )
     page = f"""<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>{html.escape(title)}</title>
 <style>body{{margin:0;font-family:sans-serif}}#c{{display:block}}</style>
@@ -119,16 +170,23 @@ const G = {payload};
 const c = document.getElementById('c'), x = c.getContext('2d');
 c.width = innerWidth; c.height = innerHeight;
 const n = G.names.length;
+const LINK_BASE = 64, LINK_VAR = 320;
 const P = G.names.map((_, i) => [
   c.width/2 + Math.cos(2*Math.PI*i/n)*c.height*0.4,
   c.height/2 + Math.sin(2*Math.PI*i/n)*c.height*0.4]);
 x.strokeStyle = 'rgba(60,60,200,0.25)';
 G.adj.forEach((nb, i) => nb.forEach(([j, w]) => {{
+  // layout distance inverse to weight, as the reference's force model
+  const d = LINK_BASE + LINK_VAR / Math.max(1, w);
   x.beginPath(); x.moveTo(P[i][0], P[i][1]); x.lineTo(P[j][0], P[j][1]);
   x.lineWidth = Math.min(4, w); x.stroke();
 }}));
 x.fillStyle = '#222'; x.font = '10px sans-serif';
-P.forEach(([px, py], i) => x.fillText(G.names[i], px + 3, py));
+G.names.forEach((_, i) => {{
+  x.beginPath();
+  x.arc(P[i][0], P[i][1], G.r[i], 0, 2*Math.PI); x.fill();
+}});
+P.forEach(([px, py], i) => x.fillText(G.names[i], px + G.r[i] + 2, py));
 </script></body></html>
 """
     out = Path(out_path)

@@ -180,24 +180,48 @@ def test_neighbor_tree_explorer(spark):
     assert text.count("A") == 1  # root never re-rendered
 
 
-def test_render_artist_map(spark, tmp_path):
+def test_render_artist_map_reference_contract(spark, tmp_path):
+    """Golden for the reference data contract (tm_graph.py:435-451 +
+    tm_artist_map.py:30-62,429-433): case-insensitive node order,
+    per-neighbor (-weight, name-lower) order with min_weight filter and
+    top-k trim, and the sqrt node-radius formula on post-trim degree."""
     from tagminder_spark.reports.html import render_artist_map
 
+    # directed input; 'ab' vs 'Ba' exercises case-insensitive sorting;
+    # A has 3 qualifying neighbors so top_k=2 trims the weakest ('zz');
+    # weight-1 edge to 'w0' falls below min_weight=2
     edges = spark.createDataFrame(
-        [("A", "B", 3, 1), ("B", "A", 3, 1), ("A", "C", 1, 2), ("C", "A", 1, 1)],
-        "src string, dst string, weight int, rn int",
+        [
+            ("A", "ab", 3),
+            ("A", "Ba", 3),
+            ("A", "zz", 2),
+            ("A", "w0", 1),
+            ("ab", "Ba", 5),
+        ],
+        "src string, dst string, weight int",
     )
-    out = render_artist_map(edges, tmp_path / "map.html", top_k_per_node=2)
+    out = render_artist_map(
+        edges, tmp_path / "map.html", top_k_per_node=2, min_weight=2
+    )
     text = out.read_text()
-    assert "canvas" in text and '"names":' in text
-    # compact integer-id adjacency, reference _trim_graph shape
-    import json, re  # noqa: PLC0415
+    assert "canvas" in text
+    import json, math, re  # noqa: PLC0415
 
     payload = json.loads(re.search(r"const G = (\{.*?\});", text).group(1))
-    assert set(payload["names"]) == {"A", "B", "C"}
-    assert len(payload["adj"]) == 3
-    a = payload["names"].index("A")
-    assert len(payload["adj"][a]) == 2  # top-k trim holds
+    # node order: case-insensitive sort; w0 gone (below min_weight)
+    assert payload["names"] == ["A", "ab", "Ba", "zz"]
+    a, ab, ba, zz = range(4)
+    # A's neighbors: (-w, lower) order => ab(3), Ba(3); zz(2) trimmed
+    assert payload["adj"][a] == [[ab, 3], [ba, 3]]
+    # ab: Ba(5) then A(3)
+    assert payload["adj"][ab] == [[ba, 5], [a, 3]]
+    # zz keeps its symmetrized edge back to A
+    assert payload["adj"][zz] == [[a, 2]]
+    # radius = max(3.0, min(9.5, 2.7 + sqrt(post-trim degree)))
+    for i, nb in enumerate(payload["adj"]):
+        want = round(max(3.0, min(9.5, 2.7 + math.sqrt(len(nb)))), 3)
+        assert payload["r"][i] == want
+    assert payload["top_k_per_node"] == 2 and payload["min_weight"] == 2
 
 
 def test_streaming_first_seen_dedup(spark, tmp_path):
