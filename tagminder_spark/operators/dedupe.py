@@ -451,6 +451,33 @@ def lsh_index(
     return banded, sh
 
 
+def compact_lsh_index(
+    standing_index: tuple[DataFrame, DataFrame],
+    new_index: tuple[DataFrame, DataFrame],
+) -> tuple[DataFrame, DataFrame]:
+    """Fold a new batch's index into the standing index — the periodic
+    compaction job the streaming probe's docstring names as the recall
+    backstop (pairs straddling micro-batches become visible once both
+    sides are in the standing index).
+
+    New-version-wins on re-ingested ids (broadcast anti-join of the new
+    batch's id set, same rule as :func:`incremental_lsh_pairs`), so
+    ``compact(standing(A), index(B)) == lsh_index(A ∪ B)`` whenever B's
+    ids replace any overlap — the identity the unit test pins. Cost is
+    O(|standing| + |new|) map-side; in production the result is what
+    gets re-persisted (bucketed) as the next standing artifact.
+    """
+    new_banded, new_sh = new_index
+    old_banded, old_sh = standing_index
+    new_ids = new_sh.select("id").dropDuplicates()
+    return (
+        old_banded.join(F.broadcast(new_ids), "id", "left_anti").unionByName(
+            new_banded
+        ),
+        old_sh.join(F.broadcast(new_ids), "id", "left_anti").unionByName(new_sh),
+    )
+
+
 def incremental_lsh_pairs(
     new_index: tuple[DataFrame, DataFrame],
     standing_index: tuple[DataFrame, DataFrame],

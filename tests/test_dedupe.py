@@ -276,3 +276,28 @@ def test_incremental_reingest_new_version_wins(spark):
         ).collect()
     }
     assert pairs == {(1, 2): 1.0}
+
+
+def test_compact_lsh_index_equals_full_rebuild(docs, spark):
+    """compact(standing(A), index(B)) == lsh_index(A ∪ B): after the
+    periodic compaction the standing artifact is indistinguishable from
+    a full rebuild, which closes the streaming probe's cross-batch
+    recall gap. Includes an overlapping id (re-ingest) to exercise
+    new-version-wins."""
+    from tagminder_spark.operators.dedupe import compact_lsh_index, lsh_index
+
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    # batch: the %5 docs PLUS a re-ingest of doc 1 with its current text
+    new = docs.filter((F.col("doc_id") % 5 == 0) | (F.col("doc_id") == 1))
+    full = docs  # union with new-wins == all docs (texts unchanged)
+
+    got_b, got_sh = compact_lsh_index(
+        lsh_index(old, "doc_id", "text"), lsh_index(new, "doc_id", "text")
+    )
+    want_b, want_sh = lsh_index(full, "doc_id", "text")
+    assert {tuple(r) for r in got_b.collect()} == {
+        tuple(r) for r in want_b.collect()
+    }
+    assert {tuple(r) for r in got_sh.collect()} == {
+        tuple(r) for r in want_sh.collect()
+    }
