@@ -71,6 +71,8 @@ EXTRA = [
     # curation run
     "cur_dup_spans",
     "cur_pipeline_e2e",
+    # round 5: ingest-time curation of a new batch vs standing artifacts
+    "cur_incremental_e2e",
 ]
 
 

@@ -86,6 +86,9 @@ GATE_WINDOW: tuple[str, ...] = (
     "suite_reports",
     # round 4: training-data curation family (repetition filter,
     # decontamination, temperature sampling, packing, quotas, buckets)
+    # round 5: no window swaps needed — the three new gates ride suite
+    # slots already in the window (cur_incremental_e2e -> suite_curation,
+    # r92_health_radar -> suite_reports, s14_works_lookup -> suite_shapes)
     "suite_curation",
 )
 

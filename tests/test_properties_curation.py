@@ -120,3 +120,54 @@ def test_temperature_sample_is_stable_and_rate_bounded(spark, langs):
     smallest = min(counts, key=lambda k: (counts[k], k))
     kept = Counter(r.lang for r in out)
     assert kept[smallest] == counts[smallest]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=9),      # n_tokens
+            st.sampled_from(["en", "de", "zh"]),        # lang (skewable)
+            st.integers(min_value=0, max_value=200),    # quality basis
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=2, max_value=7),  # range_splits
+)
+def test_range_decomposition_equals_direct_windows(spark, rows, splits):
+    """Property: the two-level range decomposition (any split count,
+    any stratum mix incl. single-stratum and ties) is row-identical to
+    the direct single-window plans for packing AND terciles."""
+    from pyspark.sql.window import Window
+
+    from tagminder_spark.operators.curation import quality_buckets
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(["w"] * k), lang, "s", q)
+            for i, (k, lang, q) in enumerate(rows)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    split_p = pack_sequences(docs, budget=5, range_splits=splits).collect()
+    single_p = pack_sequences(docs, budget=5, range_splits=1).collect()
+    assert sorted(map(tuple, split_p)) == sorted(map(tuple, single_p))
+
+    scored = docs.select(
+        "doc_id", "lang", (F.col("n_chars") % 7 * 1.0).alias("quality")
+    )
+    got = {
+        r.doc_id: r.tercile
+        for r in quality_buckets(scored, range_splits=splits).collect()
+    }
+    w = Window.partitionBy("lang").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    want = {
+        r.doc_id: r.t
+        for r in scored.select(
+            "doc_id", F.ntile(3).over(w).cast("long").alias("t")
+        ).collect()
+    }
+    assert got == want
