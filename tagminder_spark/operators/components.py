@@ -30,12 +30,21 @@ def connected_components(
     max_iter: int = 20,
     checkpointer=None,
     checkpoint_every: int = 5,
+    require_convergence: bool = False,
 ) -> DataFrame:
     """(node, component) — component = min node id reachable from node.
 
     ``pairs`` is an undirected edge list (each pair once, any order);
     isolated nodes simply don't appear (callers union them back with
     component = their own id if needed).
+
+    The loop exits at the fixpoint (no label changed), so ``max_iter``
+    only matters for components whose diameter exceeds it. With
+    ``require_convergence=True`` hitting the cap raises instead of
+    silently returning truncated propagation — the mode the value-exact
+    e2e gates use (their oracle is an exact transitive closure). For
+    corpora where diameters can chain adversarially, prefer
+    :func:`connected_components_star` (O(log d) rounds).
 
     ``checkpointer`` (e.g. ``lambda d: d.checkpoint()`` after
     ``sparkContext.setCheckpointDir``) truncates label lineage every
@@ -102,6 +111,13 @@ def connected_components(
             labels = new_labels
             if changed == 0:
                 break
+        else:
+            if require_convergence:
+                raise RuntimeError(
+                    f"connected_components did not converge in {max_iter} "
+                    "rounds — a component's diameter exceeds the budget; "
+                    "raise max_iter or use connected_components_star"
+                )
         return labels.select("node", "component")
     finally:
         edges.unpersist()

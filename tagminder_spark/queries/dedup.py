@@ -418,14 +418,16 @@ def _cluster_and_elect(
     attached by window. One shuffle on cluster_id beyond the components
     rounds; keeper = cluster_id (min member) by construction.
 
-    Star-contraction components (O(log diameter) rounds + fixpoint
-    check) rather than plain min-label propagation with a fixed round
-    budget: a duplicate cluster chaining deeper than the budget would
-    silently diverge from the oracle's exact transitive closure, and
-    adversarial corpora (boilerplate chains) do produce long paths."""
-    from tagminder_spark.operators.components import connected_components_star
+    Convergence is REQUIRED, not budgeted: min-label propagation exits
+    at its fixpoint (organic near-dup diameters are a handful of hops —
+    ~6 rounds at sf0.1, and cheaper per round than star contraction),
+    and require_convergence turns a diameter beyond the 50-round cap
+    into an error instead of labels silently diverging from the
+    oracle's exact transitive closure. Corpora with adversarial chain
+    diameters should swap in connected_components_star (O(log d))."""
+    from tagminder_spark.operators.components import connected_components
 
-    cc = connected_components_star(pairs)
+    cc = connected_components(pairs, max_iter=50, require_convergence=True)
     labeled = universe.join(
         cc, universe[id_name] == cc["node"], "left"
     ).select(
