@@ -707,6 +707,100 @@ def write_curated_shards(
     )
 
 
+def bpe_pair_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    top_k: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Adjacent character-pair frequencies — the statistic BPE tokenizer
+    training maximizes on its first merge step — computed the way a
+    corpus-scale BPE trainer actually does it: tokens are first
+    collapsed to a (token, count) histogram (shuffle keyed on the token,
+    cardinality = vocabulary, NOT corpus size), then each DISTINCT token
+    contributes its within-token character pairs weighted by its corpus
+    count. The second aggregate runs over |vocab| x avg_token_len rows —
+    at 100 TB that is orders of magnitude below touching every token
+    occurrence again, and it is the exact same counts.
+    """
+    tok_counts = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # tokens of length 1 have no pairs: sequence(1, 0) counts DOWN, so
+    # guard to an empty array (same trap as word_ngrams)
+    idx = F.sequence(F.lit(1), F.length("token") - 1)
+    pair_arr = F.when(
+        F.length("token") >= 2,
+        F.transform(
+            idx,
+            lambda i: F.concat(
+                F.substr(F.col("token"), i, F.lit(1)),
+                F.substr(F.col("token"), i + F.lit(1), F.lit(1)),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = tok_counts.select(F.explode(pair_arr).alias("pair"), F.col("n"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_count)
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+        .limit(top_k)
+    )
+
+
+def benchmark_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 8,
+) -> DataFrame:
+    """The REVERSE direction of :func:`decontaminate`: per benchmark
+    document, how much of the corpus collides with it — the report an
+    eval owner reads to decide which benchmark items are burned.
+
+    Output per benchmark doc: number of distinct corpus documents
+    sharing >= 1 word n-gram, and total shared gram occurrences.
+    The (gram -> benchmark id) map is tiny and broadcast; the corpus
+    side is decided map-side and only (bench_id, corpus_id) hits are
+    aggregated — same 100 TB shape as decontaminate.
+    """
+    bench_grams = benchmark.select(
+        F.col(id_col).alias("bench_id"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+    ).distinct()
+    corpus_grams = fan_out(docs).select(
+        F.col(id_col).alias("corpus_id"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    hits = corpus_grams.join(F.broadcast(bench_grams), "gram", "inner")
+    agg = hits.groupBy("bench_id").agg(
+        F.count_distinct("corpus_id").alias("n_corpus_docs"),
+        F.count(F.lit(1)).alias("n_shared_grams"),
+    )
+    return (
+        benchmark.select(F.col(id_col).alias("bench_id"))
+        .join(agg, "bench_id", "left")
+        .select(
+            "bench_id",
+            F.coalesce("n_corpus_docs", F.lit(0))
+            .cast("long")
+            .alias("n_corpus_docs"),
+            F.coalesce("n_shared_grams", F.lit(0))
+            .cast("long")
+            .alias("n_shared_grams"),
+        )
+    )
+
+
 def vocabulary(
     docs: DataFrame,
     text_col: str = "text",

@@ -504,15 +504,15 @@ def cur_incremental_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.where(F.col("doc_id") % 97 == 0)
     th = F.md5(F.lower(F.trim(F.col("text")))).alias("th")
 
-    def survivors(part: DataFrame) -> DataFrame:
-        rep = repetition_metrics(part).select("doc_id", "passes_repetition")
+    def survivors(part: DataFrame, rep: DataFrame) -> DataFrame:
         return (
             part.join(rep.filter(F.col("passes_repetition") == 1), "doc_id")
             .select("doc_id", "source", "n_chars", th)
         )
 
     # ---- standing artifacts (production: persisted from the last run)
-    surv_s = survivors(standing)
+    rep_s = repetition_metrics(standing).select("doc_id", "passes_repetition")
+    surv_s = survivors(standing, rep_s)
     hash_index = surv_s.groupBy("th").agg(
         F.min("doc_id").alias("standing_keeper")
     )
@@ -541,7 +541,7 @@ def cur_incremental_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("is_clean"),
     )
-    surv_b = survivors(batch)
+    surv_b = survivors(batch, rep_b)
     bmin = surv_b.groupBy("th").agg(F.min("doc_id").alias("batch_min"))
     keeper_b = (
         surv_b.join(bmin, "th")
@@ -606,6 +606,77 @@ def cur_incremental_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE first-merge pair statistics (tokenizer-training prep)
+
+_BPE_SQL = """
+WITH occ AS (SELECT unnest(string_split(trim(text), ' ')) AS token
+             FROM documents),
+tok AS (SELECT token, count(*) AS n FROM occ WHERE token <> ''
+        GROUP BY token),
+pairs AS (
+  SELECT unnest([substring(token, i, 2)
+                 for i in range(1, len(token))]) AS pair, n
+  FROM tok WHERE len(token) >= 2
+)
+SELECT pair, CAST(SUM(n) AS BIGINT) AS n_occurrences
+FROM pairs GROUP BY pair
+HAVING SUM(n) >= 2
+ORDER BY n_occurrences DESC, pair ASC
+LIMIT 30
+"""
+
+
+@q("cur_bpe_pairs", _BPE_SQL)
+def cur_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE first-merge statistic: adjacent character-pair counts,
+    computed histogram-first (token -> count, then per-DISTINCT-token
+    pairs weighted by count) — the corpus-scale BPE trainer shape where
+    the second aggregate is |vocab|-bounded, not corpus-bounded. k=30
+    keeps the cut load-bearing on the synthetic corpus."""
+    from tagminder_spark.operators.curation import bpe_pair_counts
+
+    return bpe_pair_counts(
+        load_table(spark, sf_dir, "documents"), top_k=30, min_count=2
+    )
+
+
+# ---------------------------------------------------------------------------
+# reverse contamination: which benchmark items are burned
+
+_BENCH_OVERLAP_SQL = f"""
+WITH {_TOKS_CTE},
+bench AS (SELECT doc_id AS bench_id, {_grams_sql(4)} AS garr FROM toks
+          WHERE doc_id % 97 = 0),
+bg AS (SELECT DISTINCT bench_id, unnest(garr) AS gram FROM bench),
+cg AS (SELECT doc_id AS corpus_id, unnest({_grams_sql(4)}) AS gram FROM toks),
+hits AS (SELECT bg.bench_id, cg.corpus_id FROM cg JOIN bg USING (gram)),
+agg AS (SELECT bench_id,
+               CAST(COUNT(DISTINCT corpus_id) AS BIGINT) AS n_corpus_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+        FROM hits GROUP BY bench_id)
+SELECT b.bench_id,
+       COALESCE(a.n_corpus_docs, 0) AS n_corpus_docs,
+       COALESCE(a.n_shared_grams, 0) AS n_shared_grams
+FROM (SELECT DISTINCT bench_id FROM bench) b
+LEFT JOIN agg a USING (bench_id)
+"""
+
+
+@q("cur_bench_overlap", _BENCH_OVERLAP_SQL)
+def cur_bench_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse contamination report: per benchmark item (every 97th
+    doc), how many corpus documents share a word 4-gram with it and the
+    total shared-gram occurrence count — the view an eval owner reads
+    to decide which benchmark items are burned. Broadcast (gram ->
+    bench id) map, corpus decided map-side, one small aggregate."""
+    from tagminder_spark.operators.curation import benchmark_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return benchmark_overlap(docs, bench, n=4)
 
 
 # ---------------------------------------------------------------------------

@@ -284,6 +284,14 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
             ["token"],
             [("n_occurrences", "num"), ("doc_frequency", "num")],
         ),
+        # round 5: tokenizer-prep pair statistics + reverse contamination
+        "cur_bpe_pairs": (
+            ["pair"], [("n_occurrences", "num")],
+        ),
+        "cur_bench_overlap": (
+            ["bench_id"],
+            [("n_corpus_docs", "num"), ("n_shared_grams", "num")],
+        ),
         # round 5: ingest-time curation of a new batch against standing
         # artifacts (hash index + per-source top-k), oracle = full run
         # with ingest-order keeper election filtered to batch docs

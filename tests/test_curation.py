@@ -404,3 +404,41 @@ def test_skewed_stratum_splits_and_exactness(spark):
         .collect()
     }
     assert got_q == want_q
+
+
+def test_bpe_pair_counts_histogram_weighting(spark):
+    """Pair counts must equal naive per-occurrence counting (the
+    histogram-first computation is an optimization, not a semantic):
+    'ab ab abc' -> ab: 2+1=3 (a,b)x3... verified on a hand case."""
+    from tagminder_spark.operators.curation import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab abc x"), (2, "abc bc")], ["doc_id", "text"]
+    )
+    got = {
+        (r["pair"]): r["n_occurrences"]
+        for r in bpe_pair_counts(docs, top_k=10, min_count=1).collect()
+    }
+    # occurrences: ab x2, abc x2, bc x1, x x1 (len-1 token: no pairs)
+    # 'ab' pairs: ab ; 'abc' pairs: ab, bc ; 'bc' pairs: bc
+    assert got == {"ab": 2 + 2, "bc": 2 + 1}
+
+
+def test_benchmark_overlap_counts(spark):
+    from tagminder_spark.operators.curation import benchmark_overlap
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d x"),      # shares 'a b c d' with bench 10
+            (2, "p q r s t"),      # no overlap
+            (3, "a b c d a b c d"),  # two occurrences of the bench gram
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(10, "a b c d")], ["doc_id", "text"])
+    got = {r["bench_id"]: r for r in benchmark_overlap(corpus, bench, n=4).collect()}
+    assert got[10]["n_corpus_docs"] == 2
+    # doc1: 1 shared gram occurrence; doc3: 'a b c d' at pos 0 and 4,
+    # plus the straddling grams 'b c d a','c d a b','d a b c' are NOT in
+    # the bench set -> 2 occurrences
+    assert got[10]["n_shared_grams"] == 3
