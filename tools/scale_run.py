@@ -8,7 +8,8 @@ shape that would not survive 100x. Timing protocol matches bench.py
 (noop sink materializing every column, min of N passes, persistent-RDD
 cleanup between queries).
 
-Usage: python tools/scale_run.py [passes]
+Usage: python tools/scale_run.py [passes] [query ...]
+(extra args override the default query list)
 """
 
 from __future__ import annotations
@@ -45,6 +46,7 @@ def _run_once(spark, qs, name: str, sf_dir: str) -> float:
 
 def main() -> None:
     passes = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    queries = sys.argv[2:] or QUERIES
     import __spark_entry__ as entry
     from tagminder_spark.session import get_spark
 
@@ -54,7 +56,7 @@ def main() -> None:
     for sf_dir, label in ((SF01, "sf0.1"), (SF1, "sf1")):
         spark.read.parquet(f"{sf_dir}/documents.parquet").count()  # warm
         for p in range(passes):
-            for name in QUERIES:
+            for name in queries:
                 t = _run_once(spark, qs, name, sf_dir)
                 rec = out.setdefault(name, {})
                 rec[label] = round(min(rec.get(label, 1e9), t), 2)
