@@ -301,3 +301,41 @@ def test_compact_lsh_index_equals_full_rebuild(docs, spark):
     assert {tuple(r) for r in got_sh.collect()} == {
         tuple(r) for r in want_sh.collect()
     }
+
+
+def test_standing_index_bucketed_probe_shuffles_only_batch(docs, spark, tmp_path):
+    """The 100 TB standing-index story pinned in a plan: persist the
+    banded index bucketed on (band, bucket) [write_bucketed], then the
+    ingest probe joins it WITHOUT re-shuffling the standing side —
+    exactly one Exchange (the small new-batch side)."""
+    from tagminder_spark.operators.dedupe import lsh_index
+    from tagminder_spark.operators.scale import write_bucketed
+
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old_banded, _ = lsh_index(old, "doc_id", "text")
+    write_bucketed(
+        old_banded, "t_standing_banded", ["band", "bucket"], 4,
+        str(tmp_path / "standing"),
+    )
+    # non-bucketed twin of the standing artifact, for the plan diff
+    old_banded.write.parquet(str(tmp_path / "plain"))
+    try:
+        new_banded, _ = lsh_index(new, "doc_id", "text")
+        probe_side = new_banded.withColumnRenamed("id", "new_id")
+
+        def n_exchanges(standing):
+            j = probe_side.hint("merge").join(standing, ["band", "bucket"])
+            assert j.count() > 0
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            return plan.count("Exchange hashpartitioning")
+
+        plain = n_exchanges(spark.read.parquet(str(tmp_path / "plain")))
+        bucketed = n_exchanges(spark.table("t_standing_banded"))
+        # the bucketed standing side contributes NO exchange; the probe
+        # pipeline's own exchanges (minhash agg + its join shuffle) are
+        # identical in both plans
+        assert bucketed == plain - 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_standing_banded")
