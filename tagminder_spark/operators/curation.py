@@ -128,7 +128,12 @@ def _range_tag(
     EXACTLY.  Boundary placement (percentile_approx is a sketch, and its
     merge order is partition-dependent) affects only balance, never
     values.  NULL order keys go to the range Spark's default null
-    ordering puts them (first for asc, last for desc)."""
+    ordering puts them (first for asc, last for desc).
+
+    Non-numeric order keys (cast → NULL) therefore degrade GRACEFULLY
+    to a single range per stratum — the plain-window plan, exact but
+    unsplit; callers with string ids that need the fan-out should pass
+    a numeric derivation of the id as the order column."""
     if n_ranges <= 1:
         return df.withColumn("__rng", F.lit(0))
     probs = [i / n_ranges for i in range(1, n_ranges)]

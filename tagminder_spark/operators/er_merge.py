@@ -200,6 +200,14 @@ def contributors_merge(
         norm_key(F.col("name")).alias("amg_name_n"),
         norm_key(F.col("mnid")).alias("amg_mnid_n"),
     )
+    # the normalized inputs are consumed by EVERY phase (residual
+    # anti-joins, name lookups, final assembly); each eager checkpoint
+    # otherwise re-runs their scan+normalize chain once per phase —
+    # persist them for the merge's lifetime (the consumer's action
+    # fills the cache; bench/driver reclaim blocks after the query)
+    mbn = mbn.persist()
+    wdn = wdn.persist()
+    amgn = amgn.persist()
 
     # ---- stage A: staged positional MB↔WD match (mbid → qid → mnid) ----
     matches, _, wd_res = staged_positional_match(
