@@ -224,6 +224,12 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
             ["media_id"],
             [("width", "num"), ("height", "num"), ("channels", "num"), ("n_feat", "num")],
         ),
+        # round 5: the audio leg — overlapping-window chunking with
+        # byte-exact (base64) chunk payloads
+        "mm_audio_chunks": (
+            ["media_id", "chunk_idx"],
+            [("start_ms", "num"), ("end_ms", "num"), ("chunk_b64", "str")],
+        ),
         "t_doc_structure": (
             ["doc_id"],
             [("n_words", "num"), ("n_sentences", "num"), ("n_paragraphs", "num"),

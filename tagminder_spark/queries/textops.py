@@ -281,6 +281,63 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# audio chunking twin: duration = octet_length*10ms, windows of 1000ms
+# advanced by 500ms, chunk bytes = proportional byte range (ceil end)
+_MM_AUDIO_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id, encode(text) AS content,
+         octet_length(encode(text)) * 10 AS dur
+  FROM documents
+),
+idx AS (
+  SELECT media_id, hex(content) AS hx, dur,
+         unnest(range(0, CAST(ceil(dur / 500.0) AS BIGINT))) AS i
+  FROM m WHERE dur > 0
+)
+-- DuckDB has no BLOB substring; slice the hex encoding (2 chars/byte)
+SELECT media_id,
+       CAST(i AS INT) AS chunk_idx,
+       CAST(i * 500 AS BIGINT) AS start_ms,
+       CAST(LEAST(i * 500 + 1000, dur) AS BIGINT) AS end_ms,
+       to_base64(unhex(substr(hx, CAST(i * 100 + 1 AS INT),
+           (CAST(ceil(LEAST(i * 500 + 1000, dur) / 10.0) AS INT)
+             - CAST(i * 50 AS INT)) * 2))) AS chunk_b64
+FROM idx
+"""
+
+
+@q("mm_audio_chunks", _MM_AUDIO_SQL)
+def mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunking plumbing, value-checked end to end: documents'
+    text bytes stand in for the opaque audio content, the mapInPandas
+    kernel (sources/multimodal.py chunk_audio) fans each media row out
+    into overlapping 1000 ms windows at 500 ms hop, and the
+    deterministic fake codec (10 ms/byte, proportional byte ranges)
+    lets the oracle replay the exact chunk boundaries AND bytes
+    (base64) in SQL — binary column, Arrow batch shape, 1->N fan-out,
+    and byte slicing all carry real data."""
+    from tagminder_spark.sources.multimodal import chunk_audio
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+    chunks = chunk_audio(media, window_ms=1000, hop_ms=500, ms_per_byte=10)
+    return chunks.select(
+        "media_id",
+        "chunk_idx",
+        "start_ms",
+        "end_ms",
+        # Spark's base64 is MIME-chunked (CRLF every 76 chars); strip to
+        # the unchunked standard encoding DuckDB's to_base64 emits
+        F.regexp_replace(F.base64("chunk_bytes"), r"[\r\n]", "").alias(
+            "chunk_b64"
+        ),
+    )
+
+
 _STRUCT_SQL = """
 SELECT doc_id,
        CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT) AS n_words,

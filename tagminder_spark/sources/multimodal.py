@@ -147,6 +147,68 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+AUDIO_CHUNK_SCHEMA = (
+    "media_id long, chunk_idx int, start_ms long, end_ms long,"
+    " chunk_bytes binary"
+)
+
+
+def chunk_audio(
+    media: DataFrame,
+    window_ms: int = 1000,
+    hop_ms: int = 500,
+    ms_per_byte: int = 10,
+) -> DataFrame:
+    """Overlapping-window audio chunking — the pre-step every audio
+    featurizer (fbank/wav2vec/whisper-style) runs before inference: one
+    output row per (window_ms) chunk advanced by hop_ms, with the raw
+    chunk bytes carried through Arrow.
+
+    Real path: soundfile/librosa decode → sample-accurate windows
+    (NotImplementedError in this container). Fake path (deterministic,
+    oracle-replayable): duration_ms = len(content) * ``ms_per_byte`` and
+    a chunk's bytes are the proportional byte range
+    [start_ms/ms_per_byte, ceil(end_ms/ms_per_byte)) of the content —
+    so the mapInPandas batch shape, fan-out (1 row -> N chunks), binary
+    slicing, and schema are all exercised with SQL-checkable values.
+    """
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                content = bytes(r.content or b"")
+                dur = len(content) * ms_per_byte
+                i, start = 0, 0
+                while start < dur:
+                    end = min(start + window_ms, dur)
+                    b0 = start // ms_per_byte
+                    b1 = -(-end // ms_per_byte)  # ceil
+                    rows.append(
+                        {
+                            "media_id": r.media_id,
+                            "chunk_idx": i,
+                            "start_ms": start,
+                            "end_ms": end,
+                            "chunk_bytes": content[b0:b1],
+                        }
+                    )
+                    i += 1
+                    start += hop_ms
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "chunk_idx", "start_ms", "end_ms",
+                    "chunk_bytes",
+                ],
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        run, AUDIO_CHUNK_SCHEMA
+    )
+
+
 def synth_media(spark, n: int = 20) -> DataFrame:
     """Deterministic synthetic media frame for tests/demos."""
     rows = []

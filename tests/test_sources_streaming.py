@@ -188,3 +188,31 @@ def test_streaming_dedup_probe_matches_batch(spark, tmp_path):
     # pairs straddling two files of the new split — none exist here
     # because near-dup doc pairs in the fixture share the id%5 file
     assert got == batch
+
+
+def test_chunk_audio_boundaries_and_bytes(spark):
+    """Overlapping windows: 25-byte content at 10ms/byte = 250ms dur,
+    window 100ms hop 60ms -> starts 0,60,120,180,240; byte ranges
+    proportional with ceil on the end; last chunk partial."""
+    import pyspark.sql.functions as F
+
+    from tagminder_spark.sources.multimodal import chunk_audio
+
+    payload = bytes(range(25))
+    media = spark.createDataFrame(
+        [(1, "audio", payload), (2, "image", b"zz"), (3, "audio", b"")],
+        "media_id long, kind string, content binary",
+    )
+    rows = sorted(
+        chunk_audio(media, window_ms=100, hop_ms=60, ms_per_byte=10).collect(),
+        key=lambda r: (r.media_id, r.chunk_idx),
+    )
+    # only kind='audio' with nonempty content fans out
+    assert [r.media_id for r in rows] == [1] * 5
+    assert [(r.start_ms, r.end_ms) for r in rows] == [
+        (0, 100), (60, 160), (120, 220), (180, 250), (240, 250)
+    ]
+    assert bytes(rows[0].chunk_bytes) == payload[0:10]
+    assert bytes(rows[1].chunk_bytes) == payload[6:16]
+    assert bytes(rows[3].chunk_bytes) == payload[18:25]
+    assert bytes(rows[4].chunk_bytes) == payload[24:25]
