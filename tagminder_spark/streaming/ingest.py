@@ -110,6 +110,63 @@ def sessionized_stream(
     )
 
 
+def curation_quality_gate(docs: DataFrame) -> DataFrame:
+    """The ingest-time quality gate as ONE streaming stage: repetition
+    metrics, PII counts/clean flag, and quality score attached per
+    document, composed as a single two-stage SELECT (no joins — a
+    stream cannot self-join, and none is needed: every constituent is a
+    map-only column expression), so the SAME plan runs batch or
+    streaming unchanged. Stream-vs-batch equality is pinned by test.
+
+    Cross-corpus decisions (dedup keeper, quotas) stay OUT of the
+    streaming stage by design — they consult standing artifacts via the
+    foreachBatch probe (streaming_dedup_probe) or the periodic batch
+    incremental run (cur_incremental_e2e's shape)."""
+    from tagminder_spark.operators.curation import (
+        PII_PATTERNS,
+        _gram_stats,
+        fan_out,
+        word_ngrams,
+    )
+    from tagminder_spark.operators.text import quality_score
+
+    text = F.col("text")
+    s1 = _gram_stats(word_ngrams(text, 1))
+    s2 = _gram_stats(word_ngrams(text, 2))
+    s3 = _gram_stats(word_ngrams(text, 3))
+    staged = fan_out(docs).select(
+        "doc_id",
+        s1["total"].cast("int").alias("n_words"),
+        s1["top_frac"].alias("top_word_frac"),
+        s2["top_frac"].alias("top_bigram_frac"),
+        s3["dup_frac"].alias("dup_trigram_frac"),
+        *[
+            F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0))).alias(
+                f"n_{kind}s"
+            )
+            for kind, (pat, _mask) in PII_PATTERNS.items()
+        ],
+        quality_score(text).alias("quality"),
+    )
+    pii_total = sum(F.col(f"n_{kind}s") for kind in PII_PATTERNS)
+    return staged.select(
+        "doc_id",
+        "n_words",
+        # repetition_metrics' default thresholds (Gopher §A1.1)
+        F.when(
+            (F.col("top_word_frac") <= 0.20)
+            & (F.col("top_bigram_frac") <= 0.18)
+            & (F.col("dup_trigram_frac") <= 0.30),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("passes_repetition"),
+        *[F.col(f"n_{kind}s") for kind in PII_PATTERNS],
+        F.when(pii_total == 0, F.lit(1)).otherwise(F.lit(0)).alias("is_clean"),
+        "quality",
+    )
+
+
 def run_stream_to_memory(
     df: DataFrame, name: str, mode: str = "append"
 ) -> "DataFrame":

@@ -216,3 +216,37 @@ def test_chunk_audio_boundaries_and_bytes(spark):
     assert bytes(rows[1].chunk_bytes) == payload[6:16]
     assert bytes(rows[3].chunk_bytes) == payload[18:25]
     assert bytes(rows[4].chunk_bytes) == payload[24:25]
+
+
+def test_curation_quality_gate_stream_equals_batch(spark, tmp_path):
+    """The composed ingest quality gate (repetition + PII + quality) is
+    one map-only plan: driving it as a file stream through a parquet
+    sink (with checkpoint) yields EXACTLY the batch result."""
+    import pyspark.sql.functions as F
+
+    from tagminder_spark.session import load_table
+    from tagminder_spark.streaming.ingest import curation_quality_gate
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    src = tmp_path / "src"
+    docs.write.parquet(str(src))
+    want = {tuple(r) for r in curation_quality_gate(docs).collect()}
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("doc_id long, text string")
+        .load(str(src))
+    )
+    out_dir, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    q = (
+        curation_quality_gate(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+    assert got == want and len(got) > 0
