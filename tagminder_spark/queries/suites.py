@@ -230,6 +230,9 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
             ["media_id", "chunk_idx"],
             [("start_ms", "num"), ("end_ms", "num"), ("chunk_b64", "str")],
         ),
+        "mm_video_frames": (
+            ["media_id", "frame_idx"], [("frame_b64", "str")],
+        ),
         "t_doc_structure": (
             ["doc_id"],
             [("n_words", "num"), ("n_sentences", "num"), ("n_paragraphs", "num"),

@@ -338,6 +338,53 @@ def mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# video frame-sampling twin: duration = (n_chars%7+1) seconds, one
+# pseudo-frame per second, frame bytes = md5 digest of "media_id:i"
+_MM_VIDEO_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id, n_chars % 7 + 1 AS n_frames FROM documents
+),
+f AS (
+  SELECT media_id, unnest(range(0, n_frames)) AS i FROM m
+)
+SELECT media_id,
+       CAST(i AS INT) AS frame_idx,
+       to_base64(unhex(md5(CAST(media_id AS VARCHAR) || ':'
+           || CAST(i AS VARCHAR)))) AS frame_b64
+FROM f
+"""
+
+
+@q("mm_video_frames", _MM_VIDEO_SQL)
+def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing, value-checked end to end: media
+    rows with a duration_ms meta entry fan out into one pseudo-frame
+    per second via the mapInPandas kernel (sources/multimodal.py
+    sample_video_frames); the deterministic fake frame (md5 digest of
+    media_id:idx) lets the oracle replay the exact fan-out AND payload
+    bytes in SQL. Real decode swaps in ffmpeg/pyav behind the same
+    signature."""
+    from tagminder_spark.sources.multimodal import sample_video_frames
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.create_map(
+            F.lit("duration_ms"),
+            ((F.col("n_chars") % 7 + 1) * 1000).cast("long"),
+        ).alias("meta"),
+    )
+    frames = sample_video_frames(media, every_ms=1000)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.regexp_replace(F.base64("frame_png"), r"[\r\n]", "").alias(
+            "frame_b64"
+        ),
+    )
+
+
 _STRUCT_SQL = """
 SELECT doc_id,
        CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT) AS n_words,
