@@ -233,6 +233,11 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
         "mm_video_frames": (
             ["media_id", "frame_idx"], [("frame_b64", "str")],
         ),
+        "mm_image_resize": (
+            ["media_id"],
+            [("width", "num"), ("height", "num"), ("target_w", "num"),
+             ("target_h", "num"), ("resized_b64", "str")],
+        ),
         "t_doc_structure": (
             ["doc_id"],
             [("n_words", "num"), ("n_sentences", "num"), ("n_paragraphs", "num"),

@@ -281,6 +281,51 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# resize twin: fake dims = 64 + (md5 bytes 0/1) % 192, payload =
+# md5(content || '224x224') digest (md5 over UTF-8 text == md5 over the
+# encoded binary content)
+_MM_RESIZE_SQL = """
+SELECT doc_id AS media_id,
+       CAST(64 + CAST('0x' || substr(md5(text), 1, 2) AS INT) % 192 AS INT)
+         AS width,
+       CAST(64 + CAST('0x' || substr(md5(text), 3, 2) AS INT) % 192 AS INT)
+         AS height,
+       CAST(224 AS INT) AS target_w,
+       CAST(224 AS INT) AS target_h,
+       to_base64(unhex(md5(text || '224x224'))) AS resized_b64
+FROM documents
+"""
+
+
+@q("mm_image_resize", _MM_RESIZE_SQL)
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing (the pre-training normalization step),
+    value-checked end to end: the mapInPandas kernel's deterministic
+    fake (source dims from the content hash, payload md5(content ||
+    target)) is replayed exactly in SQL, pinning schema, Arrow batch
+    shape, and payload bytes; Pillow LANCZOS swaps in behind the same
+    signature on a real image."""
+    from tagminder_spark.sources.multimodal import resize_images
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+    out = resize_images(media, target_w=224, target_h=224)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        "target_w",
+        "target_h",
+        F.regexp_replace(F.base64("resized"), r"[\r\n]", "").alias(
+            "resized_b64"
+        ),
+    )
+
+
 # audio chunking twin: duration = octet_length*10ms, windows of 1000ms
 # advanced by 500ms, chunk bytes = proportional byte range (ceil end)
 _MM_AUDIO_SQL = """
