@@ -712,6 +712,81 @@ def write_curated_shards(
     )
 
 
+#: entity → replacement, applied after tag removal, in this order (the
+#: &amp; rule runs LAST so "&amp;lt;" decodes to "&lt;", not "<" — the
+#: single-pass decode real extractors use to avoid double-decoding)
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def strip_markup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """WET-style text extraction: drop <script>/<style> blocks wholesale,
+    remove remaining tags, decode the common entities (single pass,
+    &amp; last), collapse runs of whitespace — the markup-to-text step a
+    web-crawl corpus runs before any quality scoring.
+
+    Pure regexp expressions (Java-regex ∩ RE2 subset: case-insensitive
+    groups, lazy dot-all via [\\s\\S], no backrefs), map-only, zero
+    shuffle. Output keeps the cleaned text plus n_tags_removed so a
+    markup-density filter can gate on it.
+    """
+    raw = F.col(text_col)
+    # per-tag patterns rather than a <(script|style)>...</\1> backref:
+    # backreferences are outside the RE2 subset the oracle can replay
+    block_script = r"(?i)<script\b[^>]*>[\s\S]*?</script\s*>"
+    block_style = r"(?i)<style\b[^>]*>[\s\S]*?</style\s*>"
+    tag = r"<[^>]+>"
+    n_tags = F.size(F.regexp_extract_all(raw, F.lit(tag), F.lit(0)))
+    cleaned = F.regexp_replace(raw, block_script, " ")
+    cleaned = F.regexp_replace(cleaned, block_style, " ")
+    cleaned = F.regexp_replace(cleaned, tag, " ")
+    for ent, rep in HTML_ENTITIES:
+        cleaned = F.regexp_replace(cleaned, ent, rep)
+    cleaned = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+    return docs.select(
+        F.col(id_col),
+        cleaned.alias("clean_text"),
+        n_tags.cast("int").alias("n_tags_removed"),
+        F.length(cleaned).cast("int").alias("n_clean_chars"),
+    )
+
+
+#: scheme://host[:port]/... — host captured; RE2-safe (no lookarounds)
+_URL_RE = r"(?i)\bhttps?://([A-Za-z0-9.-]+)(?::\d+)?(?:/[^\s]*)?"
+
+
+def extract_domains(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document URL/domain bookkeeping for crawl curation: URL
+    count, distinct registrable-ish domains (host lowercased, leading
+    'www.' stripped), sorted + joined for determinism. Map-only regexp
+    pass; the domain list is what per-source quotas and link-density
+    filters key on when the corpus carries inline URLs."""
+    raw = F.col(text_col)
+    hosts = F.transform(
+        F.regexp_extract_all(raw, F.lit(_URL_RE), F.lit(1)),
+        lambda h: F.regexp_replace(F.lower(h), r"^www\.", ""),
+    )
+    distinct_sorted = F.array_sort(F.array_distinct(hosts))
+    return docs.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(raw, F.lit(_URL_RE), F.lit(0)))
+        .cast("int")
+        .alias("n_urls"),
+        F.size(distinct_sorted).cast("int").alias("n_domains"),
+        F.array_join(distinct_sorted, ",").alias("domains"),
+    )
+
+
 def bpe_pair_counts(
     docs: DataFrame,
     text_col: str = "text",

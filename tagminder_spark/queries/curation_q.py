@@ -609,6 +609,163 @@ def cur_incremental_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# markup stripping (WET-style text extraction)
+
+# inject synthetic markup deterministically (corpus is markup-free):
+# %4=0 script block + entities, %4=1 style block, %4=2 tags + entities
+_MARKUP_TEXT_SQL = """
+CASE CAST(doc_id % 4 AS INT)
+  WHEN 0 THEN '<p class="x">' || text
+       || ' &amp;amp; more</p><script type="t">var a = 1 < 2;</script>'
+  WHEN 1 THEN '<STYLE media="all">body { color: red }</style>' || text
+       || ' &lt;tag&gt;'
+  WHEN 2 THEN '<div><b>' || text || '</b></div> &quot;q&quot; &#39;s&#39; &nbsp;'
+  ELSE text END
+"""
+
+_STRIP_SQL = f"""
+WITH injected AS (SELECT doc_id, {_MARKUP_TEXT_SQL} AS text FROM documents),
+cleaned AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '<[^>]+>')) AS n_tags_removed,
+         trim(regexp_replace(
+           regexp_replace(
+            regexp_replace(
+             regexp_replace(
+              regexp_replace(
+               regexp_replace(
+                regexp_replace(
+                 regexp_replace(
+                  regexp_replace(
+                   regexp_replace(text,
+                    '(?i)<script\\b[^>]*>[\\s\\S]*?</script\\s*>', ' ', 'g'),
+                   '(?i)<style\\b[^>]*>[\\s\\S]*?</style\\s*>', ' ', 'g'),
+                  '<[^>]+>', ' ', 'g'),
+                 '&lt;', '<', 'g'),
+                '&gt;', '>', 'g'),
+               '&quot;', '"', 'g'),
+              '&#39;', chr(39), 'g'),
+             '&nbsp;', ' ', 'g'),
+            '&amp;', '&', 'g'),
+           '\\s+', ' ', 'g')) AS clean_text
+  FROM injected
+)
+SELECT doc_id, clean_text,
+       CAST(n_tags_removed AS INT) AS n_tags_removed,
+       CAST(length(clean_text) AS INT) AS n_clean_chars
+FROM cleaned
+"""
+
+
+@q("cur_strip_markup", _STRIP_SQL)
+def cur_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET-style markup stripping: script/style blocks dropped
+    wholesale, tags removed, common entities decoded in one pass
+    (&amp; last so '&amp;lt;' yields '&lt;', not '<'), whitespace
+    collapsed — with a tag-removal count for markup-density filters.
+    Map-only regexps in the Java-regex ∩ RE2 subset so both engines
+    clean identically; the gate injects deterministic markup since the
+    corpus ships clean."""
+    from tagminder_spark.operators.curation import strip_markup
+
+    d = load_table(spark, sf_dir, "documents")
+    m4 = (F.col("doc_id") % 4).cast("int")
+    injected = d.select(
+        "doc_id",
+        F.when(
+            m4 == 0,
+            F.concat(
+                F.lit('<p class="x">'),
+                F.col("text"),
+                F.lit(' &amp;amp; more</p><script type="t">var a = 1 < 2;</script>'),
+            ),
+        )
+        .when(
+            m4 == 1,
+            F.concat(
+                F.lit('<STYLE media="all">body { color: red }</style>'),
+                F.col("text"),
+                F.lit(" &lt;tag&gt;"),
+            ),
+        )
+        .when(
+            m4 == 2,
+            F.concat(
+                F.lit("<div><b>"),
+                F.col("text"),
+                F.lit("</b></div> &quot;q&quot; &#39;s&#39; &nbsp;"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return strip_markup(injected)
+
+
+# ---------------------------------------------------------------------------
+# URL / domain extraction (crawl bookkeeping)
+
+_URLS_TEXT_SQL = """
+CASE CAST(doc_id % 3 AS INT)
+  WHEN 0 THEN text || ' see https://www.Example.com/path?q=1 and'
+       || ' http://sub.b-site.org:8080/x plus https://example.com/other'
+  WHEN 1 THEN 'ref: HTTPS://WWW.ALPHA.NET ' || text
+  ELSE text END
+"""
+
+_DOMAINS_SQL = f"""
+WITH injected AS (SELECT doc_id, {_URLS_TEXT_SQL} AS text FROM documents),
+x AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text,
+             '(?i)\\bhttps?://([A-Za-z0-9.-]+)(?::\\d+)?(?:/[^\\s]*)?'))
+           AS n_urls,
+         list_sort(list_distinct(list_transform(
+             regexp_extract_all(text,
+               '(?i)\\bhttps?://([A-Za-z0-9.-]+)(?::\\d+)?(?:/[^\\s]*)?', 1),
+             h -> regexp_replace(lower(h), '^www\\.', ''))))
+           AS doms
+  FROM injected
+)
+SELECT doc_id, CAST(n_urls AS INT) AS n_urls,
+       CAST(len(doms) AS INT) AS n_domains,
+       COALESCE(array_to_string(doms, ','), '') AS domains
+FROM x
+"""
+
+
+@q("cur_extract_domains", _DOMAINS_SQL)
+def cur_extract_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document URL/domain bookkeeping: URL count plus the sorted
+    distinct host list (lowercased, www-stripped) — what link-density
+    filters and per-domain quotas key on for corpora with inline URLs.
+    Map-only RE2-safe regexps; deterministic URL injection (the corpus
+    ships URL-free), with case, ports, paths, and www-duplication all
+    load-bearing."""
+    from tagminder_spark.operators.curation import extract_domains
+
+    d = load_table(spark, sf_dir, "documents")
+    m3 = (F.col("doc_id") % 3).cast("int")
+    injected = d.select(
+        "doc_id",
+        F.when(
+            m3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(
+                    " see https://www.Example.com/path?q=1 and"
+                    " http://sub.b-site.org:8080/x plus https://example.com/other"
+                ),
+            ),
+        )
+        .when(m3 == 1, F.concat(F.lit("ref: HTTPS://WWW.ALPHA.NET "), F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return extract_domains(injected)
+
+
+# ---------------------------------------------------------------------------
 # BPE first-merge pair statistics (tokenizer-training prep)
 
 _BPE_SQL = """

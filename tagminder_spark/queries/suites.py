@@ -298,6 +298,16 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
             ["token"],
             [("n_occurrences", "num"), ("doc_frequency", "num")],
         ),
+        # round 5: markup stripping + URL/domain bookkeeping
+        "cur_strip_markup": (
+            ["doc_id"],
+            [("clean_text", "str"), ("n_tags_removed", "num"),
+             ("n_clean_chars", "num")],
+        ),
+        "cur_extract_domains": (
+            ["doc_id"],
+            [("n_urls", "num"), ("n_domains", "num"), ("domains", "str")],
+        ),
         # round 5: tokenizer-prep pair statistics + reverse contamination
         "cur_bpe_pairs": (
             ["pair"], [("n_occurrences", "num")],

@@ -442,3 +442,44 @@ def test_benchmark_overlap_counts(spark):
     # plus the straddling grams 'b c d a','c d a b','d a b c' are NOT in
     # the bench set -> 2 occurrences
     assert got[10]["n_shared_grams"] == 3
+
+
+def test_strip_markup_semantics(spark):
+    from tagminder_spark.operators.curation import strip_markup
+
+    docs = spark.createDataFrame(
+        [
+            (1, '<p>Hi <b>there</b></p><script>x<y</script> done'),
+            # &amp;lt; must decode to the LITERAL '&lt;', not '<'
+            (2, "&amp;lt; ok &quot;q&quot;"),
+            (3, '<STYLE a="b">h1 { }</style>plain'),
+            (4, "no markup at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in strip_markup(docs).collect()}
+    assert out[1].clean_text == "Hi there done"
+    # p, b, /b, /p, <script>, and the tag-shaped '<y</script>' span = 6
+    assert out[1].n_tags_removed == 6
+    assert out[2].clean_text == '&lt; ok "q"'
+    assert out[3].clean_text == "plain"
+    assert out[4].clean_text == "no markup at all"
+    assert out[4].n_tags_removed == 0
+
+
+def test_extract_domains_normalization(spark):
+    from tagminder_spark.operators.curation import extract_domains
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x https://WWW.Foo.COM/a http://foo.com/b https://Bar.org:99"),
+            (2, "no urls"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in extract_domains(docs).collect()}
+    assert out[1].n_urls == 3
+    # www-stripped + lowercased + dedup: foo.com appears once
+    assert out[1].domains == "bar.org,foo.com"
+    assert out[1].n_domains == 2
+    assert out[2].n_urls == 0 and out[2].domains == ""
