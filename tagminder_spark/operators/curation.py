@@ -712,6 +712,50 @@ def write_curated_shards(
     )
 
 
+def c4_line_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_words_per_line: int = 3,
+    min_kept_lines: int = 2,
+) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020 §2.2), line-granular:
+    keep only lines that end in terminal punctuation AND have at least
+    ``min_words_per_line`` words; drop the whole page if it contains
+    "lorem ipsum" or a curly brace (code/boilerplate tells), or if
+    fewer than ``min_kept_lines`` lines survive.
+
+    Pure higher-order functions over the split line array — map-only,
+    zero shuffle, the same single-pass shape as the other quality
+    filters. Output: the cleaned text (kept lines re-joined), line
+    accounting, and the page-level keep flag.
+    """
+    raw = F.col(text_col)
+    lines = F.split(raw, "\n")
+    kept = F.filter(
+        lines,
+        lambda ln: F.trim(ln).rlike(r"[.!?\"']$")
+        & (
+            F.size(F.filter(F.split(F.trim(ln), r"\s+"), lambda w: w != ""))
+            >= min_words_per_line
+        ),
+    )
+    has_lorem = F.lower(raw).contains("lorem ipsum")
+    has_brace = raw.contains("{") | raw.contains("}")
+    n_kept = F.size(kept)
+    page_keep = (
+        ~has_lorem & ~has_brace & (n_kept >= min_kept_lines)
+    ).cast("int")
+    return docs.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(lines).cast("int").alias("n_lines"),
+        n_kept.cast("int").alias("n_kept_lines"),
+        page_keep.alias("page_keep"),
+    )
+
+
 #: entity → replacement, applied after tag removal, in this order (the
 #: &amp; rule runs LAST so "&amp;lt;" decodes to "&lt;", not "<" — the
 #: single-pass decode real extractors use to avoid double-decoding)

@@ -609,6 +609,99 @@ def cur_incremental_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# C4 line/page filter (Raffel et al. 2020 §2.2)
+
+# inject line structure + rule triggers (corpus text is single-line):
+# %5=0 good+bad lines, %5=1 lorem ipsum page, %5=2 curly-brace page,
+# %5=3 left single-line (fails min_kept_lines), %5=4 two good lines
+_C4_TEXT_SQL = """
+CASE CAST(doc_id % 5 AS INT)
+  WHEN 0 THEN text || '.' || chr(10) || 'Too short.' || chr(10)
+       || 'This line has plenty of words and ends well.' || chr(10)
+       || 'this line has no terminal punctuation at all'
+  WHEN 1 THEN 'A fine first sentence here.' || chr(10)
+       || 'Lorem Ipsum dolor sit amet.' || chr(10) || text || '.'
+  WHEN 2 THEN 'Braces mean code { x } usually.' || chr(10) || text || '.'
+  WHEN 3 THEN text || '.'
+  ELSE 'First proper sentence right here.' || chr(10)
+       || 'Second proper sentence right here.'
+  END
+"""
+
+_C4_SQL = f"""
+WITH injected AS (SELECT doc_id, {_C4_TEXT_SQL} AS text FROM documents),
+x AS (
+  SELECT doc_id, text,
+         string_split(text, chr(10)) AS lines,
+         list_filter(string_split(text, chr(10)),
+           ln -> regexp_matches(trim(ln), '[.!?"'']$')
+                 AND len(list_filter(string_split_regex(trim(ln), '\\s+'),
+                                     w -> w <> '')) >= 3) AS kept
+  FROM injected
+)
+SELECT doc_id,
+       array_to_string(kept, chr(10)) AS clean_text,
+       CAST(len(lines) AS INT) AS n_lines,
+       CAST(len(kept) AS INT) AS n_kept_lines,
+       CASE WHEN NOT contains(lower(text), 'lorem ipsum')
+                 AND NOT contains(text, '{{') AND NOT contains(text, '}}')
+                 AND len(kept) >= 2
+            THEN 1 ELSE 0 END AS page_keep
+FROM x
+"""
+
+
+@q("cur_c4_filter", _C4_SQL)
+def cur_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2): keep lines ending
+    in terminal punctuation with >= 3 words; drop pages containing
+    'lorem ipsum' or curly braces or with < 2 surviving lines. Pure
+    higher-order functions over the line array — map-only, zero
+    shuffle; the gate injects deterministic line structure since the
+    corpus ships single-line."""
+    from tagminder_spark.operators.curation import c4_line_filter
+
+    d = load_table(spark, sf_dir, "documents")
+    m5 = (F.col("doc_id") % 5).cast("int")
+    nl = F.lit("\n")
+    injected = d.select(
+        "doc_id",
+        F.when(
+            m5 == 0,
+            F.concat(
+                F.col("text"), F.lit("."), nl, F.lit("Too short."), nl,
+                F.lit("This line has plenty of words and ends well."), nl,
+                F.lit("this line has no terminal punctuation at all"),
+            ),
+        )
+        .when(
+            m5 == 1,
+            F.concat(
+                F.lit("A fine first sentence here."), nl,
+                F.lit("Lorem Ipsum dolor sit amet."), nl,
+                F.col("text"), F.lit("."),
+            ),
+        )
+        .when(
+            m5 == 2,
+            F.concat(
+                F.lit("Braces mean code { x } usually."), nl,
+                F.col("text"), F.lit("."),
+            ),
+        )
+        .when(m5 == 3, F.concat(F.col("text"), F.lit(".")))
+        .otherwise(
+            F.concat(
+                F.lit("First proper sentence right here."), nl,
+                F.lit("Second proper sentence right here."),
+            )
+        )
+        .alias("text"),
+    )
+    return c4_line_filter(injected)
+
+
+# ---------------------------------------------------------------------------
 # markup stripping (WET-style text extraction)
 
 # inject synthetic markup deterministically (corpus is markup-free):

@@ -298,6 +298,12 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
             ["token"],
             [("n_occurrences", "num"), ("doc_frequency", "num")],
         ),
+        # round 5: C4 cleaning rules
+        "cur_c4_filter": (
+            ["doc_id"],
+            [("clean_text", "str"), ("n_lines", "num"),
+             ("n_kept_lines", "num"), ("page_keep", "num")],
+        ),
         # round 5: markup stripping + URL/domain bookkeeping
         "cur_strip_markup": (
             ["doc_id"],

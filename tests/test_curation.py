@@ -483,3 +483,26 @@ def test_extract_domains_normalization(spark):
     assert out[1].domains == "bar.org,foo.com"
     assert out[1].n_domains == 2
     assert out[2].n_urls == 0 and out[2].domains == ""
+
+
+def test_c4_line_filter_rules(spark):
+    from tagminder_spark.operators.curation import c4_line_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "A good long sentence ends here.\nshort.\nno punct line at all\nAnother proper keeper line stays!"),
+            (2, "Contains lorem ipsum sadly.\nA second fine line here."),
+            (3, "Code block { return 1; }\nA second fine line here."),
+            (4, "Only one good line survives here."),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in c4_line_filter(docs).collect()}
+    assert out[1].n_lines == 4 and out[1].n_kept_lines == 2
+    assert out[1].page_keep == 1
+    assert out[1].clean_text == (
+        "A good long sentence ends here.\nAnother proper keeper line stays!"
+    )
+    assert out[2].page_keep == 0  # lorem ipsum (case-insensitive)
+    assert out[3].page_keep == 0  # curly braces
+    assert out[4].page_keep == 0  # < 2 kept lines
