@@ -59,6 +59,57 @@ def brute_topk(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization — the 4x memory
+    reduction a 100 TB vector store takes before ANN serving: scale =
+    127 / max|x| (per vector, so no global pass), q_i = round(x_i *
+    scale) clamped to [-127, 127], plus the max absolute reconstruction
+    error for quality monitoring. Map-only higher-order functions, zero
+    shuffle; the zero vector quantizes to zeros with scale 0 (decode
+    treats scale 0 as all-zero).
+
+    Dequantization is x̂_i = q_i / scale; downstream cosine on int8
+    with per-vector scales is the standard serving path (the scales
+    cancel in the cosine's normalization).
+    """
+    v = F.col(vec_col)
+    amax = F.aggregate(
+        v,
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    scale = F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(0.0))
+    q = F.transform(
+        v,
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(
+                F.lit(127),
+                F.round(x.cast("double") * scale).cast("int"),
+            ),
+        ).cast("tinyint"),
+    )
+    # max_i |x_i - q_i/scale| — the reconstruction-error monitor
+    err = F.when(
+        amax > 0,
+        F.aggregate(
+            F.zip_with(
+                v, q, lambda x, qq: F.abs(x.cast("double") - qq / scale)
+            ),
+            F.lit(0.0),
+            lambda acc, e: F.greatest(acc, e),
+        ),
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        q.alias("q8"),
+        F.round(scale, 6).cast("double").alias("scale"),
+        F.round(err, 6).cast("double").alias("max_abs_err"),
+    )
+
+
 def _cent_array(cent_rows: list[tuple]) -> Column:
     """Centroids as one constant-folded literal ``array<struct>`` — the
     local-mode stand-in for a broadcast variable. Sorted by cell_id so

@@ -7,6 +7,7 @@ float math is left-fold IEEE double.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from tagminder_spark.operators.similarity import brute_topk, ivf_topk
 from tagminder_spark.queries import QueryFn
@@ -170,4 +171,57 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(10).alias("n_queries"),
         F.lit(30).alias("total_possible"),
         (F.col("n_hits") >= 20).cast("int").alias("meets_recall_floor"),
+    )
+
+
+# --------------------------------------------------------------------------
+# int8 scalar quantization of the embedding store
+
+_QUANT_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+  FROM embeddings
+), s AS (
+  SELECT vec_id, vv,
+         list_aggregate(list_transform(vv, x -> abs(x)), 'max') AS amax
+  FROM v
+), qd AS (
+  SELECT vec_id, vv,
+         CASE WHEN amax > 0 THEN 127.0 / amax ELSE 0.0 END AS scale
+  FROM s
+), qq AS (
+  SELECT vec_id, vv, scale,
+         list_transform(vv, x -> CAST(greatest(-127, least(127,
+             round(x * scale))) AS INT)) AS q8
+  FROM qd
+)
+SELECT vec_id,
+       array_to_string(q8, ',') AS q8_str,
+       CAST(ROUND(scale, 6) AS DOUBLE) AS scale,
+       CAST(ROUND(CASE WHEN scale > 0 THEN
+           list_aggregate(list_transform(list_zip(vv, q8),
+               p -> abs(p[1] - p[2] / scale)), 'max')
+         ELSE 0.0 END, 6) AS DOUBLE) AS max_abs_err
+FROM qq
+"""
+
+
+@q("ann_quantize_int8", _QUANT_SQL)
+def ann_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding store —
+    the 4x memory cut before ANN serving. Map-only fold/transform
+    expressions; scale, clamped codes, and the max reconstruction
+    error are all value-exact against the oracle (the q8 codes ride as
+    a joined string so both engines hash identically)."""
+    from tagminder_spark.operators.similarity import quantize_embeddings
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = quantize_embeddings(e, "vec_id", "embedding")
+    return out.select(
+        "vec_id",
+        F.array_join(
+            F.transform(F.col("q8"), lambda x: x.cast("string")), ","
+        ).alias("q8_str"),
+        "scale",
+        "max_abs_err",
     )

@@ -220,6 +220,11 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
         "ann_ivf_topk": (
             ["query_id", "rank"], [("neighbor_id", "num"), ("cosine", "num")]
         ),
+        # round 5: int8 store quantization (serving-memory cut)
+        "ann_quantize_int8": (
+            ["vec_id"],
+            [("q8_str", "str"), ("scale", "num"), ("max_abs_err", "num")],
+        ),
         "mm_image_features": (
             ["media_id"],
             [("width", "num"), ("height", "num"), ("channels", "num"), ("n_feat", "num")],

@@ -339,3 +339,29 @@ def test_standing_index_bucketed_probe_shuffles_only_batch(docs, spark, tmp_path
         assert bucketed == plain - 1
     finally:
         spark.sql("DROP TABLE IF EXISTS t_standing_banded")
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    """int8 quantization: codes clamp to [-127,127], dequantized error
+    bounded by 0.5/scale, zero vector -> scale 0 with zero codes."""
+    from tagminder_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -2.0, 0.5]),
+            (2, [0.0, 0.0, 0.0]),
+            (3, [100.0, -0.001, 50.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    assert out[1].q8 == [64, -127, 32]  # scale = 127/2 = 63.5
+    assert out[1].scale == 63.5
+    assert out[2].q8 == [0, 0, 0] and out[2].scale == 0.0
+    assert out[2].max_abs_err == 0.0
+    for vid, vec in ((1, [1.0, -2.0, 0.5]), (3, [100.0, -0.001, 50.0])):
+        r = out[vid]
+        # outputs are rounded to 6 decimals — allow that much slack
+        assert r.max_abs_err <= 0.5 / r.scale + 1e-6
+        deq = [q / r.scale for q in r.q8]
+        assert max(abs(a - b) for a, b in zip(vec, deq)) <= r.max_abs_err + 1e-6
