@@ -712,6 +712,153 @@ def write_curated_shards(
     )
 
 
+def lm_perplexity(
+    docs: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: float = 0.5,
+) -> DataFrame:
+    """Per-document perplexity under an add-k smoothed bigram LM trained
+    on ``reference`` — the actual CCNet quality signal (Wenzek et al.
+    2020 train a KenLM on Wikipedia and bucket the crawl by perplexity;
+    the engine's heuristic ``quality_score`` is the cheap stand-in, this
+    is the mechanism).
+
+    LM: p(w | prev) = (c(prev, w) + k) / (c(prev) + k·V) with V =
+    |reference vocab| + 1 (the OOV bucket) and a sentence-start token
+    before the first word. Training is two partial-aggregated groupBys
+    over the reference; scoring joins the (broadcast) count tables and
+    then folds log-probs **in token order** per document
+    (sort_array(collect_list(struct(pos, logp))) + left fold) — an
+    ordered IEEE sum, NOT an unordered SQL SUM, so the result is
+    bit-reproducible and engine-portable (the same left-fold-float rule
+    every other gate follows). Output: n_bigrams, avg_logprob (round
+    6), perplexity = exp(-avg) (round 4).
+
+    100 TB shape: count tables are vocabulary-bounded (broadcast here;
+    bucketed join at open-vocabulary scale); scoring is one explode +
+    two map-side joins + one groupBy(doc).
+    """
+    bos = F.lit("<s>")
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    prevs = F.concat(F.array(bos), F.slice(toks, 1, F.size(toks) - 1))
+
+    def bigram_rows(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.posexplode(F.arrays_zip(prevs.alias("p"), toks.alias("w"))).alias(
+                "pos", "bg"
+            ),
+        ).select(
+            id_col, "pos", F.col("bg.p").alias("prev"), F.col("bg.w").alias("w")
+        )
+
+    ref_bg = bigram_rows(reference)
+    c2 = ref_bg.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = ref_bg.groupBy("prev").agg(F.count(F.lit(1)).alias("c1"))
+    v = (
+        reference.select(F.explode(toks).alias("w")).distinct().count() + 1
+    )  # +1 = OOV bucket
+
+    scored = (
+        bigram_rows(docs)
+        .join(F.broadcast(c2), ["prev", "w"], "left")
+        .join(F.broadcast(c1), "prev", "left")
+        .select(
+            id_col,
+            "pos",
+            F.log(
+                (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(k))
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(k * v))
+            ).alias("logp"),
+        )
+    )
+    folded = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+        F.aggregate(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("pos"), F.col("logp")))
+                ),
+                lambda s: s["logp"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("sum_logp"),
+    )
+    avg = F.col("sum_logp") / F.col("n_bigrams")
+    return folded.select(
+        id_col,
+        "n_bigrams",
+        F.round(avg, 6).cast("double").alias("avg_logprob"),
+        F.round(F.exp(-avg), 4).cast("double").alias("perplexity"),
+    )
+
+
+def hash_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    val_frac: float = 0.01,
+    test_frac: float = 0.01,
+) -> DataFrame:
+    """Deterministic train/val/test assignment from the stable document
+    id — reproducible across runs/engines with no RNG state, the split
+    every training pipeline needs to survive re-sharding: u = md5-prefix
+    uniform[0,1); u < val_frac → val, u < val+test → test, else train.
+    Map-only; the same :func:`uniform_hash` the temperature sampler
+    uses (so a doc's u is consistent across curation passes)."""
+    u = uniform_hash(F.col(id_col))
+    return docs.select(
+        F.col(id_col),
+        F.round(u, 6).cast("double").alias("u"),
+        F.when(u < val_frac, F.lit("val"))
+        .when(u < val_frac + test_frac, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+def mixture_plan(
+    docs: DataFrame,
+    strata: list[str],
+    text_col: str = "text",
+    *,
+    alpha: float = 0.5,
+    budget_tokens: int = 100_000,
+) -> DataFrame:
+    """The training-mixture allocation table: per stratum, available
+    tokens, temperature weight ∝ N_tokens^alpha (normalized), the
+    token allocation round(budget · weight), the sampling rate vs
+    available, and an achievable flag (allocation ≤ available ⇔ rate ≤
+    1 — an over-allocated stratum needs up-sampling/epochs).
+
+    Exact integer/decimal arithmetic end to end (pow is the one float —
+    the same engine-portable usage the temperature sampler gates), one
+    token-count aggregate + a tiny per-stratum frame."""
+    n_toks = F.size(F.split(F.trim(F.col(text_col)), " ")).cast("long")
+    counts = docs.groupBy(*strata).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_toks).alias("n_tokens"),
+    )
+    tot = counts.agg(
+        F.sum(F.pow(F.col("n_tokens"), F.lit(alpha))).alias("z")
+    )
+    w = F.pow(F.col("n_tokens"), F.lit(alpha)) / F.col("z")
+    alloc = F.round(w * budget_tokens).cast("long")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        *strata,
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "n_tokens",
+        F.round(w, 6).cast("double").alias("weight"),
+        alloc.alias("allocated_tokens"),
+        F.round(alloc / F.col("n_tokens"), 6).cast("double").alias("sample_rate"),
+        (alloc <= F.col("n_tokens")).cast("int").alias("achievable"),
+    )
+
+
 def c4_line_filter(
     docs: DataFrame,
     id_col: str = "doc_id",

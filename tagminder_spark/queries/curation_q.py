@@ -609,6 +609,122 @@ def cur_incremental_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# bigram-LM perplexity (the actual CCNet quality mechanism)
+
+_LM_SQL = """
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS arr
+              FROM documents),
+bg AS (SELECT doc_id,
+              unnest([{'pos': i - 1,
+                       'prev': CASE WHEN i = 1 THEN '<s>' ELSE arr[i-1] END,
+                       'w': arr[i]} for i in range(1, len(arr) + 1)]) AS u
+       FROM toks),
+b2 AS (SELECT doc_id, u.pos AS pos, u.prev AS prev, u.w AS w FROM bg),
+ref AS (SELECT * FROM b2 WHERE doc_id % 7 = 0),
+c2 AS (SELECT prev, w, count(*) AS c2 FROM ref GROUP BY prev, w),
+c1 AS (SELECT prev, count(*) AS c1 FROM ref GROUP BY prev),
+vv AS (SELECT count(DISTINCT w) + 1 AS v
+       FROM (SELECT unnest(arr) AS w FROM toks WHERE doc_id % 7 = 0)),
+sc AS (SELECT b2.doc_id, b2.pos,
+              ln((coalesce(c2.c2, 0) + 0.5)
+                 / (coalesce(c1.c1, 0) + 0.5 * vv.v)) AS logp
+       FROM b2 CROSS JOIN vv
+       LEFT JOIN c2 USING (prev, w)
+       LEFT JOIN c1 USING (prev)),
+f AS (SELECT doc_id, count(*) AS n_bigrams,
+             list_reduce(list(logp ORDER BY pos), (a, b) -> a + b) AS s
+      FROM sc GROUP BY doc_id)
+SELECT doc_id, CAST(n_bigrams AS INT) AS n_bigrams,
+       CAST(ROUND(s / n_bigrams, 6) AS DOUBLE) AS avg_logprob,
+       CAST(ROUND(exp(-(s / n_bigrams)), 4) AS DOUBLE) AS perplexity
+FROM f
+"""
+
+
+@q("cur_lm_perplexity", _LM_SQL)
+def cur_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity under an add-0.5 bigram LM trained on the reference
+    slice (every 7th doc stands in for the clean corpus) — the actual
+    CCNet quality signal, with per-document log-prob folds in TOKEN
+    ORDER so the float sum is engine-portable. Count tables broadcast;
+    one explode + two map-side joins + one groupBy(doc)."""
+    from tagminder_spark.operators.curation import lm_perplexity
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 7 == 0)
+    return lm_perplexity(docs, ref, k=0.5)
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/val/test split
+
+_SPLIT_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) / 4294967296.0 AS u
+  FROM documents
+)
+SELECT doc_id, CAST(ROUND(u, 6) AS DOUBLE) AS u,
+       CASE WHEN u < 0.05 THEN 'val'
+            WHEN u < 0.10 THEN 'test'
+            ELSE 'train' END AS split
+FROM u
+"""
+
+
+@q("cur_hash_split", _SPLIT_SQL)
+def cur_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment from the md5-prefix
+    uniform hash of the document id (5%/5% held out at gate scale so
+    all three splits are populated) — reproducible across engines and
+    re-sharding, no RNG state."""
+    from tagminder_spark.operators.curation import hash_split
+
+    return hash_split(
+        load_table(spark, sf_dir, "documents"), val_frac=0.05, test_frac=0.05
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-mixture allocation plan
+
+_MIX_SQL = """
+WITH c AS (SELECT lang, count(*) AS n_docs,
+                  SUM(len(string_split(trim(text), ' '))) AS n_tokens
+           FROM documents GROUP BY lang),
+z AS (SELECT SUM(pow(n_tokens, 0.5)) AS z FROM c)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(ROUND(pow(n_tokens, 0.5) / z, 6) AS DOUBLE) AS weight,
+       CAST(ROUND(100000 * pow(n_tokens, 0.5) / z) AS BIGINT)
+         AS allocated_tokens,
+       CAST(ROUND(CAST(ROUND(100000 * pow(n_tokens, 0.5) / z) AS BIGINT)
+                  * 1.0 / n_tokens, 6) AS DOUBLE) AS sample_rate,
+       CASE WHEN CAST(ROUND(100000 * pow(n_tokens, 0.5) / z) AS BIGINT)
+                 <= n_tokens THEN 1 ELSE 0 END AS achievable
+FROM c CROSS JOIN z
+"""
+
+
+@q("cur_mixture_plan", _MIX_SQL)
+def cur_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture allocation per language: available tokens,
+    temperature weight ∝ N^0.5, token allocation against a 100k budget,
+    sampling rate, and achievability — the planning table a mixture
+    config is generated from. One aggregate + a tiny per-stratum
+    frame."""
+    from tagminder_spark.operators.curation import mixture_plan
+
+    return mixture_plan(
+        load_table(spark, sf_dir, "documents"),
+        ["lang"],
+        alpha=0.5,
+        budget_tokens=100_000,
+    )
+
+
+# ---------------------------------------------------------------------------
 # C4 line/page filter (Raffel et al. 2020 §2.2)
 
 # inject line structure + rule triggers (corpus text is single-line):

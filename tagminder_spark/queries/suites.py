@@ -303,6 +303,21 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
             ["token"],
             [("n_occurrences", "num"), ("doc_frequency", "num")],
         ),
+        # round 5: bigram-LM perplexity, hash split, mixture planning
+        "cur_lm_perplexity": (
+            ["doc_id"],
+            [("n_bigrams", "num"), ("avg_logprob", "num"),
+             ("perplexity", "num")],
+        ),
+        "cur_hash_split": (
+            ["doc_id"], [("u", "num"), ("split", "str")],
+        ),
+        "cur_mixture_plan": (
+            ["lang"],
+            [("n_docs", "num"), ("n_tokens", "num"), ("weight", "num"),
+             ("allocated_tokens", "num"), ("sample_rate", "num"),
+             ("achievable", "num")],
+        ),
         # round 5: C4 cleaning rules
         "cur_c4_filter": (
             ["doc_id"],

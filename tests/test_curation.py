@@ -506,3 +506,60 @@ def test_c4_line_filter_rules(spark):
     assert out[2].page_keep == 0  # lorem ipsum (case-insensitive)
     assert out[3].page_keep == 0  # curly braces
     assert out[4].page_keep == 0  # < 2 kept lines
+
+
+def test_lm_perplexity_hand_model(spark):
+    """Tiny corpus with a closed-form check: reference trains the LM,
+    a reference-identical doc scores lower perplexity than an OOV doc."""
+    import math
+
+    from tagminder_spark.operators.curation import lm_perplexity
+
+    ref = spark.createDataFrame(
+        [(7, "a b a b"), (14, "a b c")], ["doc_id", "text"]
+    )
+    docs = spark.createDataFrame(
+        [(7, "a b a b"), (1, "z z z")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in lm_perplexity(docs, ref, k=0.5).collect()}
+    # V = |{a,b,c}| + 1 = 4; closed-form for doc 1: bigrams
+    # (<s>,z),(z,z),(z,z): c2=0 everywhere; c1(<s>)=2, c1(z)=0
+    want_logp = math.log(0.5 / (2 + 2.0)) + 2 * math.log(0.5 / 2.0)
+    assert out[1].n_bigrams == 3
+    assert out[1].avg_logprob == round(want_logp / 3, 6)
+    assert out[7].perplexity < out[1].perplexity
+    assert out[7].avg_logprob > out[1].avg_logprob
+
+
+def test_hash_split_deterministic_and_complete(spark):
+    from tagminder_spark.operators.curation import hash_split
+
+    docs = spark.createDataFrame([(i,) for i in range(500)], ["doc_id"])
+    a = {r.doc_id: r.split for r in hash_split(docs, val_frac=0.05, test_frac=0.05).collect()}
+    b = {r.doc_id: r.split for r in hash_split(docs, val_frac=0.05, test_frac=0.05).collect()}
+    assert a == b and len(a) == 500
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] > 400  # ~90%
+
+
+def test_mixture_plan_invariants(spark):
+    from tagminder_spark.operators.curation import mixture_plan
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (5 + i % 3), "en" if i < 90 else "de", "s", 1)
+         for i in range(100)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    rows = mixture_plan(docs, ["lang"], alpha=0.5, budget_tokens=1000).collect()
+    assert len(rows) == 2
+    total_w = sum(r.weight for r in rows)
+    assert abs(total_w - 1.0) < 1e-4
+    # alpha < 1 upweights the small stratum relative to its share
+    by = {r.lang: r for r in rows}
+    assert by["de"].weight > by["de"].n_tokens / (
+        by["de"].n_tokens + by["en"].n_tokens
+    )
+    assert abs(sum(r.allocated_tokens for r in rows) - 1000) <= 1
