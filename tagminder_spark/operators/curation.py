@@ -1059,7 +1059,8 @@ def benchmark_overlap(
     )
     return (
         benchmark.select(F.col(id_col).alias("bench_id"))
-        .join(agg, "bench_id", "left")
+        # bounded by |benchmark| — broadcast so the assembly never sorts
+        .join(F.broadcast(agg), "bench_id", "left")
         .select(
             "bench_id",
             F.coalesce("n_corpus_docs", F.lit(0))
