@@ -137,12 +137,15 @@ def _range_tag(
     if n_ranges <= 1:
         return df.withColumn("__rng", F.lit(0))
     probs = [i / n_ranges for i in range(1, n_ranges)]
+    # try_cast, not cast: under ANSI a non-numeric key must DEGRADE to
+    # the single-range plan (all NULL -> one range), not throw
     bounds = df.groupBy(partition_col).agg(
         F.percentile_approx(
-            F.col(order_col).cast("double"), F.array(*[F.lit(p) for p in probs])
+            F.col(order_col).try_cast("double"),
+            F.array(*[F.lit(p) for p in probs]),
         ).alias("__bnds")
     )
-    v = F.col(order_col).cast("double")
+    v = F.col(order_col).try_cast("double")
     if descending:
         rng = F.size(F.filter(F.col("__bnds"), lambda b: b > v))
         null_rng = F.lit(n_ranges - 1)  # desc => nulls last

@@ -563,3 +563,20 @@ def test_mixture_plan_invariants(spark):
         by["de"].n_tokens + by["en"].n_tokens
     )
     assert abs(sum(r.allocated_tokens for r in rows) - 1000) <= 1
+
+
+def test_range_tag_non_numeric_degrades_to_single_range(spark):
+    """Docstring contract: a non-numeric order key (cast -> NULL) must
+    degrade to ONE range per stratum — the plain-window plan — with
+    packing results still exact."""
+    from tagminder_spark.operators.curation import _range_tag
+
+    docs = spark.createDataFrame(
+        [(f"id{i:03d}", "w w w", "en", "s", 1) for i in range(50)],
+        "doc_id string, text string, lang string, source string, n_chars int",
+    )
+    tagged = _range_tag(docs, "lang", "doc_id", 8)
+    assert tagged.select("__rng").distinct().count() == 1
+    out = pack_sequences(docs, budget=7, range_splits=8).collect()
+    single = pack_sequences(docs, budget=7, range_splits=1).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, single))
