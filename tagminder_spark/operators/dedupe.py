@@ -706,8 +706,15 @@ def embedding_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = sigs.select("id", F.explode(bucket_structs).alias("bb")).select(
-        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    banded = (
+        sigs.select("id", F.explode(bucket_structs).alias("bb"))
+        .select(
+            "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+        # both sides of the self-join would otherwise recompute the whole
+        # scan + signature fold; the triples frame is bits/8 rows per
+        # vector (tiny relative to the vectors themselves)
+        .persist()
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -724,7 +731,8 @@ def embedding_lsh_pairs(
     dot = lambda x, y: F.aggregate(  # noqa: E731
         F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
     )
-    norms = v.withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    # consumed once per pair side — cache instead of re-folding the norms
+    norms = v.withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v")))).persist()
     va = norms.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
     vb = norms.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
     return (
