@@ -387,8 +387,14 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = sigs.select("id", F.explode(band_structs).alias("bb")).select(
-        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    banded = (
+        sigs.select("id", F.explode(band_structs).alias("bb"))
+        .select(
+            "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+        # both sides of the self-join would otherwise re-run the
+        # 32-way min-aggregation over the shingle table
+        .persist()
     )
     a = banded.alias("a")
     b = banded.alias("b")
