@@ -600,8 +600,15 @@ def simhash_pairs(
             for b in range(n_bands)
         ]
     )
-    banded = sigs.select("id", "simhash", F.explode(bands).alias("bb")).select(
-        "id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    banded = (
+        sigs.select("id", "simhash", F.explode(bands).alias("bb"))
+        .select(
+            "id", "simhash", F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
+        # both join sides would re-run the 60-way conditional-sum
+        # signature aggregation otherwise (same rule as minhash/LSH)
+        .persist()
     )
     a = banded.alias("a")
     b = banded.alias("b")
