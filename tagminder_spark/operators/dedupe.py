@@ -785,7 +785,8 @@ def embedding_neardup_pairs(
     dot = lambda x, y: F.aggregate(  # noqa: E731
         F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
     )
-    norms = v.withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    # both sides of the all-pairs join re-fold the norms otherwise
+    norms = v.withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v")))).persist()
     a = norms.alias("a")
     b = norms.alias("b")
     return (

@@ -615,7 +615,8 @@ def g_feature_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("df") >= 2) & (F.col("df") <= F.col("max_df")))
         .select("feat")
     )
-    fb = feats.join(F.broadcast(bounded), "feat")
+    # both self-join sides would re-run the feature explode otherwise
+    fb = feats.join(F.broadcast(bounded), "feat").persist()
     a = fb.alias("a")
     b = fb.alias("b")
     return (
