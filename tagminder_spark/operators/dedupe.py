@@ -668,6 +668,7 @@ def embedding_lsh_pairs(
     bits: int = 32,
     bands: int = 8,
     threshold: float = 0.4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup vector pairs via random-hyperplane LSH — the bucketed
     replacement for the all-pairs cosine join.
@@ -680,6 +681,19 @@ def embedding_lsh_pairs(
     At 100 TB: signature computation is a map, the band join shuffles
     (band, int-bucket, id) triples only, and verification touches vectors
     for candidate ids alone.
+
+    **Band width must scale with the corpus** (measured, BASELINE §8):
+    a band has only 2^(bits/bands) buckets, so occupancy grows ∝ n once
+    the signature space saturates and the candidate join turns O(n²) —
+    4-bit bands went super-linear (exponent 1.5) at just 20k vectors.
+    Size r = bits/bands ≈ log2(n / B_target) (8 bits/band holds ~linear
+    at 20k; web scale wants 16+ with more bands to buy recall back), and
+    set ``max_bucket`` as the safety valve: saturated buckets (occupancy
+    > cap) are dropped from candidate generation before the self-join —
+    the same boilerplate-bucket guard as the n-gram DF cap, trading
+    recall ONLY inside buckets that banding had stopped discriminating
+    anyway. Default None preserves exact banding semantics (the gate's
+    fixed-param oracle).
     """
     r = bits // bands
     v = df.select(
@@ -729,6 +743,16 @@ def embedding_lsh_pairs(
         # vector (tiny relative to the vectors themselves)
         .persist()
     )
+    if max_bucket is not None:
+        saturated = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("occ"))
+            .filter(F.col("occ") > max_bucket)
+            .select("band", "bucket")
+        )
+        banded = banded.join(
+            F.broadcast(saturated), ["band", "bucket"], "left_anti"
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     candidates = (

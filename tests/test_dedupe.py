@@ -365,3 +365,35 @@ def test_quantize_embeddings_roundtrip(spark):
         assert r.max_abs_err <= 0.5 / r.scale + 1e-6
         deq = [q / r.scale for q in r.q8]
         assert max(abs(a - b) for a, b in zip(vec, deq)) <= r.max_abs_err + 1e-6
+
+
+def test_embedding_lsh_bucket_cap(spark):
+    """Saturated-bucket guard: with a cap above the max occupancy the
+    output is identical to uncapped; with a tiny cap the candidate
+    generation is bounded (and the op still returns, never O(n^2))."""
+    from tagminder_spark.operators.dedupe import embedding_lsh_pairs
+    from tagminder_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    free = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_lsh_pairs(
+            emb, "vec_id", "embedding", dim=64, threshold=0.4
+        ).collect()
+    }
+    capped_loose = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_lsh_pairs(
+            emb, "vec_id", "embedding", dim=64, threshold=0.4,
+            max_bucket=10_000,
+        ).collect()
+    }
+    assert capped_loose == free
+    tight = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_lsh_pairs(
+            emb, "vec_id", "embedding", dim=64, threshold=0.4, max_bucket=5
+        ).collect()
+    }
+    assert tight <= free  # dropping buckets only loses candidates

@@ -56,7 +56,29 @@ def main() -> None:
         ) TO '{DST}/lineitem.parquet' (FORMAT PARQUET)
         """
     )
-    for t in ("documents", "lineitem"):
+    # per-(replica, dim) sign flips: an isometry WITHIN a replica (dot
+    # products, hence the near-dup pair structure, are exactly
+    # preserved) while cross-replica cosines decorrelate — a naive copy
+    # or rotation keeps replicas correlated and explodes the candidate
+    # count super-linearly
+    con.execute(
+        f"""
+        COPY (
+          SELECT e.vec_id + r.range * 10000000 AS vec_id,
+                 CASE WHEN r.range = 0 THEN e.embedding
+                      ELSE [CASE WHEN CAST('0x' || substr(md5(
+                                 r.range || ':' || i), 1, 1) AS INT)
+                                 % 2 = 0
+                            THEN e.embedding[i] ELSE -e.embedding[i] END
+                            for i in range(1, len(e.embedding) + 1)]
+                      END AS embedding,
+                 e.label
+          FROM read_parquet('{SRC}/embeddings.parquet') e,
+               range({replicas}) r
+        ) TO '{DST}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
+    for t in ("documents", "lineitem", "embeddings"):
         n = con.execute(f"SELECT count(*) FROM '{DST}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n} rows")
 
