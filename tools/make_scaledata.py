@@ -78,7 +78,32 @@ def main() -> None:
         ) TO '{DST}/embeddings.parquet' (FORMAT PARQUET)
         """
     )
-    for t in ("documents", "lineitem", "embeddings"):
+    # orders/events replicate with the SAME key shift as lineitem so the
+    # orderkey join structure is preserved; dim tables copy unreplicated
+    # (a bigger fact over the same dims is exactly how warehouses grow)
+    con.execute(
+        f"""
+        COPY (
+          SELECT o.* REPLACE (o.o_orderkey + r.range * 10000000
+                              AS o_orderkey)
+          FROM read_parquet('{SRC}/orders.parquet') o, range({replicas}) r
+        ) TO '{DST}/orders.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT e.* REPLACE (e.event_id + r.range * 10000000 AS event_id)
+          FROM read_parquet('{SRC}/events.parquet') e, range({replicas}) r
+        ) TO '{DST}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet'))"
+            f" TO '{DST}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    for t in ("documents", "lineitem", "embeddings", "orders", "events"):
         n = con.execute(f"SELECT count(*) FROM '{DST}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n} rows")
 
