@@ -73,6 +73,8 @@ EXTRA = [
     "cur_pipeline_e2e",
     # round 5: ingest-time curation of a new batch vs standing artifacts
     "cur_incremental_e2e",
+    # round 5 third sweep: trained bigram-LM scoring (the CCNet signal)
+    "cur_lm_perplexity",
 ]
 
 
