@@ -846,8 +846,27 @@ def mixture_plan(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(n_toks).alias("n_tokens"),
     )
+    # the normalizer is an ORDERED left fold over strata (sorted by the
+    # stratum key), not an unordered SUM: float addition order would
+    # otherwise depend on partition placement and could flip the
+    # 6-decimal rounding / integer allocation against the oracle
+    key = F.concat_ws("|", *[F.col(s).cast("string") for s in strata])
     tot = counts.agg(
-        F.sum(F.pow(F.col("n_tokens"), F.lit(alpha))).alias("z")
+        F.aggregate(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            key.alias("k"),
+                            F.pow(F.col("n_tokens"), F.lit(alpha)).alias("p"),
+                        )
+                    )
+                ),
+                lambda s: s["p"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("z")
     )
     w = F.pow(F.col("n_tokens"), F.lit(alpha)) / F.col("z")
     alloc = F.round(w * budget_tokens).cast("long")

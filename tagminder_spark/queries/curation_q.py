@@ -693,7 +693,8 @@ _MIX_SQL = """
 WITH c AS (SELECT lang, count(*) AS n_docs,
                   SUM(len(string_split(trim(text), ' '))) AS n_tokens
            FROM documents GROUP BY lang),
-z AS (SELECT SUM(pow(n_tokens, 0.5)) AS z FROM c)
+z AS (SELECT list_reduce(list(pow(n_tokens, 0.5)
+          ORDER BY CAST(lang AS VARCHAR)), (a, b) -> a + b) AS z FROM c)
 SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
        CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(ROUND(pow(n_tokens, 0.5) / z, 6) AS DOUBLE) AS weight,
