@@ -364,9 +364,22 @@ def _shard_tagged(
     ``start_offset`` = exact tokens before this doc in (stratum, id-asc)
     order = per-range exclusive cumsum + the summed totals of all
     earlier ranges — equal to the single global window for every row,
-    any boundary placement."""
+    any boundary placement.
+
+    The within-range window orders by the SAME ``try_cast(id, double)``
+    expression :func:`_range_tag` buckets by (raw id as tiebreak) — if
+    it ordered by the raw column instead, numeric-castable STRING ids
+    ('9' vs '10') would be bucketed numerically but ranked lexically and
+    the two-level plan would silently diverge from the single window.
+    Net document order: numeric ids → numeric (cast is order-preserving,
+    tiebreak never fires); non-castable strings → cast is NULL for every
+    row (one range, constant key) so pure lexical order; castable
+    strings → numeric-then-lexical, consistently in both levels."""
     tagged = _range_tag(docs, partition_col, id_col, range_splits)
-    w = Window.partitionBy(partition_col, "__rng").orderBy(id_col)
+    idnum = F.col(id_col).try_cast("double")
+    w = Window.partitionBy(partition_col, "__rng").orderBy(
+        idnum.asc_nulls_first(), F.col(id_col).asc()
+    )
     totals = tagged.groupBy(partition_col, "__rng").agg(
         F.sum("n_tokens").alias("__rng_tokens")
     )

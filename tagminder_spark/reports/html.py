@@ -108,7 +108,11 @@ def render_artist_map(
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
-    e = edges.select("src", "dst", "weight")
+    e = edges.select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+        F.col("weight"),
+    )
     sym = (
         e.unionByName(
             e.select(
@@ -118,21 +122,44 @@ def render_artist_map(
             )
         )
         .filter((F.col("weight") >= min_weight) & (F.col("src") != F.col("dst")))
-        .dropDuplicates(["src", "dst", "weight"])
+        # one adjacency slot per (src, dst): asymmetric duplicate weights
+        # (directed inputs) collapse to the max, so a pair can never
+        # occupy two of a node's top-k slots
+        .groupBy("src", "dst")
+        .agg(F.max("weight").alias("weight"))
+    )
+    # Node list FIRST, bounded and distributed: every edge-bearing node
+    # appears as a src after symmetrization, so distinct src = the full
+    # node set.  orderBy(lower, raw) matches the reference's
+    # case-insensitive sort (tm_graph.py:446) with a deterministic
+    # tiebreak; limit() keeps the collect at <= max_nodes rows.
+    names = [
+        r.src
+        for r in sym.select("src")
+        .distinct()
+        .orderBy(F.lower(F.col("src")).asc(), F.col("src").asc())
+        .limit(max_nodes)
+        .collect()
+    ]
+    id_by_name = {n: i for i, n in enumerate(names)}
+    kept = sym.sparkSession.createDataFrame(
+        [(n,) for n in names], "name string"
     )
     w = W.partitionBy("src").orderBy(
         F.col("weight").desc(), F.lower(F.col("dst")).asc()
     )
     trimmed = (
-        sym.withColumn("rn", F.row_number().over(w))
+        # restrict BOTH endpoints to the kept node set before the window
+        # and the collect — adjacency below drops out-of-set names anyway,
+        # and this caps the driver transfer at max_nodes * top_k rows
+        # (the old pre-round-5 bound ADVICE asked to restore)
+        sym.join(F.broadcast(kept), sym["src"] == kept["name"], "left_semi")
+        .join(F.broadcast(kept), sym["dst"] == kept["name"], "left_semi")
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= top_k_per_node)
         .drop("rn")
     )
     rows = trimmed.collect()
-
-    node_set = {str(r.src) for r in rows} | {str(r.dst) for r in rows}
-    names = sorted(node_set, key=str.lower)[:max_nodes]
-    id_by_name = {n: i for i, n in enumerate(names)}
     adj: list[list[list[int]]] = [[] for _ in names]
     by_src: dict[str, list] = {}
     for r in rows:

@@ -171,7 +171,18 @@ def chunk_audio(
     [start_ms/ms_per_byte, ceil(end_ms/ms_per_byte)) of the content —
     so the mapInPandas batch shape, fan-out (1 row -> N chunks), binary
     slicing, and schema are all exercised with SQL-checkable values.
+
+    Parameters are validated HERE, on the driver: the ``start += hop_ms``
+    loop below runs inside an executor task, where hop_ms <= 0 would spin
+    forever (and ms_per_byte <= 0 makes the byte math nonsense) with no
+    error surfacing until the task is killed.
     """
+    if window_ms <= 0:
+        raise ValueError(f"window_ms must be > 0, got {window_ms}")
+    if hop_ms <= 0:
+        raise ValueError(f"hop_ms must be > 0, got {hop_ms}")
+    if ms_per_byte <= 0:
+        raise ValueError(f"ms_per_byte must be > 0, got {ms_per_byte}")
     import pandas as pd
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -580,3 +580,17 @@ def test_range_tag_non_numeric_degrades_to_single_range(spark):
     out = pack_sequences(docs, budget=7, range_splits=8).collect()
     single = pack_sequences(docs, budget=7, range_splits=1).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, single))
+
+
+def test_pack_sequences_numeric_castable_string_ids(spark):
+    """Round-6 ADVICE regression: ids like '9' vs '10' are bucketed by
+    _range_tag NUMERICALLY (try_cast double) — the within-range window
+    must rank by the same casted key, or the two-level plan diverges
+    from the single window exactly at range boundaries."""
+    docs = spark.createDataFrame(
+        [(str(i), "w " * (i % 5 + 1), "en", "s", 1) for i in range(1, 120)],
+        "doc_id string, text string, lang string, source string, n_chars int",
+    )
+    split = pack_sequences(docs, budget=9, range_splits=8).collect()
+    single = pack_sequences(docs, budget=9, range_splits=1).collect()
+    assert sorted(map(tuple, split)) == sorted(map(tuple, single))

@@ -370,3 +370,38 @@ def test_render_compare_dashboard(spark, tmp_path):
     assert "before vs after" in text
     assert "+5.0%" in text and "75.0%" in text
     assert "What changed" in text and "120" in text
+
+
+def test_render_artist_map_bounded_and_pair_deduped(spark, tmp_path):
+    """Round-6 ADVICE regression: (1) asymmetric duplicate weights of the
+    same (src, dst) pair collapse to the MAX and occupy one top-k slot;
+    (2) max_nodes bounds the node list (and the driver collect) by the
+    case-insensitive name order, not by whatever survives the trim."""
+    import json
+    import re
+
+    from tagminder_spark.reports.html import render_artist_map
+
+    edges = spark.createDataFrame(
+        [
+            # duplicate pair with asymmetric weights: one slot, weight 7
+            ("A", "b1", 7),
+            ("b1", "A", 4),
+            ("A", "b2", 6),
+            ("A", "b3", 5),
+            ("c9", "zz", 2),
+        ],
+        "src string, dst string, weight int",
+    )
+    out = render_artist_map(
+        edges, tmp_path / "m.html", top_k_per_node=2, min_weight=1, max_nodes=4
+    )
+    payload = json.loads(
+        re.search(r"const G = (\{.*?\});", out.read_text()).group(1)
+    )
+    # node universe is A,b1,b2,b3,c9,zz; max_nodes=4 keeps the first 4
+    # in case-insensitive order
+    assert payload["names"] == ["A", "b1", "b2", "b3"]
+    a = payload["names"].index("A")
+    # A's top-2: b1 with the MAXed weight 7 (one slot, not two), then b2
+    assert payload["adj"][a] == [[1, 7], [2, 6]]

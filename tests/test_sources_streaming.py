@@ -250,3 +250,16 @@ def test_curation_quality_gate_stream_equals_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
     assert got == want and len(got) > 0
+
+
+def test_chunk_audio_rejects_nonpositive_params(spark):
+    """hop_ms/ms_per_byte/window_ms <= 0 must fail on the DRIVER — inside
+    the executor loop a zero hop spins forever (round-6 ADVICE)."""
+    import pytest as _pytest
+
+    from tagminder_spark.sources.multimodal import chunk_audio, synth_media
+
+    media = synth_media(spark, n=2)
+    for kw in ({"hop_ms": 0}, {"hop_ms": -5}, {"ms_per_byte": 0}, {"window_ms": 0}):
+        with _pytest.raises(ValueError):
+            chunk_audio(media, **kw)
