@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from tagminder_spark.cache import scoped_persist
+
 MERSENNE31 = 2_147_483_647  # 2^31 - 1; keeps a*h+b inside int64
 
 
@@ -370,7 +372,7 @@ def minhash_lsh_pairs(
     # intersections, cardinalities); persist it so the expensive
     # explode+distinct runs once. 16 bytes/row — at 100 TB input this is
     # the compact derived artifact you'd materialize anyway.
-    sh = hashed_shingles(df, id_col, text_col, n).persist()
+    sh = scoped_persist(hashed_shingles(df, id_col, text_col, n))
     sigs = minhash_signatures(sh, k)
     band_structs = F.array(
         *[
@@ -387,14 +389,12 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = (
-        sigs.select("id", F.explode(band_structs).alias("bb"))
-        .select(
+    banded = scoped_persist(
+        sigs.select("id", F.explode(band_structs).alias("bb")).select(
             "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
         )
         # both sides of the self-join would otherwise re-run the
         # 32-way min-aggregation over the shingle table
-        .persist()
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -600,15 +600,13 @@ def simhash_pairs(
             for b in range(n_bands)
         ]
     )
-    banded = (
-        sigs.select("id", "simhash", F.explode(bands).alias("bb"))
-        .select(
+    banded = scoped_persist(
+        sigs.select("id", "simhash", F.explode(bands).alias("bb")).select(
             "id", "simhash", F.col("bb.band").alias("band"),
             F.col("bb.bucket").alias("bucket"),
         )
         # both join sides would re-run the 60-way conditional-sum
         # signature aggregation otherwise (same rule as minhash/LSH)
-        .persist()
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -733,15 +731,13 @@ def embedding_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = (
-        sigs.select("id", F.explode(bucket_structs).alias("bb"))
-        .select(
+    banded = scoped_persist(
+        sigs.select("id", F.explode(bucket_structs).alias("bb")).select(
             "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
         )
         # both sides of the self-join would otherwise recompute the whole
         # scan + signature fold; the triples frame is bits/8 rows per
         # vector (tiny relative to the vectors themselves)
-        .persist()
     )
     if max_bucket is not None:
         saturated = (
@@ -769,7 +765,9 @@ def embedding_lsh_pairs(
         F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
     )
     # consumed once per pair side — cache instead of re-folding the norms
-    norms = v.withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v")))).persist()
+    norms = scoped_persist(
+        v.withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    )
     va = norms.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
     vb = norms.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
     return (
@@ -810,7 +808,9 @@ def embedding_neardup_pairs(
         F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, z: acc + z
     )
     # both sides of the all-pairs join re-fold the norms otherwise
-    norms = v.withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v")))).persist()
+    norms = scoped_persist(
+        v.withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    )
     a = norms.alias("a")
     b = norms.alias("b")
     return (

@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from tagminder_spark.cache import scoped_persist
+
 
 def norm_key(c: Column) -> Column:
     """The reference's _normalize_exact_name_expr (:47-59): blank → NULL,
@@ -205,9 +207,9 @@ def contributors_merge(
     # otherwise re-runs their scan+normalize chain once per phase —
     # persist them for the merge's lifetime (the consumer's action
     # fills the cache; bench/driver reclaim blocks after the query)
-    mbn = mbn.persist()
-    wdn = wdn.persist()
-    amgn = amgn.persist()
+    mbn = scoped_persist(mbn)
+    wdn = scoped_persist(wdn)
+    amgn = scoped_persist(amgn)
 
     # ---- stage A: staged positional MB↔WD match (mbid → qid → mnid) ----
     matches, _, wd_res = staged_positional_match(

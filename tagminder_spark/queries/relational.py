@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from tagminder_spark.cache import scoped_persist
 from tagminder_spark.queries import QueryFn
 from tagminder_spark.session import load_table
 
@@ -522,7 +523,7 @@ def g_cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: both self-join sides otherwise recompute the scan+distinct
     # (measured 1.65 -> 1.05 s warm at sf0.1; exchange reuse does not fire
     # across the aliased sides)
-    op = li.select("l_orderkey", "l_partkey").distinct().persist()
+    op = scoped_persist(li.select("l_orderkey", "l_partkey").distinct())
     a = op.alias("a")
     b = op.alias("b")
     return (
@@ -560,7 +561,7 @@ def g_top_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     tm_graph.py:446-449 sort by (-weight, name)): symmetrized edges, top-k
     per node via ranked window."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct().persist()
+    op = scoped_persist(li.select("l_orderkey", "l_partkey").distinct())
     a = op.alias("a")
     b = op.alias("b")
     edges = (

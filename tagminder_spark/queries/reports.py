@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from tagminder_spark.cache import scoped_persist
 from tagminder_spark.functions.core import is_blank
 from tagminder_spark.queries import QueryFn
 from tagminder_spark.session import load_table
@@ -616,7 +617,7 @@ def g_feature_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("feat")
     )
     # both self-join sides would re-run the feature explode otherwise
-    fb = feats.join(F.broadcast(bounded), "feat").persist()
+    fb = scoped_persist(feats.join(F.broadcast(bounded), "feat"))
     a = fb.alias("a")
     b = fb.alias("b")
     return (

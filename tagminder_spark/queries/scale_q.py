@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tagminder_spark.cache import scoped_persist
 from tagminder_spark.operators.scale import salted_sum_count, top_k_per_key_salted
 from tagminder_spark.queries import QueryFn
 from tagminder_spark.session import load_table
@@ -352,7 +353,7 @@ def pl_chain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: the diff joins alib against chain(alib) — without the
     # cache the wide-string distinct (the most expensive stage here)
     # runs once per side
-    alib = alib.persist()
+    alib = scoped_persist(alib)
     def chain(d):
         return step20_dates(
             step17_dedupe_tags(
