@@ -64,6 +64,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from tagminder_spark.cache import scoped_persist
+
 # ---------------------------------------------------------------------------
 # shared primitives
 
@@ -735,6 +737,7 @@ def lm_perplexity(
     text_col: str = "text",
     *,
     k: float = 0.5,
+    broadcast_limit: int = 2_000_000,
 ) -> DataFrame:
     """Per-document perplexity under an add-k smoothed bigram LM trained
     on ``reference`` — the actual CCNet quality signal (Wenzek et al.
@@ -753,9 +756,18 @@ def lm_perplexity(
     every other gate follows). Output: n_bigrams, avg_logprob (round
     6), perplexity = exp(-avg) (round 4).
 
-    100 TB shape: count tables are vocabulary-bounded (broadcast here;
-    bucketed join at open-vocabulary scale); scoring is one explode +
-    two map-side joins + one groupBy(doc).
+    100 TB shape: the count tables are vocabulary-bounded, and HOW they
+    join is decided by measurement, not hope — one count over the
+    (persisted) bigram-type table picks the path:
+
+    - ≤ ``broadcast_limit`` bigram types → broadcast map-side joins
+      (scoring is one explode + two map-side joins + one groupBy(doc));
+    - above it (open-vocabulary reference: web-scale n-gram tables) →
+      plain shuffled joins on (prev, w)/(prev), which Spark partitions
+      like any fact-fact join. Values are identical either way (the
+      per-document fold is unchanged) — the threshold moves bytes, not
+      results, which is what lets the same gate oracle check both paths
+      (tests force the fallback with broadcast_limit=0).
     """
     bos = F.lit("<s>")
     toks = F.split(F.trim(F.col(text_col)), " ")
@@ -772,16 +784,23 @@ def lm_perplexity(
         )
 
     ref_bg = bigram_rows(reference)
-    c2 = ref_bg.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("c2"))
+    # persisted: consumed by the type-count probe AND the scoring join
+    c2 = scoped_persist(
+        ref_bg.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("c2"))
+    )
     c1 = ref_bg.groupBy("prev").agg(F.count(F.lit(1)).alias("c1"))
     v = (
         reference.select(F.explode(toks).alias("w")).distinct().count() + 1
     )  # +1 = OOV bucket
+    if c2.count() <= broadcast_limit:
+        c2j, c1j = F.broadcast(c2), F.broadcast(c1)
+    else:
+        c2j, c1j = c2, c1  # open vocabulary: shuffled joins
 
     scored = (
         bigram_rows(docs)
-        .join(F.broadcast(c2), ["prev", "w"], "left")
-        .join(F.broadcast(c1), "prev", "left")
+        .join(c2j, ["prev", "w"], "left")
+        .join(c1j, "prev", "left")
         .select(
             id_col,
             "pos",

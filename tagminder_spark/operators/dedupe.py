@@ -583,10 +583,24 @@ def simhash_pairs(
     id_col: str,
     text_col: str,
     max_hamming: int = 6,
+    max_bucket: int | None | str = "auto",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: candidates share ≥1 of 4 15-bit bands
     (guarantees recall for hamming ≤ 3; wider radii trade recall), then
-    exact hamming distance filter."""
+    exact hamming distance filter.
+
+    Saturation guard (round 6 — same rule as :func:`embedding_lsh_pairs`):
+    the 15-bit bands have 2^15 buckets, so by the engine's own sizing
+    rule they saturate around n ≈ 32768 · LSH_BUCKET_TARGET ≈ 5·10⁵
+    docs — and exact-duplicate clusters land in ONE bucket at any n.
+    ``max_bucket`` (default :data:`DEFAULT_MAX_BUCKET`) drops buckets
+    with occupancy above the cap from candidate generation, bounding the
+    self-join at bands · 2^15 · cap²/2 pairs regardless of corpus size;
+    capped output ⊆ uncapped by construction (pinned by test). Pass
+    ``None`` for exact banding semantics (the fixed-param oracle gates).
+    """
+    if max_bucket == "auto":
+        max_bucket = DEFAULT_MAX_BUCKET
     sigs = simhash_signatures(df, id_col, text_col)
     n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
     bands = F.array(
@@ -608,6 +622,16 @@ def simhash_pairs(
         # both join sides would re-run the 60-way conditional-sum
         # signature aggregation otherwise (same rule as minhash/LSH)
     )
+    if max_bucket is not None:
+        saturated = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("occ"))
+            .filter(F.col("occ") > max_bucket)
+            .select("band", "bucket")
+        )
+        banded = banded.join(
+            F.broadcast(saturated), ["band", "bucket"], "left_anti"
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -658,15 +682,54 @@ def signed_sum_expr(signs: list[int], elem: str) -> str:
     return expr
 
 
+#: target mean bucket occupancy the banding derivation aims for: a band
+#: of width r has 2^r buckets, so r ≈ log2(n / LSH_BUCKET_TARGET) keeps
+#: the expected occupancy — and with it the per-bucket candidate
+#: quadratic — constant as the corpus grows.
+LSH_BUCKET_TARGET = 16
+
+#: default saturation cap for band buckets (embedding LSH + SimHash):
+#: a bucket holding more than this many members contributes up to
+#: cap²/2 candidate pairs, so with the cap the WHOLE candidate join is
+#: bounded by bands · 2^r · cap²/2 — independent of n. 256 is ~16× the
+#: derivation's target occupancy: only buckets the banding has stopped
+#: discriminating (degenerate/boilerplate signatures) ever reach it
+#: (measured at gate scale: max occupancy 36 under derived bands, 61
+#: even under the deliberately-narrow 4-bit gate bands).
+DEFAULT_MAX_BUCKET = 256
+
+
+def derive_banding(
+    n: int, bands: int = 8, bucket_target: int = LSH_BUCKET_TARGET
+) -> tuple[int, int]:
+    """(bits, bands) sized for a corpus of ``n`` vectors.
+
+    r = clamp(ceil(log2(n / bucket_target)), 4, 24): mean bucket
+    occupancy stays ≈ ``bucket_target`` at any n, which is what keeps
+    candidate generation linear (BASELINE §8 measured the fixed-r=4
+    alternative at exponent 1.52 — O(n²) once the 16-bucket signature
+    space saturated). The floor keeps tiny corpora sensible; the cap
+    keeps the int bucket arithmetic comfortable and recall meaningful.
+    """
+    import math
+
+    if n <= bucket_target:
+        r = 4
+    else:
+        r = min(24, max(4, math.ceil(math.log2(n / bucket_target))))
+    return bands * r, bands
+
+
 def embedding_lsh_pairs(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     dim: int,
-    bits: int = 32,
-    bands: int = 8,
+    bits: int | None = None,
+    bands: int | None = None,
     threshold: float = 0.4,
-    max_bucket: int | None = None,
+    max_bucket: int | None | str = "auto",
+    n: int | None = None,
 ) -> DataFrame:
     """Near-dup vector pairs via random-hyperplane LSH — the bucketed
     replacement for the all-pairs cosine join.
@@ -680,19 +743,27 @@ def embedding_lsh_pairs(
     (band, int-bucket, id) triples only, and verification touches vectors
     for candidate ids alone.
 
-    **Band width must scale with the corpus** (measured, BASELINE §8):
-    a band has only 2^(bits/bands) buckets, so occupancy grows ∝ n once
-    the signature space saturates and the candidate join turns O(n²) —
-    4-bit bands went super-linear (exponent 1.5) at just 20k vectors.
-    Size r = bits/bands ≈ log2(n / B_target) (8 bits/band holds ~linear
-    at 20k; web scale wants 16+ with more bands to buy recall back), and
-    set ``max_bucket`` as the safety valve: saturated buckets (occupancy
-    > cap) are dropped from candidate generation before the self-join —
-    the same boilerplate-bucket guard as the n-gram DF cap, trading
-    recall ONLY inside buckets that banding had stopped discriminating
-    anyway. Default None preserves exact banding semantics (the gate's
-    fixed-param oracle).
+    **The defaults are scale-safe IN CODE** (round-6 close of the one
+    measured super-linear shape, BASELINE §8): when ``bits``/``bands``
+    are not given, band width is derived from the corpus count via
+    :func:`derive_banding` (one cheap ``df.count()`` — pass ``n`` to
+    skip it when the caller already knows the cardinality), and
+    ``max_bucket`` defaults to the finite :data:`DEFAULT_MAX_BUCKET`
+    saturation cap: buckets with occupancy > cap are dropped from
+    candidate generation before the self-join — the same
+    boilerplate-bucket guard as the n-gram DF cap, trading recall ONLY
+    inside buckets that banding had stopped discriminating anyway.
+    Fixed narrow bands (the measured 4-bit saturation: exponent 1.5 at
+    just 20k vectors) now require BOTH explicit params and an explicit
+    ``max_bucket=None`` — the combination the fixed-param oracle gates
+    pin deliberately.
     """
+    if bits is None or bands is None:
+        bits, bands = derive_banding(
+            n if n is not None else df.count(), bands=bands or 8
+        )
+    if max_bucket == "auto":
+        max_bucket = DEFAULT_MAX_BUCKET
     r = bits // bands
     v = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")

@@ -73,7 +73,12 @@ GATE_WINDOW: tuple[str, ...] = (
     # skew / scale proofs + round-2 scale-path gates
     "a_salted_agg",
     "w_topk_salted",
-    "d_embedding_lsh",
+    # round-6 rotation: the DEFAULT (corpus-derived banding + finite
+    # max_bucket) call path takes the recorded slot — it is the
+    # configuration users actually get, and the one VERDICT r5 flagged
+    # as wrong-by-default. d_embedding_lsh (fixed 4-bit bands, green
+    # r2-r5) moves to a suite_dedup_audit part, still value-evidenced.
+    "d_embedding_lsh_scaled",
     "d_ngram_jaccard_capped",
     # flagship
     "q1_pricing_summary",

@@ -17,6 +17,7 @@ from tagminder_spark.operators.dedupe import (
     MERSENNE31,
     SIMHASH_BAND_BITS,
     SIMHASH_BITS,
+    derive_banding,
     embedding_lsh_pairs,
     embedding_neardup_pairs,
     exact_dup_keepers,
@@ -225,7 +226,9 @@ def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     15-bit-band LSH candidates → exact Hamming filter. Like MinHash, the
     portable hash makes the whole approximate pipeline oracle-exact."""
     d = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(d, "doc_id", "text", max_hamming=6).select(
+    return simhash_pairs(
+        d, "doc_id", "text", max_hamming=6, max_bucket=None
+    ).select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
     )
 
@@ -268,20 +271,20 @@ def d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EMB_DIM, _EMB_BITS, _EMB_BANDS = 64, 32, 8
 
 
-def _embedding_lsh_sql() -> str:
-    r = _EMB_BITS // _EMB_BANDS
-    signs = hyperplane_signs(_EMB_BITS, _EMB_DIM)
+def _embedding_lsh_sql(bits: int = _EMB_BITS, bands: int = _EMB_BANDS) -> str:
+    r = bits // bands
+    signs = hyperplane_signs(bits, _EMB_DIM)
     bit_exprs = ",\n         ".join(
         f"CASE WHEN {signed_sum_expr(signs[j], 'v[{i}]')} > 0 THEN 1 ELSE 0 END AS bit_{j}"
-        for j in range(_EMB_BITS)
+        for j in range(bits)
     )
     bucket_exprs = ", ".join(
         " + ".join(f"bit_{b * r + k} * {1 << (r - 1 - k)}" for k in range(r))
         + f" AS bucket_{b}"
-        for b in range(_EMB_BANDS)
+        for b in range(bands)
     )
     band_conds = " OR ".join(
-        f"a.bucket_{b} = b.bucket_{b}" for b in range(_EMB_BANDS)
+        f"a.bucket_{b} = b.bucket_{b}" for b in range(bands)
     )
     return f"""
 WITH v AS (
@@ -322,7 +325,46 @@ def d_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return embedding_lsh_pairs(
         e, "vec_id", "embedding", dim=_EMB_DIM, bits=_EMB_BITS,
-        bands=_EMB_BANDS, threshold=0.4,
+        bands=_EMB_BANDS, threshold=0.4, max_bucket=None,
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding LSH, DEFAULT (scale-safe) call path — corpus-derived banding
+# --------------------------------------------------------------------------
+# The driver's correctness corpus has 500 embeddings at every gate sf, so
+# the derivation is pinned: r = ceil(log2(500/16)) = 5 → 40 bits / 8 bands.
+# The oracle is generated from the SAME signs matrix at those params; the
+# gate fn re-derives from the live count and RAISES if the testdata ever
+# changes cardinality (a loud mismatch beats a silent hash diff). The
+# default DEFAULT_MAX_BUCKET=256 cap is active on the Spark side and the
+# plain-banded SQL is still exact because no bucket comes near it at gate
+# scale (measured max occupancy 36) — which is the point of the cap: it
+# only bites where banding has degenerated.
+
+_SCALED_N = 500
+_SCALED_BITS, _SCALED_BANDS = derive_banding(_SCALED_N)
+
+
+@q("d_embedding_lsh_scaled", _embedding_lsh_sql(_SCALED_BITS, _SCALED_BANDS))
+def d_embedding_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEFAULT embedding-LSH call path (round-6 VERDICT #1): no
+    explicit bits/bands — the operator derives band width from the
+    corpus count (one cheap aggregate) so occupancy, and with it the
+    candidate-join cost per bucket, stays constant as n grows — and the
+    finite max_bucket saturation cap is live. This is the configuration
+    a user gets without reading the sizing docstring; the fixed-4-bit
+    variant (d_embedding_lsh) stays gated as the deliberate narrow-band
+    recall configuration."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    if derive_banding(n) != (_SCALED_BITS, _SCALED_BANDS):
+        raise ValueError(
+            f"gate corpus changed: n={n} derives {derive_banding(n)}, "
+            f"oracle pinned at {(_SCALED_BITS, _SCALED_BANDS)}"
+        )
+    return embedding_lsh_pairs(
+        e, "vec_id", "embedding", dim=_EMB_DIM, threshold=0.4, n=n
     )
 
 
@@ -484,7 +526,7 @@ def d_semantic_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     pairs = embedding_lsh_pairs(
         e, "vec_id", "embedding", dim=_EMB_DIM, bits=_EMB_BITS,
-        bands=_EMB_BANDS, threshold=0.4,
+        bands=_EMB_BANDS, threshold=0.4, max_bucket=None,
     ).select("id_a", "id_b")
     return _cluster_and_elect(e.select("vec_id"), pairs, "vec_id")
 

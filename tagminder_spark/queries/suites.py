@@ -178,6 +178,9 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
         "d_ngram_jaccard": (["id_a", "id_b"], [("n_common", "num"), ("jaccard", "num")]),
         "d_minhash_lsh": (["id_a", "id_b"], [("jaccard", "num")]),
         "d_simhash": (["id_a", "id_b"], [("hamming", "num")]),
+        # round-6 window rotation: the fixed-4-bit gate rides here now
+        # (its recorded slot went to d_embedding_lsh_scaled)
+        "d_embedding_lsh": (["id_a", "id_b"], [("cosine", "num")]),
         "d_embedding_neardup": (["id_a", "id_b"], [("cosine", "num")]),
         "d_connected_components": (["node"], [("component", "num")]),
         # round-4 second sweep: full pairs→clusters→keeper compositions

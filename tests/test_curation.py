@@ -594,3 +594,32 @@ def test_pack_sequences_numeric_castable_string_ids(spark):
     split = pack_sequences(docs, budget=9, range_splits=8).collect()
     single = pack_sequences(docs, budget=9, range_splits=1).collect()
     assert sorted(map(tuple, split)) == sorted(map(tuple, single))
+
+
+def test_lm_perplexity_open_vocab_fallback(spark):
+    """broadcast_limit=0 forces the open-vocabulary shuffled-join path:
+    values are identical to the broadcast path, and the initial physical
+    plan carries no broadcast join for the count tables."""
+    from tagminder_spark.operators.curation import lm_perplexity
+
+    docs = spark.createDataFrame(
+        [(i, f"the quick fox number {i} jumps the fence") for i in range(30)],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame(
+        [(100 + i, "the quick brown fox jumps over the lazy dog") for i in range(5)]
+        + [(200, "the fence is high and the fox is quick")],
+        "doc_id long, text string",
+    )
+    bcast = {tuple(r) for r in lm_perplexity(docs, ref).collect()}
+    fb_df = lm_perplexity(docs, ref, broadcast_limit=0)
+    fallback = {tuple(r) for r in fb_df.collect()}
+    assert fallback == bcast
+    # the fallback carries NO broadcast hint (the planner may still pick
+    # a broadcast join for genuinely tiny frames — that is statistics,
+    # not the operator forcing vocabulary-sized tables onto every
+    # executor); the default path must carry the hint
+    assert "broadcast" not in fb_df._jdf.queryExecution().optimizedPlan().toString().lower()
+    assert "broadcast" in (
+        lm_perplexity(docs, ref)._jdf.queryExecution().optimizedPlan().toString().lower()
+    )

@@ -55,12 +55,17 @@ def test_simhash_symmetric_band_guarantee(docs):
 
 
 def test_embedding_lsh_subset_of_brute_with_recall(spark):
+    # the deliberately-narrow 4-bit recall configuration, pinned explicit
+    # (defaults derive wider bands since round 6)
     emb = load_table(spark, SF_DIR, "embeddings")
     brute = {
         (r.id_a, r.id_b)
         for r in embedding_neardup_pairs(emb, "vec_id", "embedding", 0.4).collect()
     }
-    lsh_df = embedding_lsh_pairs(emb, "vec_id", "embedding", dim=64, threshold=0.4)
+    lsh_df = embedding_lsh_pairs(
+        emb, "vec_id", "embedding", dim=64, bits=32, bands=8, threshold=0.4,
+        max_bucket=None,
+    )
     lsh = {(r.id_a, r.id_b) for r in lsh_df.collect()}
     assert lsh <= brute  # exact verification ⇒ no false positives
     if brute:
@@ -69,6 +74,90 @@ def test_embedding_lsh_subset_of_brute_with_recall(spark):
     # the candidate path must be an equi-join, never a nested loop
     plan = lsh_df._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_derive_banding_rule():
+    """r = clamp(ceil(log2(n/16)), 4, 24), bits = bands*r — the sizing
+    rule BASELINE §8 derived from the sf1 saturation measurement, now
+    code instead of docstring (round-6 VERDICT #1)."""
+    from tagminder_spark.operators.dedupe import derive_banding
+
+    assert derive_banding(500) == (40, 8)        # gate corpus: 5-bit bands
+    assert derive_banding(20_000) == (88, 8)     # the sf1 saturation case
+    assert derive_banding(10) == (32, 8)         # floor r=4
+    assert derive_banding(10**12) == (192, 8)    # ceil r=24
+    assert derive_banding(2_000, bands=4) == (28, 4)
+    # monotone non-decreasing in n
+    rs = [derive_banding(n)[0] for n in (10, 100, 1000, 10**6, 10**9)]
+    assert rs == sorted(rs)
+
+
+def test_embedding_lsh_default_path_is_scale_safe(spark):
+    """The no-params call derives banding from the corpus count and caps
+    saturated buckets: identical to the explicit derived configuration,
+    subset of brute force, with decent recall."""
+    from tagminder_spark.operators.dedupe import (
+        DEFAULT_MAX_BUCKET,
+        derive_banding,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    bits, bands = derive_banding(n)
+    default = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_lsh_pairs(
+            emb, "vec_id", "embedding", dim=64, threshold=0.4
+        ).collect()
+    }
+    explicit = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_lsh_pairs(
+            emb, "vec_id", "embedding", dim=64, bits=bits, bands=bands,
+            threshold=0.4, max_bucket=DEFAULT_MAX_BUCKET, n=n,
+        ).collect()
+    }
+    assert default == explicit
+    brute = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs(emb, "vec_id", "embedding", 0.4).collect()
+    }
+    assert {(a, b) for a, b, _ in default} <= brute
+    if brute:
+        assert len(default) / len(brute) >= 0.5
+
+
+def test_simhash_capped_subset_and_bounded(spark):
+    """Round-6 guard: simhash's default finite max_bucket (1) changes
+    nothing on a corpus with no saturated bucket, (2) is a strict
+    subset that drops ONLY saturated-bucket candidates on a corpus with
+    one, bounding the candidate join."""
+    docs = load_table(spark, SF_DIR, "documents")
+    capped = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_pairs(docs, "doc_id", "text").collect()
+    }
+    uncapped = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_pairs(docs, "doc_id", "text", max_bucket=None).collect()
+    }
+    assert capped == uncapped  # no bucket near the cap at gate scale
+
+    # saturating corpus: 40 identical docs all share one bucket per band
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(40)]
+    rows += [(100 + i, f"unique text number {i} with words w{i} x{i} y{i}") for i in range(10)]
+    sat = spark.createDataFrame(rows, "doc_id long, text string")
+    free = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(sat, "doc_id", "text", max_bucket=None).collect()
+    }
+    tight = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(sat, "doc_id", "text", max_bucket=20).collect()
+    }
+    assert tight <= free
+    # the 40-dup clique (780 pairs) is entirely inside saturated buckets
+    assert len(free) >= 780 and len(tight) <= len(free) - 780
 
 
 def test_ngram_df_cap_lossless_and_bounded(docs):
@@ -379,21 +468,23 @@ def test_embedding_lsh_bucket_cap(spark):
     free = {
         (r.id_a, r.id_b, r.cosine)
         for r in embedding_lsh_pairs(
-            emb, "vec_id", "embedding", dim=64, threshold=0.4
+            emb, "vec_id", "embedding", dim=64, bits=32, bands=8,
+            threshold=0.4, max_bucket=None,
         ).collect()
     }
     capped_loose = {
         (r.id_a, r.id_b, r.cosine)
         for r in embedding_lsh_pairs(
-            emb, "vec_id", "embedding", dim=64, threshold=0.4,
-            max_bucket=10_000,
+            emb, "vec_id", "embedding", dim=64, bits=32, bands=8,
+            threshold=0.4, max_bucket=10_000,
         ).collect()
     }
     assert capped_loose == free
     tight = {
         (r.id_a, r.id_b, r.cosine)
         for r in embedding_lsh_pairs(
-            emb, "vec_id", "embedding", dim=64, threshold=0.4, max_bucket=5
+            emb, "vec_id", "embedding", dim=64, bits=32, bands=8,
+            threshold=0.4, max_bucket=5,
         ).collect()
     }
     assert tight <= free  # dropping buckets only loses candidates
