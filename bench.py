@@ -75,6 +75,12 @@ EXTRA = [
     "cur_incremental_e2e",
     # round 5 third sweep: trained bigram-LM scoring (the CCNet signal)
     "cur_lm_perplexity",
+    # round 6: standing-artifact lifecycle on disk (write+read inside the
+    # query — measures the real per-ingest cost incl. artifact IO)
+    "d_lsh_roundtrip",
+    "cur_artifact_roundtrip",
+    # round 6: the default (corpus-derived banding) embedding-LSH path
+    "d_embedding_lsh_scaled",
 ]
 
 

@@ -545,6 +545,78 @@ WHERE id_a % 5 = 0 OR id_b % 5 = 0
 """
 
 
+def _lsh_roundtrip_sql() -> str:
+    # after compacting batch1 into the standing index, probing batch2
+    # (doc_id % 5 == 0) over the on-disk artifacts emits exactly the
+    # full-corpus pairs with >=1 batch2 side — the same equivalence the
+    # in-memory incremental gate states, now across the disk boundary
+    return f"""
+SELECT id_a, id_b, jaccard FROM ({_minhash_sql()}) full_pairs
+WHERE id_a % 5 = 0 OR id_b % 5 = 0
+"""
+
+
+@q("d_lsh_roundtrip", _lsh_roundtrip_sql())
+def d_lsh_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standing-artifact lifecycle ON DISK (round-6 VERDICT #3): the
+    exact loop a daily-growing 100 TB corpus runs.
+
+    1. standing corpus (doc_id % 5 ∉ {0, 3}) → ``lsh_index`` → PERSISTED:
+       banded index bucketed on (band, bucket) [the zero-standing-side-
+       exchange layout the plan-diff test pins], shingles bucketed on id.
+    2. batch 1 (doc_id % 5 == 3) probes the on-disk index
+       (``incremental_lsh_pairs``, materialized like a real ingest), then
+       ``compact_lsh_index`` folds batch 1 in and the compacted artifacts
+       are RE-PERSISTED — the periodic compaction job.
+    3. batch 2 (doc_id % 5 == 0) probes the compacted on-disk artifacts;
+       that probe is the gated value.
+
+    Oracle: the full-corpus batch SQL filtered to pairs touching batch 2
+    — valid because after compaction the standing artifacts hold exactly
+    corpus ∖ batch2, so probe(batch2) ≡ full-corpus pairs with a batch-2
+    side (the compact≡rebuild identity the unit test pins, here carried
+    across the parquet boundary)."""
+    import tempfile
+
+    from tagminder_spark.operators.dedupe import (
+        compact_lsh_index,
+        incremental_lsh_pairs,
+        lsh_index,
+    )
+    from tagminder_spark.operators.scale import write_bucketed
+
+    base = tempfile.mkdtemp(prefix="tm_lsh_rt_")
+    d = load_table(spark, sf_dir, "documents")
+    m5 = F.col("doc_id") % 5
+    standing = d.filter((m5 != 0) & (m5 != 3))
+    batch1 = d.filter(m5 == 3)
+    batch2 = d.filter(m5 == 0)
+
+    def persist_index(index, tag: str):
+        banded, sh = index
+        write_bucketed(
+            banded, f"tm_rt_banded_{tag}", ["band", "bucket"], 8,
+            f"{base}/banded_{tag}",
+        )
+        write_bucketed(sh, f"tm_rt_sh_{tag}", ["id"], 8, f"{base}/sh_{tag}")
+        return spark.table(f"tm_rt_banded_{tag}"), spark.table(f"tm_rt_sh_{tag}")
+
+    standing_disk = persist_index(
+        lsh_index(standing, "doc_id", "text", n=3, k=_K, bands=_BANDS), "v1"
+    )
+    b1_index = lsh_index(batch1, "doc_id", "text", n=3, k=_K, bands=_BANDS)
+    # ingest batch 1 for real (a daily run acts on these pairs)
+    incremental_lsh_pairs(b1_index, standing_disk, threshold=0.5).count()
+    compacted_disk = persist_index(
+        compact_lsh_index(standing_disk, b1_index), "v2"
+    )
+    return incremental_lsh_pairs(
+        lsh_index(batch2, "doc_id", "text", n=3, k=_K, bands=_BANDS),
+        compacted_disk,
+        threshold=0.5,
+    )
+
+
 @q("d_incremental_dedup", _incremental_sql())
 def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental fuzzy dedup: documents with doc_id % 5 == 0 play the

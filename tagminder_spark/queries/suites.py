@@ -195,6 +195,11 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
         "d_incremental_dedup": (
             ["id_a", "id_b"], [("jaccard", "num")]
         ),
+        # round 6: the standing-index lifecycle across the DISK boundary
+        # (bucketed persist -> probe -> compact -> re-persist -> probe)
+        "d_lsh_roundtrip": (
+            ["id_a", "id_b"], [("jaccard", "num")]
+        ),
         "c_diff_changelog": (
             ["alib_path", "alib_column"],
             [("old_value", "str"), ("new_value", "str"), ("script", "str")],
@@ -349,6 +354,13 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
         # artifacts (hash index + per-source top-k), oracle = full run
         # with ingest-order keeper election filtered to batch docs
         "cur_incremental_e2e": (
+            ["doc_id"],
+            [("passes_repetition", "num"), ("is_exact_keeper", "num"),
+             ("is_clean", "num"), ("within_quota", "num"), ("kept", "num")],
+        ),
+        # round 6: same flags with the standing artifacts written to and
+        # read back from parquet before the batch probes them
+        "cur_artifact_roundtrip": (
             ["doc_id"],
             [("passes_repetition", "num"), ("is_exact_keeper", "num"),
              ("is_clean", "num"), ("within_quota", "num"), ("kept", "num")],

@@ -1,0 +1,80 @@
+"""Structural plan-regression pins (round-6 VERDICT #5): the physical
+plans of the flagship query paths must keep the shape the scale audit
+approved — no Python evals in any hot path, no nested-loop/cartesian
+joins, bounded exchange counts, broadcasts where a dimension is joined,
+filters pushed into the parquet scan. Catches the next exchange-reuse /
+janino-blowup / lost-pushdown regression at pytest time instead of as a
+bench delta.
+
+Bounds are the audited sf0.001 values (tools/plan_audit.py) — an
+optimization may LOWER them freely; anything above fails loudly and the
+bound should only be raised together with a plan-audit justification.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+from tools.plan_audit import audit
+
+#: query -> (max shuffles, min broadcast joins, require pushed filters)
+BOUNDS: dict[str, tuple[int, int, bool]] = {
+    "q1_pricing_summary": (1, 0, True),
+    "q3_shipping_priority": (1, 2, True),
+    "j_broadcast_dim": (1, 1, True),
+    "d_minhash_lsh": (9, 0, False),
+    "d_embedding_lsh_scaled": (3, 0, False),
+    "pl_step22_works": (9, 8, False),
+    "g_cooccurrence_edges": (3, 0, False),
+    "cur_incremental_e2e": (23, 19, False),
+    "s98_rename_plan": (2, 1, False),
+    "w_topk_salted": (3, 0, False),
+    "a_salted_agg": (2, 0, False),
+    "d_ngram_jaccard_capped": (7, 0, False),
+}
+
+
+@pytest.fixture(scope="module")
+def audited(spark):
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    out = {}
+    for name in BOUNDS:
+        df = qs[name](spark, SF_DIR)
+        out[name] = audit(df._jdf.queryExecution().executedPlan().toString())
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(BOUNDS))
+def test_plan_shape(audited, name):
+    a = audited[name]
+    max_shuffles, min_bhj, want_pushdown = BOUNDS[name]
+    assert a["python_evals"] == 0, f"{name}: Python eval in a hot path"
+    assert a["nested_loop_joins"] == 0, f"{name}: nested-loop/cartesian join"
+    assert a["shuffles"] <= max_shuffles, (
+        f"{name}: {a['shuffles']} exchanges > audited bound {max_shuffles}"
+    )
+    assert a["broadcast_joins"] >= min_bhj, (
+        f"{name}: expected >= {min_bhj} broadcast joins, got {a['broadcast_joins']}"
+    )
+    if want_pushdown:
+        assert a["pushed_filters"], f"{name}: no filters pushed to the scan"
+
+
+def test_audit_detects_broken_plans(spark):
+    """The checker must BITE: a row-at-a-time Python UDF and a cartesian
+    join — the two classes these pins exist to catch — are both
+    detected on deliberately-broken plans."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegerType
+
+    bad_udf = F.udf(lambda x: x + 1, IntegerType(), useArrow=False)
+    df = spark.range(10).select(bad_udf(F.col("id").cast("int")).alias("v"))
+    a = audit(df._jdf.queryExecution().executedPlan().toString())
+    assert a["python_evals"] >= 1
+
+    cross = spark.range(5).crossJoin(spark.range(5).selectExpr("id AS j"))
+    a2 = audit(cross._jdf.queryExecution().executedPlan().toString())
+    assert a2["nested_loop_joins"] >= 1
