@@ -146,12 +146,15 @@ def _minhash_sql() -> str:
         f"MIN(({a} * h + {b}) % {MERSENNE31}) AS sig_{i}"
         for i, (a, b) in enumerate(params)
     )
-    band_conds = " OR ".join(
-        "("
+    # candidates as a UNION of per-band EQUI-joins (identical semantics
+    # to the OR-of-band-conds form, but hash-joinable: the OR form is a
+    # nested-loop in DuckDB and turns quadratic at the sf1 sweep scale)
+    band_joins = "\n  UNION\n  ".join(
+        "SELECT a.id AS id_a, b.id AS id_b FROM sig a JOIN sig b ON "
         + " AND ".join(
             f"a.sig_{bnd * _ROWS + r} = b.sig_{bnd * _ROWS + r}" for r in range(_ROWS)
         )
-        + ")"
+        + " AND a.id < b.id"
         for bnd in range(_BANDS)
     )
     return f"""
@@ -159,9 +162,9 @@ WITH {_SHINGLES_CTE},
 h AS (SELECT id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % {MERSENNE31} AS h
       FROM sh),
 sig AS (SELECT id, {sig_exprs} FROM h GROUP BY id),
-cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-         FROM sig a JOIN sig b ON a.id < b.id
-         WHERE {band_conds})
+cand AS (
+  {band_joins}
+)
 SELECT j.id_a, j.id_b, j.jaccard
 FROM jac j JOIN cand c ON c.id_a = j.id_a AND c.id_b = j.id_b
 WHERE j.jaccard >= 0.5
@@ -197,9 +200,13 @@ def _simhash_sql() -> str:
         f"(CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
         for j in range(SIMHASH_BITS)
     )
-    band_conds = " OR ".join(
-        f"((a.simhash >> {b * SIMHASH_BAND_BITS}) & {mask}) = "
-        f"((b.simhash >> {b * SIMHASH_BAND_BITS}) & {mask})"
+    bucket_cols = ", ".join(
+        f"(simhash >> {b * SIMHASH_BAND_BITS}) & {mask} AS bk_{b}"
+        for b in range(n_bands)
+    )
+    band_joins = "\n  UNION\n  ".join(
+        f"SELECT a.id AS id_a, b.id AS id_b FROM bk a JOIN bk b "
+        f"ON a.bk_{b} = b.bk_{b} AND a.id < b.id"
         for b in range(n_bands)
     )
     return f"""
@@ -212,11 +219,15 @@ WITH toks AS (
   SELECT id, {sums} FROM h GROUP BY id
 ), sig AS (
   SELECT id, {sig} AS simhash FROM sums
+), bk AS (
+  SELECT id, simhash, {bucket_cols} FROM sig
+), cand AS (
+  {band_joins}
 )
-SELECT a.id AS id_a, b.id AS id_b,
+SELECT c.id_a, c.id_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-FROM sig a JOIN sig b ON a.id < b.id
-WHERE ({band_conds}) AND bit_count(xor(a.simhash, b.simhash)) <= 6
+FROM cand c JOIN sig a ON a.id = c.id_a JOIN sig b ON b.id = c.id_b
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
 """
 
 
@@ -283,8 +294,10 @@ def _embedding_lsh_sql(bits: int = _EMB_BITS, bands: int = _EMB_BANDS) -> str:
         + f" AS bucket_{b}"
         for b in range(bands)
     )
-    band_conds = " OR ".join(
-        f"a.bucket_{b} = b.bucket_{b}" for b in range(bands)
+    band_joins = "\n  UNION\n  ".join(
+        f"SELECT a.id AS id_a, b.id AS id_b FROM bk a JOIN bk b "
+        f"ON a.bucket_{b} = b.bucket_{b} AND a.id < b.id"
+        for b in range(bands)
     )
     return f"""
 WITH v AS (
@@ -297,9 +310,7 @@ WITH v AS (
 ), bk AS (
   SELECT id, v, {bucket_exprs} FROM sig
 ), cand AS (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM bk a JOIN bk b ON a.id < b.id
-  WHERE {band_conds}
+  {band_joins}
 ), n AS (
   SELECT id, v,
          sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
