@@ -38,12 +38,22 @@ BOUNDS: dict[str, tuple[int, int, bool]] = {
 @pytest.fixture(scope="module")
 def audited(spark):
     import __spark_entry__ as entry
+    from tagminder_spark.cache import release_session_caches
+
+    # plans must be audited against a quiet session: cached frames left
+    # by earlier tests substitute InMemoryTableScans into matching plan
+    # fragments and shift the exchange counts
+    release_session_caches()
+    spark.catalog.clearCache()
 
     qs = entry.queries()
     out = {}
     for name in BOUNDS:
         df = qs[name](spark, SF_DIR)
         out[name] = audit(df._jdf.queryExecution().executedPlan().toString())
+    # leave the session quiet for whoever runs next, too
+    release_session_caches()
+    spark.catalog.clearCache()
     return out
 
 

@@ -1,0 +1,28 @@
+#!/bin/bash
+# Round-6 VERDICT #6: value-correctness (not just timing) at the sf1
+# scale — every benched query checked against its DuckDB oracle on the
+# synthetic 10x corpus. Per-query isolation + timeout so one heavy
+# oracle cannot sink the sweep; results accumulate in the log.
+SF1="$(dirname "$0")/../.scaledata/sf1"
+LOG="${1:-/root/repo/sf1_oracle_sweep.log}"
+QUERIES=(
+  q1_pricing_summary q3_shipping_priority q5_region_revenue j_broadcast_dim
+  a_sequence_gaps a_album_signature w_top1_per_group t_sessionize
+  g_cooccurrence_edges f_tokens_dedup d_exact_dup d_ngram_jaccard
+  d_minhash_lsh t_quality_score ann_topk_cosine pl_step18_mbids
+  pl_step22_works pl_step15_similarity a_salted_agg pl_chain_e2e
+  d_embedding_lsh d_ngram_jaccard_capped er_five_phase
+  s98_rename_plan ann_ivf_trained h_works_role_pairs cur_repetition
+  cur_decontaminate d_fuzzy_dedup_e2e d_incremental_dedup cur_dup_spans
+  cur_pipeline_e2e cur_incremental_e2e cur_lm_perplexity
+  d_lsh_roundtrip cur_artifact_roundtrip
+)
+# d_embedding_lsh_scaled is excluded BY DESIGN: its oracle is pinned to
+# the n=500 derivation; at sf1 the default path derives wider bands (the
+# point of the operator), so there is no fixed SQL to compare against.
+: > "$LOG"
+for q in "${QUERIES[@]}"; do
+  timeout 1200 python tools/oracle_check.py "$SF1" "$q" 2>/dev/null \
+    | grep -E "PASS|FAIL" >> "$LOG" || echo "TIMEOUT/ERR $q" >> "$LOG"
+done
+echo "sweep complete" >> "$LOG"
