@@ -178,6 +178,13 @@ def render_artist_map(
         round(max(3.0, min(9.5, 2.7 + math.sqrt(len(nb)))), 3) for nb in adj
     ]
 
+    # Payload = the reference's embedded-data contract
+    # (tm_artist_map.py:80-88: names/adj/top_k_per_node/min_weight; the
+    # wall-clock generated_at is deliberately omitted for deterministic
+    # goldens) + this engine's pre-computed radii and the reference's
+    # layout constants (tm_artist_map.py:195-201: linkBase 64, linkVar
+    # 320, charge -160, collisionPad 26) so the viewer needs no tuning
+    # pass of its own.
     payload = json.dumps(
         {
             "names": names,
@@ -185,35 +192,158 @@ def render_artist_map(
             "r": radii,
             "top_k_per_node": int(top_k_per_node),
             "min_weight": int(min_weight),
+            "layout": {
+                "linkBase": 64,
+                "linkVar": 320,
+                "charge": -160,
+                "collisionPad": 26,
+            },
         },
         separators=(",", ":"),
     )
+    # Interactive viewer (reference surface: search + random focus +
+    # reset toolbar, drag-pan, wheel-zoom, hover tooltip, double-click
+    # focus). Unlike the reference's CDN d3 force sim, the layout here is
+    # a DEPENDENCY-FREE deterministic relaxation: fixed radial seed, no
+    # RNG, fixed iteration count — same input, same picture, offline.
     page = f"""<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>{html.escape(title)}</title>
-<style>body{{margin:0;font-family:sans-serif}}#c{{display:block}}</style>
-</head><body><canvas id="c"></canvas>
+<style>
+html,body{{height:100%;margin:0;font-family:system-ui,sans-serif}}
+.wrap{{height:100%;display:grid;grid-template-rows:auto 1fr}}
+.bar{{display:flex;gap:8px;align-items:center;padding:8px 10px;
+     border-bottom:1px solid rgba(127,127,127,.25)}}
+.bar input{{width:min(480px,60vw);padding:6px 8px;border-radius:8px;
+     border:1px solid rgba(127,127,127,.35)}}
+.bar button{{padding:6px 8px;border-radius:8px;cursor:pointer;
+     border:1px solid rgba(127,127,127,.35);background:transparent}}
+.hint{{opacity:.7;font-size:12px}} #stamp{{margin-left:auto}}
+#stage{{position:relative;overflow:hidden}} canvas{{display:block}}
+#tip{{position:absolute;pointer-events:none;padding:5px 7px;
+     border-radius:8px;border:1px solid rgba(127,127,127,.35);
+     background:rgba(20,20,20,.9);color:#f0f0f0;font-size:12px;
+     opacity:0;white-space:nowrap}}
+</style></head><body><div class="wrap">
+<div class="bar">
+  <input id="q" type="text" placeholder="Search artist… (Enter)">
+  <button id="random" type="button">Random focus</button>
+  <button id="reset" type="button">Reset view</button>
+  <div class="hint">Drag to pan, wheel to zoom, double-click to focus.</div>
+  <div id="stamp" class="hint"></div>
+</div>
+<div id="stage"><canvas id="c"></canvas><div id="tip"></div></div>
+</div>
 <script>
 const G = {payload};
+const n = G.names.length, L = G.layout;
+document.getElementById('stamp').textContent =
+  'nodes ' + n + ' | top_k ' + G.top_k_per_node + ' | min_w ' + G.min_weight;
+const stage = document.getElementById('stage');
 const c = document.getElementById('c'), x = c.getContext('2d');
-c.width = innerWidth; c.height = innerHeight;
-const n = G.names.length;
-const LINK_BASE = 64, LINK_VAR = 320;
+const tip = document.getElementById('tip');
+function fit() {{ c.width = stage.clientWidth || innerWidth;
+                  c.height = (stage.clientHeight || innerHeight - 44); }}
+fit();
+// deterministic layout: radial seed + fixed-iteration spring/repulsion
 const P = G.names.map((_, i) => [
-  c.width/2 + Math.cos(2*Math.PI*i/n)*c.height*0.4,
-  c.height/2 + Math.sin(2*Math.PI*i/n)*c.height*0.4]);
-x.strokeStyle = 'rgba(60,60,200,0.25)';
-G.adj.forEach((nb, i) => nb.forEach(([j, w]) => {{
-  // layout distance inverse to weight, as the reference's force model
-  const d = LINK_BASE + LINK_VAR / Math.max(1, w);
-  x.beginPath(); x.moveTo(P[i][0], P[i][1]); x.lineTo(P[j][0], P[j][1]);
-  x.lineWidth = Math.min(4, w); x.stroke();
-}}));
-x.fillStyle = '#222'; x.font = '10px sans-serif';
-G.names.forEach((_, i) => {{
-  x.beginPath();
-  x.arc(P[i][0], P[i][1], G.r[i], 0, 2*Math.PI); x.fill();
+  Math.cos(2*Math.PI*i/Math.max(1,n)) * (40 + 14*Math.sqrt(n)),
+  Math.sin(2*Math.PI*i/Math.max(1,n)) * (40 + 14*Math.sqrt(n))]);
+const E = [];
+G.adj.forEach((nb, i) => nb.forEach(([j, w]) => {{ if (i < j) E.push([i, j, w]); }}));
+for (let it = 0; it < 120; it++) {{
+  const F = P.map(() => [0, 0]);
+  for (let i = 0; i < n; i++) for (let j = i + 1; j < n; j++) {{
+    let dx = P[j][0]-P[i][0], dy = P[j][1]-P[i][1];
+    let d2 = dx*dx + dy*dy + 0.01, d = Math.sqrt(d2);
+    const rep = -L.charge / d2, pad = G.r[i] + G.r[j] + L.collisionPad;
+    let f = rep + (d < pad ? (pad - d) * 0.6 : 0);
+    F[i][0] -= dx/d*f; F[i][1] -= dy/d*f; F[j][0] += dx/d*f; F[j][1] += dy/d*f;
+  }}
+  E.forEach(([i, j, w]) => {{
+    const want = L.linkBase + L.linkVar / Math.max(1, w);
+    let dx = P[j][0]-P[i][0], dy = P[j][1]-P[i][1];
+    const d = Math.sqrt(dx*dx + dy*dy) + 0.01, f = (d - want) * 0.02;
+    F[i][0] += dx/d*f; F[i][1] += dy/d*f; F[j][0] -= dx/d*f; F[j][1] -= dy/d*f;
+  }});
+  const cool = 1 - it/120;
+  for (let i = 0; i < n; i++) {{
+    P[i][0] += Math.max(-12, Math.min(12, F[i][0]*0.02)) * cool;
+    P[i][1] += Math.max(-12, Math.min(12, F[i][1]*0.02)) * cool;
+  }}
+}}
+let view = null;
+function resetView() {{
+  let x0=1e9,y0=1e9,x1=-1e9,y1=-1e9;
+  P.forEach(p => {{ x0=Math.min(x0,p[0]); y0=Math.min(y0,p[1]);
+                   x1=Math.max(x1,p[0]); y1=Math.max(y1,p[1]); }});
+  const s = n ? Math.min(c.width/(x1-x0+120), c.height/(y1-y0+120)) : 1;
+  view = {{ s: s, tx: c.width/2 - s*(x0+x1)/2, ty: c.height/2 - s*(y0+y1)/2 }};
+}}
+resetView();
+let focus = -1;
+function draw() {{
+  x.setTransform(1,0,0,1,0,0); x.clearRect(0,0,c.width,c.height);
+  x.setTransform(view.s,0,0,view.s,view.tx,view.ty);
+  x.strokeStyle = 'rgba(60,60,200,0.25)';
+  E.forEach(([i,j,w]) => {{
+    x.beginPath(); x.moveTo(P[i][0],P[i][1]); x.lineTo(P[j][0],P[j][1]);
+    x.lineWidth = Math.min(4, w)/view.s; x.stroke();
+  }});
+  x.font = (10/view.s) + 'px sans-serif';
+  G.names.forEach((nm, i) => {{
+    x.fillStyle = i === focus ? '#c22' : '#222';
+    x.beginPath(); x.arc(P[i][0],P[i][1],G.r[i]/Math.sqrt(view.s),0,2*Math.PI);
+    x.fill();
+    x.fillText(nm, P[i][0] + G.r[i]/Math.sqrt(view.s) + 2, P[i][1]);
+  }});
+}}
+draw();
+function focusOn(i) {{
+  if (i < 0) return; focus = i;
+  view.tx = c.width/2 - view.s*P[i][0]; view.ty = c.height/2 - view.s*P[i][1];
+  draw();
+}}
+document.getElementById('q').addEventListener('keydown', e => {{
+  if (e.key !== 'Enter') return;
+  const t = e.target.value.toLowerCase();
+  focusOn(G.names.findIndex(nm => nm.toLowerCase().includes(t)));
 }});
-P.forEach(([px, py], i) => x.fillText(G.names[i], px + G.r[i] + 2, py));
+document.getElementById('random').onclick = () =>
+  focusOn(n ? (Date.now() % n) : -1);
+document.getElementById('reset').onclick = () => {{ focus = -1; resetView(); draw(); }};
+let drag = null;
+c.onmousedown = e => drag = [e.clientX - view.tx, e.clientY - view.ty];
+c.onmouseup = () => drag = null;
+c.onmousemove = e => {{
+  if (drag) {{ view.tx = e.clientX - drag[0]; view.ty = e.clientY - drag[1]; draw(); return; }}
+  const gx = (e.offsetX - view.tx)/view.s, gy = (e.offsetY - view.ty)/view.s;
+  let best = -1, bd = 144;
+  for (let i = 0; i < n; i++) {{
+    const dx = P[i][0]-gx, dy = P[i][1]-gy, d2 = dx*dx+dy*dy;
+    if (d2 < bd) {{ bd = d2; best = i; }}
+  }}
+  if (best >= 0) {{
+    tip.textContent = G.names[best] + ' — ' + G.adj[best].length + ' neighbors';
+    tip.style.left = (e.offsetX + 12) + 'px'; tip.style.top = (e.offsetY + 12) + 'px';
+    tip.style.opacity = 1;
+  }} else tip.style.opacity = 0;
+}};
+c.ondblclick = e => {{
+  const gx = (e.offsetX - view.tx)/view.s, gy = (e.offsetY - view.ty)/view.s;
+  let best = -1, bd = 400;
+  for (let i = 0; i < n; i++) {{
+    const dx = P[i][0]-gx, dy = P[i][1]-gy, d2 = dx*dx+dy*dy;
+    if (d2 < bd) {{ bd = d2; best = i; }}
+  }}
+  focusOn(best);
+}};
+c.onwheel = e => {{
+  e.preventDefault();
+  const k = e.deltaY < 0 ? 1.15 : 1/1.15;
+  view.tx = e.offsetX - k*(e.offsetX - view.tx);
+  view.ty = e.offsetY - k*(e.offsetY - view.ty);
+  view.s *= k; draw();
+}};
 </script></body></html>
 """
     out = Path(out_path)

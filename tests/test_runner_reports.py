@@ -405,3 +405,29 @@ def test_render_artist_map_bounded_and_pair_deduped(spark, tmp_path):
     a = payload["names"].index("A")
     # A's top-2: b1 with the MAXed weight 7 (one slot, not two), then b2
     assert payload["adj"][a] == [[1, 7], [2, 6]]
+
+
+def test_render_artist_map_interactive_payload(spark, tmp_path):
+    """Round 6: the embedded payload carries the reference's layout
+    constants (tm_artist_map.py:195-201) and the page carries the
+    reference's interaction surface (search / random focus / reset,
+    pan, zoom, tooltip, double-click focus) with no network dependency."""
+    import json
+    import re
+
+    from tagminder_spark.reports.html import render_artist_map
+
+    edges = spark.createDataFrame(
+        [("A", "b", 3), ("b", "C", 2)], "src string, dst string, weight int"
+    )
+    text = render_artist_map(edges, tmp_path / "m.html").read_text()
+    payload = json.loads(re.search(r"const G = (\{.*?\});", text).group(1))
+    assert payload["layout"] == {
+        "linkBase": 64, "linkVar": 320, "charge": -160, "collisionPad": 26
+    }
+    for anchor in (
+        'id="q"', 'id="random"', 'id="reset"', 'id="tip"',
+        "onwheel", "ondblclick", "onmousedown",
+    ):
+        assert anchor in text
+    assert "http" not in text.lower().replace("http-equiv", "")  # offline page
