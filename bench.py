@@ -98,6 +98,12 @@ def _run_once(spark, qs, name: str, sf_dir: str) -> float:
     # query is measured on a quiet JVM; cleanup time is not billed.
     for _rid, rdd in dict(spark.sparkContext._jsc.getPersistentRDDs()).items():
         rdd.unpersist()
+    # Deliberately NOT spark.catalog.clearCache(): the sweep releases the
+    # BLOCKS (the leak that made queries 4x slower), while the re-used
+    # CacheManager relations carry their already-compiled stages — with
+    # clearCache every pass re-runs whole-stage codegen for the cache
+    # build (measured: d_minhash_lsh warm 1.6 s -> 2.4 s). Entries
+    # without blocks are metadata-cheap.
     return t
 
 
