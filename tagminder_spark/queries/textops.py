@@ -43,18 +43,23 @@ def _hits_sql(words: tuple[str, ...]) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+# The score bands derive from length(text) — the SAME definition the
+# Spark side (operators/text.quality_score) uses — NOT the stored
+# n_chars column. The two coincide on the driver's testdata, but the
+# round-6 sf1 value sweep caught them diverging on a corpus whose text
+# was mutated without refreshing n_chars: one definition, stated once.
 _QUALITY_SQL = f"""
 WITH m AS (
-  SELECT doc_id, n_chars,
+  SELECT doc_id, n_chars, length(text) AS t_chars,
          len(string_split(trim(text), ' ')) AS n_words,
          {_hits_sql(STOPWORDS)} AS stop_hits
   FROM documents
 )
 SELECT doc_id, n_chars, CAST(n_words AS INT) AS n_words,
        CAST(ROUND(
-         0.4 * (CASE WHEN n_chars >= 100 AND n_chars <= 2000 THEN 1.0 ELSE 0.3 END)
-       + 0.3 * (CASE WHEN (n_chars - n_words + 1) * 1.0 / n_words >= 3.0
-                      AND (n_chars - n_words + 1) * 1.0 / n_words <= 10.0
+         0.4 * (CASE WHEN t_chars >= 100 AND t_chars <= 2000 THEN 1.0 ELSE 0.3 END)
+       + 0.3 * (CASE WHEN (t_chars - n_words + 1) * 1.0 / n_words >= 3.0
+                      AND (t_chars - n_words + 1) * 1.0 / n_words <= 10.0
                      THEN 1.0 ELSE 0.4 END)
        + 0.3 * (CASE WHEN stop_hits * 1.0 / n_words <= 0.5 THEN 1.0 ELSE 0.5 END)
        , 4) AS DOUBLE) AS quality

@@ -36,13 +36,21 @@ def main() -> None:
     con.execute(
         f"""
         COPY (
-          SELECT d.doc_id + r.range * 10000000 AS doc_id,
-                 CASE WHEN r.range = 0 THEN d.text
-                      ELSE replace(d.text, ' ', '_r' || r.range || ' ')
-                           || '_r' || r.range END AS text,
-                 d.lang, d.source, d.n_chars
-          FROM read_parquet('{SRC}/documents.parquet') d,
-               range({replicas}) r
+          SELECT doc_id, text, lang, source,
+                 -- keep the corpus invariant n_chars = length(text):
+                 -- replica texts grow with the _rk suffixes, and a
+                 -- stale n_chars made t_quality_score's oracle diverge
+                 -- from the Spark side in the round-6 sf1 value sweep
+                 length(text) AS n_chars
+          FROM (
+            SELECT d.doc_id + r.range * 10000000 AS doc_id,
+                   CASE WHEN r.range = 0 THEN d.text
+                        ELSE replace(d.text, ' ', '_r' || r.range || ' ')
+                             || '_r' || r.range END AS text,
+                   d.lang, d.source
+            FROM read_parquet('{SRC}/documents.parquet') d,
+                 range({replicas}) r
+          )
         ) TO '{DST}/documents.parquet' (FORMAT PARQUET)
         """
     )
