@@ -45,6 +45,14 @@ def _canon_rows(cols: list[str], rows: list[tuple]) -> list[str]:
 
 def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Heavy oracles (recursive-CTE closures at sf1) can spill tens of GB;
+    # pin the spill to a dedicated dir with a bounded size so a runaway
+    # oracle fails ITS OWN query instead of filling the filesystem for
+    # every process on the box (which is how the first sf1 sweep died).
+    tmp = Path(__file__).resolve().parent.parent / ".tmp" / "duckdb_spill"
+    tmp.mkdir(parents=True, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmp}'")
+    con.execute("SET max_temp_directory_size='40GiB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
