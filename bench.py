@@ -81,6 +81,9 @@ EXTRA = [
     "cur_artifact_roundtrip",
     # round 6: the default (corpus-derived banding) embedding-LSH path
     "d_embedding_lsh_scaled",
+    # round 6: small-file bin-pack maintenance (write -> compact ->
+    # read-back lifecycle, both disk round-trips inside the query)
+    "cur_compact_shards",
 ]
 
 

@@ -1,0 +1,118 @@
+"""Small-file compaction — the table-maintenance job a 100 TB curated
+corpus needs and the reference never does (its store is one SQLite file;
+see SURVEY.md §1.1 — this module is engine-added scale machinery, like
+the dedupe family).
+
+Why it exists: every incremental ingest (streaming micro-batches,
+:func:`~tagminder_spark.operators.curation.write_curated_shards` runs per
+batch, diff-audit MERGE outputs) appends a few files per partition
+directory.  After months of daily ingests a 100 TB corpus holds tens of
+millions of KB-sized parquet files; scan planning then costs more
+namenode RPCs than IO, and every downstream reader pays the open/footer
+overhead per file.  The fix is the standard maintenance pass (Iceberg's
+``rewriteDataFiles`` / Delta ``OPTIMIZE`` compact ("bin-pack") mode):
+rewrite each partition's many small files into few ~target-size files
+without changing a single row.
+
+Spark-first shape — everything wide is one range-partitioned rewrite:
+
+- file accounting is a DRIVER-SIDE metadata listing via the Hadoop
+  FileSystem API (O(files) RPCs, no executor work, no data read);
+- the output file count is planned from observed input bytes
+  (``ceil(bytes_in / target_bytes)``) — parquet-to-parquet rewrite
+  preserves encodings, so on-disk input size is the right estimator;
+- the rewrite is ``repartitionByRange(n_out, partition_cols..., order
+  col)``: range boundaries keep partition values contiguous, so each
+  write task emits file(s) into at most a couple of directory
+  partitions (a hash ``repartition(n_out)`` would make every task write
+  into every partition directory — small files again, just rotated
+  90°), and rows inside each file arrive as sorted runs on the order
+  column (footer min/max stats stay selective for downstream pruning);
+- ``spark.sql.files.maxRecordsPerFile`` is deliberately NOT needed: the
+  range partitioner balances by sampled row count, and skewed
+  partitions are exactly what AQE's coalesce/split handles at scale.
+
+At 100 TB this runs per partition-subtree (pass the subtree as
+``in_dir``) on whatever cadence the ingest rate demands; it commutes
+with every reader because row content is untouched — which is what the
+``cur_compact_shards`` gate value-proves (pack → write → compact →
+read-back equals the pure in-memory plan, row for row).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_TARGET_BYTES = 128 << 20
+
+
+def list_data_files(
+    spark: SparkSession, path: str, suffix: str = ".parquet"
+) -> list[tuple[str, int]]:
+    """Recursive ``(path, bytes)`` listing of data files under ``path``
+    via the Hadoop FileSystem API — a driver-side metadata operation
+    (no executor work, no data read), the same listing any maintenance
+    planner (Iceberg/Delta) starts from.  Hidden/metadata files
+    (``_SUCCESS``, ``.crc``) are excluded."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith(("_", ".")) or not name.endswith(suffix):
+            continue
+        out.append((st.getPath().toString(), st.getLen()))
+    return out
+
+
+def compact_shards(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    *,
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+    partition_cols: tuple[str, ...] = ("lang", "shard_id"),
+    order_col: str = "doc_id",
+) -> dict:
+    """Bin-pack ``in_dir``'s parquet files into ~``target_bytes`` files
+    at ``out_dir``, preserving rows exactly and the directory-partition
+    layout (``partitionBy(partition_cols)``).
+
+    Returns the maintenance report a scheduler acts on:
+    ``{files_in, bytes_in, files_out, bytes_out, planned_files, rows}``
+    (``rows`` from the rewrite job's own output, no extra scan).
+    """
+    if target_bytes <= 0:
+        raise ValueError(f"target_bytes must be > 0, got {target_bytes}")
+    files_in = list_data_files(spark, in_dir)
+    bytes_in = sum(sz for _, sz in files_in)
+    n_out = max(1, math.ceil(bytes_in / target_bytes))
+
+    df = spark.read.parquet(in_dir)
+    keep = [c for c in partition_cols if c in df.columns]
+    keys = [F.col(c) for c in (*keep, order_col)]
+    writer = (
+        df.repartitionByRange(n_out, *keys)
+        .sortWithinPartitions(*keys)
+        .write.mode("overwrite")
+    )
+    if keep:
+        writer = writer.partitionBy(*keep)
+    writer.parquet(out_dir)
+
+    files_out = list_data_files(spark, out_dir)
+    rows = spark.read.parquet(out_dir).count()
+    return {
+        "files_in": len(files_in),
+        "bytes_in": bytes_in,
+        "files_out": len(files_out),
+        "bytes_out": sum(sz for _, sz in files_out),
+        "planned_files": n_out,
+        "rows": rows,
+    }

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from tagminder_spark.operators.compaction import compact_shards
 from tagminder_spark.operators.curation import (
     decontaminate,
     pack_sequences,
@@ -20,6 +21,7 @@ from tagminder_spark.operators.curation import (
     repetition_metrics,
     source_quota,
     temperature_sample,
+    write_curated_shards,
 )
 from tagminder_spark.operators.text import quality_score
 from tagminder_spark.queries import QueryFn
@@ -637,6 +639,51 @@ def cur_artifact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.read.parquet(path)
 
     return _incremental_e2e(spark, sf_dir, store)
+
+
+# per-document twin of _PACK_SQL: the shard assignment (not the rollup),
+# which is what survives the write → compact → read-back lifecycle below.
+_COMPACT_SQL = """
+WITH t AS (SELECT lang, doc_id,
+                  len(string_split(trim(text), ' ')) AS n_tokens
+           FROM documents),
+p AS (SELECT lang, doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS start_offset
+      FROM t)
+SELECT doc_id, lang, CAST(floor(start_offset / 512) AS BIGINT) AS shard_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens
+FROM p
+"""
+
+
+@q("cur_compact_shards", _COMPACT_SQL)
+def cur_compact_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-maintenance lifecycle gate: ``write_curated_shards``
+    fragments the corpus across many small per-directory files (one per
+    window task per partition dir — the shape months of incremental
+    ingest leave behind), :func:`~tagminder_spark.operators.compaction.
+    compact_shards` bin-packs them, and the compacted corpus is read
+    back and checked row-exact against the pure in-memory packing
+    oracle — proving the rewrite moves bytes, never values, through two
+    full disk round-trips (partition-directory layout included:
+    ``lang``/``shard_id`` return as directory-partition columns)."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="tm_compact_")
+    docs = load_table(spark, sf_dir, "documents")
+    write_curated_shards(docs, f"{base}/shards")
+    compact_shards(
+        spark, f"{base}/shards", f"{base}/compacted", target_bytes=4 << 20
+    )
+    back = spark.read.parquet(f"{base}/compacted")
+    return back.select(
+        "doc_id",
+        F.col("lang").cast("string").alias("lang"),
+        F.col("shard_id").cast("long").alias("shard_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
 
 
 # ---------------------------------------------------------------------------

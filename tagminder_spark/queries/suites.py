@@ -365,6 +365,12 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
             [("passes_repetition", "num"), ("is_exact_keeper", "num"),
              ("is_clean", "num"), ("within_quota", "num"), ("kept", "num")],
         ),
+        # round 6: small-file bin-pack maintenance — shard assignment
+        # survives write → compact → read-back, row-exact
+        "cur_compact_shards": (
+            ["doc_id"],
+            [("lang", "str"), ("shard_id", "num"), ("n_tokens", "num")],
+        ),
     },
     # the report family (92/94/95/96)
     "suite_reports": {

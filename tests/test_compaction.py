@@ -1,0 +1,86 @@
+"""Small-file bin-pack compaction (operators/compaction.py): row content
+and partition layout survive the rewrite, file counts actually shrink,
+and the planner reports honest numbers."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def _fragment(spark, docs, out):
+    """Write documents partitioned by lang with deliberately many files
+    per directory (the many-small-ingests shape compaction exists for)."""
+    docs.repartition(16).write.mode("overwrite").partitionBy("lang").parquet(out)
+
+
+def test_compact_shards_preserves_rows_and_shrinks_files(spark, tmp_path):
+    from tagminder_spark.operators.compaction import (
+        compact_shards,
+        list_data_files,
+    )
+    from tagminder_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    frag = str(tmp_path / "frag")
+    out = str(tmp_path / "compact")
+    _fragment(spark, docs, frag)
+
+    n_frag = len(list_data_files(spark, frag))
+    assert n_frag >= 16  # 16 tasks x >=1 lang dir each
+
+    report = compact_shards(
+        spark,
+        frag,
+        out,
+        target_bytes=64 << 20,  # everything fits in one planned file
+        partition_cols=("lang",),
+    )
+    assert report["files_in"] == n_frag
+    assert report["planned_files"] == 1
+    assert report["rows"] == docs.count()
+    # one file per lang directory (planned 1 range x |lang| dirs)
+    langs = docs.select("lang").distinct().count()
+    assert report["files_out"] == langs
+    assert report["files_out"] < report["files_in"]
+
+    # row content is untouched, directory-partition layout preserved
+    back = spark.read.parquet(out)
+    a = sorted(
+        (r["doc_id"], r["lang"], r["text"]) for r in back.collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["lang"], r["text"]) for r in docs.collect()
+    )
+    assert a == b
+
+
+def test_compact_shards_plans_multiple_files(spark, tmp_path):
+    """A small target_bytes forces >1 planned output file; range
+    partitioning on (partition, id) keeps directory fan-out bounded and
+    every row present exactly once."""
+    from tagminder_spark.operators.compaction import compact_shards
+    from tagminder_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    frag = str(tmp_path / "frag")
+    out = str(tmp_path / "compact")
+    _fragment(spark, docs, frag)
+
+    report = compact_shards(
+        spark, frag, out, target_bytes=8 << 10, partition_cols=("lang",)
+    )
+    assert report["planned_files"] > 1
+    assert report["rows"] == docs.count()
+    ids = [r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()]
+    assert sorted(ids) == sorted(
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    )
+
+
+def test_compact_shards_rejects_bad_target(spark, tmp_path):
+    from tagminder_spark.operators.compaction import compact_shards
+
+    with pytest.raises(ValueError):
+        compact_shards(spark, str(tmp_path), str(tmp_path / "o"), target_bytes=0)
