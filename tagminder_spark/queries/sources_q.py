@@ -424,6 +424,91 @@ def s3_tag_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_S3_REAL_SQL = """
+SELECT '/lib/real' || CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 2 = 0 THEN '.mp3' ELSE '.flac' END AS __path,
+       CASE WHEN doc_id % 2 = 0 THEN 'mp3' ELSE 'flac' END AS __filetype,
+       'T' || CAST(doc_id AS VARCHAR) || 'é' AS title,
+       'A' || CAST(doc_id % 97 AS VARCHAR) AS artist,
+       'AL' || CAST(doc_id % 31 AS VARCHAR) AS album,
+       CAST((doc_id % 15) + 1 AS VARCHAR) AS track,
+       CASE WHEN doc_id % 2 = 0 THEN 'Rock'
+            ELSE 'Ambient\\\\Chillout' END AS genre,
+       CASE WHEN doc_id % 2 = 0
+            THEN CAST(CAST(FLOOR(((doc_id % 997) * 40 + 40) * 1152.0 / 44100.0)
+                           AS BIGINT) AS VARCHAR)
+            ELSE CAST((doc_id % 445) + 1 AS VARCHAR)
+       END AS __length_seconds
+FROM documents
+"""
+
+
+@q("s3_tag_parse_real", _S3_REAL_SQL)
+def s3_tag_parse_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL tag-parse path (S3, tags2db.py:478-512) value-checked
+    end to end over actual container bytes: every row synthesizes a
+    well-formed ID3v2.3+Xing MP3 (even ids; latin-1 / UTF-16 encodings
+    alternating) or a FLAC with STREAMINFO + VORBIS_COMMENT (odd ids),
+    runs it through the byte-level pure-Python parser inside the
+    mapInPandas seam, and the oracle predicts every parsed field —
+    title/artist/album/track, the TCON "(17)"→Rock genre resolution,
+    the tracknumber→track Vorbis mapping, multivalue joining, and the
+    Xing-frame / total-samples duration math — from the generating row.
+    """
+    import pandas as pd
+
+    from tagminder_spark.sources.catalog import parse_tags, tags_to_columns
+
+    def build(batches):
+        from tagminder_spark.sources.audiotags.synth import (
+            build_flac,
+            build_mp3_with_xing,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                ext = ".mp3" if did % 2 == 0 else ".flac"
+                tags = {
+                    "title": f"T{did}é",
+                    "artist": f"A{did % 97}",
+                    "album": f"AL{did % 31}",
+                    "track": str(did % 15 + 1),
+                }
+                if did % 2 == 0:
+                    content = build_mp3_with_xing(
+                        {**tags, "genre": "(17)"},
+                        xing_frames=(did % 997) * 40 + 40,
+                        enc=0 if did % 4 == 0 else 1,
+                    )
+                else:
+                    content = build_flac(
+                        44100 * ((did % 445) + 1) + did % 4410,
+                        [
+                            ("TITLE", tags["title"]),
+                            ("ARTIST", tags["artist"]),
+                            ("ALBUM", tags["album"]),
+                            ("TRACKNUMBER", tags["track"]),
+                            ("GENRE", "Ambient"),
+                            ("GENRE", "Chillout"),
+                        ],
+                        audio_bytes=64,
+                    )
+                rows.append({"path": f"/lib/real{did}{ext}", "content": content})
+            yield pd.DataFrame(rows)
+
+    d = load_table(spark, sf_dir, "documents")
+    files = d.select("doc_id").mapInPandas(build, "path string, content binary")
+    cols = tags_to_columns(
+        parse_tags(files), ["title", "artist", "album", "track", "genre"]
+    )
+    return cols.select(
+        "__path", "__filetype", "title", "artist", "album", "track",
+        "genre", "__length_seconds",
+    )
+
+
 _S78_SQL = """
 WITH scanned AS (
   SELECT '/lib/f' || CAST(doc_id AS VARCHAR) AS path,

@@ -96,6 +96,14 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
             [("__filetype", "str"), ("__length_seconds", "str"), ("title", "str"),
              ("extra_size", "str")],
         ),
+        # round 6: the REAL byte-level parser path (ID3v2.3+Xing / FLAC
+        # STREAMINFO+VORBIS_COMMENT synthesized per row, parsed back)
+        "s3_tag_parse_real": (
+            ["__path"],
+            [("__filetype", "str"), ("title", "str"), ("artist", "str"),
+             ("album", "str"), ("track", "str"), ("genre", "str"),
+             ("__length_seconds", "str")],
+        ),
         "s78_incremental_sync": (["bucket", "path"], []),
         "h_amg_todo": (
             ["mnid_source", "source_table", "allmusic_mnid"],

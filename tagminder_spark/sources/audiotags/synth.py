@@ -1,0 +1,182 @@
+"""Byte-level tag WRITERS: build and rewrite real tag structures
+(ID3v2.3 and FLAC VORBIS_COMMENT) from the public specs.
+
+Two jobs:
+- synthesize well-formed audio files for value gates (the driver oracle
+  can predict every parsed field from the row that generated it);
+- the real write-back path for the export sink (S11,
+  `scripts/ingest/tags2db.py:1580-1592` writes edited tags to files) —
+  :func:`retag_bytes` replaces a file's tag section in place, leaving
+  the audio stream untouched.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from .id3 import TEXT_FRAMES
+
+# tag name → ID3v2.3/2.4 frame id (reverse of the parse table)
+NAME_TO_FRAME = {name: fid for fid, name in TEXT_FRAMES.items()
+                 if fid not in ("TDRC", "TDEN", "TDOR", "TDRL", "TDTG")}
+NAME_TO_FRAME["genre"] = "TCON"
+
+
+def _syncsafe_bytes(n: int) -> bytes:
+    return bytes(
+        [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+    )
+
+
+def _encode_text(value: str, enc: int) -> bytes:
+    if enc == 0:
+        return bytes([0]) + value.encode("latin-1", "replace")
+    if enc == 1:
+        return bytes([1]) + value.encode("utf-16")
+    return bytes([3]) + value.encode("utf-8")
+
+
+def _frame(fid: str, payload: bytes) -> bytes:
+    return fid.encode("latin-1") + struct.pack(">IH", len(payload), 0) + payload
+
+
+def build_id3v23(tags: dict[str, str], enc: int = 0,
+                 multivalue_delim: str = "\\\\") -> bytes:
+    """An ID3v2.3 tag from name→value pairs.  Known names map to their
+    text frame; ``comment`` → COMM; anything else → TXXX.  Multivalues
+    (delimited) become NUL-separated strings in one frame."""
+    frames = b""
+    for name, value in tags.items():
+        if value is None or value == "":
+            continue
+        values = value.split(multivalue_delim)
+        if name == "comment":
+            payload = (
+                _encode_text("", enc)[:1] + b"eng"
+                + (b"\x00\x00" if enc == 1 else b"\x00")
+                + _encode_text(values[0], enc)[1:]
+            )
+            frames += _frame("COMM", payload)
+            continue
+        fid = NAME_TO_FRAME.get(name)
+        if fid is None:
+            payload = (
+                _encode_text(name, enc)
+                + (b"\x00\x00" if enc == 1 else b"\x00")
+                + _encode_text(values[0], enc)[1:]
+            )
+            frames += _frame("TXXX", payload)
+            continue
+        sep = b"\x00\x00" if enc == 1 else b"\x00"
+        body = _encode_text(values[0], enc)
+        for v in values[1:]:
+            body += sep + _encode_text(v, enc)[1:]
+        frames += _frame(fid, body)
+    return b"ID3\x03\x00\x00" + _syncsafe_bytes(len(frames)) + frames
+
+
+def build_mp3_with_xing(tags: dict[str, str], xing_frames: int,
+                        enc: int = 0) -> bytes:
+    """ID3v2.3 tag + one MPEG1 Layer III 128 kbps 44.1 kHz frame whose
+    Xing header declares ``xing_frames`` frames — duration is then
+    exactly ``xing_frames * 1152 / 44100`` seconds."""
+    first = bytearray(417)
+    first[0:4] = bytes([0xFF, 0xFB, 0x90, 0x00])
+    first[36:40] = b"Xing"
+    first[40:44] = struct.pack(">I", 0x03)
+    first[44:48] = struct.pack(">I", xing_frames)
+    first[48:52] = struct.pack(">I", xing_frames * 417)
+    second = bytes([0xFF, 0xFB, 0x90, 0x00]) + bytes(413)
+    return build_id3v23(tags, enc) + bytes(first) + second
+
+
+def build_vorbis_block(comments: list[tuple[str, str]],
+                       vendor: str = "tagminder-spark") -> bytes:
+    out = struct.pack("<I", len(vendor)) + vendor.encode()
+    out += struct.pack("<I", len(comments))
+    for k, v in comments:
+        raw = f"{k}={v}".encode("utf-8")
+        out += struct.pack("<I", len(raw)) + raw
+    return out
+
+
+def build_flac(total_samples: int, comments: list[tuple[str, str]],
+               sample_rate: int = 44100, channels: int = 2,
+               bps: int = 16, audio_bytes: int = 256) -> bytes:
+    packed = (
+        (sample_rate << 44) | ((channels - 1) << 41) | ((bps - 1) << 36)
+        | (total_samples & ((1 << 36) - 1))
+    )
+    streaminfo = (
+        struct.pack(">HH", 4096, 4096) + b"\x00" * 6
+        + packed.to_bytes(8, "big") + b"\x00" * 16
+    )
+    vc = build_vorbis_block(comments)
+    return (
+        b"fLaC"
+        + b"\x00" + len(streaminfo).to_bytes(3, "big") + streaminfo
+        + bytes([0x80 | 4]) + len(vc).to_bytes(3, "big") + vc
+        + b"\x00" * audio_bytes
+    )
+
+
+# ---------------------------------------------------------------------------
+# in-place retag (the export sink's real write path)
+# ---------------------------------------------------------------------------
+
+def retag_bytes(data: bytes, tags: dict[str, str],
+                multivalue_delim: str = "\\\\") -> bytes | None:
+    """Replace a file's tag section with ``tags``, preserving the audio
+    stream byte-for-byte.  Supports the two dominant formats:
+
+    - MP3 (or headerless MPEG): strip any leading ID3v2 + trailing
+      ID3v1, prepend a fresh ID3v2.3 tag.
+    - FLAC: drop existing VORBIS_COMMENT blocks, insert a fresh one
+      after STREAMINFO, keep all other metadata blocks and frames.
+
+    Returns the rewritten bytes, or ``None`` when the format isn't
+    rewritable here (caller falls back to the injected writer seam).
+    """
+    from . import sniff_format
+    from ._bits import be_int
+    from .id3 import parse_id3v2
+
+    fmt = sniff_format(data)
+    if fmt == "mp3":
+        _, tag_size, _ = parse_id3v2(data)
+        body = data[tag_size:]
+        if body[-128:][:3] == b"TAG":
+            body = body[:-128]
+        return build_id3v23(tags, enc=3, multivalue_delim=multivalue_delim) + body
+    if fmt == "flac":
+        start = 0
+        if data.startswith(b"ID3"):
+            _, start, _ = parse_id3v2(data)
+        if data[start:start + 4] != b"fLaC":
+            return None
+        pos = start + 4
+        kept: list[bytes] = []
+        while pos + 4 <= len(data):
+            hdr = data[pos]
+            btype = hdr & 0x7F
+            bsize = be_int(data[pos + 1:pos + 4])
+            block = data[pos:pos + 4 + bsize]
+            last = bool(hdr & 0x80)
+            pos += 4 + bsize
+            if btype != 4:  # drop old VORBIS_COMMENT
+                # clear the last-block flag; re-set below
+                kept.append(bytes([btype]) + block[1:])
+            if last:
+                break
+        audio = data[pos:]
+        comments = [
+            (k, v)
+            for k, raw in tags.items()
+            if raw not in (None, "")
+            for v in raw.split(multivalue_delim)
+        ]
+        vc = build_vorbis_block(comments)
+        blocks = kept + [bytes([4]) + len(vc).to_bytes(3, "big") + vc]
+        blocks[-1] = bytes([blocks[-1][0] | 0x80]) + blocks[-1][1:]
+        return b"fLaC" + b"".join(blocks) + audio
+    return None

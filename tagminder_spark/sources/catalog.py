@@ -96,29 +96,48 @@ PARSED_SCHEMA = (
 
 
 def _parse_one(path: str, content: bytes | None) -> dict:
-    """Parse one file's tags. Uses mutagen when available; otherwise a
-    deterministic fallback that exercises the identical plumbing."""
-    try:  # pragma: no cover - container lacks audio libs
-        import mutagen  # type: ignore
+    """Parse one file's tags — the REAL byte-level path.
 
-        f = mutagen.File(path)
-        tags = {str(k).lower(): "\\\\".join(map(str, v)) if isinstance(v, list) else str(v)
-                for k, v in (f.tags or {}).items()}
-        return {
-            "path": path,
-            "__filetype": type(f).__name__.lower(),
-            "__length_seconds": str(getattr(f.info, "length", "")),
-            "tags": tags,
-        }
-    except ImportError:
-        ext = path.rsplit(".", 1)[-1].lower() if "." in path else ""
-        size = len(content) if content is not None else 0
-        return {
-            "path": path,
-            "__filetype": ext,
-            "__length_seconds": str(size % 600),
-            "tags": {"title": path.rsplit("/", 1)[-1], "__size": str(size)},
-        }
+    Dispatch order:
+    1. ``audiotags.parse_audio`` — the in-repo pure-Python parser
+       (ID3v2/v1, FLAC, Ogg Vorbis/Opus, MP4, APEv2, ASF, AIFF; see
+       ``sources/audiotags/``).  Needs only the raw bytes, so it works
+       in any environment; reads from ``path`` when the catalog frame
+       carries no content column.
+    2. Deterministic fallback for unrecognized bytes (ext, size-derived
+       length, basename title, ``__size`` overflow tag) — keeps the
+       plumbing testable on non-audio content and never drops a file.
+    """
+    from tagminder_spark.sources import audiotags
+
+    data = content
+    if data is None:
+        try:
+            with open(path, "rb") as fh:
+                data = fh.read()
+        except OSError:
+            data = None
+    if data is not None:
+        parsed = audiotags.parse_audio(path, bytes(data))
+        if parsed is not None:
+            return {
+                "path": path,
+                "__filetype": parsed.get("__filetype", ""),
+                "__length_seconds": parsed.get("__length_seconds", ""),
+                "tags": {
+                    k: v
+                    for k, v in parsed.items()
+                    if k not in ("__filetype", "__length_seconds")
+                },
+            }
+    ext = path.rsplit(".", 1)[-1].lower() if "." in path else ""
+    size = len(data) if data is not None else 0
+    return {
+        "path": path,
+        "__filetype": ext,
+        "__length_seconds": str(size % 600),
+        "tags": {"title": path.rsplit("/", 1)[-1], "__size": str(size)},
+    }
 
 
 def parse_tags(files: DataFrame) -> DataFrame:

@@ -8,10 +8,11 @@ only-ever-touched semi-join, 98-create-export-db.py:148-372), repartition
 by directory so one task owns a directory, sort by `__path` for I/O
 locality (tags2db.py:860), then `foreachPartition` the per-file writer.
 
-The actual tag write needs an audio-tag library (mutagen) and the real
-files — neither exists in this container — so the writer is injected;
-the default raises, and tests inject a recorder. The Spark-side plumbing
-(projection, semi-join, partitioning, ordering, iteration) is real.
+The default writer is REAL: it reads each file at ``__path``, rewrites
+its tag section byte-level via ``audiotags.synth.retag_bytes`` (ID3v2.3
+for MPEG, VORBIS_COMMENT for FLAC — pure Python, no libraries), and
+atomically replaces the file.  A custom ``writer_fn`` can still be
+injected (recorders in tests, other-format writers in production).
 """
 
 from __future__ import annotations
@@ -46,10 +47,41 @@ def export_projection(
     return out
 
 
-def _default_writer(rows: Iterator[Row]) -> None:
-    raise NotImplementedError(
-        "tag write-back needs mutagen + the audio files; inject writer_fn"
-    )
+def file_writer(rows: Iterator[Row]) -> None:
+    """Real tag write-back: for each row, read the file at ``__path``,
+    replace its tag section with the row's non-system columns
+    (``retag_bytes`` keeps the audio stream byte-identical), and swap
+    atomically via ``os.replace`` — the crash-safe analogue of the
+    reference's one-file-at-a-time directory walk (tags2db.py:1580-1592).
+    Empty/NULL cells mean "delete the tag" (they are simply omitted from
+    the rewritten tag section)."""
+    import os
+
+    from tagminder_spark.sources.audiotags.synth import retag_bytes
+
+    for row in rows:
+        d = row.asDict()
+        path = d["__path"]
+        tags = {
+            k: str(v)
+            for k, v in d.items()
+            if not k.startswith("__") and v is not None and str(v).strip()
+        }
+        with open(path, "rb") as fh:
+            data = fh.read()
+        new = retag_bytes(data, tags, MV_DELIM)
+        if new is None:
+            raise NotImplementedError(
+                f"unsupported container for in-place retag: {path}; "
+                "inject writer_fn for this format"
+            )
+        tmp = path + ".tmwrite"
+        with open(tmp, "wb") as fh:
+            fh.write(new)
+        os.replace(tmp, path)
+
+
+_default_writer = file_writer
 
 
 def export_tags(
