@@ -84,6 +84,9 @@ EXTRA = [
     # round 6: small-file bin-pack maintenance (write -> compact ->
     # read-back lifecycle, both disk round-trips inside the query)
     "cur_compact_shards",
+    # round 6: real byte-level tag parse throughput (synthesize
+    # ID3v2.3/FLAC containers per row, parse via mapInPandas)
+    "s3_tag_parse_real",
 ]
 
 

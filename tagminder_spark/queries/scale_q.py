@@ -260,40 +260,43 @@ s20 AS (
          s.genre, y.year
   FROM s17 s LEFT JOIN y_agg y USING (__path)
 ),
--- diff-audit: normalized old-vs-new per tracked column, count changes
+-- diff-audit: normalized old-vs-new per tracked column, count changes.
+-- sf1-tractable shape: project the comparison down to 7 BOOLEANs inside
+-- the join (the wide string pairs never materialize — the original
+-- 14-VARCHAR `pair` CTE re-scanned 7x blew DuckDB's 40 GiB spill cap at
+-- 6M rows), aggregate once, then unpivot the single counts row.
 pair AS (
-  SELECT a.__path,
-         {_NORMV.format(x='a.title')} AS o_title, {_NORMV.format(x='n.title')} AS n_title,
-         {_NORMV.format(x='a.subtitle')} AS o_subtitle, {_NORMV.format(x='n.subtitle')} AS n_subtitle,
-         {_NORMV.format(x='a.album')} AS o_album, {_NORMV.format(x='n.album')} AS n_album,
-         {_NORMV.format(x='a.live')} AS o_live, {_NORMV.format(x='n.live')} AS n_live,
-         {_NORMV.format(x='a.composer')} AS o_composer, {_NORMV.format(x='n.composer')} AS n_composer,
-         {_NORMV.format(x='a.genre')} AS o_genre, {_NORMV.format(x='n.genre')} AS n_genre,
-         {_NORMV.format(x='a.year')} AS o_year, {_NORMV.format(x='n.year')} AS n_year
+  SELECT
+    ({_NORMV.format(x='a.title')} IS DISTINCT FROM {_NORMV.format(x='n.title')}) AS d_title,
+    ({_NORMV.format(x='a.subtitle')} IS DISTINCT FROM {_NORMV.format(x='n.subtitle')}) AS d_subtitle,
+    ({_NORMV.format(x='a.album')} IS DISTINCT FROM {_NORMV.format(x='n.album')}) AS d_album,
+    ({_NORMV.format(x='a.live')} IS DISTINCT FROM {_NORMV.format(x='n.live')}) AS d_live,
+    ({_NORMV.format(x='a.composer')} IS DISTINCT FROM {_NORMV.format(x='n.composer')}) AS d_composer,
+    ({_NORMV.format(x='a.genre')} IS DISTINCT FROM {_NORMV.format(x='n.genre')}) AS d_genre,
+    ({_NORMV.format(x='a.year')} IS DISTINCT FROM {_NORMV.format(x='n.year')}) AS d_year
   FROM alib a JOIN s20 n USING (__path)
+),
+counts AS (
+  SELECT
+    SUM(CASE WHEN d_title THEN 1 ELSE 0 END) AS c_title,
+    SUM(CASE WHEN d_subtitle THEN 1 ELSE 0 END) AS c_subtitle,
+    SUM(CASE WHEN d_album THEN 1 ELSE 0 END) AS c_album,
+    SUM(CASE WHEN d_live THEN 1 ELSE 0 END) AS c_live,
+    SUM(CASE WHEN d_composer THEN 1 ELSE 0 END) AS c_composer,
+    SUM(CASE WHEN d_genre THEN 1 ELSE 0 END) AS c_genre,
+    SUM(CASE WHEN d_year THEN 1 ELSE 0 END) AS c_year
+  FROM pair
 )
 SELECT alib_column, n_changes FROM (
-  SELECT 'title' AS alib_column, COUNT(*) AS n_changes FROM pair
-    WHERE o_title IS DISTINCT FROM n_title HAVING COUNT(*) > 0
-  UNION ALL
-  SELECT 'subtitle', COUNT(*) FROM pair
-    WHERE o_subtitle IS DISTINCT FROM n_subtitle HAVING COUNT(*) > 0
-  UNION ALL
-  SELECT 'album', COUNT(*) FROM pair
-    WHERE o_album IS DISTINCT FROM n_album HAVING COUNT(*) > 0
-  UNION ALL
-  SELECT 'live', COUNT(*) FROM pair
-    WHERE o_live IS DISTINCT FROM n_live HAVING COUNT(*) > 0
-  UNION ALL
-  SELECT 'composer', COUNT(*) FROM pair
-    WHERE o_composer IS DISTINCT FROM n_composer HAVING COUNT(*) > 0
-  UNION ALL
-  SELECT 'genre', COUNT(*) FROM pair
-    WHERE o_genre IS DISTINCT FROM n_genre HAVING COUNT(*) > 0
-  UNION ALL
-  SELECT 'year', COUNT(*) FROM pair
-    WHERE o_year IS DISTINCT FROM n_year HAVING COUNT(*) > 0
+  SELECT 'title' AS alib_column, c_title AS n_changes FROM counts
+  UNION ALL SELECT 'subtitle', c_subtitle FROM counts
+  UNION ALL SELECT 'album', c_album FROM counts
+  UNION ALL SELECT 'live', c_live FROM counts
+  UNION ALL SELECT 'composer', c_composer FROM counts
+  UNION ALL SELECT 'genre', c_genre FROM counts
+  UNION ALL SELECT 'year', c_year FROM counts
 )
+WHERE n_changes > 0
 ORDER BY alib_column
 """
 

@@ -16,7 +16,13 @@ def parse_aiff(data: bytes) -> tuple[dict, dict]:
     while pos + 8 <= end:
         cid = data[pos:pos + 4]
         csize = be_int(data[pos + 4:pos + 8])
-        body = data[pos + 8:pos + 8 + csize]
+        # materialize only the chunks we decode — SSND (the audio) is
+        # skipped by seek, never read
+        body = (
+            data[pos + 8:pos + 8 + csize]
+            if cid in (b"COMM", b"ID3 ", b"id3 ")
+            else b""
+        )
         pos += 8 + csize + (csize & 1)  # chunks are word-aligned
         if cid == b"COMM" and len(body) >= 18:
             channels = be_int(body[0:2])

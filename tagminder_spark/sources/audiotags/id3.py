@@ -287,8 +287,9 @@ def _frame_header(b: bytes):
 
 
 def looks_like_mpeg(data: bytes) -> bool:
-    for off in range(0, min(len(data) - 4, 4096)):
-        if _frame_header(data[off:off + 4]):
+    head = data[:4100]  # materialized once — cheap on lazy file views
+    for off in range(0, len(head) - 4):
+        if _frame_header(head[off:off + 4]):
             return True
     return False
 
@@ -296,17 +297,21 @@ def looks_like_mpeg(data: bytes) -> bool:
 def mpeg_info(data: bytes, audio_start: int) -> dict:
     """Stream info from the first MPEG frame; honors Xing/Info/VBRI VBR
     headers for exact duration, else CBR-estimates from file size."""
-    pos = audio_start
+    size = len(data)
+    # materialize the bounded sync-scan window once (lazy-file friendly)
+    scan = data[audio_start:min(size, audio_start + (1 << 17) + 4)]
     hdr = None
-    limit = min(len(data) - 4, audio_start + (1 << 17))
-    while pos < limit:
-        hdr = _frame_header(data[pos:pos + 4])
+    pos = audio_start
+    i = 0
+    while i + 4 <= len(scan):
+        hdr = _frame_header(scan[i:i + 4])
         if hdr:
+            pos = audio_start + i
             nxt = pos + hdr["frame_len"]
-            if nxt + 4 > len(data) or _frame_header(data[nxt:nxt + 4]):
+            if nxt + 4 > size or _frame_header(data[nxt:nxt + 4]):
                 break  # two consecutive valid headers → real sync
             hdr = None
-        pos += 1
+        i += 1
     if not hdr:
         return {}
     info = {

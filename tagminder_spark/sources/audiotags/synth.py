@@ -120,6 +120,65 @@ def build_flac(total_samples: int, comments: list[tuple[str, str]],
     )
 
 
+def build_apev2(tags: dict[str, str], multivalue_delim: str = "\\\\"
+                ) -> bytes:
+    """An APEv2 tag (items + header + footer, spec flags) from
+    name→value pairs; multivalues become NUL-joined item values."""
+    body = b""
+    count = 0
+    for k, v in tags.items():
+        if v in (None, ""):
+            continue
+        raw = b"\x00".join(
+            p.encode("utf-8") for p in str(v).split(multivalue_delim)
+        )
+        body += struct.pack("<II", len(raw), 0) + k.encode("latin-1") + b"\x00" + raw
+        count += 1
+    tag_size = len(body) + 32
+    def block(flags: int) -> bytes:
+        return (
+            b"APETAGEX" + struct.pack("<IIII", 2000, tag_size, count, flags)
+            + b"\x00" * 8
+        )
+    # header flag bits: 0x80000000 has-header, 0x20000000 is-header
+    return block(0xA0000000) + body + block(0x80000000)
+
+
+def _mp4_meta_ilst(tags: dict[str, str], multivalue_delim: str = "\\\\"
+                   ) -> bytes:
+    """A udta>meta>hdlr+ilst subtree carrying the given tags (text
+    atoms via the public iTunes vocabulary, unknown keys as freeform
+    ``----`` atoms)."""
+    from .mp4 import ILST_NAMES
+
+    rev = {v: k for k, v in ILST_NAMES.items()}
+    entries = b""
+    for name, value in tags.items():
+        if value in (None, ""):
+            continue
+        for v in str(value).split(multivalue_delim):
+            payload = _atom(b"data", struct.pack(">II", 1, 0) + v.encode("utf-8"))
+            fourcc = rev.get(name)
+            if fourcc is not None:
+                entries += _atom(fourcc.encode("latin-1"), payload)
+            else:
+                entries += _atom(
+                    b"----",
+                    _atom(b"mean", b"\x00" * 4 + b"com.apple.iTunes")
+                    + _atom(b"name", b"\x00" * 4 + name.encode("utf-8"))
+                    + payload,
+                )
+    hdlr = _atom(
+        b"hdlr", b"\x00" * 8 + b"mdir" + b"appl" + b"\x00" * 9
+    )
+    meta = _atom(b"meta", b"\x00" * 4 + hdlr + _atom(b"ilst", entries))
+    return _atom(b"udta", meta)
+
+
+def _atom(atype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + atype + payload
+
+
 # ---------------------------------------------------------------------------
 # in-place retag (the export sink's real write path)
 # ---------------------------------------------------------------------------
@@ -133,6 +192,11 @@ def retag_bytes(data: bytes, tags: dict[str, str],
       ID3v1, prepend a fresh ID3v2.3 tag.
     - FLAC: drop existing VORBIS_COMMENT blocks, insert a fresh one
       after STREAMINFO, keep all other metadata blocks and frames.
+    - MP4/M4A: rebuild moov's udta subtree; when moov precedes mdat,
+      every stco/co64 chunk offset is shifted by the size delta so the
+      sample tables stay valid.
+    - Monkey's Audio / WavPack: strip any trailing APEv2 + ID3v1,
+      append a fresh APEv2 tag.
 
     Returns the rewritten bytes, or ``None`` when the format isn't
     rewritable here (caller falls back to the injected writer seam).
@@ -179,4 +243,69 @@ def retag_bytes(data: bytes, tags: dict[str, str],
         blocks = kept + [bytes([4]) + len(vc).to_bytes(3, "big") + vc]
         blocks[-1] = bytes([blocks[-1][0] | 0x80]) + blocks[-1][1:]
         return b"fLaC" + b"".join(blocks) + audio
+    if fmt == "mp4":
+        return _retag_mp4(bytes(data), tags, multivalue_delim)
+    if fmt in ("ape", "wavpack"):
+        body = bytes(data)
+        if body[-128:][:3] == b"TAG":
+            body = body[:-128]
+        # strip an existing APEv2 tag (footer at EOF; honor has-header)
+        foot = body[-32:]
+        if foot.startswith(b"APETAGEX"):
+            tag_size = int.from_bytes(foot[12:16], "little")
+            flags = int.from_bytes(foot[20:24], "little")
+            strip = tag_size + (32 if flags & 0x80000000 else 0)
+            body = body[: len(body) - strip]
+        return body + build_apev2(tags, multivalue_delim)
     return None
+
+
+def _retag_mp4(data: bytes, tags: dict[str, str], mv: str) -> bytes | None:
+    from .mp4 import _atoms
+
+    top = list(_atoms(data, 0, len(data)))
+    moov = next(((s, e) for t, s, e in top if t == b"moov"), None)
+    if moov is None:
+        return None
+    ms, me = moov
+    moov_start = ms - 8  # _atoms yields body bounds; header is 8 bytes
+    kept = b"".join(
+        data[s - 8:e] for t, s, e in _atoms(data, ms, me) if t != b"udta"
+    )
+    new_children = kept + _mp4_meta_ilst(tags, mv)
+    new_moov = _atom(b"moov", new_children)
+    delta = len(new_moov) - (me - moov_start)
+    mdat_after = any(
+        t == b"mdat" and s - 8 > moov_start for t, s, e in top
+    )
+    if delta and mdat_after:
+        new_moov = _shift_chunk_offsets(new_moov, delta)
+    return data[:moov_start] + new_moov + data[me:]
+
+
+def _shift_chunk_offsets(moov: bytes, delta: int) -> bytes:
+    """Add ``delta`` to every stco (u32) / co64 (u64) chunk offset in a
+    serialized moov atom — required when the atom tree before mdat
+    changes size."""
+    from .mp4 import _atoms
+
+    out = bytearray(moov)
+    containers = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+    def walk(pos: int, end: int) -> None:
+        for atype, s, e in _atoms(moov, pos, end):
+            if atype in containers:
+                walk(s, e)
+            elif atype in (b"stco", b"co64") and e - s >= 8:
+                n = int.from_bytes(moov[s + 4:s + 8], "big")
+                width = 4 if atype == b"stco" else 8
+                p = s + 8
+                for _ in range(n):
+                    if p + width > e:
+                        break
+                    val = int.from_bytes(moov[p:p + width], "big") + delta
+                    out[p:p + width] = val.to_bytes(width, "big")
+                    p += width
+
+    walk(0, len(moov))
+    return bytes(out)

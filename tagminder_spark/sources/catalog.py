@@ -55,6 +55,39 @@ def scan_files(
     return df.select(*cols)
 
 
+def stream_scan_files(
+    spark: SparkSession,
+    root: str,
+    glob: str | None = None,
+    with_content: bool = True,
+) -> DataFrame:
+    """Streaming variant of :func:`scan_files`: ``readStream`` over the
+    binaryFile source picks up NEW files as they land — the continuous
+    form of the S6 incremental-new scan (tags2db.py:955-977).  Feed the
+    result through :func:`parse_tags` (stateless mapInPandas composes
+    with streaming) and a sink for a live ingest pipeline; watermarking
+    is unnecessary because file discovery is append-only."""
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("recursiveFileLookup", "true")
+    )
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(root)
+    cols = [
+        F.regexp_replace(F.col("path"), "^file:", "").alias("path"),
+        F.col("modificationTime").cast("long").alias("mtime_epoch"),
+        F.col("length").alias("size"),
+    ]
+    if with_content:
+        cols.append(F.col("content"))
+    return df.select(*cols)
+
+
 def incremental_new(scanned: DataFrame, existing: DataFrame) -> DataFrame:
     """Paths on disk but not in the catalog (S6 --new-files)."""
     return scanned.join(
@@ -109,27 +142,36 @@ def _parse_one(path: str, content: bytes | None) -> dict:
        plumbing testable on non-audio content and never drops a file.
     """
     from tagminder_spark.sources import audiotags
+    from tagminder_spark.sources.audiotags.lazyio import open_for_parse
 
-    data = content
+    data = content if content is None else bytes(content)
+    lazy = None
     if data is None:
         try:
-            with open(path, "rb") as fh:
-                data = fh.read()
+            # bounded IO: reads head/tail blocks on demand, never the
+            # audio stream — ~100× less scan IO than a full read at
+            # library scale (see audiotags/lazyio.py)
+            lazy = data = open_for_parse(path)
         except OSError:
             data = None
-    if data is not None:
-        parsed = audiotags.parse_audio(path, bytes(data))
-        if parsed is not None:
-            return {
-                "path": path,
-                "__filetype": parsed.get("__filetype", ""),
-                "__length_seconds": parsed.get("__length_seconds", ""),
-                "tags": {
-                    k: v
-                    for k, v in parsed.items()
-                    if k not in ("__filetype", "__length_seconds")
-                },
-            }
+    try:
+        parsed = (
+            audiotags.parse_audio(path, data) if data is not None else None
+        )
+    finally:
+        if lazy is not None:
+            lazy.close()
+    if parsed is not None:
+        return {
+            "path": path,
+            "__filetype": parsed.get("__filetype", ""),
+            "__length_seconds": parsed.get("__length_seconds", ""),
+            "tags": {
+                k: v
+                for k, v in parsed.items()
+                if k not in ("__filetype", "__length_seconds")
+            },
+        }
     ext = path.rsplit(".", 1)[-1].lower() if "." in path else ""
     size = len(data) if data is not None else 0
     return {

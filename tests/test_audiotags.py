@@ -183,6 +183,20 @@ def mp4_file(title: str, artist: str, album: str, track: int,
     return atom(b"ftyp", b"M4A \x00\x00\x00\x00") + moov + b"\xaa" * 500
 
 
+def _mvhd(seconds: int) -> bytes:
+    return atom(
+        b"mvhd",
+        b"\x00\x00\x00\x00" + struct.pack(">IIII", 0, 0, 600, 600 * seconds)
+        + b"\x00" * 76,
+    )
+
+
+def _moov_with(seconds: int, title: str) -> bytes:
+    ilst = atom(b"ilst", ilst_text(b"\xa9nam", title))
+    meta = atom(b"meta", b"\x00" * 4 + ilst)
+    return atom(b"moov", _mvhd(seconds) + atom(b"udta", meta))
+
+
 def apev2_tag(items: dict[str, str]) -> bytes:
     body = b""
     for k, v in items.items():
@@ -636,6 +650,71 @@ class TestDispatch:
         assert out["title"] == "new"
         assert "artist" not in out           # ID3v1 trailer stripped too
         assert out["__length_seconds"] == str(int(384 * 1152 / 44100))
+
+    def test_retag_mp4_moov_at_end(self):
+        from tagminder_spark.sources.audiotags.synth import retag_bytes
+
+        mdat = atom(b"mdat", b"\x00" * 5000)
+        data = (
+            atom(b"ftyp", b"M4A \x00\x00\x00\x00")
+            + mdat
+            + _moov_with(seconds=31, title="old")
+        )
+        rt = retag_bytes(data, {"title": "fresh", "artist": "AA"})
+        out = parse_audio("x.m4a", rt)
+        assert out["title"] == "fresh"
+        assert out["artist"] == "AA"
+        assert out["__length_seconds"] == "31"
+
+    def test_retag_mp4_shifts_chunk_offsets(self):
+        """moov BEFORE mdat: growing udta must shift every stco entry
+        by the size delta so sample chunks still resolve."""
+        import struct as st
+
+        from tagminder_spark.sources.audiotags.synth import retag_bytes
+
+        stco = atom(b"stco", b"\x00" * 4 + st.pack(">I", 2)
+                    + st.pack(">II", 1000, 2000))
+        stbl = atom(b"stbl", stco)
+        trak = atom(b"trak", atom(b"mdia", atom(b"minf", stbl)))
+        moov = atom(b"moov", _mvhd(31) + trak)
+        ftyp = atom(b"ftyp", b"M4A \x00\x00\x00\x00")
+        data = ftyp + moov + atom(b"mdat", b"\x00" * 3000)
+        old_len = len(data)
+        rt = retag_bytes(data, {"title": "fresh"})
+        delta = len(rt) - old_len
+        assert delta > 0
+        # locate the stco payload in the rewritten file and check shift
+        i = rt.find(b"stco")
+        n = int.from_bytes(rt[i + 8:i + 12], "big")
+        offs = [
+            int.from_bytes(rt[i + 12 + 4 * k:i + 16 + 4 * k], "big")
+            for k in range(n)
+        ]
+        assert offs == [1000 + delta, 2000 + delta]
+        out = parse_audio("x.m4a", rt)
+        assert out["title"] == "fresh"
+
+    def test_retag_ape_and_wavpack(self):
+        from tagminder_spark.sources.audiotags.synth import retag_bytes
+
+        for build, ext in ((monkeys_file, "ape"), (wavpack_file, "wv")):
+            data = build({"Title": "old", "Genre": "G"}) + id3v1_tag(
+                "x", "x", "x", "2000", "", 1, 17
+            )
+            rt = retag_bytes(
+                data, {"title": "fresh", "artist": "A1\\\\A2"}
+            )
+            out = parse_audio(f"x.{ext}", rt)
+            assert out["title"] == "fresh", ext
+            assert out["artist"] == "A1" + MULTIVALUE_DELIM + "A2", ext
+            assert "genre" not in out
+            # stream info intact
+            assert out["__length_seconds"] in ("61", "33")
+            # idempotent: retag again, single tag block at EOF
+            rt2 = retag_bytes(rt, {"title": "again"})
+            assert parse_audio(f"x.{ext}", rt2)["title"] == "again"
+            assert rt2.count(b"APETAGEX") == 2  # one header + one footer
 
     def test_bitflip_never_raises(self):
         data = flac_file(44100, comments=["TITLE=t"])

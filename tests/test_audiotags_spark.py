@@ -91,6 +91,51 @@ def test_retag_unsupported_format_returns_none():
     assert retag_bytes(b"OggS" + b"\x00" * 64, {"title": "t"}) is None
 
 
+def test_stream_scan_and_parse(spark, tmp_path):
+    """Streaming ingest: files landing in a directory flow through the
+    binaryFile stream source and the SAME mapInPandas parser; a second
+    batch of files is picked up incrementally."""
+    from tagminder_spark.sources.catalog import stream_scan_files
+
+    lib = tmp_path / "lib"
+    lib.mkdir()
+    (lib / "a.flac").write_bytes(
+        build_flac(44100 * 5, [("TITLE", "S one")])
+    )
+    stream = stream_scan_files(spark, str(lib), glob="*.flac")
+    assert stream.isStreaming
+    parsed = tags_to_columns(parse_tags(stream), ["title"])
+    q = (
+        parsed.writeStream.format("memory")
+        .queryName("tagstream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["title"]
+        for r in spark.sql("SELECT title FROM tagstream").collect()
+    }
+    assert got == {"S one"}
+
+    (lib / "b.flac").write_bytes(
+        build_flac(44100 * 6, [("TITLE", "S two")])
+    )
+    q2 = (
+        parsed.writeStream.format("memory")
+        .queryName("tagstream2")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got2 = {
+        r["title"]
+        for r in spark.sql("SELECT title FROM tagstream2").collect()
+    }
+    assert {"S one", "S two"} <= got2
+
+
 def test_parse_tags_path_only_reads_disk(spark, tmp_path):
     """A catalog frame without a content column reads bytes from the
     path inside the executor — the real path-only ingest shape."""
