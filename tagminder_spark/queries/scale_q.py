@@ -145,40 +145,31 @@ s02 AS (
          END AS composer
   FROM alib
 ),
--- step 04: caseless ordered merge of composer/arranger/lyricist/writer
-c_toks AS (
-  SELECT __path, trim(tok) AS tok, (src * 1000 + ord) AS pos
-  FROM s02, LATERAL (
-    SELECT 1 AS src, unnest(string_split(coalesce(composer, ''), '{D}')) AS tok,
-           generate_subscripts(string_split(coalesce(composer, ''), '{D}'), 1) AS ord
-    UNION ALL
-    SELECT 2, unnest(string_split(coalesce(arranger, ''), '{D}')),
-           generate_subscripts(string_split(coalesce(arranger, ''), '{D}'), 1)
-    UNION ALL
-    SELECT 3, unnest(string_split(coalesce(lyricist, ''), '{D}')),
-           generate_subscripts(string_split(coalesce(lyricist, ''), '{D}'), 1)
-    UNION ALL
-    SELECT 4, unnest(string_split(coalesce(writer, ''), '{D}')),
-           generate_subscripts(string_split(coalesce(writer, ''), '{D}'), 1)
-  )
-  WHERE trim(tok) <> ''
-),
-c_first AS (
-  SELECT __path, lower(tok) AS key, MIN(pos) AS mp FROM c_toks GROUP BY 1, 2
-),
-c_chosen AS (
-  SELECT t.__path, t.tok, f.mp
-  FROM c_toks t JOIN c_first f
-    ON f.__path = t.__path AND f.key = lower(t.tok) AND f.mp = t.pos
-),
-c_agg AS (
-  SELECT __path, STRING_AGG(tok, '{D}' ORDER BY mp) AS composer
-  FROM c_chosen GROUP BY __path
-),
+-- step 04: caseless ordered merge of composer/arranger/lyricist/writer.
+-- sf1-tractable shape: the explode->MIN(pos)->join-back idiom forced
+-- DuckDB to materialize s02 twice plus a 4x-exploded token table (the
+-- 40 GiB spill cap died here at 6M rows); the same first-occurrence-
+-- caseless-wins semantics as a SCALAR list pipeline streams in one pass.
+-- Concatenation order (composer, arranger, lyricist, writer; tokens in
+-- column order) equals the old (src*1000+ord) sort key.
 s04 AS (
-  SELECT s.__path, s.title, s.subtitle, s.album, s.live, c.composer,
-         s.genre, s.year
-  FROM s02 s LEFT JOIN c_agg c USING (__path)
+  SELECT __path, title, subtitle, album, live, genre, year,
+         NULLIF(array_to_string(
+           list_filter(ctoks, (x, i) ->
+             list_position(list_transform(ctoks, t -> lower(t)), lower(x)) = i),
+           '{D}'), '') AS composer
+  FROM (
+    SELECT *,
+           list_filter(
+             list_transform(
+               string_split(coalesce(composer, ''), '{D}')
+               || string_split(coalesce(arranger, ''), '{D}')
+               || string_split(coalesce(lyricist, ''), '{D}')
+               || string_split(coalesce(writer, ''), '{D}'),
+               t -> trim(t)),
+             t -> t <> '') AS ctoks
+    FROM s02
+  )
 ),
 -- step 09: live markers
 marked AS (
@@ -202,63 +193,51 @@ s09 AS (
          CASE WHEN hit THEN '1' ELSE live END AS live
   FROM marked
 ),
--- step 17: order-preserving multi-value dedup (genre; see header comment)
-g_toks AS (
-  SELECT __path, trim(tok) AS tok, ord
-  FROM s09, LATERAL (
-    SELECT unnest(string_split(genre, '{D}')) AS tok,
-           generate_subscripts(string_split(genre, '{D}'), 1) AS ord
-  )
-  WHERE trim(tok) <> ''
-),
-g_first AS (
-  SELECT __path, tok, MIN(ord) AS mo FROM g_toks GROUP BY 1, 2
-),
-g_agg AS (
-  SELECT __path, STRING_AGG(tok, '{D}' ORDER BY mo) AS genre
-  FROM g_first GROUP BY __path
-),
+-- step 17: order-preserving multi-value dedup (genre) — scalar list
+-- pipeline (case-sensitive keep-first), same sf1 rationale as s04
 s17 AS (
-  SELECT s.__path, s.title, s.subtitle, s.album, s.live, s.composer,
-         g.genre, s.year
-  FROM s09 s LEFT JOIN g_agg g USING (__path)
-),
--- step 20: canonicalize multi-value date tokens (year; originalyear NULL)
-y_toks AS (
-  SELECT __path, trim(tok) AS tok, ord
-  FROM s17, LATERAL (
-    SELECT unnest(string_split(year, '{D}')) AS tok,
-           generate_subscripts(string_split(year, '{D}'), 1) AS ord
+  SELECT __path, title, subtitle, album, live, composer, year,
+         NULLIF(array_to_string(
+           list_filter(gtoks, (x, i) -> list_position(gtoks, x) = i),
+           '{D}'), '') AS genre
+  FROM (
+    SELECT *,
+           list_filter(
+             list_transform(string_split(coalesce(genre, ''), '{D}'),
+                            t -> trim(t)),
+             t -> t <> '') AS gtoks
+    FROM s09
   )
-  WHERE trim(tok) <> ''
 ),
-y_norm AS (
-  SELECT __path, ord,
-    CASE
-      WHEN tok ~ '^[0-9]{{4}}$' THEN tok
-      WHEN tok ~ '^[0-9]{{4}}-[0-9]{{2}}$' THEN substr(tok, 1, 4)
-      WHEN regexp_replace(regexp_replace(tok,
-             '^([0-9]{{4}})([0-9]{{2}})([0-9]{{2}})$', '\1-\2-\3'),
-             '^([0-9]{{4}})[/.]([0-9]{{2}})[/.]([0-9]{{2}})$', '\1-\2-\3')
-           ~ '^[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}$'
-      THEN regexp_replace(regexp_replace(tok,
-             '^([0-9]{{4}})([0-9]{{2}})([0-9]{{2}})$', '\1-\2-\3'),
-             '^([0-9]{{4}})[/.]([0-9]{{2}})[/.]([0-9]{{2}})$', '\1-\2-\3')
-      ELSE NULL END AS val
-  FROM y_toks
-),
-y_dedup AS (
-  SELECT __path, val, MIN(ord) AS mo FROM y_norm WHERE val IS NOT NULL
-  GROUP BY __path, val
-),
-y_agg AS (
-  SELECT __path, STRING_AGG(val, '{D}' ORDER BY mo) AS year
-  FROM y_dedup GROUP BY __path
-),
+-- step 20: canonicalize multi-value date tokens (year; originalyear
+-- NULL) — scalar normalize + keep-first dedup of the normalized values
 s20 AS (
-  SELECT s.__path, s.title, s.subtitle, s.album, s.live, s.composer,
-         s.genre, y.year
-  FROM s17 s LEFT JOIN y_agg y USING (__path)
+  SELECT __path, title, subtitle, album, live, composer, genre,
+         NULLIF(array_to_string(
+           list_filter(yvals, (x, i) -> list_position(yvals, x) = i),
+           '{D}'), '') AS year
+  FROM (
+    SELECT *,
+           list_filter(
+             list_transform(
+               list_filter(
+                 list_transform(string_split(coalesce(year, ''), '{D}'),
+                                t -> trim(t)),
+                 t -> t <> ''),
+               tok -> CASE
+                 WHEN tok ~ '^[0-9]{{4}}$' THEN tok
+                 WHEN tok ~ '^[0-9]{{4}}-[0-9]{{2}}$' THEN substr(tok, 1, 4)
+                 WHEN regexp_replace(regexp_replace(tok,
+                        '^([0-9]{{4}})([0-9]{{2}})([0-9]{{2}})$', '\1-\2-\3'),
+                        '^([0-9]{{4}})[/.]([0-9]{{2}})[/.]([0-9]{{2}})$', '\1-\2-\3')
+                      ~ '^[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}$'
+                 THEN regexp_replace(regexp_replace(tok,
+                        '^([0-9]{{4}})([0-9]{{2}})([0-9]{{2}})$', '\1-\2-\3'),
+                        '^([0-9]{{4}})[/.]([0-9]{{2}})[/.]([0-9]{{2}})$', '\1-\2-\3')
+                 ELSE NULL END),
+             v -> v IS NOT NULL) AS yvals
+    FROM s17
+  )
 ),
 -- diff-audit: normalized old-vs-new per tracked column, count changes.
 -- sf1-tractable shape: project the comparison down to 7 BOOLEANs inside

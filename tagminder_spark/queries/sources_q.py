@@ -425,18 +425,24 @@ def s3_tag_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _S3_REAL_SQL = """
-SELECT '/lib/real' || CAST(doc_id AS VARCHAR)
-         || CASE WHEN doc_id % 2 = 0 THEN '.mp3' ELSE '.flac' END AS __path,
-       CASE WHEN doc_id % 2 = 0 THEN 'mp3' ELSE 'flac' END AS __filetype,
+SELECT '/lib/real' || CAST(doc_id AS VARCHAR) ||
+         CASE doc_id % 4 WHEN 0 THEN '.mp3' WHEN 1 THEN '.flac'
+                         WHEN 2 THEN '.ogg' ELSE '.m4a' END AS __path,
+       CASE doc_id % 4 WHEN 0 THEN 'mp3' WHEN 1 THEN 'flac'
+                       WHEN 2 THEN 'ogg' ELSE 'mp4' END AS __filetype,
        'T' || CAST(doc_id AS VARCHAR) || 'é' AS title,
        'A' || CAST(doc_id % 97 AS VARCHAR) AS artist,
        'AL' || CAST(doc_id % 31 AS VARCHAR) AS album,
        CAST((doc_id % 15) + 1 AS VARCHAR) AS track,
-       CASE WHEN doc_id % 2 = 0 THEN 'Rock'
-            ELSE 'Ambient\\\\Chillout' END AS genre,
-       CASE WHEN doc_id % 2 = 0
-            THEN CAST(CAST(FLOOR(((doc_id % 997) * 40 + 40) * 1152.0 / 44100.0)
-                           AS BIGINT) AS VARCHAR)
+       CASE doc_id % 4
+            WHEN 0 THEN 'Rock'
+            WHEN 1 THEN CASE WHEN doc_id % 8 >= 4 THEN 'Ambient'
+                             ELSE 'Ambient\\\\Chillout' END
+            WHEN 2 THEN 'Electronic'
+            ELSE 'Ambient' END AS genre,
+       CASE doc_id % 4
+            WHEN 0 THEN CAST(CAST(FLOOR(((doc_id % 997) * 40 + 40)
+                             * 1152.0 / 44100.0) AS BIGINT) AS VARCHAR)
             ELSE CAST((doc_id % 445) + 1 AS VARCHAR)
        END AS __length_seconds
 FROM documents
@@ -445,16 +451,20 @@ FROM documents
 
 @q("s3_tag_parse_real", _S3_REAL_SQL)
 def s3_tag_parse_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The REAL tag-parse path (S3, tags2db.py:478-512) value-checked
-    end to end over actual container bytes: every row synthesizes a
-    well-formed ID3v2.3+Xing MP3 (even ids; latin-1 / UTF-16 encodings
-    alternating) or a FLAC with STREAMINFO + VORBIS_COMMENT (odd ids),
-    runs it through the byte-level pure-Python parser inside the
-    mapInPandas seam, and the oracle predicts every parsed field —
-    title/artist/album/track, the TCON "(17)"→Rock genre resolution,
-    the tracknumber→track Vorbis mapping, multivalue joining, and the
-    Xing-frame / total-samples duration math — from the generating row.
-    """
+    """The REAL tag IO paths (S3 parse, tags2db.py:478-512; S11
+    write-back, :1580-1592) value-checked end to end over actual
+    container bytes.  Every row synthesizes a well-formed container —
+    ID3v2.3+Xing MP3, FLAC (STREAMINFO + VORBIS_COMMENT), Ogg Vorbis
+    (CRC'd pages + granule duration), or MP4 (moov/mvhd/ilst) by
+    doc_id%4 — and rows with doc_id%8>=4 are first written with DECOY
+    tags and rewritten in place via ``retag_bytes`` (the export sink's
+    writer kernel), so the oracle's predicted fields prove the write
+    path preserved the stream and replaced the tags.  Decoded through
+    the byte-level pure-Python parser inside the mapInPandas seam:
+    encodings (latin-1/UTF-16), TCON "(17)"→Rock resolution, the Vorbis
+    tracknumber→track mapping, multivalue joining, Xing-frame /
+    total-samples / granule / mvhd duration math — all predicted by the
+    generating row."""
     import pandas as pd
 
     from tagminder_spark.sources.catalog import parse_tags, tags_to_columns
@@ -462,40 +472,71 @@ def s3_tag_parse_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build(batches):
         from tagminder_spark.sources.audiotags.synth import (
             build_flac,
+            build_m4a,
             build_mp3_with_xing,
+            build_ogg_vorbis,
+            retag_bytes,
         )
 
+        exts = {0: ".mp3", 1: ".flac", 2: ".ogg", 3: ".m4a"}
         for pdf in batches:
             rows = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                ext = ".mp3" if did % 2 == 0 else ".flac"
+                fmt = did % 4
+                rewrite = did % 8 >= 4
                 tags = {
                     "title": f"T{did}é",
                     "artist": f"A{did % 97}",
                     "album": f"AL{did % 31}",
                     "track": str(did % 15 + 1),
                 }
-                if did % 2 == 0:
+                build_tags = (
+                    {"title": "decoy", "artist": "decoy"} if rewrite else tags
+                )
+                if fmt == 0:
                     content = build_mp3_with_xing(
-                        {**tags, "genre": "(17)"},
+                        {**build_tags, "genre": "(17)"},
                         xing_frames=(did % 997) * 40 + 40,
-                        enc=0 if did % 4 == 0 else 1,
+                        enc=0 if did % 16 < 8 else 1,
                     )
-                else:
+                elif fmt == 1:
+                    comments = [
+                        ("TITLE", build_tags["title"]),
+                        ("ARTIST", build_tags["artist"]),
+                        ("ALBUM", build_tags.get("album", "x")),
+                        ("TRACKNUMBER", build_tags.get("track", "1")),
+                        ("GENRE", "Ambient"),
+                        ("GENRE", "Chillout"),
+                    ]
                     content = build_flac(
                         44100 * ((did % 445) + 1) + did % 4410,
-                        [
-                            ("TITLE", tags["title"]),
-                            ("ARTIST", tags["artist"]),
-                            ("ALBUM", tags["album"]),
-                            ("TRACKNUMBER", tags["track"]),
-                            ("GENRE", "Ambient"),
-                            ("GENRE", "Chillout"),
-                        ],
+                        comments,
                         audio_bytes=64,
                     )
-                rows.append({"path": f"/lib/real{did}{ext}", "content": content})
+                elif fmt == 2:
+                    content = build_ogg_vorbis(
+                        [
+                            ("TITLE", build_tags["title"]),
+                            ("ARTIST", build_tags["artist"]),
+                            ("ALBUM", build_tags.get("album", "x")),
+                            ("TRACKNUMBER", build_tags.get("track", "1")),
+                            ("GENRE", "Electronic"),
+                        ],
+                        total_samples=44100 * ((did % 445) + 1) + did % 4410,
+                    )
+                else:
+                    content = build_m4a(
+                        {**build_tags, "genre": "Ambient"},
+                        seconds=(did % 445) + 1,
+                    )
+                if rewrite:
+                    genre = {0: "Rock", 1: "Ambient", 2: "Electronic",
+                             3: "Ambient"}[fmt]
+                    content = retag_bytes(content, {**tags, "genre": genre})
+                rows.append(
+                    {"path": f"/lib/real{did}{exts[fmt]}", "content": content}
+                )
             yield pd.DataFrame(rows)
 
     d = load_table(spark, sf_dir, "documents")

@@ -120,6 +120,37 @@ def build_flac(total_samples: int, comments: list[tuple[str, str]],
     )
 
 
+def build_ogg_vorbis(comments: list[tuple[str, str]], total_samples: int,
+                     sample_rate: int = 44100, serial: int = 7) -> bytes:
+    """A minimal, spec-valid Ogg Vorbis stream: ident page, comment
+    page, and a final audio page whose granule encodes the duration."""
+    ident = (
+        b"\x01vorbis" + struct.pack("<IB", 0, 2)
+        + struct.pack("<IiiiB", sample_rate, 0, 112000, 0, 0x66) + b"\x01"
+    )
+    comment = b"\x03vorbis" + build_vorbis_block(comments) + b"\x01"
+    return (
+        _ogg_page(ident, 0, serial, 0, htype=2)
+        + _ogg_page(comment, 0, serial, 1)
+        + _ogg_page(b"\xaa" * 64, total_samples, serial, 2, htype=4)
+    )
+
+
+def build_m4a(tags: dict[str, str], seconds: int,
+              multivalue_delim: str = "\\\\") -> bytes:
+    """A minimal MP4/M4A: ftyp + moov(mvhd + udta/meta/ilst) + mdat."""
+    mvhd = _atom(
+        b"mvhd",
+        b"\x00" * 4 + struct.pack(">IIII", 0, 0, 600, 600 * seconds)
+        + b"\x00" * 76,
+    )
+    moov = _atom(b"moov", mvhd + _mp4_meta_ilst(tags, multivalue_delim))
+    return (
+        _atom(b"ftyp", b"M4A \x00\x00\x00\x00") + moov
+        + _atom(b"mdat", b"\x00" * 64)
+    )
+
+
 def build_apev2(tags: dict[str, str], multivalue_delim: str = "\\\\"
                 ) -> bytes:
     """An APEv2 tag (items + header + footer, spec flags) from
@@ -245,6 +276,10 @@ def retag_bytes(data: bytes, tags: dict[str, str],
         return b"fLaC" + b"".join(blocks) + audio
     if fmt == "mp4":
         return _retag_mp4(bytes(data), tags, multivalue_delim)
+    if fmt == "aiff":
+        return _retag_aiff(bytes(data), tags, multivalue_delim)
+    if fmt == "ogg":
+        return _retag_ogg(bytes(data), tags, multivalue_delim)
     if fmt in ("ape", "wavpack"):
         body = bytes(data)
         if body[-128:][:3] == b"TAG":
@@ -281,6 +316,131 @@ def _retag_mp4(data: bytes, tags: dict[str, str], mv: str) -> bytes | None:
     if delta and mdat_after:
         new_moov = _shift_chunk_offsets(new_moov, delta)
     return data[:moov_start] + new_moov + data[me:]
+
+
+def _retag_aiff(data: bytes, tags: dict[str, str], mv: str) -> bytes | None:
+    """Replace (or append) the AIFF 'ID3 ' chunk and fix the FORM size."""
+    from ._bits import be_int
+
+    if not data.startswith(b"FORM") or data[8:12] not in (b"AIFF", b"AIFC"):
+        return None
+    kept = []
+    pos = 12
+    end = min(len(data), 8 + be_int(data[4:8]))
+    while pos + 8 <= end:
+        cid = data[pos:pos + 4]
+        csize = be_int(data[pos + 4:pos + 8])
+        step = 8 + csize + (csize & 1)
+        if cid not in (b"ID3 ", b"id3 "):
+            kept.append(data[pos:pos + step])
+        pos += step
+    id3 = build_id3v23(tags, enc=3, multivalue_delim=mv)
+    chunk = b"ID3 " + struct.pack(">I", len(id3)) + id3
+    if len(id3) & 1:
+        chunk += b"\x00"
+    body = b"".join(kept) + chunk
+    return b"FORM" + struct.pack(">I", 4 + len(body)) + b"AIFF" + body
+
+
+# Ogg page CRC: CRC-32, polynomial 0x04c11db7, no reflection, init/xor 0
+_OGG_CRC_TABLE = []
+
+
+def _ogg_crc(data: bytes) -> int:
+    if not _OGG_CRC_TABLE:
+        for i in range(256):
+            r = i << 24
+            for _ in range(8):
+                r = ((r << 1) ^ 0x04C11DB7) if r & 0x80000000 else (r << 1)
+            _OGG_CRC_TABLE.append(r & 0xFFFFFFFF)
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC_TABLE[((crc >> 24) & 0xFF) ^ b]
+    return crc
+
+
+def _ogg_page(payload: bytes, granule: int, serial: int, seq: int,
+              htype: int = 0) -> bytes:
+    lacing = bytes([255] * (len(payload) // 255) + [len(payload) % 255])
+    hdr = (
+        b"OggS\x00" + bytes([htype]) + struct.pack("<q", granule)
+        + struct.pack("<III", serial, seq, 0)
+        + bytes([len(lacing)]) + lacing
+    )
+    page = bytearray(hdr + payload)
+    crc = _ogg_crc(bytes(page))
+    page[22:26] = struct.pack("<I", crc)
+    return bytes(page)
+
+
+def _retag_ogg(data: bytes, tags: dict[str, str], mv: str) -> bytes | None:
+    """Rewrite the Vorbis/Opus comment header in place.
+
+    The comment packet lives in the page(s) between the ident page and
+    the first audio page; those header pages are re-emitted with the new
+    comment packet (page CRCs recomputed).  Page count is preserved —
+    header packets are re-laced into ONE page, which holds up to ~64 KiB
+    (plenty for text comments; give up past that so sequence numbers of
+    audio pages never change)."""
+    pages = []
+    for granule, payload, raw_span in _pages_spans(data):
+        pages.append((granule, payload, raw_span))
+        if len(pages) >= 3:
+            break
+    if len(pages) < 2:
+        return None
+    ident = pages[0][1]
+    if ident.startswith(b"\x01vorbis"):
+        magic, kind = b"\x03vorbis", "vorbis"
+    elif ident.startswith(b"OpusHead"):
+        magic, kind = b"OpusTags", "opus"
+    else:
+        return None
+    serial = int.from_bytes(data[14:18], "little")
+    # header pages after the ident page, before first audio page:
+    # their concatenated payload = comment packet [+ setup packet]
+    hdr_payload = pages[1][1]
+    span_start, span_end = pages[1][2]
+    if not hdr_payload.startswith(magic):
+        return None
+    setup = b""
+    if kind == "vorbis":
+        si = hdr_payload.find(b"\x05vorbis")
+        if si >= 0:  # setup header shares the page; carry it unchanged
+            setup = hdr_payload[si:]
+    comments = [
+        (k, v)
+        for k, raw in tags.items()
+        if raw not in (None, "")
+        for v in str(raw).split(mv)
+    ]
+    new_comment = magic + build_vorbis_block(comments)
+    if kind == "vorbis":
+        new_comment += b"\x01"  # framing bit
+    new_payload = new_comment + setup
+    if len(new_payload) > 255 * 250:
+        return None  # would change the page count; bail to injected seam
+    new_page = _ogg_page(new_payload, 0, serial, 1)
+    return data[:span_start] + new_page + data[span_end:]
+
+
+def _pages_spans(data: bytes):
+    """(granule, payload, (start, end)) per Ogg page."""
+    pos = 0
+    while pos + 27 <= len(data):
+        if data[pos:pos + 4] != b"OggS":
+            nxt = data.find(b"OggS", pos + 1)
+            if nxt < 0:
+                return
+            pos = nxt
+            continue
+        granule = int.from_bytes(data[pos + 6:pos + 14], "little")
+        nsegs = data[pos + 26]
+        lacing = data[pos + 27:pos + 27 + nsegs]
+        size = sum(lacing)
+        end = pos + 27 + nsegs + size
+        yield granule, data[pos + 27 + nsegs:end], (pos, end)
+        pos = end
 
 
 def _shift_chunk_offsets(moov: bytes, delta: int) -> bytes:

@@ -716,6 +716,54 @@ class TestDispatch:
             assert parse_audio(f"x.{ext}", rt2)["title"] == "again"
             assert rt2.count(b"APETAGEX") == 2  # one header + one footer
 
+    def test_retag_aiff(self):
+        from tagminder_spark.sources.audiotags.synth import retag_bytes
+
+        frames = id3v23_frame("TIT2", text_payload(0, "old"))
+        data = aiff_file(seconds=7, with_id3=id3v2_tag(frames))
+        rt = retag_bytes(data, {"title": "fresh", "composer": "C"})
+        out = parse_audio("x.aiff", rt)
+        assert out["title"] == "fresh"
+        assert out["composer"] == "C"
+        assert out["__length_seconds"] == "7"   # COMM preserved
+
+    def test_retag_ogg_vorbis_and_opus(self):
+        from tagminder_spark.sources.audiotags.synth import retag_bytes
+
+        ogg = ogg_vorbis_file(
+            ["TITLE=old", "GENRE=G"], seconds=42
+        )
+        rt = retag_bytes(ogg, {"title": "fresh", "artist": "A1\\\\A2"})
+        out = parse_audio("x.ogg", rt)
+        assert out["title"] == "fresh"
+        assert out["artist"] == "A1" + MULTIVALUE_DELIM + "A2"
+        assert "genre" not in out
+        assert out["__length_seconds"] == "42"  # audio pages untouched
+        op = opus_file(["TITLE=old"], seconds=10)
+        rt = retag_bytes(op, {"title": "fresh opus"})
+        out = parse_audio("x.opus", rt)
+        assert out["title"] == "fresh opus"
+        assert out["__length_seconds"] == "10"
+
+    def test_ogg_page_crc_matches_spec_vector(self):
+        """The recomputed page CRC must be the spec CRC-32 (poly
+        0x04c11db7, unreflected, zero init) — checked against an
+        independently computed value."""
+        from tagminder_spark.sources.audiotags.synth import _ogg_crc
+
+        def ref_crc(data: bytes) -> int:
+            crc = 0
+            for byte in data:
+                crc ^= byte << 24
+                for _ in range(8):
+                    crc = ((crc << 1) ^ 0x04C11DB7) if crc & 0x80000000 \
+                        else (crc << 1)
+                    crc &= 0xFFFFFFFF
+            return crc
+
+        for probe in (b"", b"\x00", b"OggS", bytes(range(256)) * 3):
+            assert _ogg_crc(probe) == ref_crc(probe)
+
     def test_bitflip_never_raises(self):
         data = flac_file(44100, comments=["TITLE=t"])
         for pos in range(0, len(data), 97):
