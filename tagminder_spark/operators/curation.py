@@ -444,6 +444,53 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    window: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window token chunker — split each document into
+    ``window``-token chunks stepping ``window - overlap``, the standard
+    context-window preparation for LM training data.
+
+    Chunk count is the closed form ``max(1, ceil((n - overlap)/step))``
+    so the final chunk always contributes new tokens (no fully-redundant
+    tail chunk).  Map-only: tokenize → sequence → explode → slice, zero
+    shuffle — at 100 TB this runs at scan speed and parallelism is the
+    input split count.
+
+    Output: (id, chunk_id, chunk_text, n_tokens), one row per chunk.
+    """
+    if not 0 <= overlap < window:
+        raise ValueError("require 0 <= overlap < window")
+    step = window - overlap
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+    d = (
+        docs.select(F.col(id_col), toks.alias("__toks"))
+        .withColumn("__n", F.size("__toks"))
+        .filter(F.col("__n") > 0)
+    )
+    k = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil((F.col("__n") - F.lit(overlap)) / F.lit(float(step))).cast("long"),
+    )
+    d = d.withColumn("__i", F.explode(F.sequence(F.lit(0).cast("long"), k - 1)))
+    chunk = F.slice(
+        F.col("__toks"), (F.col("__i") * step + 1).cast("int"), window
+    )
+    return d.select(
+        F.col(id_col),
+        F.col("__i").alias("chunk_id"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # per-source quota
 

@@ -230,6 +230,10 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
         ),
         "t_token_count": (["doc_id"], [("ws_tokens", "num"), ("re_tokens", "num")]),
         "t_fingerprint": (["doc_id"], [("fp", "num")]),
+        # round 6: sliding-window context chunking (LM data preparation)
+        "t_chunk_windows": (
+            ["doc_id", "chunk_id"], [("chunk_text", "str"), ("n_tokens", "num")]
+        ),
         "ann_topk_cosine": (
             ["query_id", "rank"], [("neighbor_id", "num"), ("cosine", "num")]
         ),

@@ -177,6 +177,37 @@ def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
+_CHUNK_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')
+           AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         GREATEST(1, CAST(CEIL((len(toks) - 16) / 48.0) AS BIGINT)) AS k
+  FROM d WHERE len(toks) > 0
+)
+SELECT doc_id, i AS chunk_id,
+       array_to_string(list_slice(toks, i * 48 + 1, i * 48 + 64), ' ')
+         AS chunk_text,
+       LEAST(64, n - i * 48) AS n_tokens
+FROM s, LATERAL (SELECT unnest(range(0, k)) AS i)
+"""
+
+
+@q("t_chunk_windows", _CHUNK_SQL)
+def t_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window context chunking (64-token windows, 16 overlap) —
+    the LM training-data preparation step between curation and packing.
+    Map-only tokenize→sequence→explode→slice; the oracle replays the
+    closed-form chunk count and list slicing."""
+    from tagminder_spark.operators.curation import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(d, window=64, overlap=16)
+
+
 _WINDOW_SQL = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,

@@ -114,9 +114,11 @@ class LazyFileBytes:
         overlap = len(sub) - 1
         while pos < end:
             chunk_end = min(pos + self._block, end)
-            chunk = self._read(pos, min(chunk_end + overlap, self._size))
+            # overlap so boundary-spanning matches are seen, capped at
+            # `end` — bytes.find requires the match inside [start, end)
+            chunk = self._read(pos, min(chunk_end + overlap, end))
             hit = chunk.find(sub)
-            if hit >= 0 and pos + hit + len(sub) <= end + overlap:
+            if hit >= 0:
                 return pos + hit
             pos = chunk_end
         return -1
@@ -131,11 +133,13 @@ class LazyFileBytes:
         overlap = len(sub) - 1
         while pos > low:
             chunk_start = max(pos - self._block, low)
-            chunk = self._read(chunk_start, min(pos + overlap, self._size))
+            # overlap upward for boundary-spanning matches, capped at
+            # `end` — bytes.rfind requires the match inside [start, end)
+            chunk = self._read(chunk_start, min(pos + overlap, end))
             hit = chunk.rfind(sub)
             if hit >= 0:
                 found = chunk_start + hit
-                if found + len(sub) <= end + overlap and found >= start:
+                if found >= start:
                     return found
             pos = chunk_start
         return -1

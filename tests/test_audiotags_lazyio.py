@@ -161,6 +161,14 @@ def test_lazyfilebytes_protocol(tmp_path):
         assert lf.find(needle) == raw.find(needle)
         assert lf.rfind(needle) == raw.rfind(needle)
         assert lf.rfind(needle, 0, 1000) == raw.rfind(needle, 0, 1000)
+        # end-boundary exactness: a match straddling `end` is NOT a hit
+        # (bytes semantics: the match must lie inside [start, end))
+        at = raw.find(needle)
+        assert lf.find(needle, 0, at + 2) == raw.find(needle, 0, at + 2) == -1
+        assert lf.find(needle, 0, at + 4) == raw.find(needle, 0, at + 4) == at
+        last = raw.rfind(needle)
+        assert lf.rfind(needle, 0, last + 2) == raw.rfind(needle, 0, last + 2)
+        assert lf.rfind(needle, 0, last + 4) == raw.rfind(needle, 0, last + 4) == last
         assert lf.find(b"\xff\xff\xff") == raw.find(b"\xff\xff\xff")
         with pytest.raises(IndexError):
             lf[len(raw)]
