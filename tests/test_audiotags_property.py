@@ -1,0 +1,100 @@
+"""Property-based round trips: for ARBITRARY tag dictionaries, what the
+writers emit, the parser reads back verbatim — across formats and
+encodings.  Catches escaping/terminator/length-math bugs no fixed
+fixture would."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tagminder_spark.sources.audiotags import MULTIVALUE_DELIM, parse_audio
+from tagminder_spark.sources.audiotags.synth import (
+    build_apev2,
+    build_flac,
+    build_m4a,
+    build_mp3_with_xing,
+    build_ogg_vorbis,
+    retag_bytes,
+)
+
+# printable text, no NULs/newlines (tag-value domain), no leading/trailing
+# whitespace (writers/parsers trim), not containing the multivalue delim
+_value = st.text(
+    st.characters(
+        codec="utf-8",
+        exclude_categories=("Cs", "Cc"),
+    ),
+    min_size=1,
+    max_size=40,
+).map(str.strip).filter(
+    lambda s: s and "\\" not in s and "\x00" not in s and "﻿" not in s
+)
+
+_key = st.sampled_from(
+    ["title", "artist", "album", "composer", "grouping", "mood", "isrc"]
+)
+
+_tags = st.dictionaries(_key, _value, min_size=1, max_size=5)
+
+
+@settings(max_examples=60, deadline=None)
+@given(tags=_tags, enc=st.sampled_from([0, 1, 3]))
+def test_id3_roundtrip(tags, enc):
+    if enc == 0:  # latin-1 can't carry arbitrary unicode
+        tags = {k: v.encode("latin-1", "replace").decode("latin-1")
+                for k, v in tags.items()}
+        tags = {k: v.strip() for k, v in tags.items() if v.strip()}
+        if not tags:
+            return
+    data = build_mp3_with_xing(tags, xing_frames=384, enc=enc)
+    out = parse_audio("x.mp3", data)
+    for k, v in tags.items():
+        assert out[k] == v, (k, enc)
+
+
+@settings(max_examples=60, deadline=None)
+@given(tags=_tags)
+def test_flac_roundtrip(tags):
+    data = build_flac(44100, [(k.upper(), v) for k, v in tags.items()])
+    out = parse_audio("x.flac", data)
+    for k, v in tags.items():
+        assert out[k] == v
+
+
+@settings(max_examples=40, deadline=None)
+@given(tags=_tags)
+def test_ogg_roundtrip_via_retag(tags):
+    base = build_ogg_vorbis([("TITLE", "seed")], total_samples=44100)
+    out = parse_audio("x.ogg", retag_bytes(base, tags))
+    for k, v in tags.items():
+        assert out[k] == v
+
+
+@settings(max_examples=40, deadline=None)
+@given(tags=_tags)
+def test_mp4_roundtrip(tags):
+    out = parse_audio("x.m4a", build_m4a(tags, seconds=9))
+    for k, v in tags.items():
+        assert out[k] == v
+
+
+@settings(max_examples=40, deadline=None)
+@given(tags=_tags)
+def test_apev2_roundtrip(tags):
+    data = b"MAC \x96\x0f\x00\x00" + b"\x00" * 64 + build_apev2(tags)
+    out = parse_audio("x.ape", data)
+    for k, v in tags.items():
+        assert out[k] == v
+
+
+@settings(max_examples=40, deadline=None)
+@given(tags=_tags, values=st.lists(_value, min_size=2, max_size=4))
+def test_multivalue_roundtrip(tags, values):
+    tags = {**tags, "artist": MULTIVALUE_DELIM.join(values)}
+    for build in (
+        lambda t: build_mp3_with_xing(t, xing_frames=384, enc=3),
+        lambda t: build_m4a(t, seconds=3),
+    ):
+        out = parse_audio("x", build(tags))
+        assert out["artist"] == MULTIVALUE_DELIM.join(values)

@@ -32,6 +32,9 @@ BOUNDS: dict[str, tuple[int, int, bool]] = {
     "w_topk_salted": (3, 0, False),
     "a_salted_agg": (2, 0, False),
     "d_ngram_jaccard_capped": (7, 0, False),
+    # round 6: the context chunker is map-only — ZERO exchanges, zero
+    # Python; any exchange appearing here is a regression
+    "t_chunk_windows": (0, 0, False),
 }
 
 
@@ -71,6 +74,24 @@ def test_plan_shape(audited, name):
     )
     if want_pushdown:
         assert a["pushed_filters"], f"{name}: no filters pushed to the scan"
+
+
+def test_tag_parse_real_plan_is_pipelined(spark):
+    """The tag-IO gate must stay two PIPELINED MapInPandas stages over a
+    doc_id-only pruned scan — no exchange between build and parse (50k
+    containers would otherwise cross a shuffle at sf1), no row-at-a-time
+    Python."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["s3_tag_parse_real"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    a = audit(plan)
+    assert a["shuffles"] == 0, "exchange crept between build and parse"
+    assert a["python_evals"] == 0
+    assert plan.count("MapInPandas") == 2
+    assert "ReadSchema: struct<doc_id:bigint>" in plan, (
+        "scan no longer pruned to doc_id"
+    )
 
 
 def test_audit_detects_broken_plans(spark):
