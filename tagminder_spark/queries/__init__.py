@@ -96,6 +96,11 @@ GATE_WINDOW: tuple[str, ...] = (
     # r92_health_radar -> suite_reports, s14_works_lookup -> suite_shapes)
     "suite_curation",
 )
+# Round-6 second-half rotation decision: s3_tag_parse_real (real tag IO,
+# parse + write paths) and t_chunk_windows (context chunking) ride
+# suite_shapes / suite_textscale for driver evidence. No window swap: the
+# window is full at 50 and no resident gate is suite-covered, so any
+# rotation would trade away a gate's only driver evidence.
 
 
 def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:

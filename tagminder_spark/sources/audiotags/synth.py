@@ -280,6 +280,8 @@ def retag_bytes(data: bytes, tags: dict[str, str],
         return _retag_aiff(bytes(data), tags, multivalue_delim)
     if fmt == "ogg":
         return _retag_ogg(bytes(data), tags, multivalue_delim)
+    if fmt == "asf":
+        return _retag_asf(bytes(data), tags, multivalue_delim)
     if fmt in ("ape", "wavpack"):
         body = bytes(data)
         if body[-128:][:3] == b"TAG":
@@ -316,6 +318,92 @@ def _retag_mp4(data: bytes, tags: dict[str, str], mv: str) -> bytes | None:
     if delta and mdat_after:
         new_moov = _shift_chunk_offsets(new_moov, delta)
     return data[:moov_start] + new_moov + data[me:]
+
+
+def _retag_asf(data: bytes, tags: dict[str, str], mv: str) -> bytes | None:
+    """Rebuild the ASF Header Object's Content Description + Extended
+    Content Description from ``tags``; the Data Object and packets
+    follow unchanged (packet offsets are header-relative in ASF, so a
+    resized header is legal; the File Properties size field is
+    patched)."""
+    from .asf import (
+        CONTENT_DESC_GUID,
+        EXT_CONTENT_GUID,
+        FILE_PROPS_GUID,
+        HEADER_GUID,
+        WM_NAMES,
+    )
+
+    if not data.startswith(HEADER_GUID) or len(data) < 30:
+        return None
+    header_size = int.from_bytes(data[16:24], "little")
+    count = int.from_bytes(data[24:28], "little")
+    body = data[30:header_size]
+    rest = data[header_size:]
+
+    kept: list[bytes] = []
+    pos = 0
+    fp_index = None
+    for _ in range(count):
+        if pos + 24 > len(body):
+            break
+        guid = body[pos:pos + 16]
+        size = int.from_bytes(body[pos + 16:pos + 24], "little")
+        if size < 24:
+            break
+        if guid not in (CONTENT_DESC_GUID, EXT_CONTENT_GUID):
+            if guid == FILE_PROPS_GUID:
+                fp_index = len(kept)
+            kept.append(body[pos:pos + size])
+        pos += size
+
+    def u16s(s: str) -> bytes:
+        return s.encode("utf-16-le") + b"\x00\x00"
+
+    rev = {v: k for k, v in WM_NAMES.items()}
+    std = {k: tags.get(k, "") for k in
+           ("title", "artist", "copyright", "comment")}
+    fields = [u16s(std["title"]), u16s(std["artist"]),
+              u16s(std["copyright"]), u16s(std["comment"]), u16s("")]
+    cd_body = b"".join(
+        struct.pack("<H", len(f)) for f in fields
+    ) + b"".join(fields)
+    cd = CONTENT_DESC_GUID + struct.pack("<Q", 24 + len(cd_body)) + cd_body
+
+    attrs = b""
+    n_attrs = 0
+    for name, value in tags.items():
+        if name in std or value in (None, ""):
+            continue
+        wm = rev.get(name, name)
+        wm_disp = {
+            "album": "WM/AlbumTitle", "albumartist": "WM/AlbumArtist",
+            "track": "WM/TrackNumber", "year": "WM/Year",
+            "genre": "WM/Genre", "composer": "WM/Composer",
+        }.get(name, wm if wm.lower().startswith("wm/") else f"WM/{name}")
+        raw = u16s(str(value).replace(mv, "; "))
+        n = u16s(wm_disp)
+        attrs += (
+            struct.pack("<H", len(n)) + n
+            + struct.pack("<HH", 0, len(raw)) + raw
+        )
+        n_attrs += 1
+    ecd_body = struct.pack("<H", n_attrs) + attrs
+    ecd = EXT_CONTENT_GUID + struct.pack("<Q", 24 + len(ecd_body)) + ecd_body
+
+    objs = kept + [cd, ecd]
+    new_body = b"".join(objs)
+    new_header_size = 30 + len(new_body)
+    out = bytearray(
+        HEADER_GUID + struct.pack("<Q", new_header_size)
+        + struct.pack("<I", len(objs)) + data[28:30] + new_body + rest
+    )
+    if fp_index is not None:
+        # patch File Properties' file-size field (offset 40 into the
+        # object: 24 header + 16 file id)
+        off = 30 + sum(len(o) for o in objs[:fp_index]) + 40
+        out[off:off + 8] = struct.pack("<Q", len(out))
+    return bytes(out)
 
 
 def _retag_aiff(data: bytes, tags: dict[str, str], mv: str) -> bytes | None:

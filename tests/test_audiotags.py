@@ -745,6 +745,28 @@ class TestDispatch:
         assert out["title"] == "fresh opus"
         assert out["__length_seconds"] == "10"
 
+    def test_retag_asf(self):
+        from tagminder_spark.sources.audiotags.synth import retag_bytes
+
+        data = asf_file("old", "oldA", "oldAL", 9, 240)
+        rt = retag_bytes(
+            data,
+            {"title": "fresh", "artist": "FA", "album": "FAL",
+             "track": "3", "genre": "G", "composer": "CC"},
+        )
+        out = parse_audio("x.wma", rt)
+        assert out["title"] == "fresh"
+        assert out["artist"] == "FA"
+        assert out["album"] == "FAL"
+        assert out["track"] == "3"
+        assert out["genre"] == "G"
+        assert out["composer"] == "CC"
+        assert out["__length_seconds"] == "240"  # File Properties kept
+        # idempotent second rewrite
+        out2 = parse_audio("x.wma", retag_bytes(rt, {"title": "again"}))
+        assert out2["title"] == "again"
+        assert "album" not in out2
+
     def test_ogg_page_crc_matches_spec_vector(self):
         """The recomputed page CRC must be the spec CRC-32 (poly
         0x04c11db7, unreflected, zero init) — checked against an
