@@ -256,14 +256,16 @@ pair AS (
   FROM alib a JOIN s20 n USING (__path)
 ),
 counts AS (
+  -- COUNT_IF would also work; CAST pins BIGINT (DuckDB SUM yields
+  -- HUGEINT, a latent type mismatch vs Spark's int64 — type_sweep)
   SELECT
-    SUM(CASE WHEN d_title THEN 1 ELSE 0 END) AS c_title,
-    SUM(CASE WHEN d_subtitle THEN 1 ELSE 0 END) AS c_subtitle,
-    SUM(CASE WHEN d_album THEN 1 ELSE 0 END) AS c_album,
-    SUM(CASE WHEN d_live THEN 1 ELSE 0 END) AS c_live,
-    SUM(CASE WHEN d_composer THEN 1 ELSE 0 END) AS c_composer,
-    SUM(CASE WHEN d_genre THEN 1 ELSE 0 END) AS c_genre,
-    SUM(CASE WHEN d_year THEN 1 ELSE 0 END) AS c_year
+    CAST(SUM(CASE WHEN d_title THEN 1 ELSE 0 END) AS BIGINT) AS c_title,
+    CAST(SUM(CASE WHEN d_subtitle THEN 1 ELSE 0 END) AS BIGINT) AS c_subtitle,
+    CAST(SUM(CASE WHEN d_album THEN 1 ELSE 0 END) AS BIGINT) AS c_album,
+    CAST(SUM(CASE WHEN d_live THEN 1 ELSE 0 END) AS BIGINT) AS c_live,
+    CAST(SUM(CASE WHEN d_composer THEN 1 ELSE 0 END) AS BIGINT) AS c_composer,
+    CAST(SUM(CASE WHEN d_genre THEN 1 ELSE 0 END) AS BIGINT) AS c_genre,
+    CAST(SUM(CASE WHEN d_year THEN 1 ELSE 0 END) AS BIGINT) AS c_year
   FROM pair
 )
 SELECT alib_column, n_changes FROM (
