@@ -36,8 +36,12 @@ def _encode_text(value: str, enc: int) -> bytes:
     return bytes([3]) + value.encode("utf-8")
 
 
-def _frame(fid: str, payload: bytes) -> bytes:
-    return fid.encode("latin-1") + struct.pack(">IH", len(payload), 0) + payload
+def _frame(fid: str, payload: bytes, version: int = 3) -> bytes:
+    size = (
+        _syncsafe_bytes(len(payload)) if version >= 4
+        else struct.pack(">I", len(payload))
+    )
+    return fid.encode("latin-1") + size + struct.pack(">H", 0) + payload
 
 
 def build_id3v23(tags: dict[str, str], enc: int = 0,
@@ -45,6 +49,20 @@ def build_id3v23(tags: dict[str, str], enc: int = 0,
     """An ID3v2.3 tag from name→value pairs.  Known names map to their
     text frame; ``comment`` → COMM; anything else → TXXX.  Multivalues
     (delimited) become NUL-separated strings in one frame."""
+    return build_id3(tags, enc=enc, version=3,
+                     multivalue_delim=multivalue_delim)
+
+
+def build_id3v24(tags: dict[str, str], enc: int = 3,
+                 multivalue_delim: str = "\\\\") -> bytes:
+    """ID3v2.4 variant: syncsafe frame sizes, TDRC for the year, UTF-8
+    default encoding — what modern taggers write."""
+    return build_id3(tags, enc=enc, version=4,
+                     multivalue_delim=multivalue_delim)
+
+
+def build_id3(tags: dict[str, str], enc: int = 0, version: int = 3,
+              multivalue_delim: str = "\\\\") -> bytes:
     frames = b""
     for name, value in tags.items():
         if value is None or value == "":
@@ -56,23 +74,28 @@ def build_id3v23(tags: dict[str, str], enc: int = 0,
                 + (b"\x00\x00" if enc == 1 else b"\x00")
                 + _encode_text(values[0], enc)[1:]
             )
-            frames += _frame("COMM", payload)
+            frames += _frame("COMM", payload, version)
             continue
         fid = NAME_TO_FRAME.get(name)
+        if version >= 4 and name == "year":
+            fid = "TDRC"
         if fid is None:
             payload = (
                 _encode_text(name, enc)
                 + (b"\x00\x00" if enc == 1 else b"\x00")
                 + _encode_text(values[0], enc)[1:]
             )
-            frames += _frame("TXXX", payload)
+            frames += _frame("TXXX", payload, version)
             continue
         sep = b"\x00\x00" if enc == 1 else b"\x00"
         body = _encode_text(values[0], enc)
         for v in values[1:]:
             body += sep + _encode_text(v, enc)[1:]
-        frames += _frame(fid, body)
-    return b"ID3\x03\x00\x00" + _syncsafe_bytes(len(frames)) + frames
+        frames += _frame(fid, body, version)
+    return (
+        b"ID3" + bytes([version, 0, 0])
+        + _syncsafe_bytes(len(frames)) + frames
+    )
 
 
 def build_mp3_with_xing(tags: dict[str, str], xing_frames: int,

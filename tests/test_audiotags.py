@@ -629,6 +629,21 @@ class TestDispatch:
         assert out["track"] == "3"
         assert out["__length_seconds"] == "77"
 
+    def test_build_id3v24_roundtrip(self):
+        from tagminder_spark.sources.audiotags.synth import build_id3v24
+
+        data = build_id3v24(
+            {"title": "Té", "artist": "A" + MULTIVALUE_DELIM + "B",
+             "year": "2003-04-05", "genre": "Rock", "comment": "hi"}
+        ) + mp3_frame() * 2
+        assert data[3] == 4  # really a v2.4 header
+        out = parse_audio("x.mp3", data)
+        assert out["title"] == "Té"
+        assert out["artist"] == "A" + MULTIVALUE_DELIM + "B"
+        assert out["year"] == "2003-04-05"  # via TDRC
+        assert out["genre"] == "Rock"
+        assert out["comment"] == "hi"
+
     def test_retag_preserves_audio_stream(self):
         from tagminder_spark.sources.audiotags.synth import (
             build_flac,

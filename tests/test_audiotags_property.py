@@ -39,18 +39,23 @@ _tags = st.dictionaries(_key, _value, min_size=1, max_size=5)
 
 
 @settings(max_examples=60, deadline=None)
-@given(tags=_tags, enc=st.sampled_from([0, 1, 3]))
-def test_id3_roundtrip(tags, enc):
+@given(tags=_tags, enc=st.sampled_from([0, 1, 3]),
+       version=st.sampled_from([3, 4]))
+def test_id3_roundtrip(tags, enc, version):
+    from tagminder_spark.sources.audiotags.synth import build_id3
+
     if enc == 0:  # latin-1 can't carry arbitrary unicode
         tags = {k: v.encode("latin-1", "replace").decode("latin-1")
                 for k, v in tags.items()}
         tags = {k: v.strip() for k, v in tags.items() if v.strip()}
         if not tags:
             return
-    data = build_mp3_with_xing(tags, xing_frames=384, enc=enc)
+    data = build_id3(tags, enc=enc, version=version) + bytes(
+        [0xFF, 0xFB, 0x90, 0x00]
+    ) + bytes(413)
     out = parse_audio("x.mp3", data)
     for k, v in tags.items():
-        assert out[k] == v, (k, enc)
+        assert out[k] == v, (k, enc, version)
 
 
 @settings(max_examples=60, deadline=None)
