@@ -265,7 +265,11 @@ def retag_bytes(data: bytes, tags: dict[str, str],
         body = data[tag_size:]
         if body[-128:][:3] == b"TAG":
             body = body[:-128]
-        return build_id3v23(tags, enc=3, multivalue_delim=multivalue_delim) + body
+        # preserve the source's tag version (v2.2 upgrades to v2.3)
+        version = 4 if (tag_size and data[3] >= 4) else 3
+        return build_id3(
+            tags, enc=3, version=version, multivalue_delim=multivalue_delim
+        ) + body
     if fmt == "flac":
         start = 0
         if data.startswith(b"ID3"):
