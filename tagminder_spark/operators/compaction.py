@@ -50,17 +50,46 @@ DEFAULT_TARGET_BYTES = 128 << 20
 
 
 def list_data_files(
-    spark: SparkSession, path: str, suffix: str = ".parquet"
+    spark: SparkSession, path: str, suffix: str = ".parquet",
+    force_hadoop: bool = False,
 ) -> list[tuple[str, int]]:
     """Recursive ``(path, bytes)`` listing of data files under ``path``
-    via the Hadoop FileSystem API — a driver-side metadata operation
-    (no executor work, no data read), the same listing any maintenance
-    planner (Iceberg/Delta) starts from.  Hidden/metadata files
-    (``_SUCCESS``, ``.crc``) are excluded."""
+    — a driver-side metadata operation (no executor work, no data
+    read), the same listing any maintenance planner (Iceberg/Delta)
+    starts from.  Hidden/metadata files (``_SUCCESS``, ``.crc``) are
+    excluded.
+
+    Local paths take a pure-Python ``os.scandir`` walk: one syscall per
+    entry instead of one py4j round-trip per file, which is the
+    difference between ~0.1 s and minutes at 50k files (measured —
+    ``tools/compaction_scale_check.py``).  Remote schemes (hdfs/s3a/…)
+    go through the Hadoop FileSystem API, where the iteration cost is
+    the RPC itself."""
+    import os
+
+    local = path
+    if local.startswith("file://"):
+        local = local[7:]
+    elif local.startswith("file:"):
+        local = local[5:]
+    if not force_hadoop and "://" not in local and os.path.isdir(local):
+        out: list[tuple[str, int]] = []
+        stack = [local]
+        while stack:
+            d = stack.pop()
+            with os.scandir(d) as entries:
+                for e in entries:
+                    if e.name.startswith(("_", ".")):
+                        continue
+                    if e.is_dir(follow_symlinks=False):
+                        stack.append(e.path)
+                    elif e.name.endswith(suffix):
+                        out.append((e.path, e.stat().st_size))
+        return out
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    out: list[tuple[str, int]] = []
+    out = []
     it = fs.listFiles(jpath, True)
     while it.hasNext():
         st = it.next()
@@ -86,8 +115,11 @@ def compact_shards(
 
     Returns the maintenance report a scheduler acts on:
     ``{files_in, bytes_in, files_out, bytes_out, planned_files, rows}``
-    (``rows`` from the rewrite job's own output, no extra scan).
+    (``rows`` observed on the rewrite job itself via ``df.observe`` —
+    genuinely no extra scan over input or output).
     """
+    from pyspark.sql import Observation
+
     if target_bytes <= 0:
         raise ValueError(f"target_bytes must be > 0, got {target_bytes}")
     files_in = list_data_files(spark, in_dir)
@@ -95,11 +127,20 @@ def compact_shards(
     n_out = max(1, math.ceil(bytes_in / target_bytes))
 
     df = spark.read.parquet(in_dir)
+    if order_col not in df.columns:
+        raise ValueError(
+            f"order_col {order_col!r} not in input columns {df.columns}"
+        )
+    obs = Observation("compact_rows")
     keep = [c for c in partition_cols if c in df.columns]
     keys = [F.col(c) for c in (*keep, order_col)]
+    # observe ABOVE the range exchange: repartitionByRange SAMPLES its
+    # child to pick boundaries, so a metric below the exchange would
+    # double-count; above it, each row is seen exactly once
     writer = (
         df.repartitionByRange(n_out, *keys)
         .sortWithinPartitions(*keys)
+        .observe(obs, F.count(F.lit(1)).alias("rows"))
         .write.mode("overwrite")
     )
     if keep:
@@ -107,7 +148,7 @@ def compact_shards(
     writer.parquet(out_dir)
 
     files_out = list_data_files(spark, out_dir)
-    rows = spark.read.parquet(out_dir).count()
+    rows = obs.get["rows"]
     return {
         "files_in": len(files_in),
         "bytes_in": bytes_in,

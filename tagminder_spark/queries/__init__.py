@@ -101,6 +101,25 @@ GATE_WINDOW: tuple[str, ...] = (
 # suite_shapes / suite_textscale for driver evidence. No window swap: the
 # window is full at 50 and no resident gate is suite-covered, so any
 # rotation would trade away a gate's only driver evidence.
+#
+# ROTATION RULE (VERDICT r6 #6 — the standing policy for a full window):
+# a new gate may take a recorded slot ONLY from a resident that would
+# keep equivalent driver value evidence after the swap, checked in this
+# order:
+#   1. The resident's query function is ALSO executed verbatim as a part
+#      of a suite gate that stays in the window (same code path, same
+#      oracle projection) — the suite row keeps carrying its evidence.
+#   2. The resident is a strictly-subsumed variant of another resident
+#      (e.g. the fixed-parameter form of an operator whose DEFAULT-path
+#      form is also recorded) — keep the default-path form.
+#   3. No resident qualifies → the new gate rides an existing suite as a
+#      re-projected part (the s3_tag_parse_real pattern) instead of
+#      taking a slot; it still gets full value evidence through the
+#      suite row plus individual registration outside the window.
+# Never rotate out: pl_step* (Appendix-A chain), pl_chain_e2e, gates
+# re-proving a past round's driver-recorded failure, and scale proofs
+# whose oracle pins scale-dependent parameters. Record every swap in a
+# dated comment here AND in COVERAGE.md.
 
 
 def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:

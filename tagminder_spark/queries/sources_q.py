@@ -426,21 +426,29 @@ def s3_tag_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _S3_REAL_SQL = """
 SELECT '/lib/real' || CAST(doc_id AS VARCHAR) ||
-         CASE doc_id % 4 WHEN 0 THEN '.mp3' WHEN 1 THEN '.flac'
-                         WHEN 2 THEN '.ogg' ELSE '.m4a' END AS __path,
-       CASE doc_id % 4 WHEN 0 THEN 'mp3' WHEN 1 THEN 'flac'
-                       WHEN 2 THEN 'ogg' ELSE 'mp4' END AS __filetype,
+         CASE doc_id % 8 WHEN 0 THEN '.mp3' WHEN 1 THEN '.flac'
+                         WHEN 2 THEN '.ogg' WHEN 3 THEN '.m4a'
+                         WHEN 4 THEN '.aiff' WHEN 5 THEN '.wma'
+                         WHEN 6 THEN '.ape' ELSE '.wv' END AS __path,
+       CASE doc_id % 8 WHEN 0 THEN 'mp3' WHEN 1 THEN 'flac'
+                       WHEN 2 THEN 'ogg' WHEN 3 THEN 'mp4'
+                       WHEN 4 THEN 'aiff' WHEN 5 THEN 'asf'
+                       WHEN 6 THEN 'ape' ELSE 'wavpack' END AS __filetype,
        'T' || CAST(doc_id AS VARCHAR) || 'é' AS title,
        'A' || CAST(doc_id % 97 AS VARCHAR) AS artist,
        'AL' || CAST(doc_id % 31 AS VARCHAR) AS album,
        CAST((doc_id % 15) + 1 AS VARCHAR) AS track,
-       CASE doc_id % 4
+       CASE doc_id % 8
             WHEN 0 THEN 'Rock'
-            WHEN 1 THEN CASE WHEN doc_id % 8 >= 4 THEN 'Ambient'
+            WHEN 1 THEN CASE WHEN doc_id % 16 >= 8 THEN 'Ambient'
                              ELSE 'Ambient\\\\Chillout' END
             WHEN 2 THEN 'Electronic'
-            ELSE 'Ambient' END AS genre,
-       CASE doc_id % 4
+            WHEN 3 THEN 'Ambient'
+            WHEN 4 THEN 'Rock'
+            WHEN 5 THEN 'Jazz'
+            WHEN 6 THEN 'Ambient'
+            ELSE 'Electronic' END AS genre,
+       CASE doc_id % 8
             WHEN 0 THEN CAST(CAST(FLOOR(((doc_id % 997) * 40 + 40)
                              * 1152.0 / 44100.0) AS BIGINT) AS VARCHAR)
             ELSE CAST((doc_id % 445) + 1 AS VARCHAR)
@@ -453,38 +461,49 @@ FROM documents
 def s3_tag_parse_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL tag IO paths (S3 parse, tags2db.py:478-512; S11
     write-back, :1580-1592) value-checked end to end over actual
-    container bytes.  Every row synthesizes a well-formed container —
-    ID3v2.3+Xing MP3, FLAC (STREAMINFO + VORBIS_COMMENT), Ogg Vorbis
-    (CRC'd pages + granule duration), or MP4 (moov/mvhd/ilst) by
-    doc_id%4 — and rows with doc_id%8>=4 are first written with DECOY
-    tags and rewritten in place via ``retag_bytes`` (the export sink's
-    writer kernel), so the oracle's predicted fields prove the write
-    path preserved the stream and replaced the tags.  Decoded through
-    the byte-level pure-Python parser inside the mapInPandas seam:
-    encodings (latin-1/UTF-16), TCON "(17)"→Rock resolution, the Vorbis
-    tracknumber→track mapping, multivalue joining, Xing-frame /
-    total-samples / granule / mvhd duration math — all predicted by the
-    generating row."""
+    container bytes — ALL 8 supported families.  Every row synthesizes
+    a well-formed container — ID3v2.3+Xing MP3, FLAC (STREAMINFO +
+    VORBIS_COMMENT), Ogg Vorbis (CRC'd pages + granule duration), MP4
+    (moov/mvhd/ilst), AIFF (COMM 80-bit rate + 'ID3 ' chunk), ASF/WMA
+    (File Properties + CD/ECD via the real writer), Monkey's Audio and
+    WavPack (stream header + APEv2) by doc_id%8 — and rows with
+    doc_id%16>=8 are first written with DECOY tags and rewritten in
+    place via ``retag_bytes`` (the export sink's writer kernel), so the
+    oracle's predicted fields prove EVERY writer preserved the stream
+    and replaced the tags.  Decoded through the byte-level pure-Python
+    parser inside the mapInPandas seam: encodings (latin-1/UTF-16),
+    TCON "(17)"→Rock resolution, the Vorbis tracknumber→track mapping,
+    WM/* attribute mapping, multivalue joining, Xing-frame /
+    total-samples / granule / mvhd / File-Properties / frames-per-rate
+    duration math — all predicted by the generating row."""
     import pandas as pd
 
     from tagminder_spark.sources.catalog import parse_tags, tags_to_columns
 
     def build(batches):
         from tagminder_spark.sources.audiotags.synth import (
+            build_aiff,
+            build_ape,
+            build_asf,
             build_flac,
             build_m4a,
             build_mp3_with_xing,
             build_ogg_vorbis,
+            build_wavpack,
             retag_bytes,
         )
 
-        exts = {0: ".mp3", 1: ".flac", 2: ".ogg", 3: ".m4a"}
+        exts = {0: ".mp3", 1: ".flac", 2: ".ogg", 3: ".m4a",
+                4: ".aiff", 5: ".wma", 6: ".ape", 7: ".wv"}
+        genres = {0: "Rock", 1: "Ambient", 2: "Electronic", 3: "Ambient",
+                  4: "Rock", 5: "Jazz", 6: "Ambient", 7: "Electronic"}
         for pdf in batches:
             rows = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                fmt = did % 4
-                rewrite = did % 8 >= 4
+                fmt = did % 8
+                rewrite = did % 16 >= 8
+                seconds = (did % 445) + 1
                 tags = {
                     "title": f"T{did}é",
                     "artist": f"A{did % 97}",
@@ -498,7 +517,7 @@ def s3_tag_parse_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                     content = build_mp3_with_xing(
                         {**build_tags, "genre": "(17)"},
                         xing_frames=(did % 997) * 40 + 40,
-                        enc=0 if did % 16 < 8 else 1,
+                        enc=0 if did % 32 < 16 else 1,
                     )
                 elif fmt == 1:
                     comments = [
@@ -510,7 +529,7 @@ def s3_tag_parse_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ("GENRE", "Chillout"),
                     ]
                     content = build_flac(
-                        44100 * ((did % 445) + 1) + did % 4410,
+                        44100 * seconds + did % 4410,
                         comments,
                         audio_bytes=64,
                     )
@@ -523,17 +542,32 @@ def s3_tag_parse_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                             ("TRACKNUMBER", build_tags.get("track", "1")),
                             ("GENRE", "Electronic"),
                         ],
-                        total_samples=44100 * ((did % 445) + 1) + did % 4410,
+                        total_samples=44100 * seconds + did % 4410,
+                    )
+                elif fmt == 3:
+                    content = build_m4a(
+                        {**build_tags, "genre": "Ambient"}, seconds=seconds
+                    )
+                elif fmt == 4:
+                    content = build_aiff(
+                        {**build_tags, "genre": "Rock"}, seconds=seconds
+                    )
+                elif fmt == 5:
+                    content = build_asf(
+                        {**build_tags, "genre": "Jazz"}, seconds=seconds
+                    )
+                elif fmt == 6:
+                    content = build_ape(
+                        {**build_tags, "genre": "Ambient"}, seconds=seconds
                     )
                 else:
-                    content = build_m4a(
-                        {**build_tags, "genre": "Ambient"},
-                        seconds=(did % 445) + 1,
+                    content = build_wavpack(
+                        {**build_tags, "genre": "Electronic"}, seconds=seconds
                     )
                 if rewrite:
-                    genre = {0: "Rock", 1: "Ambient", 2: "Electronic",
-                             3: "Ambient"}[fmt]
-                    content = retag_bytes(content, {**tags, "genre": genre})
+                    content = retag_bytes(
+                        content, {**tags, "genre": genres[fmt]}
+                    )
                 rows.append(
                     {"path": f"/lib/real{did}{exts[fmt]}", "content": content}
                 )

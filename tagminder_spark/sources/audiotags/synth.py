@@ -36,6 +36,32 @@ def _encode_text(value: str, enc: int) -> bytes:
     return bytes([3]) + value.encode("utf-8")
 
 
+def pick_id3_encoding(tags: dict[str, str], version: int) -> int:
+    """Spec-correct text encoding for a tag set.  v2.4 → UTF-8 (enc 3).
+    v2.3 → latin-1 (enc 0) when every name and value fits, else UTF-16
+    with BOM (enc 1): enc 3 is a v2.4-only code, and strict v2.3
+    readers (id3lib, hardware players) misread or drop it."""
+    if version >= 4:
+        return 3
+    for name, value in tags.items():
+        for s in (name, "" if value is None else str(value)):
+            try:
+                s.encode("latin-1")
+            except UnicodeEncodeError:
+                return 1
+    return 0
+
+
+def _joined_text(values: list[str], enc: int) -> bytes:
+    """Encoding byte + NUL-joined value list (ID3v2.4 §4.2 multiple
+    strings; the same shape v2.3 writers emit in practice)."""
+    sep = b"\x00\x00" if enc == 1 else b"\x00"
+    body = _encode_text(values[0], enc)
+    for v in values[1:]:
+        body += sep + _encode_text(v, enc)[1:]
+    return body
+
+
 def _frame(fid: str, payload: bytes, version: int = 3) -> bytes:
     size = (
         _syncsafe_bytes(len(payload)) if version >= 4
@@ -64,15 +90,16 @@ def build_id3v24(tags: dict[str, str], enc: int = 3,
 def build_id3(tags: dict[str, str], enc: int = 0, version: int = 3,
               multivalue_delim: str = "\\\\") -> bytes:
     frames = b""
+    sep = b"\x00\x00" if enc == 1 else b"\x00"
     for name, value in tags.items():
         if value is None or value == "":
             continue
         values = value.split(multivalue_delim)
         if name == "comment":
+            # NUL-join ALL values (same contract as the text frames) so
+            # multivalued comments survive write-back
             payload = (
-                _encode_text("", enc)[:1] + b"eng"
-                + (b"\x00\x00" if enc == 1 else b"\x00")
-                + _encode_text(values[0], enc)[1:]
+                bytes([enc]) + b"eng" + sep + _joined_text(values, enc)[1:]
             )
             frames += _frame("COMM", payload, version)
             continue
@@ -81,17 +108,11 @@ def build_id3(tags: dict[str, str], enc: int = 0, version: int = 3,
             fid = "TDRC"
         if fid is None:
             payload = (
-                _encode_text(name, enc)
-                + (b"\x00\x00" if enc == 1 else b"\x00")
-                + _encode_text(values[0], enc)[1:]
+                _encode_text(name, enc) + sep + _joined_text(values, enc)[1:]
             )
             frames += _frame("TXXX", payload, version)
             continue
-        sep = b"\x00\x00" if enc == 1 else b"\x00"
-        body = _encode_text(values[0], enc)
-        for v in values[1:]:
-            body += sep + _encode_text(v, enc)[1:]
-        frames += _frame(fid, body, version)
+        frames += _frame(fid, _joined_text(values, enc), version)
     return (
         b"ID3" + bytes([version, 0, 0])
         + _syncsafe_bytes(len(frames)) + frames
@@ -198,11 +219,98 @@ def build_apev2(tags: dict[str, str], multivalue_delim: str = "\\\\"
     return block(0xA0000000) + body + block(0x80000000)
 
 
+def _aiff_chunk(cid: bytes, payload: bytes) -> bytes:
+    out = cid + struct.pack(">I", len(payload)) + payload
+    return out + (b"\x00" if len(payload) & 1 else b"")
+
+
+def build_aiff(tags: dict[str, str], seconds: int,
+               sample_rate: int = 44100,
+               multivalue_delim: str = "\\\\") -> bytes:
+    """A minimal AIFF: COMM (80-bit extended-float sample rate) + SSND
+    stub + 'ID3 ' chunk — duration is exactly ``seconds``."""
+    frames = sample_rate * seconds
+    rate80 = (
+        struct.pack(">H", 16383 + 15) + (sample_rate << 48).to_bytes(8, "big")
+    )
+    comm = _aiff_chunk(b"COMM", struct.pack(">HIH", 2, frames, 16) + rate80)
+    ssnd = _aiff_chunk(b"SSND", b"\x00" * 8 + b"\xaa" * 64)
+    id3 = build_id3v23(
+        tags, enc=pick_id3_encoding(tags, 3), multivalue_delim=multivalue_delim
+    )
+    body = comm + ssnd + _aiff_chunk(b"ID3 ", id3)
+    return b"FORM" + struct.pack(">I", 4 + len(body)) + b"AIFF" + body
+
+
+def build_asf(tags: dict[str, str], seconds: int,
+              multivalue_delim: str = "\\\\") -> bytes:
+    """A minimal ASF/WMA: header with File Properties (play duration +
+    3 s preroll ⇒ length is exactly ``seconds``), tags injected through
+    the REAL writer path (:func:`retag_bytes`'s ASF planner)."""
+    from .asf import FILE_PROPS_GUID, HEADER_GUID
+
+    preroll_ms = 3000
+    fp_body = (
+        b"\x00" * 16 + struct.pack("<Q", 0) * 2 + struct.pack("<Q", 0)
+        + struct.pack("<Q", (seconds + preroll_ms // 1000) * 10 ** 7)
+        + struct.pack("<Q", 0) + struct.pack("<Q", preroll_ms)
+        + b"\x00" * 16
+    )
+    fp = FILE_PROPS_GUID + struct.pack("<Q", 24 + len(fp_body)) + fp_body
+    bare = (
+        HEADER_GUID + struct.pack("<Q", 30 + len(fp)) + struct.pack("<I", 1)
+        + b"\x01\x02" + fp + b"\xaa" * 200
+    )
+    return retag_bytes(bare, tags, multivalue_delim)
+
+
+def build_ape(tags: dict[str, str], seconds: int,
+              sample_rate: int = 44100,
+              multivalue_delim: str = "\\\\") -> bytes:
+    """A minimal Monkey's Audio file (>=3.98 descriptor+header layout):
+    blocks_per_frame == final_blocks == sample_rate and total_frames ==
+    ``seconds`` ⇒ total samples = rate·seconds, duration exact."""
+    desc_len = 52
+    desc = (
+        b"MAC " + struct.pack("<HH", 3990, 0)
+        + struct.pack("<I", desc_len) + b"\x00" * (desc_len - 12)
+    )
+    hdr = (
+        struct.pack("<HH", 2000, 0)
+        + struct.pack("<III", sample_rate, sample_rate, seconds)
+        + struct.pack("<HH", 16, 2) + struct.pack("<I", sample_rate)
+        + b"\x00" * 8
+    )
+    return (
+        desc + hdr + b"\xaa" * 128 + build_apev2(tags, multivalue_delim)
+    )
+
+
+def build_wavpack(tags: dict[str, str], seconds: int,
+                  multivalue_delim: str = "\\\\") -> bytes:
+    """A minimal WavPack file: first block header carries total samples
+    (rate 44100 via flags bits 23-26) + trailing APEv2."""
+    total = 44100 * seconds
+    flags = (9 << 23) | 0x01  # 44.1 kHz, 2 bytes/sample, stereo
+    header = (
+        b"wvpk" + struct.pack("<IHBB", 400, 0x410, 0, 0)
+        + struct.pack("<IIII", total, 0, 4096, flags)
+        + struct.pack("<I", 0)
+    )
+    return header + b"\xaa" * 368 + build_apev2(tags, multivalue_delim)
+
+
 def _mp4_meta_ilst(tags: dict[str, str], multivalue_delim: str = "\\\\"
                    ) -> bytes:
-    """A udta>meta>hdlr+ilst subtree carrying the given tags (text
-    atoms via the public iTunes vocabulary, unknown keys as freeform
-    ``----`` atoms)."""
+    """A udta>meta>hdlr+ilst subtree carrying the given tags."""
+    return _atom(b"udta", _mp4_meta(tags, multivalue_delim))
+
+
+def _mp4_meta(tags: dict[str, str], multivalue_delim: str = "\\\\"
+              ) -> bytes:
+    """A meta>hdlr+ilst atom carrying the given tags (text atoms via
+    the public iTunes vocabulary, unknown keys as freeform ``----``
+    atoms)."""
     from .mp4 import ILST_NAMES
 
     rev = {v: k for k, v in ILST_NAMES.items()}
@@ -225,8 +333,7 @@ def _mp4_meta_ilst(tags: dict[str, str], multivalue_delim: str = "\\\\"
     hdlr = _atom(
         b"hdlr", b"\x00" * 8 + b"mdir" + b"appl" + b"\x00" * 9
     )
-    meta = _atom(b"meta", b"\x00" * 4 + hdlr + _atom(b"ilst", entries))
-    return _atom(b"udta", meta)
+    return _atom(b"meta", b"\x00" * 4 + hdlr + _atom(b"ilst", entries))
 
 
 def _atom(atype: bytes, payload: bytes) -> bytes:
@@ -236,95 +343,167 @@ def _atom(atype: bytes, payload: bytes) -> bytes:
 # ---------------------------------------------------------------------------
 # in-place retag (the export sink's real write path)
 # ---------------------------------------------------------------------------
+#
+# Every rewrite is expressed as a PLAN: a list of segments, each either
+# literal ``bytes`` (the new tag sections) or an ``(start, end)`` span
+# of the SOURCE file (the untouched audio region).  ``retag_bytes``
+# joins a plan in memory; ``retag_file`` streams it — new tag bytes are
+# written directly and source spans are block-copied — so retagging a
+# 2 GB concert FLAC holds only the metadata sections resident, never
+# two full copies of the file.
 
-def retag_bytes(data: bytes, tags: dict[str, str],
-                multivalue_delim: str = "\\\\") -> bytes | None:
-    """Replace a file's tag section with ``tags``, preserving the audio
-    stream byte-for-byte.  Supports the two dominant formats:
+Segment = "bytes | tuple[int, int]"
 
-    - MP3 (or headerless MPEG): strip any leading ID3v2 + trailing
-      ID3v1, prepend a fresh ID3v2.3 tag.
-    - FLAC: drop existing VORBIS_COMMENT blocks, insert a fresh one
-      after STREAMINFO, keep all other metadata blocks and frames.
-    - MP4/M4A: rebuild moov's udta subtree; when moov precedes mdat,
-      every stco/co64 chunk offset is shifted by the size delta so the
-      sample tables stay valid.
-    - Monkey's Audio / WavPack: strip any trailing APEv2 + ID3v1,
-      append a fresh APEv2 tag.
 
-    Returns the rewritten bytes, or ``None`` when the format isn't
-    rewritable here (caller falls back to the injected writer seam).
+def retag_plan(data, tags: dict[str, str],
+               multivalue_delim: str = "\\\\") -> list | None:
+    """Rewrite plan for replacing a file's tag section with ``tags``
+    while preserving the audio stream byte-for-byte.  ``data`` may be
+    real ``bytes`` or a bounded-IO :class:`~.lazyio.LazyFileBytes`
+    view — planners only touch head/tail metadata regions.
+
+    Formats (the reference's whole AUDIO_EXTENSIONS set,
+    `tags2db.py:108`): MP3/MPEG (fresh ID3v2 at head, ID3v1 stripped),
+    FLAC (VORBIS_COMMENT replaced, other blocks kept as source spans),
+    MP4/M4A (moov rebuilt, stco/co64 shifted when mdat follows), Ogg
+    Vorbis/Opus (comment page respliced, CRCs recomputed), ASF/WMA
+    (header objects rebuilt), AIFF ('ID3 ' chunk replaced), Monkey's
+    Audio / WavPack (trailing APEv2 replaced).
+
+    Returns ``None`` when the container isn't rewritable here (caller
+    falls back to the injected writer seam).
     """
     from . import sniff_format
     from ._bits import be_int
     from .id3 import parse_id3v2
 
     fmt = sniff_format(data)
+    size = len(data)
     if fmt == "mp3":
         _, tag_size, _ = parse_id3v2(data)
-        body = data[tag_size:]
-        if body[-128:][:3] == b"TAG":
-            body = body[:-128]
+        end = size
+        if end - tag_size >= 128 and bytes(data[end - 128:end - 125]) == b"TAG":
+            end -= 128
         # preserve the source's tag version (v2.2 upgrades to v2.3)
         version = 4 if (tag_size and data[3] >= 4) else 3
-        return build_id3(
-            tags, enc=3, version=version, multivalue_delim=multivalue_delim
-        ) + body
+        tag = build_id3(
+            tags, enc=pick_id3_encoding(tags, version), version=version,
+            multivalue_delim=multivalue_delim,
+        )
+        return [tag, (tag_size, end)]
     if fmt == "flac":
         start = 0
         if data.startswith(b"ID3"):
             _, start, _ = parse_id3v2(data)
-        if data[start:start + 4] != b"fLaC":
+        if bytes(data[start:start + 4]) != b"fLaC":
             return None
         pos = start + 4
-        kept: list[bytes] = []
-        while pos + 4 <= len(data):
+        plan: list = [b"fLaC"]
+        last_kept = None  # index of the last kept block's flag byte
+        while pos + 4 <= size:
             hdr = data[pos]
             btype = hdr & 0x7F
             bsize = be_int(data[pos + 1:pos + 4])
-            block = data[pos:pos + 4 + bsize]
             last = bool(hdr & 0x80)
-            pos += 4 + bsize
             if btype != 4:  # drop old VORBIS_COMMENT
-                # clear the last-block flag; re-set below
-                kept.append(bytes([btype]) + block[1:])
+                # flag byte re-emitted with last-block cleared; size +
+                # body ride as a source span (PICTURE blocks with big
+                # embedded art never materialize)
+                plan.append(bytes([btype]))
+                plan.append((pos + 1, pos + 4 + bsize))
+            pos += 4 + bsize
             if last:
                 break
-        audio = data[pos:]
         comments = [
             (k, v)
             for k, raw in tags.items()
             if raw not in (None, "")
-            for v in raw.split(multivalue_delim)
+            for v in str(raw).split(multivalue_delim)
         ]
         vc = build_vorbis_block(comments)
-        blocks = kept + [bytes([4]) + len(vc).to_bytes(3, "big") + vc]
-        blocks[-1] = bytes([blocks[-1][0] | 0x80]) + blocks[-1][1:]
-        return b"fLaC" + b"".join(blocks) + audio
+        plan.append(bytes([0x80 | 4]) + len(vc).to_bytes(3, "big") + vc)
+        plan.append((pos, size))
+        return plan
     if fmt == "mp4":
-        return _retag_mp4(bytes(data), tags, multivalue_delim)
+        return _retag_mp4_plan(data, tags, multivalue_delim)
     if fmt == "aiff":
-        return _retag_aiff(bytes(data), tags, multivalue_delim)
+        return _retag_aiff_plan(data, tags, multivalue_delim)
     if fmt == "ogg":
-        return _retag_ogg(bytes(data), tags, multivalue_delim)
+        return _retag_ogg_plan(data, tags, multivalue_delim)
     if fmt == "asf":
-        return _retag_asf(bytes(data), tags, multivalue_delim)
+        return _retag_asf_plan(data, tags, multivalue_delim)
     if fmt in ("ape", "wavpack"):
-        body = bytes(data)
-        if body[-128:][:3] == b"TAG":
-            body = body[:-128]
+        end = size
+        if end >= 128 and bytes(data[end - 128:end - 125]) == b"TAG":
+            end -= 128
         # strip an existing APEv2 tag (footer at EOF; honor has-header)
-        foot = body[-32:]
+        foot = bytes(data[end - 32:end]) if end >= 32 else b""
         if foot.startswith(b"APETAGEX"):
             tag_size = int.from_bytes(foot[12:16], "little")
             flags = int.from_bytes(foot[20:24], "little")
-            strip = tag_size + (32 if flags & 0x80000000 else 0)
-            body = body[: len(body) - strip]
-        return body + build_apev2(tags, multivalue_delim)
+            end -= tag_size + (32 if flags & 0x80000000 else 0)
+        return [(0, end), build_apev2(tags, multivalue_delim)]
     return None
 
 
-def _retag_mp4(data: bytes, tags: dict[str, str], mv: str) -> bytes | None:
+def retag_bytes(data: bytes, tags: dict[str, str],
+                multivalue_delim: str = "\\\\") -> bytes | None:
+    """In-memory retag: materialize :func:`retag_plan`.  ``None`` when
+    the format isn't rewritable."""
+    plan = retag_plan(data, tags, multivalue_delim)
+    if plan is None:
+        return None
+    return b"".join(
+        seg if isinstance(seg, (bytes, bytearray)) else bytes(data[seg[0]:seg[1]])
+        for seg in plan
+    )
+
+
+def retag_file(path: str, tags: dict[str, str],
+               multivalue_delim: str = "\\\\", block: int = 1 << 20) -> bool:
+    """Bounded-memory in-place retag: plan against a lazy head/tail
+    view, stream the result to ``<path>.tmwrite`` (new tag sections
+    written directly, audio spans block-copied), then atomically
+    ``os.replace`` — the crash-safe analogue of the reference's
+    one-file-at-a-time walk (tags2db.py:1580-1592, README.md:417).
+    Peak resident memory is O(tag sections), not O(file size).
+
+    Returns False (file untouched) when the format isn't rewritable.
+    """
+    import os
+
+    from .lazyio import LazyFileBytes
+
+    with LazyFileBytes(path) as view:
+        plan = retag_plan(view, tags, multivalue_delim)
+    if plan is None:
+        return False
+    tmp = path + ".tmwrite"
+    try:
+        with open(path, "rb") as src, open(tmp, "wb") as dst:
+            for seg in plan:
+                if isinstance(seg, (bytes, bytearray)):
+                    dst.write(seg)
+                    continue
+                start, end = seg
+                src.seek(start)
+                while start < end:
+                    chunk = src.read(min(block, end - start))
+                    if not chunk:
+                        break
+                    dst.write(chunk)
+                    start += len(chunk)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+    return True
+
+
+def _retag_mp4_plan(data, tags: dict[str, str], mv: str) -> list | None:
     from .mp4 import _atoms
 
     top = list(_atoms(data, 0, len(data)))
@@ -333,21 +512,31 @@ def _retag_mp4(data: bytes, tags: dict[str, str], mv: str) -> bytes | None:
         return None
     ms, me = moov
     moov_start = ms - 8  # _atoms yields body bounds; header is 8 bytes
-    kept = b"".join(
-        data[s - 8:e] for t, s, e in _atoms(data, ms, me) if t != b"udta"
-    )
-    new_children = kept + _mp4_meta_ilst(tags, mv)
-    new_moov = _atom(b"moov", new_children)
-    delta = len(new_moov) - (me - moov_start)
+    # moov is metadata — bounded; materialize once, rebuild in memory
+    raw = bytes(data[moov_start:me])
+    kept = b""
+    udta_keep = b""
+    for t, s, e in _atoms(raw, 8, len(raw)):
+        if t == b"udta":
+            # keep non-tag udta children (chpl chapters, ©xyz location,
+            # custom boxes); only the meta>ilst subtree is rebuilt
+            for t2, s2, e2 in _atoms(raw, s, e):
+                if t2 != b"meta":
+                    udta_keep += raw[s2 - 8:e2]
+        else:
+            kept += raw[s - 8:e]
+    new_udta = _atom(b"udta", udta_keep + _mp4_meta(tags, mv))
+    new_moov = _atom(b"moov", kept + new_udta)
+    delta = len(new_moov) - len(raw)
     mdat_after = any(
         t == b"mdat" and s - 8 > moov_start for t, s, e in top
     )
     if delta and mdat_after:
         new_moov = _shift_chunk_offsets(new_moov, delta)
-    return data[:moov_start] + new_moov + data[me:]
+    return [(0, moov_start), new_moov, (me, len(data))]
 
 
-def _retag_asf(data: bytes, tags: dict[str, str], mv: str) -> bytes | None:
+def _retag_asf_plan(data, tags: dict[str, str], mv: str) -> list | None:
     """Rebuild the ASF Header Object's Content Description + Extended
     Content Description from ``tags``; the Data Object and packets
     follow unchanged (packet offsets are header-relative in ASF, so a
@@ -363,10 +552,9 @@ def _retag_asf(data: bytes, tags: dict[str, str], mv: str) -> bytes | None:
 
     if not data.startswith(HEADER_GUID) or len(data) < 30:
         return None
-    header_size = int.from_bytes(data[16:24], "little")
-    count = int.from_bytes(data[24:28], "little")
-    body = data[30:header_size]
-    rest = data[header_size:]
+    header_size = int.from_bytes(bytes(data[16:24]), "little")
+    count = int.from_bytes(bytes(data[24:28]), "little")
+    body = bytes(data[30:header_size])  # header objects only — bounded
 
     kept: list[bytes] = []
     pos = 0
@@ -423,38 +611,48 @@ def _retag_asf(data: bytes, tags: dict[str, str], mv: str) -> bytes | None:
     new_header_size = 30 + len(new_body)
     out = bytearray(
         HEADER_GUID + struct.pack("<Q", new_header_size)
-        + struct.pack("<I", len(objs)) + data[28:30] + new_body + rest
+        + struct.pack("<I", len(objs)) + bytes(data[28:30]) + new_body
     )
     if fp_index is not None:
         # patch File Properties' file-size field (offset 40 into the
-        # object: 24 header + 16 file id)
+        # object: 24 header + 16 file id) with the FINAL size — header
+        # plus the unchanged Data Object span
+        total = new_header_size + (len(data) - header_size)
         off = 30 + sum(len(o) for o in objs[:fp_index]) + 40
-        out[off:off + 8] = struct.pack("<Q", len(out))
-    return bytes(out)
+        out[off:off + 8] = struct.pack("<Q", total)
+    return [bytes(out), (header_size, len(data))]
 
 
-def _retag_aiff(data: bytes, tags: dict[str, str], mv: str) -> bytes | None:
-    """Replace (or append) the AIFF 'ID3 ' chunk and fix the FORM size."""
+def _retag_aiff_plan(data, tags: dict[str, str], mv: str) -> list | None:
+    """Replace (or append) the AIFF 'ID3 ' chunk and fix the FORM size.
+    Kept chunks (SSND — the audio — included) ride as source spans."""
     from ._bits import be_int
 
-    if not data.startswith(b"FORM") or data[8:12] not in (b"AIFF", b"AIFC"):
+    form = bytes(data[8:12])
+    if not data.startswith(b"FORM") or form not in (b"AIFF", b"AIFC"):
         return None
-    kept = []
+    spans: list[tuple[int, int]] = []
     pos = 12
     end = min(len(data), 8 + be_int(data[4:8]))
     while pos + 8 <= end:
-        cid = data[pos:pos + 4]
+        cid = bytes(data[pos:pos + 4])
         csize = be_int(data[pos + 4:pos + 8])
         step = 8 + csize + (csize & 1)
         if cid not in (b"ID3 ", b"id3 "):
-            kept.append(data[pos:pos + step])
+            spans.append((pos, min(pos + step, end)))
         pos += step
-    id3 = build_id3v23(tags, enc=3, multivalue_delim=mv)
+    id3 = build_id3v23(
+        tags, enc=pick_id3_encoding(tags, 3), multivalue_delim=mv
+    )
     chunk = b"ID3 " + struct.pack(">I", len(id3)) + id3
     if len(id3) & 1:
         chunk += b"\x00"
-    body = b"".join(kept) + chunk
-    return b"FORM" + struct.pack(">I", 4 + len(body)) + b"AIFF" + body
+    body_len = sum(e - s for s, e in spans) + len(chunk)
+    return [
+        b"FORM" + struct.pack(">I", 4 + body_len) + form,
+        *spans,
+        chunk,
+    ]
 
 
 # Ogg page CRC: CRC-32, polynomial 0x04c11db7, no reflection, init/xor 0
@@ -488,15 +686,26 @@ def _ogg_page(payload: bytes, granule: int, serial: int, seq: int,
     return bytes(page)
 
 
-def _retag_ogg(data: bytes, tags: dict[str, str], mv: str) -> bytes | None:
+def _retag_ogg_plan(data, tags: dict[str, str], mv: str) -> list | None:
     """Rewrite the Vorbis/Opus comment header in place.
 
     The comment packet lives in the page(s) between the ident page and
-    the first audio page; those header pages are re-emitted with the new
-    comment packet (page CRCs recomputed).  Page count is preserved —
+    the first audio page; that header page is re-emitted with the new
+    comment packet (page CRC recomputed).  Page count is preserved —
     header packets are re-laced into ONE page, which holds up to ~64 KiB
     (plenty for text comments; give up past that so sequence numbers of
-    audio pages never change)."""
+    audio pages never change).
+
+    Safety: splicing is only legal when the comment page is
+    self-contained.  If its final lacing value is 255 the packet
+    CONTINUES on the next page (files with >~64 KiB of embedded art) —
+    replacing just this page would orphan the continuation page
+    (continued-packet flag set) and lose/corrupt the Vorbis setup
+    header.  Both the lacing value and the next page's
+    continued-packet flag are checked; either trips → return None so
+    the caller falls back to the injected writer instead of destroying
+    the file.  (A setup header living entirely on a LATER page is fine:
+    that page isn't touched and keeps its sequence number.)"""
     pages = []
     for granule, payload, raw_span in _pages_spans(data):
         pages.append((granule, payload, raw_span))
@@ -511,12 +720,20 @@ def _retag_ogg(data: bytes, tags: dict[str, str], mv: str) -> bytes | None:
         magic, kind = b"OpusTags", "opus"
     else:
         return None
-    serial = int.from_bytes(data[14:18], "little")
+    serial = int.from_bytes(bytes(data[14:18]), "little")
     # header pages after the ident page, before first audio page:
     # their concatenated payload = comment packet [+ setup packet]
     hdr_payload = pages[1][1]
     span_start, span_end = pages[1][2]
     if not hdr_payload.startswith(magic):
+        return None
+    # final lacing value 255 ⇒ last packet continues on the next page
+    nsegs = data[span_start + 26]
+    lacing = bytes(data[span_start + 27:span_start + 27 + nsegs])
+    if not lacing or lacing[-1] == 255:
+        return None
+    # belt-and-braces: the next page must not claim to continue a packet
+    if len(pages) >= 3 and data[pages[2][2][0] + 5] & 0x01:
         return None
     setup = b""
     if kind == "vorbis":
@@ -536,7 +753,7 @@ def _retag_ogg(data: bytes, tags: dict[str, str], mv: str) -> bytes | None:
     if len(new_payload) > 255 * 250:
         return None  # would change the page count; bail to injected seam
     new_page = _ogg_page(new_payload, 0, serial, 1)
-    return data[:span_start] + new_page + data[span_end:]
+    return [(0, span_start), new_page, (span_end, len(data))]
 
 
 def _pages_spans(data: bytes):

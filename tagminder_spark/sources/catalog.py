@@ -158,6 +158,10 @@ def _parse_one(path: str, content: bytes | None) -> dict:
         parsed = (
             audiotags.parse_audio(path, data) if data is not None else None
         )
+    except Exception:
+        # malformed container bytes must degrade to the fallback row,
+        # never crash the Spark task — the 'never drops a file' contract
+        parsed = None
     finally:
         if lazy is not None:
             lazy.close()

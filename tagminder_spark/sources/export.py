@@ -8,10 +8,11 @@ only-ever-touched semi-join, 98-create-export-db.py:148-372), repartition
 by directory so one task owns a directory, sort by `__path` for I/O
 locality (tags2db.py:860), then `foreachPartition` the per-file writer.
 
-The default writer is REAL: it reads each file at ``__path``, rewrites
-its tag section byte-level via ``audiotags.synth.retag_bytes`` (ID3v2.3
-for MPEG, VORBIS_COMMENT for FLAC — pure Python, no libraries), and
-atomically replaces the file.  A custom ``writer_fn`` can still be
+The default writer is REAL: it rewrites each file's tag section
+byte-level via ``audiotags.synth.retag_file`` (ID3v2 for MPEG/AIFF,
+VORBIS_COMMENT for FLAC/Ogg, ilst for MP4, APEv2, ASF — pure Python, no
+libraries), streaming the audio region so memory stays O(tag sections),
+and atomically replaces the file.  A custom ``writer_fn`` can still be
 injected (recorders in tests, other-format writers in production).
 """
 
@@ -48,16 +49,18 @@ def export_projection(
 
 
 def file_writer(rows: Iterator[Row]) -> None:
-    """Real tag write-back: for each row, read the file at ``__path``,
-    replace its tag section with the row's non-system columns
-    (``retag_bytes`` keeps the audio stream byte-identical), and swap
-    atomically via ``os.replace`` — the crash-safe analogue of the
-    reference's one-file-at-a-time directory walk (tags2db.py:1580-1592).
-    Empty/NULL cells mean "delete the tag" (they are simply omitted from
-    the rewritten tag section)."""
-    import os
+    """Real tag write-back: for each row, replace the tag section of the
+    file at ``__path`` with the row's non-system columns and swap
+    atomically — the crash-safe analogue of the reference's
+    one-file-at-a-time directory walk (tags2db.py:1580-1592).
 
-    from tagminder_spark.sources.audiotags.synth import retag_bytes
+    Bounded memory: ``retag_file`` plans against a lazy head/tail view
+    and STREAM-copies the audio region in blocks, so peak resident
+    memory is O(tag sections) — a 2 GB concert FLAC is retagged without
+    ever holding two copies (or even one copy) of it.  Empty/NULL cells
+    mean "delete the tag" (they are simply omitted from the rewritten
+    tag section)."""
+    from tagminder_spark.sources.audiotags.synth import retag_file
 
     for row in rows:
         d = row.asDict()
@@ -67,18 +70,11 @@ def file_writer(rows: Iterator[Row]) -> None:
             for k, v in d.items()
             if not k.startswith("__") and v is not None and str(v).strip()
         }
-        with open(path, "rb") as fh:
-            data = fh.read()
-        new = retag_bytes(data, tags, MV_DELIM)
-        if new is None:
+        if not retag_file(path, tags, MV_DELIM):
             raise NotImplementedError(
                 f"unsupported container for in-place retag: {path}; "
                 "inject writer_fn for this format"
             )
-        tmp = path + ".tmwrite"
-        with open(tmp, "wb") as fh:
-            fh.write(new)
-        os.replace(tmp, path)
 
 
 _default_writer = file_writer
