@@ -83,6 +83,44 @@ def cmd_run(name: str, sf_dir: str) -> int:
     return 0
 
 
+def cmd_tui(screen_name: str, sf_dir: str, config: str | None) -> int:
+    """Interactive screens (reference tm_tui.py): ``colsel`` edits the
+    column-selection lists of a tagminder.toml in place; ``explorer``
+    browses the artist co-occurrence graph built from the testdata."""
+    import datetime
+    from pathlib import Path
+
+    from tagminder_spark.app.tui_runtime import (
+        ColumnMatrixScreen,
+        ExplorerScreen,
+        run,
+    )
+
+    if screen_name == "colsel":
+        from tagminder_spark.app.colsel import ColumnMatrix
+
+        if not config:
+            raise SystemExit("tui colsel requires --config PATH")
+        path = Path(config)
+        stamp = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
+        screen = ColumnMatrixScreen(
+            ColumnMatrix(path.read_text(encoding="utf-8")), path, stamp=stamp
+        )
+    elif screen_name == "explorer":
+        from tagminder_spark.queries import merged
+        from tagminder_spark.reports.tui import ExplorerSession
+        from tagminder_spark.session import get_spark
+
+        queries, _ = merged()
+        spark = get_spark("tm-spark-tui")
+        edges = queries["g_top_neighbors"](spark, sf_dir)
+        screen = ExplorerScreen(ExplorerSession(edges))
+    else:
+        raise SystemExit(f"unknown screen '{screen_name}' (colsel|explorer)")
+    run(screen)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         prog="tm-spark",
@@ -96,6 +134,10 @@ def build_parser() -> argparse.ArgumentParser:
     p_run = sub.add_parser("run", help="Run a registered query")
     p_run.add_argument("name")
     p_run.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p_tui = sub.add_parser("tui", help="Interactive screens (colsel|explorer)")
+    p_tui.add_argument("screen", choices=("colsel", "explorer"))
+    p_tui.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p_tui.add_argument("--config")
     return parser
 
 
@@ -107,6 +149,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_describe(args.name)
     if args.command == "run":
         return cmd_run(args.name, args.sf_dir)
+    if args.command == "tui":
+        return cmd_tui(args.screen, args.sf_dir, args.config)
     return 2
 
 

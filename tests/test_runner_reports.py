@@ -431,3 +431,37 @@ def test_render_artist_map_interactive_payload(spark, tmp_path):
     ):
         assert anchor in text
     assert "http" not in text.lower().replace("http-equiv", "")  # offline page
+
+
+def test_cli_tui_subcommand_parsing_and_validation(monkeypatch):
+    """`tm-spark tui` wiring: parser accepts both screens, colsel
+    demands --config, the screen construction reaches the runtime loop
+    (stubbed) with a ready ColumnMatrixScreen."""
+    import pytest as _pytest
+
+    from tagminder_spark.app import cli, tui_runtime
+
+    args = cli.build_parser().parse_args(["tui", "explorer"])
+    assert args.command == "tui" and args.screen == "explorer"
+
+    with _pytest.raises(SystemExit, match="--config"):
+        cli.cmd_tui("colsel", "/tmp", None)
+
+    captured = {}
+    monkeypatch.setattr(
+        "tagminder_spark.app.tui_runtime.run",
+        lambda screen, keys=None: captured.setdefault("screen", screen),
+    )
+    import tempfile
+    from pathlib import Path
+    with tempfile.TemporaryDirectory() as d:
+        cfg = Path(d) / "tagminder.toml"
+        cfg.write_text(
+            '[columns]\nschema_columns = ["title"]\n'
+            '[cleanup]\nkeep_columns = ["title"]\ndedupe_columns = []\n'
+            "[reports.missing_critical_tags_by_album]\ncritical_columns = []\n"
+            "[reports.multi_value_tags_by_album]\ntags = []\n",
+            encoding="utf-8",
+        )
+        assert cli.cmd_tui("colsel", "/tmp", str(cfg)) == 0
+    assert isinstance(captured["screen"], tui_runtime.ColumnMatrixScreen)
