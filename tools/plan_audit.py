@@ -38,6 +38,13 @@ def audit(plan: str) -> dict:
         "broadcast_joins": ops["BroadcastHashJoin"],
         "sortmerge_joins": ops["SortMergeJoin"],
         "nested_loop_joins": ops["BroadcastNestedLoopJoin"] + ops["CartesianProduct"],
+        # split out for flagging: CartesianProduct is the real
+        # scale-killer (both sides shuffled, O(n·m) unbounded); a
+        # BroadcastNestedLoopJoin only exists when the build side fits
+        # the broadcast threshold — in this codebase always a 1-row
+        # scalar frame (crossJoin(F.broadcast(agg)) pattern), O(n·1)
+        "cartesian_joins": ops["CartesianProduct"],
+        "broadcast_nlj": ops["BroadcastNestedLoopJoin"],
         "aggregates": ops["HashAggregate"] + ops["ObjectHashAggregate"] + ops["SortAggregate"],
         "windows": ops["Window"],
         "scans": ops["FileScan"] + ops["InMemoryTableScan"],
@@ -99,8 +106,10 @@ def main() -> None:
             set(re.findall(r"codegen id : (\d+)", qe.explainString(mode)))
         )
         flags = []
-        if a["nested_loop_joins"]:
-            flags.append("NESTED-LOOP!")
+        if a["cartesian_joins"]:
+            flags.append("CARTESIAN!")
+        if a["broadcast_nlj"]:
+            flags.append(f"scalar-xjoin×{a['broadcast_nlj']}")
         if a["sortmerge_joins"] > a["broadcast_joins"] and a["sortmerge_joins"] > 2:
             flags.append("many-SMJ")
         if a["python_evals"]:
