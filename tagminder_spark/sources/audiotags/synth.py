@@ -493,6 +493,14 @@ def retag_file(path: str, tags: dict[str, str],
                         break
                     dst.write(chunk)
                     start += len(chunk)
+        # the replacement must not silently change ownership/mode —
+        # users' libraries carry deliberate permissions
+        st = os.stat(path)
+        os.chmod(tmp, st.st_mode)
+        try:
+            os.chown(tmp, st.st_uid, st.st_gid)
+        except (OSError, AttributeError):  # unprivileged / non-POSIX
+            pass
         os.replace(tmp, path)
     except BaseException:
         try:

@@ -320,3 +320,15 @@ class TestParseCrashGuard:
         from tagminder_spark.sources.catalog import _parse_one
         row = _parse_one("x.mp3", b"\xff\xfb" + b"\x91" * 40)
         assert row["path"] == "x.mp3"
+
+
+def test_retag_file_preserves_permissions(tmp_path):
+    """os.replace with a fresh temp file must not reset the original's
+    mode — users' libraries carry deliberate permissions."""
+    import os
+
+    p = tmp_path / "x.flac"
+    p.write_bytes(build_flac(44100 * 9, [("TITLE", "old")]))
+    os.chmod(p, 0o640)
+    assert retag_file(str(p), TAGS) is True
+    assert (os.stat(p).st_mode & 0o777) == 0o640
