@@ -103,3 +103,42 @@ def test_multivalue_roundtrip(tags, values):
     ):
         out = parse_audio("x", build(tags))
         assert out["artist"] == MULTIVALUE_DELIM.join(values)
+
+
+@settings(max_examples=40, deadline=None)
+@given(tags=_tags, fmt=st.sampled_from(
+    ["mp3", "flac", "ogg", "m4a", "aiff", "asf", "ape", "wv"]
+))
+def test_retag_file_stream_equals_retag_bytes(tmp_path_factory, tags, fmt):
+    """For ARBITRARY tag dicts on every container family, the streamed
+    plan writer produces bytes identical to the in-memory join, and the
+    parser reads the new tags back verbatim."""
+    from tagminder_spark.sources.audiotags.synth import (
+        build_aiff,
+        build_ape,
+        build_asf,
+        build_wavpack,
+        retag_file,
+    )
+
+    base = {
+        "mp3": lambda: build_mp3_with_xing({"title": "old"}, 400),
+        "flac": lambda: build_flac(44100 * 7, [("TITLE", "old")]),
+        "ogg": lambda: build_ogg_vorbis([("TITLE", "old")], 44100 * 7),
+        "m4a": lambda: build_m4a({"title": "old"}, 7),
+        "aiff": lambda: build_aiff({"title": "old"}, 7),
+        "asf": lambda: build_asf({"title": "old"}, 7),
+        "ape": lambda: build_ape({"title": "old"}, 7),
+        "wv": lambda: build_wavpack({"title": "old"}, 7),
+    }[fmt]()
+    expected = retag_bytes(base, tags)
+    assert expected is not None
+    d = tmp_path_factory.mktemp("rt")
+    p = d / f"x.{fmt}"
+    p.write_bytes(base)
+    assert retag_file(str(p), tags) is True
+    got = p.read_bytes()
+    assert got == expected
+    out = parse_audio(str(p), got)
+    for k, v in tags.items():
+        assert out[k] == v, (fmt, k)
