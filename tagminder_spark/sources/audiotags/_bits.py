@@ -89,7 +89,10 @@ def read_extended_float80(b: bytes) -> float:
     expon &= 0x7FFF
     if expon == 0 and mant == 0:
         return 0.0
-    return sign * mant * 2.0 ** (expon - 16383 - 63)
+    try:
+        return sign * mant * 2.0 ** (expon - 16383 - 63)
+    except OverflowError:  # corrupt exponent (fuzz-found) — not a rate
+        return 0.0
 
 
 def strlength(seconds: int) -> str:

@@ -80,6 +80,8 @@ def _decode_ilst_value(key: str, flags: int, payload: bytes) -> str | None:
 
 
 def _mvhd_duration(data: bytes, s: int, e: int) -> float | None:
+    if s >= e or s >= len(data):  # empty mvhd body at EOF (fuzz-found)
+        return None
     ver = data[s]
     if ver == 1 and e - s >= 32:
         timescale = be_int(data[s + 20:s + 24])

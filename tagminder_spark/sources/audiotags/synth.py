@@ -561,6 +561,8 @@ def _retag_asf_plan(data, tags: dict[str, str], mv: str) -> list | None:
     if not data.startswith(HEADER_GUID) or len(data) < 30:
         return None
     header_size = int.from_bytes(bytes(data[16:24]), "little")
+    if not 30 <= header_size <= len(data):  # corrupt header — don't touch
+        return None
     count = int.from_bytes(bytes(data[24:28]), "little")
     body = bytes(data[30:header_size])  # header objects only — bounded
 

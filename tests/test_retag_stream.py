@@ -332,3 +332,51 @@ def test_retag_file_preserves_permissions(tmp_path):
     os.chmod(p, 0o640)
     assert retag_file(str(p), TAGS) is True
     assert (os.stat(p).st_mode & 0o777) == 0o640
+
+
+def test_fuzz_parse_and_retag_never_raise():
+    """Deterministic corruption fuzz (truncations + bit flips) over all
+    8 builders: parse_audio and retag_bytes must degrade (None/partial),
+    never raise — a raised exception in a mapInPandas batch or the
+    export writer fails the whole Spark task.  The three fuzz-found
+    crashes (AIFF rate-exponent overflow, MP4 empty-mvhd IndexError,
+    ASF corrupt-header-size struct.error) stay fixed."""
+    import random
+
+    from tagminder_spark.sources.audiotags.synth import (
+        build_aiff,
+        build_ape,
+        build_asf,
+        build_m4a,
+        build_ogg_vorbis,
+        build_wavpack,
+    )
+
+    tags = {"title": "T", "artist": "A", "album": "B", "track": "3"}
+    builders = {
+        "mp3": build_mp3_with_xing(tags, 400),
+        "flac": build_flac(44100 * 9, list(tags.items())),
+        "ogg": build_ogg_vorbis(list(tags.items()), 44100 * 9),
+        "m4a": build_m4a(tags, 9),
+        "aiff": build_aiff(tags, 9),
+        "asf": build_asf(tags, 9),
+        "ape": build_ape(tags, 9),
+        "wv": build_wavpack(tags, 9),
+    }
+    rng = random.Random(11)
+    for name, data in builders.items():
+        for _ in range(250):
+            b = bytearray(data)
+            op = rng.randrange(3)
+            if op == 0:
+                b = b[:rng.randrange(1, len(b))]
+            elif op == 1:
+                for _ in range(rng.randrange(1, 8)):
+                    b[rng.randrange(len(b))] = rng.randrange(256)
+            else:
+                b = b[:rng.randrange(1, len(b))]
+                for _ in range(3):
+                    if b:
+                        b[rng.randrange(len(b))] = rng.randrange(256)
+            parse_audio(f"x.{name}", bytes(b))
+            retag_bytes(bytes(b), {"title": "N"})
