@@ -100,6 +100,64 @@ def list_data_files(
     return out
 
 
+def zorder_value(
+    df: DataFrame,
+    cols: tuple[str, ...],
+    *,
+    bits: int = 6,
+    rel_error: float = 0.01,
+):
+    """Morton (Z-order) clustering key over numeric columns — Delta
+    ``OPTIMIZE ZORDER BY`` / Iceberg ``rewriteDataFiles`` z-ordering,
+    built from Spark primitives.
+
+    Each column is rank-bucketed into ``2**bits`` quantile buckets
+    (boundaries from one driver-side ``approxQuantile`` — quantiles,
+    not equal-width, so skewed columns still spread across buckets),
+    then the bucket bits are interleaved.  Range-partitioning the
+    rewrite on the interleaved value gives every output file a tight
+    hyper-rectangle in ALL clustered dimensions, so parquet footer
+    min/max prune scans filtered on ANY of them — the multi-dimensional
+    generalization of single-column sorted runs.  The bucket lookup and
+    interleave are pure map-side expressions (≈``2**bits`` comparisons
+    + ``bits×len(cols)`` shifts per row, whole-stage codegen).
+
+    Returns (column expression, per-column boundary lists).
+    """
+    n = 1 << bits
+    numeric = {"int", "bigint", "smallint", "tinyint", "float", "double",
+               "decimal", "date", "timestamp", "long", "short", "byte"}
+    for c in cols:
+        if c not in df.columns:
+            raise ValueError(f"zorder column {c!r} not in {df.columns}")
+        kind = dict(df.dtypes)[c].split("(")[0]
+        if kind not in numeric:
+            raise ValueError(
+                f"zorder column {c!r} has non-numeric type {kind!r}"
+            )
+    probs = [i / n for i in range(1, n)]
+    casted = df.select(
+        *[F.col(c).cast("double").alias(c) for c in cols]
+    )
+    all_bounds = casted.stat.approxQuantile(list(cols), probs, rel_error)
+    z = F.lit(0).cast("long")
+    ncols = len(cols)
+    for i, (c, bounds) in enumerate(zip(cols, all_bounds)):
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        bucket = F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, b: acc  # noqa: B023 — count boundaries <= value
+            + F.when(F.col(c).cast("double") >= b, 1).otherwise(0),
+        )
+        for j in range(bits):
+            z = z + (
+                (F.shiftright(bucket, j).cast("long") % 2)
+                * F.lit(1 << (j * ncols + i)).cast("long")
+            )
+    return z, all_bounds
+
+
 def compact_shards(
     spark: SparkSession,
     in_dir: str,
@@ -108,6 +166,8 @@ def compact_shards(
     target_bytes: int = DEFAULT_TARGET_BYTES,
     partition_cols: tuple[str, ...] = ("lang", "shard_id"),
     order_col: str = "doc_id",
+    zorder_cols: tuple[str, ...] | None = None,
+    zorder_bits: int = 6,
 ) -> dict:
     """Bin-pack ``in_dir``'s parquet files into ~``target_bytes`` files
     at ``out_dir``, preserving rows exactly and the directory-partition
@@ -133,16 +193,28 @@ def compact_shards(
         )
     obs = Observation("compact_rows")
     keep = [c for c in partition_cols if c in df.columns]
-    keys = [F.col(c) for c in (*keep, order_col)]
+    drop_after: list[str] = []
+    if zorder_cols:
+        # multi-column clustering: range-partition + sort on the Morton
+        # value instead of the linear order column
+        zcol, _ = zorder_value(df, tuple(zorder_cols), bits=zorder_bits)
+        df = df.withColumn("__zorder", zcol)
+        keys = [F.col(c) for c in (*keep, "__zorder")]
+        drop_after = ["__zorder"]
+    else:
+        keys = [F.col(c) for c in (*keep, order_col)]
     # observe ABOVE the range exchange: repartitionByRange SAMPLES its
     # child to pick boundaries, so a metric below the exchange would
     # double-count; above it, each row is seen exactly once
-    writer = (
+    shaped = (
         df.repartitionByRange(n_out, *keys)
         .sortWithinPartitions(*keys)
         .observe(obs, F.count(F.lit(1)).alias("rows"))
-        .write.mode("overwrite")
     )
+    if drop_after:
+        # projection after the sort — order within partitions survives
+        shaped = shaped.drop(*drop_after)
+    writer = shaped.write.mode("overwrite")
     if keep:
         writer = writer.partitionBy(*keep)
     writer.parquet(out_dir)

@@ -686,6 +686,33 @@ def cur_compact_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("cur_zorder_compact", _COMPACT_SQL)
+def cur_zorder_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order variant of the compaction lifecycle gate (round 7,
+    registered outside the gate window per the rotation rule): same
+    fragment → rewrite → read-back loop, but clustered on the Morton
+    interleave of (doc_id, n_tokens) instead of the linear order column
+    — proving multi-dimensional clustering is also a pure layout
+    change (row content identical; the same packing oracle applies)."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="tm_zorder_")
+    docs = load_table(spark, sf_dir, "documents")
+    write_curated_shards(docs, f"{base}/shards")
+    compact_shards(
+        spark, f"{base}/shards", f"{base}/compacted",
+        target_bytes=4 << 20,
+        zorder_cols=("doc_id", "n_tokens"),
+    )
+    back = spark.read.parquet(f"{base}/compacted")
+    return back.select(
+        "doc_id",
+        F.col("lang").cast("string").alias("lang"),
+        F.col("shard_id").cast("long").alias("shard_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # bigram-LM perplexity (the actual CCNet quality mechanism)
 

@@ -139,3 +139,103 @@ def test_list_data_files_local_matches_hadoop(spark, tmp_path):
 
     assert norm(fast) == norm(slow)
     assert len(fast) >= 16
+
+
+def test_compact_shards_zorder_preserves_rows(spark, tmp_path):
+    """Z-order clustering is a layout change only: row content identical
+    to the input, partition layout preserved."""
+    from tagminder_spark.operators.compaction import compact_shards
+    from tagminder_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    frag = str(tmp_path / "frag")
+    out = str(tmp_path / "z")
+    _fragment(spark, docs, frag)
+    report = compact_shards(
+        spark, frag, out,
+        target_bytes=8 << 10,
+        partition_cols=("lang",),
+        zorder_cols=("doc_id", "n_chars"),
+    )
+    assert report["rows"] == docs.count()
+    back = spark.read.parquet(out)
+    assert "__zorder" not in back.columns
+    a = sorted((r["doc_id"], r["lang"], r["text"]) for r in back.collect())
+    b = sorted((r["doc_id"], r["lang"], r["text"]) for r in docs.collect())
+    assert a == b
+
+
+def test_compact_shards_zorder_rejects_bad_cols(spark, tmp_path):
+    from tagminder_spark.operators.compaction import compact_shards
+    from tagminder_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    frag = str(tmp_path / "frag")
+    _fragment(spark, docs, frag)
+    with pytest.raises(ValueError, match="zorder"):
+        compact_shards(spark, frag, str(tmp_path / "o"),
+                       partition_cols=("lang",), zorder_cols=("text",))
+    with pytest.raises(ValueError, match="zorder"):
+        compact_shards(spark, frag, str(tmp_path / "o2"),
+                       partition_cols=("lang",), zorder_cols=("nope",))
+
+
+def _overlap_count(out_dir: str, col: str, lo, hi) -> tuple[int, int]:
+    """(#files whose footer [min,max] of `col` overlaps [lo,hi], #files)
+    — the pruning a parquet reader does from row-group stats."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    files = [p for p in pathlib.Path(out_dir).rglob("*.parquet")]
+    hit = 0
+    for p in files:
+        md = pq.ParquetFile(p).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                c = row_group.column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    mins.append(c.statistics.min)
+                    maxs.append(c.statistics.max)
+        if mins and not (max(maxs) < lo or min(mins) > hi):
+            hit += 1
+    return hit, len(files)
+
+
+def test_zorder_improves_secondary_column_pruning(spark, tmp_path):
+    """The point of z-order: after clustering on (doc_id, n_chars), a
+    narrow n_chars predicate prunes more files than a linear doc_id
+    sort, while doc_id pruning stays effective."""
+    from pyspark.sql import functions as F
+    from tagminder_spark.operators.compaction import compact_shards
+    from tagminder_spark.session import load_table
+
+    # decorrelate the two dims so linear order can't accidentally win
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .withColumn("n_chars", F.pmod(F.col("doc_id") * 7919, F.lit(10000)))
+    )
+    frag = str(tmp_path / "frag")
+    _fragment(spark, docs, frag)
+
+    linear, zord = str(tmp_path / "linear"), str(tmp_path / "z")
+    common = dict(target_bytes=2 << 10, partition_cols=())
+    compact_shards(spark, frag, linear, order_col="doc_id", **common)
+    compact_shards(spark, frag, zord,
+                   zorder_cols=("doc_id", "n_chars"), **common)
+
+    stats = docs.select(
+        F.expr("percentile(n_chars, 0.45)").alias("lo"),
+        F.expr("percentile(n_chars, 0.55)").alias("hi"),
+    ).collect()[0]
+    lin_hit, lin_total = _overlap_count(linear, "n_chars", stats.lo, stats.hi)
+    z_hit, z_total = _overlap_count(zord, "n_chars", stats.lo, stats.hi)
+    assert lin_total > 4 and z_total > 4  # enough files to mean anything
+    # linear doc_id order leaves n_chars random per file — ~every file
+    # overlaps; z-order must prune a real fraction
+    assert z_hit / z_total < lin_hit / lin_total, (
+        f"z-order pruning not better: {z_hit}/{z_total} vs "
+        f"{lin_hit}/{lin_total}"
+    )
