@@ -229,3 +229,132 @@ def compact_shards(
         "planned_files": n_out,
         "rows": rows,
     }
+
+
+# ---------------------------------------------------------------------------
+# selective (incremental) compaction — the daily-maintenance shape
+# ---------------------------------------------------------------------------
+
+def plan_compaction(
+    spark: SparkSession,
+    root: str,
+    *,
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+    min_files: int = 8,
+    small_ratio: float = 0.5,
+) -> dict:
+    """Decide WHICH partition directories are worth rewriting — the
+    planner a scheduled maintenance job runs first (Delta OPTIMIZE and
+    Iceberg's rewriteDataFiles both target file-count/size thresholds,
+    not whole tables).
+
+    A directory is a candidate when it holds at least ``min_files``
+    data files AND its mean file size is below ``small_ratio *
+    target_bytes`` — i.e. many files that are actually small.  Healthy
+    directories are never touched, so daily maintenance cost tracks the
+    ingest rate, not the table size.  Pure driver-side metadata
+    (one :func:`list_data_files` walk).
+    """
+    import os.path
+
+    stats: dict[str, list[int]] = {}
+    for path, size in list_data_files(spark, root):
+        d = os.path.dirname(path)
+        agg = stats.setdefault(d, [0, 0])
+        agg[0] += 1
+        agg[1] += size
+    dirs = {
+        d: {"files": n, "bytes": b, "mean_bytes": b // max(n, 1)}
+        for d, (n, b) in sorted(stats.items())
+    }
+    candidates = [
+        d for d, s in dirs.items()
+        if s["files"] >= min_files
+        and s["mean_bytes"] < target_bytes * small_ratio
+    ]
+    return {"dirs": dirs, "candidates": candidates,
+            "target_bytes": target_bytes}
+
+
+def compact_partitions(
+    spark: SparkSession,
+    root: str,
+    partition_col: str,
+    values: list[str],
+    *,
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+    order_col: str = "doc_id",
+) -> dict:
+    """Rewrite ONLY the named partition directories of a
+    ``partitionBy(partition_col)`` table, leaving every other directory
+    byte-untouched.
+
+    One distributed job: the read filters on the partition column (the
+    scan's PartitionFilters prune every healthy directory — zero IO
+    outside the candidates), the rewrite bin-packs into a staging dir
+    with the same directory layout, and each candidate directory is
+    swapped atomically.  A crash before the swap leaves the table
+    exactly as it was; a crash mid-swap leaves whole directories either
+    old or new (each is internally consistent — compaction never
+    changes rows).
+    """
+    import shutil
+    from pathlib import Path
+
+    if not values:
+        return {"rewritten_dirs": [], "files_out": 0, "rows": 0}
+    from pyspark.sql import Observation
+
+    base = Path(root)
+    stage = base / ".__compact_stage__"
+    if stage.exists():
+        shutil.rmtree(stage)
+
+    df = spark.read.parquet(root).filter(F.col(partition_col).isin(values))
+    if order_col not in df.columns:
+        raise ValueError(
+            f"order_col {order_col!r} not in input columns {df.columns}"
+        )
+    in_files = [
+        (p, sz)
+        for v in values
+        for p, sz in list_data_files(spark, str(base / f"{partition_col}={v}"))
+    ]
+    n_out = max(1, math.ceil(sum(sz for _, sz in in_files) / target_bytes))
+    obs = Observation("compact_partitions_rows")
+    (
+        df.repartitionByRange(n_out, F.col(partition_col), F.col(order_col))
+        .sortWithinPartitions(partition_col, order_col)
+        .observe(obs, F.count(F.lit(1)).alias("rows"))
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(str(stage))
+    )
+
+    rewritten = []
+    try:
+        for v in values:
+            sub = f"{partition_col}={v}"
+            src = stage / sub
+            dst = base / sub
+            if not src.exists():  # value had no rows — nothing to swap
+                continue
+            old = base / f".{sub}.__old__"
+            if old.exists():
+                shutil.rmtree(old)
+            dst.rename(old)
+            src.rename(dst)
+            shutil.rmtree(old)
+            rewritten.append(str(dst))
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    files_out = [
+        f for d in rewritten for f in list_data_files(spark, d)
+    ]
+    return {
+        "rewritten_dirs": rewritten,
+        "files_in": len(in_files),
+        "files_out": len(files_out),
+        "planned_files": n_out,
+        "rows": obs.get["rows"],
+    }

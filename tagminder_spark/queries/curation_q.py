@@ -686,6 +686,47 @@ def cur_compact_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SELECTIVE_SQL = """
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+"""
+
+
+@q("cur_selective_compact", _SELECTIVE_SQL)
+def cur_selective_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective-maintenance lifecycle gate (round 7, outside the gate
+    window per the rotation rule): fragment ONE language's directory
+    into many small files, let :func:`plan_compaction` pick exactly it,
+    rewrite only that directory via :func:`compact_partitions` (healthy
+    directories stay byte-untouched), and read the WHOLE table back —
+    row-identity against the source proves the partial rewrite is a
+    pure layout change."""
+    import tempfile
+
+    from tagminder_spark.operators.compaction import (
+        compact_partitions,
+        plan_compaction,
+    )
+
+    base = tempfile.mkdtemp(prefix="tm_selcompact_")
+    root = f"{base}/t"
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    docs.filter(F.col("lang") == "en").repartition(16).write.mode(
+        "append"
+    ).partitionBy("lang").parquet(root)
+    docs.filter(F.col("lang") != "en").coalesce(1).write.mode(
+        "append"
+    ).partitionBy("lang").parquet(root)
+    plan = plan_compaction(spark, root, target_bytes=4 << 20, min_files=8)
+    values = [d.rsplit("lang=", 1)[1] for d in plan["candidates"]]
+    compact_partitions(spark, root, "lang", values, target_bytes=4 << 20)
+    back = spark.read.parquet(root)
+    return back.select(
+        "doc_id", F.col("lang").cast("string").alias("lang"), "n_chars"
+    )
+
+
 @q("cur_zorder_compact", _COMPACT_SQL)
 def cur_zorder_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order variant of the compaction lifecycle gate (round 7,

@@ -239,3 +239,78 @@ def test_zorder_improves_secondary_column_pruning(spark, tmp_path):
         f"z-order pruning not better: {z_hit}/{z_total} vs "
         f"{lin_hit}/{lin_total}"
     )
+
+
+def test_plan_compaction_targets_only_fragmented_dirs(spark, tmp_path):
+    """The planner must pick exactly the many-small-files directories
+    and leave healthy ones alone."""
+    from pyspark.sql import functions as F
+    from tagminder_spark.operators.compaction import plan_compaction
+    from tagminder_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    root = str(tmp_path / "t")
+    # lang 'en' heavily fragmented, everything else one file per dir
+    en = docs.filter(F.col("lang") == "en").repartition(16)
+    rest = docs.filter(F.col("lang") != "en").coalesce(1)
+    en.write.mode("append").partitionBy("lang").parquet(root)
+    rest.write.mode("append").partitionBy("lang").parquet(root)
+
+    plan = plan_compaction(spark, root, target_bytes=4 << 20, min_files=8)
+    assert len(plan["candidates"]) == 1
+    assert plan["candidates"][0].endswith("lang=en")
+    assert plan["dirs"][plan["candidates"][0]]["files"] >= 8
+
+
+def test_compact_partitions_touches_only_candidates(spark, tmp_path):
+    """Selective rewrite: candidate dirs shrink to few files, every
+    other directory keeps its exact files (inode-identical), global row
+    content unchanged."""
+    import os
+
+    from pyspark.sql import functions as F
+    from tagminder_spark.operators.compaction import (
+        compact_partitions,
+        list_data_files,
+        plan_compaction,
+    )
+    from tagminder_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    root = str(tmp_path / "t")
+    en = docs.filter(F.col("lang") == "en").repartition(16)
+    rest = docs.filter(F.col("lang") != "en").coalesce(1)
+    en.write.mode("append").partitionBy("lang").parquet(root)
+    rest.write.mode("append").partitionBy("lang").parquet(root)
+
+    before = {
+        p: os.stat(p).st_ino for p, _ in list_data_files(spark, root)
+    }
+    n_en_before = sum(1 for p in before if "lang=en" in p)
+    assert n_en_before >= 8
+
+    plan = plan_compaction(spark, root, target_bytes=4 << 20, min_files=8)
+    values = [d.rsplit("lang=", 1)[1] for d in plan["candidates"]]
+    report = compact_partitions(
+        spark, root, "lang", values, target_bytes=4 << 20
+    )
+    assert report["rewritten_dirs"] and report["files_out"] < n_en_before
+    assert report["rows"] == en.count()
+
+    after = {p: os.stat(p).st_ino for p, _ in list_data_files(spark, root)}
+    # untouched dirs: identical file sets AND inodes
+    for p, ino in before.items():
+        if "lang=en" not in p:
+            assert after.get(p) == ino, p
+    # no stage/old residue
+    assert not any("__compact_stage__" in p or "__old__" in p for p in after)
+
+    # global row content unchanged
+    back = spark.read.parquet(root)
+    a = sorted((r["doc_id"], r["lang"]) for r in back.collect())
+    b = sorted((r["doc_id"], r["lang"]) for r in docs.collect())
+    assert a == b
+
+    # idempotence: a second plan finds nothing left to do
+    plan2 = plan_compaction(spark, root, target_bytes=4 << 20, min_files=8)
+    assert plan2["candidates"] == []
