@@ -485,14 +485,7 @@ def retag_file(path: str, tags: dict[str, str],
                 if isinstance(seg, (bytes, bytearray)):
                     dst.write(seg)
                     continue
-                start, end = seg
-                src.seek(start)
-                while start < end:
-                    chunk = src.read(min(block, end - start))
-                    if not chunk:
-                        break
-                    dst.write(chunk)
-                    start += len(chunk)
+                _copy_span(src, dst, seg[0], seg[1], block)
         # the replacement must not silently change ownership/mode —
         # users' libraries carry deliberate permissions
         st = os.stat(path)
@@ -509,6 +502,36 @@ def retag_file(path: str, tags: dict[str, str],
             pass
         raise
     return True
+
+
+def _copy_span(src, dst, start: int, end: int, block: int) -> None:
+    """Copy ``src[start:end)`` onto ``dst``'s current position.  Linux
+    gets kernel-side ``os.sendfile`` (zero user-space copies — the
+    audio region never enters Python at all); elsewhere a bounded
+    read/write loop."""
+    import os
+
+    if end <= start:
+        return
+    copied = 0
+    try:
+        dst.flush()  # buffered writes must land before raw-fd IO
+        while copied < end - start:
+            sent = os.sendfile(dst.fileno(), src.fileno(), start + copied,
+                               min(end - start - copied, 1 << 24))
+            if sent == 0:
+                break
+            copied += sent
+    except (OSError, AttributeError):
+        pass  # resume below from wherever sendfile got to
+    pos = start + copied
+    src.seek(pos)
+    while pos < end:
+        chunk = src.read(min(block, end - pos))
+        if not chunk:
+            break
+        dst.write(chunk)
+        pos += len(chunk)
 
 
 def _retag_mp4_plan(data, tags: dict[str, str], mv: str) -> list | None:

@@ -380,3 +380,39 @@ def test_fuzz_parse_and_retag_never_raise():
                         b[rng.randrange(len(b))] = rng.randrange(256)
             parse_audio(f"x.{name}", bytes(b))
             retag_bytes(bytes(b), {"title": "N"})
+
+
+def test_copy_span_fallback_matches_sendfile(tmp_path, monkeypatch):
+    """Force the read/write fallback (and a partial-sendfile resume):
+    output must be byte-identical to the zero-copy path."""
+    import os
+
+    data = build_flac(44100 * 20, [("TITLE", "old")], audio_bytes=1 << 20)
+    p1 = tmp_path / "a.flac"
+    p1.write_bytes(data)
+    assert retag_file(str(p1), TAGS) is True
+    expected = p1.read_bytes()
+
+    # fallback: sendfile entirely unavailable
+    p2 = tmp_path / "b.flac"
+    p2.write_bytes(data)
+    monkeypatch.delattr(os, "sendfile")
+    assert retag_file(str(p2), TAGS) is True
+    assert p2.read_bytes() == expected
+    monkeypatch.undo()
+
+    # partial progress then failure: resume must not duplicate bytes
+    real = os.sendfile
+    calls = {"n": 0}
+
+    def flaky(out_fd, in_fd, off, cnt):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return real(out_fd, in_fd, off, min(cnt, 4096))
+        raise OSError("simulated")
+
+    p3 = tmp_path / "c.flac"
+    p3.write_bytes(data)
+    monkeypatch.setattr(os, "sendfile", flaky)
+    assert retag_file(str(p3), TAGS) is True
+    assert p3.read_bytes() == expected
