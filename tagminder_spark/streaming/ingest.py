@@ -248,3 +248,79 @@ def streaming_dedup_probe(
     )
     q.collected_pairs = collected  # type: ignore[attr-defined]
     return q
+
+
+def streaming_ingest_with_maintenance(
+    stream: DataFrame,
+    table_dir: str,
+    *,
+    partition_col: str = "lang",
+    maintenance_every: int = 4,
+    target_bytes: int = 64 << 20,
+    min_files: int = 8,
+    query_name: str = "ingest_maintain",
+):
+    """Continuous ingest with AUTOMATIC table maintenance — the
+    composition a production pipeline actually runs: every micro-batch
+    appends partitioned parquet (each batch leaves a few small files
+    per touched directory — exactly the fragmentation
+    ``operators/compaction.py`` exists for), and every
+    ``maintenance_every``-th batch the selective planner inspects the
+    table and bin-packs ONLY the directories that crossed the
+    fragmentation thresholds.
+
+    Properties that make this safe inside ``foreachBatch``:
+    - maintenance runs on the stream's driver thread BETWEEN batches —
+      no concurrent writer exists, so the per-directory atomic swap of
+      :func:`~tagminder_spark.operators.compaction.compact_partitions`
+      cannot race the appends;
+    - compaction never changes rows, so a crash between the append and
+      the maintenance step loses nothing — the next trigger simply
+      finds the same candidates again (the planner is idempotent);
+    - cost tracks the ingest rate: healthy directories are never read.
+
+    Returns the streaming query; ``q.maintenance_reports`` accumulates
+    one planner/rewrite report per maintenance pass.
+    """
+    from tagminder_spark.operators.compaction import (
+        compact_partitions,
+        plan_compaction,
+    )
+
+    reports: list = []
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.head(1):
+            (
+                batch_df.write.mode("append")
+                .partitionBy(partition_col)
+                .parquet(table_dir)
+            )
+        if batch_id % maintenance_every != maintenance_every - 1:
+            return
+        spark = batch_df.sparkSession
+        plan = plan_compaction(
+            spark, table_dir,
+            target_bytes=target_bytes, min_files=min_files,
+        )
+        values = [
+            d.rsplit(f"{partition_col}=", 1)[1] for d in plan["candidates"]
+        ]
+        if not values:
+            return
+        report = compact_partitions(
+            spark, table_dir, partition_col, values,
+            target_bytes=target_bytes,
+        )
+        report["batch_id"] = batch_id
+        report["candidates"] = plan["candidates"]
+        reports.append(report)
+
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.maintenance_reports = reports  # type: ignore[attr-defined]
+    return q

@@ -263,3 +263,68 @@ def test_chunk_audio_rejects_nonpositive_params(spark):
     for kw in ({"hop_ms": 0}, {"hop_ms": -5}, {"ms_per_byte": 0}, {"window_ms": 0}):
         with _pytest.raises(ValueError):
             chunk_audio(media, **kw)
+
+
+def test_streaming_ingest_with_auto_maintenance(spark, tmp_path):
+    """Continuous ingest + automatic selective compaction: micro-batches
+    append small files, every 2nd batch the planner bin-packs fragmented
+    directories; row content is exactly the union of all batches and
+    maintenance actually ran and shrank files."""
+    from tagminder_spark.operators.compaction import (
+        list_data_files,
+        plan_compaction,
+    )
+    from tagminder_spark.session import load_table
+    from tagminder_spark.streaming.ingest import (
+        streaming_ingest_with_maintenance,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    # 6 source files → 6 micro-batches with maxFilesPerTrigger=1
+    docs.repartition(6).write.parquet(src)
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    q = streaming_ingest_with_maintenance(
+        stream, table,
+        partition_col="lang",
+        maintenance_every=2,
+        target_bytes=4 << 20,
+        min_files=4,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # every ingested row present exactly once
+    back = spark.read.parquet(table)
+    a = sorted((r["doc_id"], r["lang"]) for r in back.collect())
+    b = sorted((r["doc_id"], r["lang"]) for r in docs.collect())
+    assert a == b
+
+    # maintenance fired and did real work
+    assert q.maintenance_reports, "no maintenance pass ran"
+    for rep in q.maintenance_reports:
+        assert rep["files_out"] <= rep["files_in"]
+    # after the final maintenance, fragmentation is bounded: one more
+    # manual pass finds at most the post-maintenance appends
+    plan = plan_compaction(
+        spark, table, target_bytes=4 << 20, min_files=4
+    )
+    files_per_dir = max(
+        s["files"] for s in plan["dirs"].values()
+    )
+    # without maintenance every lang dir would hold ~6 files (one per
+    # batch); with it, the worst dir holds fewer than the batch count
+    n_langs = docs.select("lang").distinct().count()
+    total_files = len(list_data_files(spark, table))
+    assert total_files < 6 * n_langs, (total_files, n_langs)
+    assert files_per_dir <= 4
