@@ -686,6 +686,48 @@ def cur_compact_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_MAINTAIN_SQL = """
+SELECT doc_id, lang FROM documents
+"""
+
+
+@q("t_stream_maintain", _STREAM_MAINTAIN_SQL)
+def t_stream_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-ingest-with-auto-maintenance gate (round 7, outside
+    the gate window): the corpus flows through 6 micro-batches of
+    ``streaming_ingest_with_maintenance`` (foreachBatch append + every
+    2nd batch selective compaction between batches), and the final
+    table read-back must be row-identical to the source — streaming
+    delivery, appends, the planner, and the partition swaps all proven
+    value-exact in one loop."""
+    import tempfile
+
+    from tagminder_spark.streaming.ingest import (
+        streaming_ingest_with_maintenance,
+    )
+
+    base = tempfile.mkdtemp(prefix="tm_streammaint_")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    src = f"{base}/src"
+    table = f"{base}/table"
+    docs.repartition(6).write.parquet(src)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    q_stream = streaming_ingest_with_maintenance(
+        stream, table,
+        partition_col="lang", maintenance_every=2,
+        target_bytes=4 << 20, min_files=4,
+    )
+    q_stream.processAllAvailable()
+    q_stream.stop()
+    back = spark.read.parquet(table)
+    return back.select("doc_id", F.col("lang").cast("string").alias("lang"))
+
+
 _SELECTIVE_SQL = """
 SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM documents
 """
