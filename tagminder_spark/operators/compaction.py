@@ -293,10 +293,13 @@ def compact_partitions(
     scan's PartitionFilters prune every healthy directory — zero IO
     outside the candidates), the rewrite bin-packs into a staging dir
     with the same directory layout, and each candidate directory is
-    swapped atomically.  A crash before the swap leaves the table
-    exactly as it was; a crash mid-swap leaves whole directories either
-    old or new (each is internally consistent — compaction never
-    changes rows).
+    swapped.  Crash behavior: before any swap the table is untouched;
+    the swap itself is two renames, so a crash between them leaves that
+    one partition parked at a hidden ``.{dir}.__old__`` recovery name —
+    run :func:`recover_interrupted_swaps` (idempotent, also safe on a
+    healthy table) before the next maintenance pass to restore it.
+    Compaction never changes rows, so either copy of a directory is
+    correct.
     """
     import shutil
     from pathlib import Path
@@ -358,3 +361,32 @@ def compact_partitions(
         "planned_files": n_out,
         "rows": obs.get["rows"],
     }
+
+
+def recover_interrupted_swaps(root: str) -> list[str]:
+    """Idempotent crash recovery for :func:`compact_partitions`: any
+    hidden ``.{dir}.__old__`` directory whose live counterpart is
+    missing is renamed back into place (the swap died between its two
+    renames); one whose counterpart EXISTS is leftover garbage from
+    after a completed swap and is removed.  Returns the restored
+    directory paths.  Safe to run unconditionally before maintenance.
+    """
+    import re
+    import shutil
+    from pathlib import Path
+
+    restored: list[str] = []
+    base = Path(root)
+    if not base.exists():
+        return restored
+    for entry in base.iterdir():
+        m = re.fullmatch(r"\.(.+)\.__old__", entry.name)
+        if not m or not entry.is_dir():
+            continue
+        live = base / m.group(1)
+        if live.exists():
+            shutil.rmtree(entry)
+        else:
+            entry.rename(live)
+            restored.append(str(live))
+    return restored

@@ -314,3 +314,41 @@ def test_compact_partitions_touches_only_candidates(spark, tmp_path):
     # idempotence: a second plan finds nothing left to do
     plan2 = plan_compaction(spark, root, target_bytes=4 << 20, min_files=8)
     assert plan2["candidates"] == []
+
+
+def test_recover_interrupted_swaps(spark, tmp_path):
+    """Both crash shapes recover: a parked dir with no live counterpart
+    is restored; leftover parked garbage next to a completed swap is
+    removed. Healthy tables are untouched."""
+    from pyspark.sql import functions as F
+    from tagminder_spark.operators.compaction import (
+        recover_interrupted_swaps,
+    )
+    from tagminder_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    root = tmp_path / "t"
+    docs.write.partitionBy("lang").parquet(str(root))
+    langs = sorted(
+        p.name.split("=")[1] for p in root.iterdir() if p.name.startswith("lang=")
+    )
+    assert len(langs) >= 2
+    victim, survivor = langs[0], langs[1]
+
+    # crash between renames: live dir gone, parked copy present
+    (root / f"lang={victim}").rename(root / f".lang={victim}.__old__")
+    # completed swap with garbage left behind
+    import shutil
+    shutil.copytree(root / f"lang={survivor}",
+                    root / f".lang={survivor}.__old__")
+
+    restored = recover_interrupted_swaps(str(root))
+    assert restored == [str(root / f"lang={victim}")]
+    assert (root / f"lang={victim}").exists()
+    assert not (root / f".lang={victim}.__old__").exists()
+    assert not (root / f".lang={survivor}.__old__").exists()
+
+    back = spark.read.parquet(str(root))
+    assert back.count() == docs.count()
+    # idempotent on the now-healthy table
+    assert recover_interrupted_swaps(str(root)) == []
