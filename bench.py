@@ -86,7 +86,15 @@ EXTRA = [
     "cur_compact_shards",
     # round 6: real byte-level tag parse throughput (synthesize
     # ID3v2.3/FLAC containers per row, parse via mapInPandas)
+    # round 7: widened to all 8 container families, half via the
+    # rewrite path
     "s3_tag_parse_real",
+    # round 7: maintenance family — z-order clustering rewrite,
+    # selective (fragmented-dirs-only) compaction, and the streaming
+    # ingest + auto-maintenance loop (all include their disk IO)
+    "cur_zorder_compact",
+    "cur_selective_compact",
+    "t_stream_maintain",
 ]
 
 
