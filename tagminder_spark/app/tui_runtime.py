@@ -285,6 +285,10 @@ def run(screen: Screen, keys: Iterable[str] | None = None,
                 break
             frames.append(screen.render())
         return frames
+    # interactive: paint the initial frame BEFORE blocking on the first
+    # key — otherwise the user stares at a blank terminal
+    print("\x1b[2J\x1b[H" + "\n".join(frames[0]),  # pragma: no cover
+          file=out, flush=True)
     for key in _stdin_keys():  # pragma: no cover - interactive only
         if not screen.on_key(key):
             break
@@ -301,6 +305,9 @@ def _stdin_keys() -> Iterator[str]:  # pragma: no cover - interactive only
     import termios
     import tty
 
+    import os
+    import select
+
     fd = sys.stdin.fileno()
     old = termios.tcgetattr(fd)
     try:
@@ -310,7 +317,17 @@ def _stdin_keys() -> Iterator[str]:  # pragma: no cover - interactive only
             if not ch:
                 return
             if ch == "\x1b":
-                rest = sys.stdin.read(2)
+                # a bare ESC press must not block waiting for two more
+                # bytes: escape SEQUENCES arrive together, so a short
+                # select distinguishes them from a lone ESC
+                rest = ""
+                while len(rest) < 2 and select.select([fd], [], [], 0.05)[0]:
+                    more = os.read(fd, 2 - len(rest)).decode(
+                        "utf-8", "replace"
+                    )
+                    if not more:
+                        break
+                    rest += more
                 yield {"[A": KEY_UP, "[B": KEY_DOWN, "[C": KEY_RIGHT,
                        "[D": KEY_LEFT}.get(rest, KEY_ESC)
             elif ch in ("\r", "\n"):

@@ -49,6 +49,187 @@ from pyspark.sql import functions as F
 DEFAULT_TARGET_BYTES = 128 << 20
 
 
+def _strip_file_scheme(path: str) -> str:
+    if path.startswith("file://"):
+        return path[7:]
+    if path.startswith("file:"):
+        return path[5:]
+    return path
+
+
+class _LocalFS:
+    """Directory ops on the local filesystem — the fast path (pure
+    syscalls, no py4j round-trips)."""
+
+    def join(self, base: str, *parts: str) -> str:
+        import os.path
+
+        return os.path.join(base, *parts)
+
+    def exists(self, p: str) -> bool:
+        import os.path
+
+        return os.path.exists(p)
+
+    def is_dir(self, p: str) -> bool:
+        import os.path
+
+        return os.path.isdir(p)
+
+    def listdir(self, p: str) -> list[str]:
+        import os
+
+        return sorted(os.listdir(p))
+
+    def rename(self, src: str, dst: str) -> None:
+        import os
+
+        os.rename(src, dst)
+
+    def delete(self, p: str, ignore_errors: bool = False) -> None:
+        import os
+        import shutil
+
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=ignore_errors)
+        else:
+            try:
+                os.unlink(p)
+            except FileNotFoundError:
+                if not ignore_errors:
+                    raise
+
+    def mkdirs(self, p: str) -> None:
+        import os
+
+        os.makedirs(p, exist_ok=True)
+
+    def file_size(self, p: str) -> int:
+        import os
+
+        return os.stat(p).st_size
+
+    def read_bytes(self, p: str) -> bytes:
+        with open(p, "rb") as f:
+            return f.read()
+
+    def write_new(self, p: str, data: bytes) -> None:
+        """Atomic create-if-absent: readers never see a partial file and
+        two writers racing the same path cannot both win (hard-link CAS
+        — ``os.link`` fails with EEXIST if the target appeared)."""
+        import os
+
+        tmp = p + f".tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, p)  # raises FileExistsError on conflict
+        finally:
+            os.unlink(tmp)
+
+
+class _HadoopFS:
+    """The same ops through the Hadoop FileSystem API — works on any
+    scheme Spark can reach (hdfs://, s3a://, and ``file:`` for tests).
+
+    Caveat the caller must own: ``rename`` is atomic on HDFS and local
+    filesystems but is a COPY on object stores (s3a has no rename), so
+    the directory-swap maintenance path is only crash-atomic on
+    rename-capable filesystems.  On object stores use the manifest
+    commit path (:mod:`tagminder_spark.operators.table_manifest`) —
+    that is the real reason production table formats keep a transaction
+    log instead of renaming directories.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self._jvm = spark._jvm
+        self._jpath = self._jvm.org.apache.hadoop.fs.Path
+        self._fs = self._jpath(root).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+
+    def join(self, base: str, *parts: str) -> str:
+        return "/".join([base.rstrip("/"), *parts])
+
+    def exists(self, p: str) -> bool:
+        return self._fs.exists(self._jpath(p))
+
+    def is_dir(self, p: str) -> bool:
+        jp = self._jpath(p)
+        return self._fs.exists(jp) and self._fs.getFileStatus(jp).isDirectory()
+
+    def listdir(self, p: str) -> list[str]:
+        return sorted(
+            st.getPath().getName()
+            for st in self._fs.listStatus(self._jpath(p))
+        )
+
+    def rename(self, src: str, dst: str) -> None:
+        # Hadoop rename reports failure as False, not an exception
+        if not self._fs.rename(self._jpath(src), self._jpath(dst)):
+            raise OSError(f"hadoop rename failed: {src} -> {dst}")
+
+    def delete(self, p: str, ignore_errors: bool = False) -> None:
+        ok = self._fs.delete(self._jpath(p), True)
+        if not ok and not ignore_errors and self.exists(p):
+            raise OSError(f"hadoop delete failed: {p}")
+
+    def mkdirs(self, p: str) -> None:
+        self._fs.mkdirs(self._jpath(p))
+
+    def file_size(self, p: str) -> int:
+        return self._fs.getFileStatus(self._jpath(p)).getLen()
+
+    def read_bytes(self, p: str) -> bytes:
+        # copy the stream into a ByteArrayOutputStream JVM-side — one
+        # py4j transfer for the whole file instead of one per read()
+        stream = self._fs.open(self._jpath(p))
+        baos = self._jvm.java.io.ByteArrayOutputStream()
+        self._jvm.org.apache.hadoop.io.IOUtils.copyBytes(
+            stream, baos, 65536, True
+        )
+        return bytes(baos.toByteArray())
+
+    def write_new(self, p: str, data: bytes) -> None:
+        """Atomic create-if-absent via write-to-temp + rename (rename
+        refuses an existing destination on Hadoop filesystems)."""
+        import uuid
+
+        tmp = p + f".tmp.{uuid.uuid4().hex[:8]}"
+        out = self._fs.create(self._jpath(tmp), False)
+        try:
+            out.write(bytearray(data))
+        finally:
+            out.close()
+        if not self._fs.rename(self._jpath(tmp), self._jpath(p)):
+            self._fs.delete(self._jpath(tmp), False)
+            raise FileExistsError(
+                f"manifest CAS lost (or rename failed): {p}"
+            )
+
+
+def table_fs(
+    spark: SparkSession | None, root: str, force_hadoop: bool = False
+):
+    """Pick the directory-ops backend for ``root``: pure-Python syscalls
+    for local paths, the Hadoop FileSystem API for any ``scheme://``
+    root (``force_hadoop=True`` routes a local path through the Hadoop
+    branch — how the tests pin both backends byte-identical)."""
+    import os.path
+
+    local = _strip_file_scheme(root)
+    if not force_hadoop and "://" not in local:
+        return _LocalFS(), local
+    if spark is None:
+        raise ValueError(
+            f"remote root {root!r} needs an active SparkSession for the "
+            "Hadoop FileSystem API"
+        )
+    return _HadoopFS(spark, root), root
+
+
 def list_data_files(
     spark: SparkSession, path: str, suffix: str = ".parquet",
     force_hadoop: bool = False,
@@ -126,7 +307,8 @@ def zorder_value(
     """
     n = 1 << bits
     numeric = {"int", "bigint", "smallint", "tinyint", "float", "double",
-               "decimal", "date", "timestamp", "long", "short", "byte"}
+               "decimal", "date", "timestamp", "timestamp_ntz", "long",
+               "short", "byte"}
     for c in cols:
         if c not in df.columns:
             raise ValueError(f"zorder column {c!r} not in {df.columns}")
@@ -136,9 +318,21 @@ def zorder_value(
                 f"zorder column {c!r} has non-numeric type {kind!r}"
             )
     probs = [i / n for i in range(1, n)]
-    casted = df.select(
-        *[F.col(c).cast("double").alias(c) for c in cols]
-    )
+
+    def as_double(c: str):
+        # ANSI Spark forbids CAST(date AS DOUBLE); route temporal types
+        # through their epoch functions (any monotone map preserves
+        # quantile bucketing)
+        kind = dict(df.dtypes)[c].split("(")[0]
+        if kind == "date":
+            return F.unix_date(F.col(c)).cast("double")
+        if kind == "timestamp_ntz":
+            return F.unix_micros(
+                F.col(c).cast("timestamp")
+            ).cast("double")
+        return F.col(c).cast("double")
+
+    casted = df.select(*[as_double(c).alias(c) for c in cols])
     all_bounds = casted.stat.approxQuantile(list(cols), probs, rel_error)
     z = F.lit(0).cast("long")
     ncols = len(cols)
@@ -148,7 +342,7 @@ def zorder_value(
             arr,
             F.lit(0),
             lambda acc, b: acc  # noqa: B023 — count boundaries <= value
-            + F.when(F.col(c).cast("double") >= b, 1).otherwise(0),
+            + F.when(as_double(c) >= b, 1).otherwise(0),
         )
         for j in range(bits):
             z = z + (
@@ -187,7 +381,9 @@ def compact_shards(
     n_out = max(1, math.ceil(bytes_in / target_bytes))
 
     df = spark.read.parquet(in_dir)
-    if order_col not in df.columns:
+    # order_col is only consulted on the linear path — a z-ordered
+    # rewrite sorts on the Morton value instead
+    if not zorder_cols and order_col not in df.columns:
         raise ValueError(
             f"order_col {order_col!r} not in input columns {df.columns}"
         )
@@ -284,6 +480,7 @@ def compact_partitions(
     *,
     target_bytes: int = DEFAULT_TARGET_BYTES,
     order_col: str = "doc_id",
+    force_hadoop: bool = False,
 ) -> dict:
     """Rewrite ONLY the named partition directories of a
     ``partitionBy(partition_col)`` table, leaving every other directory
@@ -300,18 +497,25 @@ def compact_partitions(
     healthy table) before the next maintenance pass to restore it.
     Compaction never changes rows, so either copy of a directory is
     correct.
-    """
-    import shutil
-    from pathlib import Path
 
+    Filesystem reach: local roots use pure syscalls; any
+    ``scheme://`` root goes through the Hadoop FileSystem API
+    (:func:`table_fs`).  The swap is crash-atomic only where rename is
+    (HDFS, local) — on object stores rename is a non-atomic copy, so
+    use the manifest path
+    (:func:`tagminder_spark.operators.table_manifest.compact_partitions_versioned`)
+    there instead.  A concurrent reader that listed files before the
+    swap can also lose them mid-scan; the manifest path is the fix for
+    that too.
+    """
     if not values:
         return {"rewritten_dirs": [], "files_out": 0, "rows": 0}
     from pyspark.sql import Observation
 
-    base = Path(root)
-    stage = base / ".__compact_stage__"
-    if stage.exists():
-        shutil.rmtree(stage)
+    fs, base = table_fs(spark, root, force_hadoop)
+    stage = fs.join(base, ".__compact_stage__")
+    if fs.exists(stage):
+        fs.delete(stage)
 
     df = spark.read.parquet(root).filter(F.col(partition_col).isin(values))
     if order_col not in df.columns:
@@ -321,7 +525,9 @@ def compact_partitions(
     in_files = [
         (p, sz)
         for v in values
-        for p, sz in list_data_files(spark, str(base / f"{partition_col}={v}"))
+        for p, sz in list_data_files(
+            spark, fs.join(base, f"{partition_col}={v}")
+        )
     ]
     n_out = max(1, math.ceil(sum(sz for _, sz in in_files) / target_bytes))
     obs = Observation("compact_partitions_rows")
@@ -331,26 +537,26 @@ def compact_partitions(
         .observe(obs, F.count(F.lit(1)).alias("rows"))
         .write.mode("overwrite")
         .partitionBy(partition_col)
-        .parquet(str(stage))
+        .parquet(stage)
     )
 
     rewritten = []
     try:
         for v in values:
             sub = f"{partition_col}={v}"
-            src = stage / sub
-            dst = base / sub
-            if not src.exists():  # value had no rows — nothing to swap
+            src = fs.join(stage, sub)
+            dst = fs.join(base, sub)
+            if not fs.exists(src):  # value had no rows — nothing to swap
                 continue
-            old = base / f".{sub}.__old__"
-            if old.exists():
-                shutil.rmtree(old)
-            dst.rename(old)
-            src.rename(dst)
-            shutil.rmtree(old)
-            rewritten.append(str(dst))
+            old = fs.join(base, f".{sub}.__old__")
+            if fs.exists(old):
+                fs.delete(old)
+            fs.rename(dst, old)
+            fs.rename(src, dst)
+            fs.delete(old)
+            rewritten.append(dst)
     finally:
-        shutil.rmtree(stage, ignore_errors=True)
+        fs.delete(stage, ignore_errors=True)
     files_out = [
         f for d in rewritten for f in list_data_files(spark, d)
     ]
@@ -363,30 +569,35 @@ def compact_partitions(
     }
 
 
-def recover_interrupted_swaps(root: str) -> list[str]:
+def recover_interrupted_swaps(
+    root: str,
+    spark: SparkSession | None = None,
+    *,
+    force_hadoop: bool = False,
+) -> list[str]:
     """Idempotent crash recovery for :func:`compact_partitions`: any
     hidden ``.{dir}.__old__`` directory whose live counterpart is
     missing is renamed back into place (the swap died between its two
     renames); one whose counterpart EXISTS is leftover garbage from
     after a completed swap and is removed.  Returns the restored
     directory paths.  Safe to run unconditionally before maintenance.
+    Remote roots need ``spark`` for the Hadoop FileSystem API.
     """
     import re
-    import shutil
-    from pathlib import Path
 
     restored: list[str] = []
-    base = Path(root)
-    if not base.exists():
+    fs, base = table_fs(spark, root, force_hadoop)
+    if not fs.exists(base):
         return restored
-    for entry in base.iterdir():
-        m = re.fullmatch(r"\.(.+)\.__old__", entry.name)
-        if not m or not entry.is_dir():
+    for name in fs.listdir(base):
+        m = re.fullmatch(r"\.(.+)\.__old__", name)
+        entry = fs.join(base, name)
+        if not m or not fs.is_dir(entry):
             continue
-        live = base / m.group(1)
-        if live.exists():
-            shutil.rmtree(entry)
+        live = fs.join(base, m.group(1))
+        if fs.exists(live):
+            fs.delete(entry)
         else:
-            entry.rename(live)
-            restored.append(str(live))
+            fs.rename(entry, live)
+            restored.append(live)
     return restored

@@ -1,0 +1,418 @@
+"""Manifest-committed table versions — minimal snapshot isolation for
+the maintenance family.
+
+Why this exists (SCALE.md / VERDICT r7 #2): directory-listing tables
+have two structural failure modes at 100 TB that
+:mod:`~tagminder_spark.operators.compaction`'s swap path cannot fix:
+
+1. **Readers race maintenance.** A reader plans its scan from a
+   directory listing; a compaction swap that lands mid-scan deletes
+   files the reader already enumerated → ENOENT half-way through a job
+   that ran for an hour.
+2. **Object stores have no rename.** s3-style stores copy on "rename",
+   so the two-rename swap is neither atomic nor cheap.  This is the
+   real reason production table formats (Iceberg, Delta, Hive ACID)
+   keep a transaction log instead of renaming directories.
+
+The fix, scoped to exactly what compaction needs: every table version
+is a tiny JSON **manifest** (`_manifest/v0000000001.json`) listing the
+data files that make up that version.  Writers commit a new generation
+with an atomic create-if-absent (hard-link CAS locally, rename-CAS on
+Hadoop filesystems); maintenance writes NEW files and a new manifest
+and leaves the old files on disk, so a reader pinned to generation N
+keeps every file it planned against until
+:func:`expire_snapshots` reclaims generations nobody should still be
+reading.  Readers use :func:`snapshot_read`, which hands Spark the
+pinned file list explicitly (``option("basePath", root)`` keeps the
+directory-partition columns).
+
+Contract: once a table is manifest-versioned, a bare
+``spark.read.parquet(root)`` is no longer meaningful — the directory
+holds multiple versions' files (exactly like an Iceberg data dir).
+``expire_snapshots(keep_last=1)`` returns the directory to
+listing-consistent state.  Single concurrent writer per table (the
+streaming driver thread / one maintenance job); the CAS makes a second
+writer fail loudly instead of corrupting.
+
+Engine-added scale machinery — the reference (single SQLite file) has
+no analogue; cited for contrast: its whole store is
+``tagminder.py``'s sqlite connection.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import posixpath
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tagminder_spark.operators.compaction import (
+    DEFAULT_TARGET_BYTES,
+    list_data_files,
+    table_fs,
+)
+
+MANIFEST_DIR = "_manifest"
+
+
+def _gen_name(gen: int) -> str:
+    return f"v{gen:010d}.json"
+
+
+def _manifest_dir(fs, base: str) -> str:
+    return fs.join(base, MANIFEST_DIR)
+
+
+def list_generations(
+    spark: SparkSession | None, root: str, *, force_hadoop: bool = False
+) -> list[int]:
+    """Sorted committed generation numbers (empty if unversioned)."""
+    fs, base = table_fs(spark, root, force_hadoop)
+    mdir = _manifest_dir(fs, base)
+    if not fs.exists(mdir):
+        return []
+    out = []
+    for name in fs.listdir(mdir):
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                out.append(int(name[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def read_manifest(
+    spark: SparkSession | None,
+    root: str,
+    gen: int | None = None,
+    *,
+    force_hadoop: bool = False,
+) -> dict:
+    """Load one manifest: ``{"generation": N, "files": [[rel_path,
+    bytes], ...]}`` — paths relative to the table root so the table
+    stays relocatable."""
+    fs, base = table_fs(spark, root, force_hadoop)
+    if gen is None:
+        gens = list_generations(spark, root, force_hadoop=force_hadoop)
+        if not gens:
+            raise FileNotFoundError(f"no manifest under {root!r}")
+        gen = gens[-1]
+    path = fs.join(_manifest_dir(fs, base), _gen_name(gen))
+    return json.loads(fs.read_bytes(path))
+
+
+def commit_manifest(
+    spark: SparkSession | None,
+    root: str,
+    files: list[tuple[str, int]],
+    *,
+    parent: int | None = None,
+    force_hadoop: bool = False,
+) -> int:
+    """Commit ``files`` (relative-path, size) as the next generation.
+
+    The commit is an atomic create-if-absent of
+    ``_manifest/v{parent+1}.json``: if another writer committed that
+    generation first, this raises ``FileExistsError`` (the caller
+    re-reads and retries or aborts) — optimistic concurrency, exactly
+    Iceberg's commit protocol in miniature.  ``parent=None`` means
+    "whatever is current" (0 for a fresh table).
+    """
+    fs, base = table_fs(spark, root, force_hadoop)
+    if parent is None:
+        gens = list_generations(spark, root, force_hadoop=force_hadoop)
+        parent = gens[-1] if gens else 0
+    gen = parent + 1
+    mdir = _manifest_dir(fs, base)
+    fs.mkdirs(mdir)
+    payload = json.dumps(
+        {
+            "generation": gen,
+            "parent": parent,
+            "files": sorted([p, int(sz)] for p, sz in files),
+        },
+        separators=(",", ":"),
+    ).encode()
+    fs.write_new(fs.join(mdir, _gen_name(gen)), payload)
+    return gen
+
+
+def init_manifest(
+    spark: SparkSession,
+    root: str,
+    *,
+    force_hadoop: bool = False,
+) -> int:
+    """Bootstrap versioning on an existing directory table: commit
+    generation 1 from a full listing.  Refuses if already versioned
+    (the listing would see multiple versions' files)."""
+    if list_generations(spark, root, force_hadoop=force_hadoop):
+        raise ValueError(f"{root!r} is already manifest-versioned")
+    fs, base = table_fs(spark, root, force_hadoop)
+    rel = [
+        (posixpath.relpath(p.replace("\\", "/"), base.replace("\\", "/")), sz)
+        for p, sz in list_data_files(spark, root)
+    ]
+    return commit_manifest(
+        spark, root, rel, parent=0, force_hadoop=force_hadoop
+    )
+
+
+def snapshot_read(
+    spark: SparkSession,
+    root: str,
+    gen: int | None = None,
+    *,
+    force_hadoop: bool = False,
+) -> DataFrame:
+    """Read the table PINNED to one manifest generation: Spark gets the
+    explicit file list (never a directory listing), so concurrent
+    appends and maintenance are invisible and cannot break the scan.
+    ``basePath`` keeps directory-partition columns (``lang=…``)."""
+    man = read_manifest(spark, root, gen, force_hadoop=force_hadoop)
+    fs, base = table_fs(spark, root, force_hadoop)
+    paths = [fs.join(base, rel) for rel, _sz in man["files"]]
+    if not paths:
+        raise ValueError(f"manifest gen {man['generation']} lists no files")
+    return spark.read.option("basePath", base).parquet(*paths)
+
+
+def plan_compaction_manifest(
+    manifest: dict,
+    *,
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+    min_files: int = 8,
+    small_ratio: float = 0.5,
+) -> dict:
+    """The selective-compaction planner over a MANIFEST instead of a
+    directory listing (a versioned table's directory holds retired
+    files too, so listing-based stats would be wrong).  Same thresholds
+    as :func:`~tagminder_spark.operators.compaction.plan_compaction`;
+    pure python, zero IO."""
+    stats: dict[str, list[int]] = {}
+    for rel, size in manifest["files"]:
+        d = posixpath.dirname(rel)
+        agg = stats.setdefault(d, [0, 0])
+        agg[0] += 1
+        agg[1] += size
+    dirs = {
+        d: {"files": n, "bytes": b, "mean_bytes": b // max(n, 1)}
+        for d, (n, b) in sorted(stats.items())
+    }
+    candidates = [
+        d for d, s in dirs.items()
+        if s["files"] >= min_files
+        and s["mean_bytes"] < target_bytes * small_ratio
+    ]
+    return {"dirs": dirs, "candidates": candidates,
+            "target_bytes": target_bytes}
+
+
+def _move_stage_files(
+    spark: SparkSession, fs, stage: str, base: str, *, force_hadoop: bool
+) -> list[tuple[str, int]]:
+    """Move every staged data file into the live table under its
+    partition directory, keeping Spark's UUID-unique file names (no
+    collision possible).  File-level renames: atomic on HDFS/local; on
+    an object store each is a copy — still safe (the manifest commit is
+    the atomic step), just not free.  Returns (rel_path, bytes)."""
+    moved: list[tuple[str, int]] = []
+    for p, sz in list_data_files(spark, stage):
+        rel = posixpath.relpath(p.replace("\\", "/"), stage.replace("\\", "/"))
+        dst = fs.join(base, rel)
+        parent = posixpath.dirname(dst)
+        if not fs.exists(parent):
+            fs.mkdirs(parent)
+        fs.rename(p, dst)
+        moved.append((rel, sz))
+    return moved
+
+
+def append_files(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    *,
+    partition_col: str | None = "lang",
+    force_hadoop: bool = False,
+) -> dict:
+    """Append ``df`` to a versioned table as one manifest commit:
+    write to a hidden stage dir, move the (UUID-named) files into the
+    live partition dirs, commit ``previous ∪ new``.
+
+    O(|batch|) — the commit never lists the table, so ingest cost
+    tracks batch size, not table size (the property a per-micro-batch
+    streaming commit needs at 100 TB).  A crash before the commit
+    leaves only unreferenced files (invisible to every snapshot
+    reader); ``expire_snapshots(remove_unreferenced=True)`` reclaims
+    them."""
+    import uuid
+
+    fs, base = table_fs(spark, root, force_hadoop)
+    gens = list_generations(spark, root, force_hadoop=force_hadoop)
+    prev = (
+        read_manifest(spark, root, gens[-1], force_hadoop=force_hadoop)
+        if gens
+        else {"generation": 0, "files": []}
+    )
+    stage = fs.join(base, f".__ingest_stage_{uuid.uuid4().hex[:8]}__")
+    writer = df.write.mode("overwrite")
+    if partition_col:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(stage)
+    try:
+        new = _move_stage_files(
+            spark, fs, stage, base, force_hadoop=force_hadoop
+        )
+    finally:
+        fs.delete(stage, ignore_errors=True)
+    files = [(p, sz) for p, sz in prev["files"]] + new
+    gen = commit_manifest(
+        spark, root, files,
+        parent=prev["generation"], force_hadoop=force_hadoop,
+    )
+    return {"generation": gen, "files_added": len(new),
+            "bytes_added": sum(sz for _, sz in new)}
+
+
+def compact_partitions_versioned(
+    spark: SparkSession,
+    root: str,
+    partition_col: str,
+    values: list[str],
+    *,
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+    order_col: str = "doc_id",
+    force_hadoop: bool = False,
+) -> dict:
+    """Selective compaction as a manifest commit — the snapshot-safe,
+    object-store-safe twin of
+    :func:`~tagminder_spark.operators.compaction.compact_partitions`.
+
+    Reads ONLY the candidate partitions' current files (explicit file
+    list — healthy directories cost zero IO), bin-packs them into new
+    UUID-named files in the same partition directories, and commits
+    ``(current − replaced) ∪ new`` as the next generation.  Old files
+    stay on disk, so any reader pinned to an earlier generation
+    finishes its scan untouched; :func:`expire_snapshots` reclaims
+    them once the retention window passes.  No directory rename
+    anywhere → works unchanged on object stores.
+    """
+    from pyspark.sql import Observation
+
+    fs, base = table_fs(spark, root, force_hadoop)
+    man = read_manifest(spark, root, force_hadoop=force_hadoop)
+    prefixes = tuple(f"{partition_col}={v}/" for v in values)
+    replaced = [
+        (rel, sz) for rel, sz in man["files"] if rel.startswith(prefixes)
+    ]
+    if not replaced:
+        return {"generation": man["generation"], "rewritten": 0,
+                "files_out": 0, "rows": 0}
+    keep = [(rel, sz) for rel, sz in man["files"]
+            if not rel.startswith(prefixes)]
+
+    df = spark.read.option("basePath", base).parquet(
+        *[fs.join(base, rel) for rel, _ in replaced]
+    )
+    if order_col not in df.columns:
+        raise ValueError(
+            f"order_col {order_col!r} not in input columns {df.columns}"
+        )
+    n_out = max(
+        1, math.ceil(sum(sz for _, sz in replaced) / target_bytes)
+    )
+    import uuid
+
+    stage = fs.join(base, f".__compact_stage_{uuid.uuid4().hex[:8]}__")
+    obs = Observation("compact_versioned_rows")
+    (
+        df.repartitionByRange(n_out, F.col(partition_col), F.col(order_col))
+        .sortWithinPartitions(partition_col, order_col)
+        .observe(obs, F.count(F.lit(1)).alias("rows"))
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(stage)
+    )
+    try:
+        new = _move_stage_files(
+            spark, fs, stage, base, force_hadoop=force_hadoop
+        )
+    finally:
+        fs.delete(stage, ignore_errors=True)
+    gen = commit_manifest(
+        spark, root, keep + new,
+        parent=man["generation"], force_hadoop=force_hadoop,
+    )
+    return {
+        "generation": gen,
+        "rewritten": len(replaced),
+        "files_out": len(new),
+        "planned_files": n_out,
+        "rows": obs.get["rows"],
+    }
+
+
+def expire_snapshots(
+    spark: SparkSession,
+    root: str,
+    *,
+    keep_last: int = 2,
+    remove_unreferenced: bool = False,
+    force_hadoop: bool = False,
+) -> dict:
+    """Reclaim storage: delete data files referenced ONLY by
+    generations older than the newest ``keep_last``, then drop those
+    manifests.  The retention window is the caller's promise about the
+    longest-running reader (Iceberg's ``expireSnapshots`` contract).
+
+    ``remove_unreferenced=True`` additionally deletes data files no
+    retained manifest references at all — crash debris from an
+    interrupted stage-move.  Only safe when every writer goes through
+    the manifest (a concurrent PLAIN append's files look exactly like
+    debris), which is why it is opt-in.
+    """
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    fs, base = table_fs(spark, root, force_hadoop)
+    gens = list_generations(spark, root, force_hadoop=force_hadoop)
+    retained = set(gens[-keep_last:])
+    live: set[str] = set()
+    for g in retained:
+        man = read_manifest(spark, root, g, force_hadoop=force_hadoop)
+        live.update(rel for rel, _ in man["files"])
+    removed_files: list[str] = []
+    for g in gens:
+        if g in retained:
+            continue
+        man = read_manifest(spark, root, g, force_hadoop=force_hadoop)
+        for rel, _ in man["files"]:
+            if rel not in live:
+                p = fs.join(base, rel)
+                if fs.exists(p):
+                    fs.delete(p)
+                removed_files.append(rel)
+                live.add(rel)  # don't double-delete across old gens
+    if remove_unreferenced:
+        for p, _sz in list_data_files(spark, root):
+            rel = posixpath.relpath(
+                p.replace("\\", "/"), base.replace("\\", "/")
+            )
+            if rel.startswith(MANIFEST_DIR):
+                continue
+            if rel not in live:
+                fs.delete(p)
+                removed_files.append(rel)
+    removed_manifests = []
+    mdir = _manifest_dir(fs, base)
+    for g in gens:
+        if g not in retained:
+            fs.delete(fs.join(mdir, _gen_name(g)))
+            removed_manifests.append(g)
+    return {
+        "removed_files": sorted(set(removed_files)),
+        "removed_generations": removed_manifests,
+        "retained_generations": sorted(retained),
+    }

@@ -196,6 +196,7 @@ def streaming_dedup_probe(
     bands: int = 8,
     threshold: float = 0.5,
     sink=None,
+    max_collected: int = 100_000,
     query_name: str = "dedup_probe",
 ):
     """Streaming twin of the incremental fuzzy-dedup probe: every
@@ -208,7 +209,10 @@ def streaming_dedup_probe(
     O(|batch| + touched buckets), never O(corpus). ``sink(pairs_df,
     batch_id)`` receives the verified near-dup pairs for the batch
     (default: append to an in-memory list on the returned query object —
-    test/dev convenience).
+    test/dev convenience, bounded at ``max_collected`` pairs so a
+    pathological batch cannot balloon the driver; pairs beyond the cap
+    are counted in ``q.dropped_pairs`` and a warning is logged once —
+    pass a real ``sink`` for production streams).
 
     The probe intentionally does NOT fold the batch into the index
     mid-stream: index compaction is a periodic batch job (the same
@@ -227,6 +231,7 @@ def streaming_dedup_probe(
     from tagminder_spark.operators.dedupe import incremental_lsh_pairs, lsh_index
 
     collected: list = []
+    dropped = [0]
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
@@ -235,10 +240,26 @@ def streaming_dedup_probe(
         pairs = incremental_lsh_pairs(batch_index, standing_index, threshold=threshold)
         if sink is not None:
             sink(pairs, batch_id)
-        else:
-            collected.extend(
-                (r["id_a"], r["id_b"], r["jaccard"]) for r in pairs.collect()
-            )
+            return
+        # default in-memory sink is BOUNDED: take cap+1 rows (limit
+        # pushes down — the executor never ships more), keep cap
+        room = max_collected - len(collected)
+        rows = pairs.limit(max(room, 0) + 1).collect() if room > 0 else [None]
+        overflow = len(rows) > room
+        collected.extend(
+            (r["id_a"], r["id_b"], r["jaccard"]) for r in rows[:room] if r
+        )
+        if overflow:
+            if not dropped[0]:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "streaming_dedup_probe: default in-memory sink hit "
+                    "max_collected=%d; further pairs are dropped — pass "
+                    "a sink= callback for unbounded streams",
+                    max_collected,
+                )
+            dropped[0] += 1
 
     q = (
         stream.writeStream.foreachBatch(_process)
@@ -247,6 +268,7 @@ def streaming_dedup_probe(
         .start()
     )
     q.collected_pairs = collected  # type: ignore[attr-defined]
+    q.dropped_batches = dropped  # type: ignore[attr-defined]
     return q
 
 
@@ -258,6 +280,8 @@ def streaming_ingest_with_maintenance(
     maintenance_every: int = 4,
     target_bytes: int = 64 << 20,
     min_files: int = 8,
+    use_manifest: bool = False,
+    expire_keep_last: int = 2,
     query_name: str = "ingest_maintain",
 ):
     """Continuous ingest with AUTOMATIC table maintenance — the
@@ -274,10 +298,25 @@ def streaming_ingest_with_maintenance(
       no concurrent writer exists, so the per-directory atomic swap of
       :func:`~tagminder_spark.operators.compaction.compact_partitions`
       cannot race the appends;
+    - every maintenance pass first runs ``recover_interrupted_swaps``
+      (idempotent, no-op on a healthy table): a crash between the
+      swap's two renames on a PREVIOUS run leaves a partition parked at
+      a hidden recovery name, and compact_partitions' contract requires
+      the recovery before the next pass;
     - compaction never changes rows, so a crash between the append and
       the maintenance step loses nothing — the next trigger simply
       finds the same candidates again (the planner is idempotent);
     - cost tracks the ingest rate: healthy directories are never read.
+
+    ``use_manifest=True`` switches the whole loop to manifest commits
+    (:mod:`~tagminder_spark.operators.table_manifest`): each batch is
+    one O(|batch|) ``append_files`` commit, maintenance is
+    ``compact_partitions_versioned`` + ``expire_snapshots`` — no
+    directory rename anywhere, so concurrent readers pinned via
+    ``snapshot_read`` always see a prefix-consistent table (exactly the
+    committed batches, never a half-written one) and the loop works on
+    object stores.  Readers must then use ``snapshot_read``, not a bare
+    directory read.
 
     Returns the streaming query; ``q.maintenance_reports`` accumulates
     one planner/rewrite report per maintenance pass.
@@ -285,33 +324,82 @@ def streaming_ingest_with_maintenance(
     from tagminder_spark.operators.compaction import (
         compact_partitions,
         plan_compaction,
+        recover_interrupted_swaps,
+    )
+    from tagminder_spark.operators.table_manifest import (
+        append_files,
+        compact_partitions_versioned,
+        expire_snapshots,
+        plan_compaction_manifest,
+        read_manifest,
     )
 
     reports: list = []
 
+    if not use_manifest:
+        # recovery must run BEFORE the first append, not merely before
+        # maintenance: a partition parked by a crashed previous run
+        # whose live dir gets recreated by this stream's appends would
+        # make the parked copy indistinguishable from completed-swap
+        # garbage — recovering first removes the ambiguity while the
+        # parked copy is still authoritative
+        restored = recover_interrupted_swaps(table_dir, stream.sparkSession)
+        if restored:
+            reports.append({"batch_id": -1, "recovered_dirs": restored})
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
         if batch_df.head(1):
-            (
-                batch_df.write.mode("append")
-                .partitionBy(partition_col)
-                .parquet(table_dir)
-            )
+            if use_manifest:
+                append_files(
+                    spark, batch_df, table_dir, partition_col=partition_col
+                )
+            else:
+                (
+                    batch_df.write.mode("append")
+                    .partitionBy(partition_col)
+                    .parquet(table_dir)
+                )
         if batch_id % maintenance_every != maintenance_every - 1:
             return
-        spark = batch_df.sparkSession
-        plan = plan_compaction(
-            spark, table_dir,
-            target_bytes=target_bytes, min_files=min_files,
-        )
+        if use_manifest:
+            try:
+                man = read_manifest(spark, table_dir)
+            except FileNotFoundError:  # nothing committed yet
+                return
+            plan = plan_compaction_manifest(
+                man, target_bytes=target_bytes, min_files=min_files,
+            )
+        else:
+            # a previous run may have crashed mid-swap; recovery is
+            # idempotent and required by compact_partitions' contract
+            restored = recover_interrupted_swaps(table_dir, spark)
+            if restored:
+                reports.append(
+                    {"batch_id": batch_id, "recovered_dirs": restored}
+                )
+            plan = plan_compaction(
+                spark, table_dir,
+                target_bytes=target_bytes, min_files=min_files,
+            )
         values = [
             d.rsplit(f"{partition_col}=", 1)[1] for d in plan["candidates"]
         ]
         if not values:
             return
-        report = compact_partitions(
-            spark, table_dir, partition_col, values,
-            target_bytes=target_bytes,
-        )
+        if use_manifest:
+            report = compact_partitions_versioned(
+                spark, table_dir, partition_col, values,
+                target_bytes=target_bytes,
+            )
+            report["expired"] = expire_snapshots(
+                spark, table_dir, keep_last=expire_keep_last
+            )["removed_generations"]
+        else:
+            report = compact_partitions(
+                spark, table_dir, partition_col, values,
+                target_bytes=target_bytes,
+            )
         report["batch_id"] = batch_id
         report["candidates"] = plan["candidates"]
         reports.append(report)

@@ -165,6 +165,39 @@ def test_compact_shards_zorder_preserves_rows(spark, tmp_path):
     assert a == b
 
 
+def test_compact_shards_zorder_date_column(spark, tmp_path):
+    """ANSI Spark forbids CAST(date AS DOUBLE); the zorder bucketer must
+    route date columns through unix_date — and must not demand the
+    (unused) linear order_col when zorder_cols is supplied."""
+    from pyspark.sql import functions as F
+    from tagminder_spark.operators.compaction import compact_shards
+    from tagminder_spark.session import load_table
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .withColumn(
+            "day", F.date_add(F.lit("2024-01-01").cast("date"),
+                              F.pmod(F.col("doc_id"), F.lit(365)).cast("int"))
+        )
+        # drop doc_id so the default order_col is genuinely absent
+        .withColumnRenamed("doc_id", "id")
+    )
+    frag = str(tmp_path / "frag")
+    docs.repartition(8).write.parquet(frag)
+    out = str(tmp_path / "z")
+    report = compact_shards(
+        spark, frag, out,
+        target_bytes=8 << 10,
+        partition_cols=(),
+        zorder_cols=("day", "id"),
+    )
+    assert report["rows"] == docs.count()
+    back = spark.read.parquet(out)
+    a = sorted((r["id"], str(r["day"])) for r in back.collect())
+    b = sorted((r["id"], str(r["day"])) for r in docs.collect())
+    assert a == b
+
+
 def test_compact_shards_zorder_rejects_bad_cols(spark, tmp_path):
     from tagminder_spark.operators.compaction import compact_shards
     from tagminder_spark.session import load_table

@@ -190,6 +190,33 @@ def test_streaming_dedup_probe_matches_batch(spark, tmp_path):
     assert got == batch
 
 
+def test_streaming_dedup_probe_bounds_default_sink(spark, tmp_path):
+    """ADVICE r7: the default in-memory sink is capped — a pathological
+    batch cannot balloon the driver list past max_collected."""
+    from tagminder_spark.operators.dedupe import lsh_index
+    from tagminder_spark.session import load_table
+    from tagminder_spark.streaming.ingest import streaming_dedup_probe
+
+    docs = load_table(spark, SF_DIR, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new.coalesce(1).write.parquet(str(tmp_path / "incoming"))
+
+    standing = lsh_index(old, "doc_id", "text")
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "incoming"))
+    )
+    q = streaming_dedup_probe(stream, standing, max_collected=1)
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    assert len(q.collected_pairs) <= 1
+    assert q.dropped_batches[0] >= 1  # the overflow was seen and logged
+
+
 def test_chunk_audio_boundaries_and_bytes(spark):
     """Overlapping windows: 25-byte content at 10ms/byte = 250ms dur,
     window 100ms hop 60ms -> starts 0,60,120,180,240; byte ranges
