@@ -796,6 +796,59 @@ def cur_zorder_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MANIFEST_SQL = """
+SELECT doc_id, lang FROM documents
+"""
+
+
+@q("cur_manifest_isolation", _MANIFEST_SQL)
+def cur_manifest_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-isolation gate (round 8, outside the gate window per
+    the rotation rule): fragment one language's directory, bootstrap a
+    manifest, PIN a reader to generation 1, run the manifest-committed
+    selective compaction (new files + new generation, no directory
+    rename — the object-store-safe path), materialize the PINNED reader
+    AFTER the rewrite (its gen-1 files must all still exist — isolation
+    proven by the collect succeeding), expire the old generation, and
+    return the latest snapshot.  The oracle pins the final read-back
+    value-exact; the pinned read would raise mid-gate if maintenance
+    had broken it."""
+    import tempfile
+
+    from tagminder_spark.operators.table_manifest import (
+        compact_partitions_versioned,
+        expire_snapshots,
+        init_manifest,
+        snapshot_read,
+    )
+
+    base = tempfile.mkdtemp(prefix="tm_manifest_")
+    root = f"{base}/t"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    docs.filter(F.col("lang") == "en").repartition(16).write.mode(
+        "append"
+    ).partitionBy("lang").parquet(root)
+    docs.filter(F.col("lang") != "en").coalesce(1).write.mode(
+        "append"
+    ).partitionBy("lang").parquet(root)
+
+    init_manifest(spark, root)
+    pinned = snapshot_read(spark, root, 1)
+    compact_partitions_versioned(
+        spark, root, "lang", ["en"], target_bytes=4 << 20
+    )
+    n_pinned = pinned.count()  # scans gen-1's files post-rewrite
+    if n_pinned != docs.count():
+        raise AssertionError(
+            f"pinned snapshot lost rows: {n_pinned}"
+        )
+    expire_snapshots(spark, root, keep_last=1)
+    back = snapshot_read(spark, root)
+    return back.select(
+        "doc_id", F.col("lang").cast("string").alias("lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # bigram-LM perplexity (the actual CCNet quality mechanism)
 
