@@ -140,6 +140,7 @@ def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
         reports,
         reports_insights,
         reports_insights2,
+        reports_insights3,
         scalarfns,
         scale_q,
         simsearch,
@@ -169,6 +170,7 @@ def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
         reports,
         reports_insights,
         reports_insights2,
+        reports_insights3,
         scale_q,
         sources_q,
         rename_q,

@@ -444,6 +444,28 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
         ),
         "r92_persona": (["persona"], [("score", "num"), ("selected", "num")]),
         "r92_genre_spotlight": (["composer_tok"], [("albums", "num")]),
+        # third insights tranche (reports_insights3.py, round 8):
+        # the residual card variants — timeline, RG extremes/dynamics,
+        # genre-scoped role spotlights, most-performed compositions
+        "r92_albums_timeline": (
+            ["album_year"], [("decade", "num"), ("albums", "num")]
+        ),
+        "r92_rg_extremes": (
+            ["side", "rank"],
+            [("album_root", "str"), ("rg_album_gain_db", "num")],
+        ),
+        "r92_rg_dynamics": (
+            ["meter", "side", "rank"],
+            [("album_root", "str"), ("dyn_value", "num")],
+        ),
+        "r92_spotlight_roles": (
+            ["scope", "rank"], [("tok", "str"), ("albums", "num")]
+        ),
+        "r92_most_instances": (
+            ["scope", "rank"],
+            [("composer_key", "str"), ("title_key", "str"),
+             ("tracks", "num"), ("distinct_artists", "num")],
+        ),
         # round 5: library-health card (keep-columns coverage + radar
         # missing-rate vector, compilation-aware albumartist denominators)
         "r92_health_radar": (
@@ -479,6 +501,7 @@ def _base_registry() -> dict[str, tuple[QueryFn, str | None]]:
         reports,
         reports_insights,
         reports_insights2,
+        reports_insights3,
         scalarfns,
         scale_q,
         simsearch,
@@ -491,7 +514,7 @@ def _base_registry() -> dict[str, tuple[QueryFn, str | None]]:
         relational, relational_ext, scalarfns, curation_q, dedup, er_q, harvest_q, textops, simsearch,
         audit, pipelinesteps, pipelinesteps_ext, pipelinesteps_grp,
         pipelinesteps_lookup, pipelinesteps_works, reports, reports_insights,
-        reports_insights2, scale_q, sources_q, rename_q,
+        reports_insights2, reports_insights3, scale_q, sources_q, rename_q,
     ):
         out.update(mod.REGISTRY)
     return out

@@ -62,6 +62,61 @@ def render_dashboard(
     return out
 
 
+# every 92-library-insights card family the engine ports, in the
+# reference page's section order (92-library-insights.py:3519-3600
+# assembles persona → format → time → RG → artists → roles → labels →
+# genre highlights); each name is a registered, oracle-gated query
+INSIGHTS_SECTIONS: tuple[str, ...] = (
+    "r92_persona",
+    "r92_album_stats",
+    "r92_format_mix",
+    "r92_albums_timeline",
+    "r92_acquisition",
+    "r92_replaygain",
+    "r92_rg_extremes",
+    "r92_rg_dynamics",
+    "r92_rg_trend",
+    "r92_rg_by_genre",
+    "r92_artist_depth",
+    "r92_releasetype_mix",
+    "r92_rating_artists",
+    "r92_va_share",
+    "r92_top_entities",
+    "r92_collab_pairs",
+    "r92_label_spread",
+    "r92_studios",
+    "r92_genre_drift",
+    "r92_genre_spotlight",
+    "r92_spotlight_roles",
+    "r92_most_instances",
+)
+
+
+def render_insights_dashboard(
+    spark,
+    sf_dir: str,
+    out_path: str | Path,
+    *,
+    sections: tuple[str, ...] = INSIGHTS_SECTIONS,
+    max_rows_per_section: int = 100,
+) -> Path:
+    """The full 92-library-insights page: run every ported card family
+    from the query registry and render one static page.  The reference
+    renders Plotly figures (92-library-insights.py:602-3600); this
+    engine computes the SAME aggregates distributed and renders them as
+    tables — the analytic content is what the oracle gates pin, the
+    figure chrome is driver-side cosmetics."""
+    from tagminder_spark.queries import merged
+
+    qs, _ = merged()
+    secs = {name: qs[name](spark, sf_dir) for name in sections}
+    return render_dashboard(
+        secs, out_path,
+        title="library insights",
+        max_rows_per_section=max_rows_per_section,
+    )
+
+
 def render_artist_map(
     edges: DataFrame,
     out_path: str | Path,

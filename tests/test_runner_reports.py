@@ -159,6 +159,28 @@ def test_render_dashboard(spark, tmp_path):
     assert "<table>" in text and "FLAC" in text and "format mix" in text
 
 
+def test_render_insights_dashboard_all_cards(spark, tmp_path):
+    """The assembled insights page runs EVERY ported card family (incl.
+    the round-8 tranche: timeline, RG extremes/dynamics, role
+    spotlights, most-instances) and renders each as a section."""
+    from tagminder_spark.reports.html import (
+        INSIGHTS_SECTIONS,
+        render_insights_dashboard,
+    )
+    from tests.conftest import SF_DIR
+
+    out = render_insights_dashboard(spark, SF_DIR, tmp_path / "insights.html")
+    text = out.read_text()
+    for name in INSIGHTS_SECTIONS:
+        assert f"<caption>{name}</caption>" in text, name
+    for new in ("r92_albums_timeline", "r92_rg_extremes", "r92_rg_dynamics",
+                "r92_spotlight_roles", "r92_most_instances"):
+        assert new in INSIGHTS_SECTIONS
+    # the new cards carry real rows, not empty tables
+    assert "loudest" in text and "most_dynamic" in text
+    assert "classical_aa" in text and "classical_conductor" in text
+
+
 def test_neighbor_tree_explorer(spark):
     from tagminder_spark.reports.tui import render_neighbor_tree
 
