@@ -95,6 +95,10 @@ EXTRA = [
     "cur_zorder_compact",
     "cur_selective_compact",
     "t_stream_maintain",
+    # round 8: manifest-committed snapshot isolation (init + versioned
+    # compaction + pinned-reader materialization + expiry, all disk IO
+    # inside the query)
+    "cur_manifest_isolation",
 ]
 
 

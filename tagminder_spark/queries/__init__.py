@@ -120,6 +120,18 @@ GATE_WINDOW: tuple[str, ...] = (
 # re-proving a past round's driver-recorded failure, and scale proofs
 # whose oracle pins scale-dependent parameters. Record every swap in a
 # dated comment here AND in COVERAGE.md.
+#
+# Round-8 rotation decision (2026-08-15, VERDICT r7 #6): no window
+# resident qualifies under rule §1 (none is re-executed verbatim as a
+# part of an in-window suite) or §2 (no strictly-subsumed variant
+# pairs remain), so per rule §3 the maintenance gates —
+# cur_selective_compact, cur_zorder_compact, t_stream_maintain, and
+# the new cur_manifest_isolation — now RIDE suite_curation as
+# re-projected parts (driver value evidence through the suite row)
+# while staying registered individually for the full sweep. The
+# round-8 insights tranche (r92_albums_timeline, r92_rg_extremes,
+# r92_rg_dynamics, r92_spotlight_roles, r92_most_instances) rides
+# suite_reports the same way. No slot changed hands.
 
 
 def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:

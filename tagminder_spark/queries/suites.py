@@ -383,6 +383,20 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
             ["doc_id"],
             [("lang", "str"), ("shard_id", "num"), ("n_tokens", "num")],
         ),
+        # round-8 rotation (rule §3 — no window resident qualifies
+        # under §1/§2): the round-7/8 maintenance gates ride this suite
+        # as re-projected parts for driver value evidence — selective
+        # compaction, z-order rewrite, the streaming ingest +
+        # auto-maintenance loop, and manifest snapshot isolation
+        "cur_selective_compact": (
+            ["doc_id"], [("lang", "str"), ("n_chars", "num")],
+        ),
+        "cur_zorder_compact": (
+            ["doc_id"],
+            [("lang", "str"), ("shard_id", "num"), ("n_tokens", "num")],
+        ),
+        "t_stream_maintain": (["doc_id"], [("lang", "str")]),
+        "cur_manifest_isolation": (["doc_id"], [("lang", "str")]),
     },
     # the report family (92/94/95/96)
     "suite_reports": {
