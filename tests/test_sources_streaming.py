@@ -86,6 +86,131 @@ def test_multimodal_image_features(spark):
     assert sorted(map(str, rows)) == sorted(map(str, again))
 
 
+def test_multimodal_real_ppm_decode_featurize(spark):
+    """REAL codec path (round 8): valid PPM bytes decode to genuine
+    pixels — width/height from the header, features = channel means of
+    the actual gradient, no fake involved (the fake's md5-dims would
+    differ)."""
+    import numpy as np
+
+    from tagminder_spark.sources.multimodal import (
+        decode_ppm,
+        make_ppm,
+    )
+
+    content = make_ppm(16, 9, seed=3)
+    w, h, arr = decode_ppm(content)
+    assert (w, h) == (16, 9) and arr.shape == (9, 16, 3)
+
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(content),
+          {"mime": "image/x-portable-pixmap", "width": None,
+           "height": None, "duration_ms": None})],
+        "media_id long, kind string, content binary,"
+        " meta struct<mime:string,width:int,height:int,duration_ms:long>",
+    )
+    row = decode_and_featurize_images(media, dim=6).collect()[0]
+    assert (row["width"], row["height"]) == (16, 9)
+    want = (arr.astype(np.float32).mean(axis=(0, 1)) / 255.0).repeat(3)[:6]
+    assert np.allclose(row["feature"], want, atol=1e-6)
+
+
+def test_multimodal_real_bmp_decode(spark):
+    """Uncompressed 24-bit BMP parses with struct+numpy: bottom-up row
+    order flipped, BGR→RGB swapped, 4-byte row padding honored."""
+    import struct
+
+    import numpy as np
+
+    from tagminder_spark.sources.multimodal import decode_bmp
+
+    # 2x2 image, rows padded to 4 bytes (2*3=6 → stride 8)
+    px = {
+        (0, 0): (255, 0, 0), (0, 1): (0, 255, 0),
+        (1, 0): (0, 0, 255), (1, 1): (10, 20, 30),
+    }
+    rows = b""
+    for y in (1, 0):  # bottom-up
+        for x in (0, 1):
+            r, g, b = px[(y, x)]
+            rows += bytes([b, g, r])  # BGR
+        rows += b"\x00\x00"  # pad
+    header = (
+        b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(rows),
+                      2835, 2835, 0, 0)
+    )
+    w, h, arr = decode_bmp(header + rows)
+    assert (w, h) == (2, 2)
+    for (y, x), rgb in px.items():
+        assert tuple(int(v) for v in arr[y, x]) == rgb, (y, x)
+    assert arr.dtype == np.uint8
+
+
+def test_multimodal_real_wav_chunking(spark):
+    """REAL audio path: a genuine 16-bit PCM WAV decodes via stdlib
+    wave; chunk windows are sample-accurate (chunk bytes == the exact
+    PCM frame range, verified against the decoded array)."""
+    import numpy as np
+
+    from tagminder_spark.sources.multimodal import (
+        chunk_audio,
+        decode_wav,
+        make_wav,
+    )
+
+    content = make_wav(250, rate=8000, seed=1)  # 2000 frames
+    rate, nch, samples = decode_wav(content)
+    assert (rate, nch, samples.shape[0]) == (8000, 1, 2000)
+
+    media = spark.createDataFrame(
+        [(0, "audio", bytearray(content),
+          {"mime": "audio/wav", "width": None, "height": None,
+           "duration_ms": None})],
+        "media_id long, kind string, content binary,"
+        " meta struct<mime:string,width:int,height:int,duration_ms:long>",
+    )
+    chunks = sorted(
+        chunk_audio(media, window_ms=100, hop_ms=60).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # duration 250 ms → starts 0,60,120,180,240
+    assert [c["start_ms"] for c in chunks] == [0, 60, 120, 180, 240]
+    for c in chunks:
+        f0 = c["start_ms"] * rate // 1000
+        f1 = min(-(-(c["end_ms"] * rate) // 1000), samples.shape[0])
+        assert bytes(c["chunk_bytes"]) == samples[f0:f1].tobytes(), c["chunk_idx"]
+
+
+def test_multimodal_real_ppm_resize(spark):
+    """REAL resize path: PPM in → nearest-neighbor resample → PPM out;
+    the output pixels equal the numpy index-map resample of the input."""
+    import numpy as np
+
+    from tagminder_spark.sources.multimodal import (
+        decode_ppm,
+        make_ppm,
+        resize_images,
+    )
+
+    content = make_ppm(20, 10, seed=7)
+    _, _, src = decode_ppm(content)
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(content),
+          {"mime": "image/x-portable-pixmap", "width": None,
+           "height": None, "duration_ms": None})],
+        "media_id long, kind string, content binary,"
+        " meta struct<mime:string,width:int,height:int,duration_ms:long>",
+    )
+    row = resize_images(media, target_w=8, target_h=4).collect()[0]
+    assert (row["width"], row["height"]) == (20, 10)
+    w2, h2, got = decode_ppm(bytes(row["resized"]))
+    assert (w2, h2) == (8, 4)
+    ys = (np.arange(4) * 10 // 4).clip(0, 9)
+    xs = (np.arange(8) * 20 // 8).clip(0, 19)
+    assert np.array_equal(got, src[ys][:, xs])
+
+
 def test_multimodal_frame_sampling(spark):
     media = synth_media(spark, 21)
     frames = sample_video_frames(media, every_ms=1000)
