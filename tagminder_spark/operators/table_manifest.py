@@ -236,6 +236,7 @@ def append_files(
     root: str,
     *,
     partition_col: str | None = "lang",
+    max_retries: int = 5,
     force_hadoop: bool = False,
 ) -> dict:
     """Append ``df`` to a versioned table as one manifest commit:
@@ -247,16 +248,20 @@ def append_files(
     streaming commit needs at 100 TB).  A crash before the commit
     leaves only unreferenced files (invisible to every snapshot
     reader); ``expire_snapshots(remove_unreferenced=True)`` reclaims
-    them."""
+    them.
+
+    Concurrent appenders are safe: an append only ADDS files, so when
+    the CAS loses (another writer committed the next generation first)
+    the commit retries against the fresh manifest — the expensive work
+    (the write and the moves) is never redone, only the tiny file-list
+    union.  This is Iceberg's fast-append retry in miniature; after
+    ``max_retries`` consecutive losses the conflict is re-raised.
+    Maintenance (``compact_partitions_versioned``) does NOT retry — it
+    REPLACES files, so a lost CAS there means the table changed under
+    it and the caller must re-plan."""
     import uuid
 
     fs, base = table_fs(spark, root, force_hadoop)
-    gens = list_generations(spark, root, force_hadoop=force_hadoop)
-    prev = (
-        read_manifest(spark, root, gens[-1], force_hadoop=force_hadoop)
-        if gens
-        else {"generation": 0, "files": []}
-    )
     stage = fs.join(base, f".__ingest_stage_{uuid.uuid4().hex[:8]}__")
     writer = df.write.mode("overwrite")
     if partition_col:
@@ -268,13 +273,54 @@ def append_files(
         )
     finally:
         fs.delete(stage, ignore_errors=True)
-    files = [(p, sz) for p, sz in prev["files"]] + new
-    gen = commit_manifest(
-        spark, root, files,
-        parent=prev["generation"], force_hadoop=force_hadoop,
-    )
+
+    for attempt in range(max_retries + 1):
+        gens = list_generations(spark, root, force_hadoop=force_hadoop)
+        prev = (
+            read_manifest(spark, root, gens[-1], force_hadoop=force_hadoop)
+            if gens
+            else {"generation": 0, "files": []}
+        )
+        files = [(p, sz) for p, sz in prev["files"]] + new
+        try:
+            gen = commit_manifest(
+                spark, root, files,
+                parent=prev["generation"], force_hadoop=force_hadoop,
+            )
+            break
+        except FileExistsError:
+            if attempt == max_retries:
+                raise
     return {"generation": gen, "files_added": len(new),
-            "bytes_added": sum(sz for _, sz in new)}
+            "bytes_added": sum(sz for _, sz in new),
+            "commit_retries": attempt}
+
+
+def table_history(
+    spark: SparkSession | None,
+    root: str,
+    *,
+    force_hadoop: bool = False,
+) -> list[dict]:
+    """One row per retained generation — files, bytes, and the delta
+    against the parent (the ``DESCRIBE HISTORY`` a maintenance
+    scheduler reads before deciding anything).  Driver-side manifest
+    reads only; no data IO."""
+    out: list[dict] = []
+    prev_files: set[str] = set()
+    for g in list_generations(spark, root, force_hadoop=force_hadoop):
+        man = read_manifest(spark, root, g, force_hadoop=force_hadoop)
+        cur = {rel for rel, _ in man["files"]}
+        out.append({
+            "generation": g,
+            "parent": man.get("parent"),
+            "files": len(cur),
+            "bytes": sum(sz for _, sz in man["files"]),
+            "added_files": len(cur - prev_files),
+            "removed_files": len(prev_files - cur),
+        })
+        prev_files = cur
+    return out
 
 
 def compact_partitions_versioned(

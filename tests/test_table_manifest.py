@@ -162,6 +162,82 @@ def test_append_files_commits_per_batch(spark, tmp_path):
     assert _rows(snapshot_read(spark, root, 1)) == _rows(a)
 
 
+def test_append_files_concurrent_cas_retry(spark, tmp_path):
+    """Two appenders racing the same generation: the loser's commit
+    retries against the fresh manifest and lands as the next
+    generation — both batches visible, no work redone (round 8:
+    Iceberg-style fast-append retry)."""
+    from pyspark.sql import functions as F
+
+    import tagminder_spark.operators.table_manifest as tm
+    from tagminder_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    root = str(tmp_path / "t")
+    tm.append_files(spark, a, root, partition_col="lang")
+
+    # make appender B lose its first CAS: just before B's commit, an
+    # "other writer" takes the generation B is aiming for (a no-op
+    # commit of the current file list)
+    real_commit = tm.commit_manifest
+    interloped = {"done": False}
+
+    def racing_commit(spark_, root_, files, *, parent=None, force_hadoop=False):
+        if not interloped["done"]:
+            interloped["done"] = True
+            current = tm.read_manifest(spark_, root_)["files"]
+            real_commit(spark_, root_, current, parent=parent)
+        return real_commit(
+            spark_, root_, files, parent=parent, force_hadoop=force_hadoop
+        )
+
+    tm.commit_manifest, orig = racing_commit, tm.commit_manifest
+    try:
+        r = tm.append_files(spark, b, root, partition_col="lang")
+    finally:
+        tm.commit_manifest = orig
+    # B lost gen 2 to the interloper, retried, landed gen 3
+    assert r["commit_retries"] == 1 and r["generation"] == 3
+    got = {
+        row["doc_id"]
+        for row in tm.snapshot_read(spark, root).select("doc_id").collect()
+    }
+    assert got == {row["doc_id"] for row in docs.collect()}
+
+
+def test_table_history(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        append_files,
+        compact_partitions_versioned,
+        table_history,
+    )
+    from tagminder_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    root = str(tmp_path / "t")
+    append_files(
+        spark, docs.filter(F.col("lang") == "en").repartition(8),
+        root, partition_col="lang",
+    )
+    append_files(
+        spark, docs.filter(F.col("lang") != "en"), root,
+        partition_col="lang",
+    )
+    compact_partitions_versioned(
+        spark, root, "lang", ["en"], target_bytes=4 << 20
+    )
+    hist = table_history(spark, root)
+    assert [h["generation"] for h in hist] == [1, 2, 3]
+    assert hist[0]["added_files"] >= 8 and hist[0]["removed_files"] == 0
+    assert hist[1]["removed_files"] == 0  # append only adds
+    assert hist[2]["removed_files"] >= 8  # compaction replaced en files
+    assert hist[2]["files"] < hist[1]["files"]
+
+
 def test_plan_compaction_manifest_matches_directory_planner(spark, tmp_path):
     from tagminder_spark.operators.compaction import plan_compaction
     from tagminder_spark.operators.table_manifest import (
