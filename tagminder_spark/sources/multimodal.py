@@ -118,13 +118,149 @@ def decode_bmp(content: bytes):
     return w, h, raw[:, :, ::-1].copy()  # BGR → RGB
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(arr) -> bytes:
+    """Minimal REAL PNG encoder (8-bit RGB, filter 0, one IDAT) — pure
+    stdlib zlib; pairs with :func:`decode_png` for round-trip tests."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w = a.shape[0], a.shape[1]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(content: bytes):
+    """REAL PNG decode — stdlib ``zlib`` + ``struct`` only: critical
+    chunks, all five scanline filters, 8-bit gray / RGB / palette /
+    gray+alpha / RGBA, non-interlaced.  Returns (width, height,
+    HxWx3 uint8 RGB).  Raises ValueError for PNG variants outside that
+    envelope (16-bit, interlaced) — those fall to the Pillow seam."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not content.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    pos = 8
+    ihdr = None
+    palette = None
+    idat = bytearray()
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack_from(">I", content, pos)
+        typ = content[pos + 4 : pos + 8]
+        if pos + 12 + length > len(content):
+            raise ValueError("truncated PNG chunk")
+        data = content[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", content, pos + 8 + length)
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {typ!r}")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("unsupported PNG (need 8-bit non-interlaced)")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color}")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("PNG pixel data truncated")
+
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        row_off = y * (stride + 1)
+        ftype = raw[row_off]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=row_off + 1
+        ).astype(np.int32)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:
+            # Sub/Average/Paeth need the previous PIXEL — sequential
+            # per scanline (the PNG spec's data dependency, not a perf
+            # choice; rows are short and this runs inside mapInPandas)
+            cur = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = cur[i - channels] if i >= channels else 0
+                b = prev[i]
+                if ftype == 1:  # Sub
+                    val = line[i] + a
+                elif ftype == 3:  # Average
+                    val = line[i] + ((a + b) >> 1)
+                elif ftype == 4:  # Paeth
+                    c = prev[i - channels] if i >= channels else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    val = line[i] + pred
+                else:
+                    raise ValueError(f"bad PNG filter {ftype}")
+                cur[i] = val & 0xFF
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+
+    px = out.reshape(h, w, channels)
+    if color == 2:
+        rgb = px
+    elif color == 6:
+        rgb = px[:, :, :3]
+    elif color == 0:
+        rgb = np.repeat(px, 3, axis=2)
+    elif color == 4:
+        rgb = np.repeat(px[:, :, :1], 3, axis=2)
+    else:  # palette
+        if palette is None:
+            raise ValueError("paletted PNG without PLTE")
+        rgb = palette[px[:, :, 0]]
+    return w, h, np.ascontiguousarray(rgb)
+
+
 def _decode_image_real(content: bytes):
-    """Decode to (width, height, HxWx3 uint8 RGB).  PPM and 24-bit BMP
-    decode for real with numpy alone; every other format needs Pillow
-    and raises NotImplementedError in this container (the documented
-    codec seam — sources/multimodal.py module docstring)."""
+    """Decode to (width, height, HxWx3 uint8 RGB).  PPM, 24-bit BMP and
+    8-bit non-interlaced PNG decode for real with stdlib+numpy alone;
+    every other format needs Pillow and raises NotImplementedError in
+    this container (the documented codec seam — sources/multimodal.py
+    module docstring)."""
     if content.startswith(b"P6"):
         return decode_ppm(content)
+    if content.startswith(_PNG_SIG):
+        try:
+            return decode_png(content)
+        except ValueError:
+            pass  # 16-bit/interlaced → Pillow seam
     if content.startswith(b"BM"):
         try:
             return decode_bmp(content)
