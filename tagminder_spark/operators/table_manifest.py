@@ -331,6 +331,8 @@ def compact_partitions_versioned(
     *,
     target_bytes: int = DEFAULT_TARGET_BYTES,
     order_col: str = "doc_id",
+    zorder_cols: tuple[str, ...] | None = None,
+    zorder_bits: int = 6,
     force_hadoop: bool = False,
 ) -> dict:
     """Selective compaction as a manifest commit — the snapshot-safe,
@@ -345,8 +347,15 @@ def compact_partitions_versioned(
     finishes its scan untouched; :func:`expire_snapshots` reclaims
     them once the retention window passes.  No directory rename
     anywhere → works unchanged on object stores.
+
+    ``zorder_cols`` clusters the rewrite on the Morton interleave
+    (:func:`~tagminder_spark.operators.compaction.zorder_value`)
+    instead of the linear ``order_col`` — Delta's ``OPTIMIZE ZORDER``
+    shape, here as a versioned commit.
     """
     from pyspark.sql import Observation
+
+    from tagminder_spark.operators.compaction import zorder_value
 
     fs, base = table_fs(spark, root, force_hadoop)
     man = read_manifest(spark, root, force_hadoop=force_hadoop)
@@ -363,7 +372,7 @@ def compact_partitions_versioned(
     df = spark.read.option("basePath", base).parquet(
         *[fs.join(base, rel) for rel, _ in replaced]
     )
-    if order_col not in df.columns:
+    if not zorder_cols and order_col not in df.columns:
         raise ValueError(
             f"order_col {order_col!r} not in input columns {df.columns}"
         )
@@ -374,11 +383,23 @@ def compact_partitions_versioned(
 
     stage = fs.join(base, f".__compact_stage_{uuid.uuid4().hex[:8]}__")
     obs = Observation("compact_versioned_rows")
-    (
-        df.repartitionByRange(n_out, F.col(partition_col), F.col(order_col))
-        .sortWithinPartitions(partition_col, order_col)
+    drop_after: list[str] = []
+    if zorder_cols:
+        zcol, _ = zorder_value(df, tuple(zorder_cols), bits=zorder_bits)
+        df = df.withColumn("__zorder", zcol)
+        keys = [F.col(partition_col), F.col("__zorder")]
+        drop_after = ["__zorder"]
+    else:
+        keys = [F.col(partition_col), F.col(order_col)]
+    shaped = (
+        df.repartitionByRange(n_out, *keys)
+        .sortWithinPartitions(*keys)
         .observe(obs, F.count(F.lit(1)).alias("rows"))
-        .write.mode("overwrite")
+    )
+    if drop_after:
+        shaped = shaped.drop(*drop_after)
+    (
+        shaped.write.mode("overwrite")
         .partitionBy(partition_col)
         .parquet(stage)
     )

@@ -207,6 +207,54 @@ def test_append_files_concurrent_cas_retry(spark, tmp_path):
     assert got == {row["doc_id"] for row in docs.collect()}
 
 
+def test_versioned_compaction_zorder(spark, tmp_path):
+    """Versioned compaction with zorder_cols: same snapshot semantics,
+    clustered layout, no __zorder column leaked, order_col not required."""
+    from tagminder_spark.operators.table_manifest import (
+        compact_partitions_versioned,
+        init_manifest,
+        snapshot_read,
+    )
+
+    root = str(tmp_path / "t")
+    docs = _fragmented_table(spark, root)
+    init_manifest(spark, root)
+    report = compact_partitions_versioned(
+        spark, root, "lang", ["en"],
+        target_bytes=4 << 20,
+        order_col="nope_not_a_column",
+        zorder_cols=("doc_id", "n_chars"),
+    )
+    assert report["generation"] == 2
+    back = snapshot_read(spark, root, 2)
+    assert "__zorder" not in back.columns
+    assert _rows(back) == _rows(docs)
+
+
+def test_snapshot_read_partition_pruning(spark, tmp_path):
+    """A partition predicate on a pinned snapshot still prunes at plan
+    time: the scan's PartitionFilters carry the predicate, and the
+    filtered read touches only that partition's rows — the manifest
+    path does not cost Catalyst its pruning."""
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        init_manifest,
+        snapshot_read,
+    )
+
+    root = str(tmp_path / "t")
+    docs = _fragmented_table(spark, root)
+    init_manifest(spark, root)
+    snap = snapshot_read(spark, root).filter(F.col("lang") == "de")
+    plan = snap._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan
+    assert {r["lang"] for r in snap.select("lang").distinct().collect()} == {
+        "de"
+    }
+    assert snap.count() == docs.filter("lang = 'de'").count()
+
+
 def test_table_history(spark, tmp_path):
     from pyspark.sql import functions as F
 
