@@ -44,6 +44,18 @@ def _split_toks(col):
     )
 
 
+def _ranked_topn(df: DataFrame, order_cols, n: int = 20) -> DataFrame:
+    """Global top-N the scale-correct way: ``orderBy().limit(n)`` runs
+    as a distributed TakeOrdered (map-side partial top-k per task, no
+    single-partition shuffle of the full frame — what a global
+    ``row_number`` window would do); the rank column is then attached
+    by a window over the ALREADY-REDUCED n rows, which is bounded by
+    construction."""
+    top = df.orderBy(*order_cols).limit(n)
+    w = Window.orderBy(*order_cols)
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
 # --------------------------------------------------------------------------
 # Albums by year / decade — the "time" card (92-library-insights.py:
 # 1760-1833: Bar by decade + Scatter by year over df_album)
@@ -131,9 +143,11 @@ FROM ranked WHERE rn_quiet <= 20
 def r92_rg_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Loudest/quietest albums (92-library-insights.py:1422-1490): the
     most negative album gain means the loudest master (ReplayGain
-    attenuates it hardest).  Track gains aggregate to album grain
-    (~250 rows), then two rank windows over that TINY frame emit the
-    top-20 per side — the windows never see the track grain."""
+    attenuates it hardest).  Track gains aggregate to album grain,
+    then each side is a distributed TakeOrdered top-20
+    (:func:`_ranked_topn`) — at library scale the album grain can be
+    millions of rows, which a global rank window would funnel through
+    ONE partition; orderBy+limit keeps the top-k map-side."""
     li = load_table(spark, sf_dir, "lineitem")
     ok, pk = F.col("l_orderkey"), F.col("l_partkey")
     tracks = li.select(
@@ -147,29 +161,17 @@ def r92_rg_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("album_root")
         .agg(F.round(F.avg("rg_track_gain"), 2).alias("rg_album_gain_db"))
     )
-    w_loud = Window.orderBy(
-        F.col("rg_album_gain_db").asc(), F.col("album_root").asc()
+    loud = _ranked_topn(
+        albums, [F.col("rg_album_gain_db").asc(), F.col("album_root").asc()]
+    ).select(
+        F.lit("loudest").alias("side"), "rank",
+        "album_root", "rg_album_gain_db",
     )
-    w_quiet = Window.orderBy(
-        F.col("rg_album_gain_db").desc(), F.col("album_root").asc()
-    )
-    ranked = albums.select(
-        "album_root",
-        "rg_album_gain_db",
-        F.row_number().over(w_loud).alias("rn_loud"),
-        F.row_number().over(w_quiet).alias("rn_quiet"),
-    )
-    loud = ranked.filter(F.col("rn_loud") <= 20).select(
-        F.lit("loudest").alias("side"),
-        F.col("rn_loud").cast("long").alias("rank"),
-        "album_root",
-        "rg_album_gain_db",
-    )
-    quiet = ranked.filter(F.col("rn_quiet") <= 20).select(
-        F.lit("quietest").alias("side"),
-        F.col("rn_quiet").cast("long").alias("rank"),
-        "album_root",
-        "rg_album_gain_db",
+    quiet = _ranked_topn(
+        albums, [F.col("rg_album_gain_db").desc(), F.col("album_root").asc()]
+    ).select(
+        F.lit("quietest").alias("side"), "rank",
+        "album_root", "rg_album_gain_db",
     )
     return loud.unionByName(quiet)
 
@@ -253,34 +255,24 @@ def r92_rg_dynamics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("plr"))
         .alias("dyn_value"),
     )
-    w_most = Window.partitionBy("meter").orderBy(
-        F.col("dyn_value").desc(), F.col("album_root").asc()
-    )
-    w_least = Window.partitionBy("meter").orderBy(
-        F.col("dyn_value").asc(), F.col("album_root").asc()
-    )
-    ranked = scored.select(
-        "meter",
-        "album_root",
-        "dyn_value",
-        F.row_number().over(w_most).alias("rn_most"),
-        F.row_number().over(w_least).alias("rn_least"),
-    )
-    most = ranked.filter(F.col("rn_most") <= 20).select(
-        "meter",
-        F.lit("most_dynamic").alias("side"),
-        F.col("rn_most").cast("long").alias("rank"),
-        "album_root",
-        "dyn_value",
-    )
-    least = ranked.filter(F.col("rn_least") <= 20).select(
-        "meter",
-        F.lit("least_dynamic").alias("side"),
-        F.col("rn_least").cast("long").alias("rank"),
-        "album_root",
-        "dyn_value",
-    )
-    return most.unionByName(least)
+    # per-meter global top-20: four TakeOrdered branches instead of a
+    # 2-partition rank window (which would hold half the album grain
+    # per task at library scale)
+    out = None
+    for meter in ("dr", "plr"):
+        sub = scored.filter(F.col("meter") == meter)
+        for side, order in (
+            ("most_dynamic",
+             [F.col("dyn_value").desc(), F.col("album_root").asc()]),
+            ("least_dynamic",
+             [F.col("dyn_value").asc(), F.col("album_root").asc()]),
+        ):
+            piece = _ranked_topn(sub, order).select(
+                "meter", F.lit(side).alias("side"), "rank",
+                "album_root", "dyn_value",
+            )
+            out = piece if out is None else out.unionByName(piece)
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -416,19 +408,19 @@ def r92_spotlight_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = pairs.groupBy("scope", "tok").agg(
         F.count(F.lit(1)).alias("albums")
     )
-    w = Window.partitionBy("scope").orderBy(
-        F.col("albums").desc(), F.col("tok").asc()
-    )
-    return (
-        counts.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
-        .select(
-            "scope",
-            F.col("rn").cast("long").alias("rank"),
-            "tok",
+    # per-scope TakeOrdered top-20 (3 branches) — a scope-partitioned
+    # rank window would hold a whole scope's token grain in one task
+    out = None
+    for scope in ("classical_aa", "jazz_aa", "classical_conductor"):
+        piece = _ranked_topn(
+            counts.filter(F.col("scope") == scope),
+            [F.col("albums").desc(), F.col("tok").asc()],
+        ).select(
+            "scope", "rank", "tok",
             F.col("albums").cast("long").alias("albums"),
         )
-    )
+        out = piece if out is None else out.unionByName(piece)
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -583,13 +575,7 @@ def r92_most_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("scope", "composer_key", "title_key")
         .agg(F.count_distinct("tok").alias("distinct_artists"))
     )
-    w = Window.partitionBy("scope").orderBy(
-        F.col("distinct_artists").desc(),
-        F.col("tracks").desc(),
-        F.col("composer_key").asc(),
-        F.col("title_key").asc(),
-    )
-    return (
+    joined = (
         tracks.join(artists, ["scope", "composer_key", "title_key"], "left")
         .select(
             "scope", "composer_key", "title_key", "tracks",
@@ -597,14 +583,24 @@ def r92_most_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "distinct_artists"
             ),
         )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
-        .select(
-            "scope",
-            F.col("rn").cast("long").alias("rank"),
-            "composer_key",
-            "title_key",
+    )
+    order = [
+        F.col("distinct_artists").desc(),
+        F.col("tracks").desc(),
+        F.col("composer_key").asc(),
+        F.col("title_key").asc(),
+    ]
+    # per-scope TakeOrdered top-20 — same rationale as the role
+    # spotlights: composition grain per scope is unbounded at library
+    # scale, a scope-partitioned window is not
+    out = None
+    for scope in ("classical", "jazz", "rockpop"):
+        piece = _ranked_topn(
+            joined.filter(F.col("scope") == scope), order
+        ).select(
+            "scope", "rank", "composer_key", "title_key",
             F.col("tracks").cast("long").alias("tracks"),
             F.col("distinct_artists").cast("long").alias("distinct_artists"),
         )
-    )
+        out = piece if out is None else out.unionByName(piece)
+    return out

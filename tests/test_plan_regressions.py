@@ -35,7 +35,23 @@ BOUNDS: dict[str, tuple[int, int, bool]] = {
     # round 6: the context chunker is map-only — ZERO exchanges, zero
     # Python; any exchange appearing here is a regression
     "t_chunk_windows": (0, 0, False),
+    # round 8: insights tranche 3 — global/per-scope top-N must stay
+    # TakeOrdered (map-side partial top-k), never a full-grain rank
+    # window (checked separately below); shuffle counts audited
+    "r92_albums_timeline": (2, 0, False),
+    "r92_rg_extremes": (2, 0, False),
+    "r92_rg_dynamics": (4, 0, False),
+    "r92_spotlight_roles": (6, 0, False),
+    "r92_most_instances": (9, 3, False),
 }
+
+#: queries whose ranking MUST run as TakeOrdered, not a global window
+TAKE_ORDERED = (
+    "r92_rg_extremes",
+    "r92_rg_dynamics",
+    "r92_spotlight_roles",
+    "r92_most_instances",
+)
 
 
 @pytest.fixture(scope="module")
@@ -53,7 +69,9 @@ def audited(spark):
     out = {}
     for name in BOUNDS:
         df = qs[name](spark, SF_DIR)
-        out[name] = audit(df._jdf.queryExecution().executedPlan().toString())
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        out[name] = audit(plan)
+        out[name]["_take_ordered"] = "TakeOrdered" in plan
     # leave the session quiet for whoever runs next, too
     release_session_caches()
     spark.catalog.clearCache()
@@ -74,6 +92,11 @@ def test_plan_shape(audited, name):
     )
     if want_pushdown:
         assert a["pushed_filters"], f"{name}: no filters pushed to the scan"
+    if name in TAKE_ORDERED:
+        assert a["_take_ordered"], (
+            f"{name}: top-N lost its TakeOrdered — a full-grain rank "
+            "window would bottleneck one partition at scale"
+        )
 
 
 def test_tag_parse_real_plan_is_pipelined(spark):
