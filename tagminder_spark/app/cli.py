@@ -83,6 +83,19 @@ def cmd_run(name: str, sf_dir: str) -> int:
     return 0
 
 
+def cmd_insights(sf_dir: str, out: str) -> int:
+    """Render the full library-insights page (the reference's
+    92-library-insights.py run) — every ported card family computed
+    distributed and written as one static HTML file."""
+    from tagminder_spark.reports.html import render_insights_dashboard
+    from tagminder_spark.session import get_spark
+
+    spark = get_spark("tm-spark-insights")
+    path = render_insights_dashboard(spark, sf_dir, out)
+    print(f"wrote {path}")
+    return 0
+
+
 def cmd_tui(screen_name: str, sf_dir: str, config: str | None) -> int:
     """Interactive screens (reference tm_tui.py): ``colsel`` edits the
     column-selection lists of a tagminder.toml in place; ``explorer``
@@ -138,6 +151,11 @@ def build_parser() -> argparse.ArgumentParser:
     p_tui.add_argument("screen", choices=("colsel", "explorer"))
     p_tui.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     p_tui.add_argument("--config")
+    p_ins = sub.add_parser(
+        "insights", help="Render the library-insights HTML page"
+    )
+    p_ins.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p_ins.add_argument("--out", default="library-insights.html")
     return parser
 
 
@@ -151,6 +169,8 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_run(args.name, args.sf_dir)
     if args.command == "tui":
         return cmd_tui(args.screen, args.sf_dir, args.config)
+    if args.command == "insights":
+        return cmd_insights(args.sf_dir, args.out)
     return 2
 
 
