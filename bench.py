@@ -97,8 +97,9 @@ EXTRA = [
     "t_stream_maintain",
     # round 8: manifest-committed snapshot isolation (init + versioned
     # compaction + pinned-reader materialization + expiry, all disk IO
-    # inside the query)
+    # inside the query) + the manifest-mode streaming ingest loop
     "cur_manifest_isolation",
+    "t_stream_manifest",
 ]
 
 

@@ -796,6 +796,50 @@ def cur_zorder_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_MANIFEST_SQL = """
+SELECT doc_id, lang FROM documents
+"""
+
+
+@q("t_stream_manifest", _STREAM_MANIFEST_SQL)
+def t_stream_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-mode streaming ingest gate (round 8, outside the gate
+    window): the corpus flows through 6 micro-batches of
+    ``streaming_ingest_with_maintenance(use_manifest=True)`` — each
+    batch one O(|batch|) manifest commit, every 2nd batch versioned
+    maintenance + snapshot expiry — and the final PINNED snapshot read
+    must be row-identical to the source.  The object-store-safe twin
+    of ``t_stream_maintain``."""
+    import tempfile
+
+    from tagminder_spark.operators.table_manifest import snapshot_read
+    from tagminder_spark.streaming.ingest import (
+        streaming_ingest_with_maintenance,
+    )
+
+    base = tempfile.mkdtemp(prefix="tm_streammanifest_")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    src = f"{base}/src"
+    table = f"{base}/table"
+    docs.repartition(6).write.parquet(src)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    q_stream = streaming_ingest_with_maintenance(
+        stream, table,
+        partition_col="lang", maintenance_every=2,
+        target_bytes=4 << 20, min_files=4,
+        use_manifest=True,
+    )
+    q_stream.processAllAvailable()
+    q_stream.stop()
+    back = snapshot_read(spark, table)
+    return back.select("doc_id", F.col("lang").cast("string").alias("lang"))
+
+
 _MANIFEST_SQL = """
 SELECT doc_id, lang FROM documents
 """

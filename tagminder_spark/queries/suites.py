@@ -396,6 +396,7 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
             [("lang", "str"), ("shard_id", "num"), ("n_tokens", "num")],
         ),
         "t_stream_maintain": (["doc_id"], [("lang", "str")]),
+        "t_stream_manifest": (["doc_id"], [("lang", "str")]),
         "cur_manifest_isolation": (["doc_id"], [("lang", "str")]),
     },
     # the report family (92/94/95/96)
