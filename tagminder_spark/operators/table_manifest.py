@@ -296,6 +296,53 @@ def append_files(
             "commit_retries": attempt}
 
 
+def snapshot_read_merged(
+    spark: SparkSession,
+    root: str,
+    gen: int | None = None,
+    *,
+    force_hadoop: bool = False,
+) -> DataFrame:
+    """:func:`snapshot_read` with schema merging — for tables whose
+    appends evolved the schema (a later batch added columns).  Parquet
+    handles the union natively (``mergeSchema``: missing columns read
+    as NULL from older files); the manifest only has to keep listing
+    files, which is why append-time schema evolution is free here.
+    Costs a footer read per file at planning — use the plain
+    :func:`snapshot_read` when the schema is known to be uniform."""
+    man = read_manifest(spark, root, gen, force_hadoop=force_hadoop)
+    fs, base = table_fs(spark, root, force_hadoop)
+    paths = [fs.join(base, rel) for rel, _sz in man["files"]]
+    if not paths:
+        raise ValueError(f"manifest gen {man['generation']} lists no files")
+    return (
+        spark.read.option("basePath", base)
+        .option("mergeSchema", "true")
+        .parquet(*paths)
+    )
+
+
+def rollback(
+    spark: SparkSession | None,
+    root: str,
+    to_gen: int,
+    *,
+    force_hadoop: bool = False,
+) -> int:
+    """Roll the table back to ``to_gen`` by committing a NEW generation
+    with that generation's exact file list — history is never rewritten
+    and nothing is deleted (Iceberg's rollback semantics: an old
+    snapshot becomes current again; readers pinned to anything keep
+    working; ``expire_snapshots`` reclaims as usual).  Requires
+    ``to_gen`` to still be retained."""
+    man = read_manifest(spark, root, to_gen, force_hadoop=force_hadoop)
+    return commit_manifest(
+        spark, root,
+        [(p, sz) for p, sz in man["files"]],
+        force_hadoop=force_hadoop,
+    )
+
+
 def table_history(
     spark: SparkSession | None,
     root: str,

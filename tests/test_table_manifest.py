@@ -255,6 +255,67 @@ def test_snapshot_read_partition_pruning(spark, tmp_path):
     assert snap.count() == docs.filter("lang = 'de'").count()
 
 
+def test_schema_evolution_on_append(spark, tmp_path):
+    """A later batch adds a column: the manifest just lists files;
+    snapshot_read_merged unions the schemas (old files read NULL for
+    the new column), while the pinned pre-evolution generation still
+    reads its original schema."""
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        append_files,
+        snapshot_read,
+        snapshot_read_merged,
+    )
+    from tagminder_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    a = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    b = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+    )
+    root = str(tmp_path / "t")
+    append_files(spark, a, root, partition_col="lang")
+    append_files(spark, b, root, partition_col="lang")
+
+    merged = snapshot_read_merged(spark, root)
+    assert set(merged.columns) == {"doc_id", "lang", "n_chars"}
+    assert merged.count() == docs.count()
+    # old files surface NULL for the evolved column; new files real values
+    nulls = merged.filter(F.col("n_chars").isNull()).count()
+    assert nulls == a.count()
+    # pinned gen-1 keeps the original two-column schema
+    g1 = snapshot_read(spark, root, 1)
+    assert set(g1.columns) == {"doc_id", "lang"}
+
+
+def test_rollback_restores_old_file_list(spark, tmp_path):
+    """rollback commits a NEW generation equal to the target's file
+    list — the pre-compaction layout becomes current again without
+    rewriting history or deleting anything."""
+    from tagminder_spark.operators.table_manifest import (
+        compact_partitions_versioned,
+        init_manifest,
+        list_generations,
+        read_manifest,
+        rollback,
+        snapshot_read,
+    )
+
+    root = str(tmp_path / "t")
+    docs = _fragmented_table(spark, root)
+    init_manifest(spark, root)
+    compact_partitions_versioned(
+        spark, root, "lang", ["en"], target_bytes=4 << 20
+    )
+    gen = rollback(spark, root, 1)
+    assert gen == 3 and list_generations(spark, root) == [1, 2, 3]
+    m1, m3 = read_manifest(spark, root, 1), read_manifest(spark, root, 3)
+    assert sorted(map(tuple, m1["files"])) == sorted(map(tuple, m3["files"]))
+    assert _rows(snapshot_read(spark, root)) == _rows(docs)
+
+
 def test_table_history(spark, tmp_path):
     from pyspark.sql import functions as F
 
