@@ -83,6 +83,18 @@ def list_generations(
     return sorted(out)
 
 
+def _read_raw(
+    spark: SparkSession | None,
+    root: str,
+    gen: int,
+    *,
+    force_hadoop: bool = False,
+) -> dict:
+    fs, base = table_fs(spark, root, force_hadoop)
+    path = fs.join(_manifest_dir(fs, base), _gen_name(gen))
+    return json.loads(fs.read_bytes(path))
+
+
 def read_manifest(
     spark: SparkSession | None,
     root: str,
@@ -90,17 +102,73 @@ def read_manifest(
     *,
     force_hadoop: bool = False,
 ) -> dict:
-    """Load one manifest: ``{"generation": N, "files": [[rel_path,
-    bytes], ...]}`` — paths relative to the table root so the table
-    stays relocatable."""
-    fs, base = table_fs(spark, root, force_hadoop)
+    """Load one manifest RESOLVED to its full file list:
+    ``{"generation": N, "files": [[rel_path, bytes], ...]}`` — paths
+    relative to the table root so the table stays relocatable.
+
+    Two commit shapes exist on disk (Delta Lake's JSON-log design in
+    miniature):
+
+    - **full snapshots** (``"files"``): init, maintenance, checkpoint,
+      rollback — the natural checkpoints;
+    - **delta commits** (``"adds"``/``"removes"`` + ``"parent"``):
+      appends — O(|batch|) to WRITE regardless of table size, which is
+      what keeps a per-micro-batch commit viable at 100 TB (a full
+      800k-file listing would be a ~50 MB JSON per batch).
+
+    Resolution walks parents back to the nearest full snapshot (or the
+    empty table at parent 0) and folds the deltas forward; the chain
+    length is bounded by the maintenance cadence because every
+    maintenance commit is full."""
     if gen is None:
         gens = list_generations(spark, root, force_hadoop=force_hadoop)
         if not gens:
             raise FileNotFoundError(f"no manifest under {root!r}")
         gen = gens[-1]
-    path = fs.join(_manifest_dir(fs, base), _gen_name(gen))
-    return json.loads(fs.read_bytes(path))
+    chain: list[dict] = []
+    cur = gen
+    while True:
+        man = _read_raw(spark, root, cur, force_hadoop=force_hadoop)
+        chain.append(man)
+        if "files" in man:  # full snapshot — chain base
+            files = {p: sz for p, sz in man["files"]}
+            break
+        parent = man.get("parent", 0)
+        if parent == 0:  # delta on the empty table
+            files = {}
+            break
+        cur = parent
+    for man in reversed(chain):
+        if "files" in man:
+            continue
+        for rel in man.get("removes", []):
+            files.pop(rel, None)
+        for rel, sz in man.get("adds", []):
+            files[rel] = sz
+    return {
+        "generation": gen,
+        "parent": chain[0].get("parent"),
+        "files": sorted([p, sz] for p, sz in files.items()),
+    }
+
+
+def _chain_gens(
+    spark: SparkSession | None,
+    root: str,
+    gen: int,
+    *,
+    force_hadoop: bool = False,
+) -> list[int]:
+    """Generation numbers this gen's resolution depends on (itself
+    included), newest first."""
+    out = [gen]
+    cur = gen
+    while True:
+        man = _read_raw(spark, root, cur, force_hadoop=force_hadoop)
+        if "files" in man or man.get("parent", 0) == 0:
+            return out
+        cur = man["parent"]
+        out.append(cur)
 
 
 def commit_manifest(
@@ -137,6 +205,64 @@ def commit_manifest(
     ).encode()
     fs.write_new(fs.join(mdir, _gen_name(gen)), payload)
     return gen
+
+
+def commit_delta(
+    spark: SparkSession | None,
+    root: str,
+    adds: list[tuple[str, int]],
+    removes: list[str] | None = None,
+    *,
+    parent: int | None = None,
+    force_hadoop: bool = False,
+) -> int:
+    """Commit a DELTA generation: only the added (rel, size) entries
+    and removed rel paths, plus the parent pointer — O(|change|) bytes
+    regardless of table size.  Same atomic create-if-absent CAS as
+    :func:`commit_manifest`."""
+    fs, base = table_fs(spark, root, force_hadoop)
+    if parent is None:
+        gens = list_generations(spark, root, force_hadoop=force_hadoop)
+        parent = gens[-1] if gens else 0
+    gen = parent + 1
+    mdir = _manifest_dir(fs, base)
+    fs.mkdirs(mdir)
+    payload = json.dumps(
+        {
+            "generation": gen,
+            "parent": parent,
+            "adds": sorted([p, int(sz)] for p, sz in adds),
+            "removes": sorted(removes or []),
+        },
+        separators=(",", ":"),
+    ).encode()
+    fs.write_new(fs.join(mdir, _gen_name(gen)), payload)
+    return gen
+
+
+def checkpoint_manifest(
+    spark: SparkSession | None,
+    root: str,
+    *,
+    force_hadoop: bool = False,
+) -> int | None:
+    """Collapse the current delta chain into a full snapshot at the
+    next generation (Delta Lake's checkpoint).  No-op (returns None)
+    when the current generation is already full.  Bounds both read-time
+    chain folding and how far back :func:`expire_snapshots` must retain
+    manifest files."""
+    gens = list_generations(spark, root, force_hadoop=force_hadoop)
+    if not gens:
+        return None
+    raw = _read_raw(spark, root, gens[-1], force_hadoop=force_hadoop)
+    if "files" in raw:
+        return None
+    man = read_manifest(spark, root, gens[-1], force_hadoop=force_hadoop)
+    return commit_manifest(
+        spark, root,
+        [(p, sz) for p, sz in man["files"]],
+        parent=gens[-1], force_hadoop=force_hadoop,
+    )
 
 
 def init_manifest(
@@ -250,15 +376,21 @@ def append_files(
     reader); ``expire_snapshots(remove_unreferenced=True)`` reclaims
     them.
 
+    The commit is a DELTA (:func:`commit_delta`): only this batch's
+    file entries are written, so commit cost is O(|batch|) in BYTES as
+    well as in listing work — a full-file-list commit would be a
+    ~50 MB JSON per micro-batch on an 800k-file table.  Maintenance
+    and checkpoint commits are full snapshots, which bounds the chain
+    readers fold.
+
     Concurrent appenders are safe: an append only ADDS files, so when
     the CAS loses (another writer committed the next generation first)
-    the commit retries against the fresh manifest — the expensive work
-    (the write and the moves) is never redone, only the tiny file-list
-    union.  This is Iceberg's fast-append retry in miniature; after
-    ``max_retries`` consecutive losses the conflict is re-raised.
-    Maintenance (``compact_partitions_versioned``) does NOT retry — it
-    REPLACES files, so a lost CAS there means the table changed under
-    it and the caller must re-plan."""
+    the delta simply retries at the next generation number — nothing
+    is recomputed.  This is Iceberg's fast-append retry in miniature;
+    after ``max_retries`` consecutive losses the conflict is
+    re-raised.  Maintenance (``compact_partitions_versioned``) does
+    NOT retry — it REPLACES files, so a lost CAS there means the table
+    changed under it and the caller must re-plan."""
     import uuid
 
     fs, base = table_fs(spark, root, force_hadoop)
@@ -276,16 +408,11 @@ def append_files(
 
     for attempt in range(max_retries + 1):
         gens = list_generations(spark, root, force_hadoop=force_hadoop)
-        prev = (
-            read_manifest(spark, root, gens[-1], force_hadoop=force_hadoop)
-            if gens
-            else {"generation": 0, "files": []}
-        )
-        files = [(p, sz) for p, sz in prev["files"]] + new
+        parent = gens[-1] if gens else 0
         try:
-            gen = commit_manifest(
-                spark, root, files,
-                parent=prev["generation"], force_hadoop=force_hadoop,
+            gen = commit_delta(
+                spark, root, new,
+                parent=parent, force_hadoop=force_hadoop,
             )
             break
         except FileExistsError:
@@ -487,12 +614,23 @@ def expire_snapshots(
     interrupted stage-move.  Only safe when every writer goes through
     the manifest (a concurrent PLAIN append's files look exactly like
     debris), which is why it is opt-in.
+
+    Delta-chain awareness: a retained generation may be a delta whose
+    resolution walks to manifests OLDER than the retention window —
+    those manifest FILES are kept (chain infrastructure; Delta Lake
+    likewise cannot drop JSON commits newer than the last checkpoint),
+    while their exclusively-referenced DATA files are still reclaimed.
+    Reading such an expired generation directly is unsupported.
+    Run :func:`checkpoint_manifest` first to minimize what must stay.
     """
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     fs, base = table_fs(spark, root, force_hadoop)
     gens = list_generations(spark, root, force_hadoop=force_hadoop)
     retained = set(gens[-keep_last:])
+    needed = set()
+    for g in retained:
+        needed.update(_chain_gens(spark, root, g, force_hadoop=force_hadoop))
     live: set[str] = set()
     for g in retained:
         man = read_manifest(spark, root, g, force_hadoop=force_hadoop)
@@ -522,7 +660,7 @@ def expire_snapshots(
     removed_manifests = []
     mdir = _manifest_dir(fs, base)
     for g in gens:
-        if g not in retained:
+        if g not in retained and g not in needed:
             fs.delete(fs.join(mdir, _gen_name(g)))
             removed_manifests.append(g)
     return {

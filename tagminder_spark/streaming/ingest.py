@@ -328,6 +328,7 @@ def streaming_ingest_with_maintenance(
     )
     from tagminder_spark.operators.table_manifest import (
         append_files,
+        checkpoint_manifest,
         compact_partitions_versioned,
         expire_snapshots,
         plan_compaction_manifest,
@@ -386,6 +387,15 @@ def streaming_ingest_with_maintenance(
             d.rsplit(f"{partition_col}=", 1)[1] for d in plan["candidates"]
         ]
         if not values:
+            if use_manifest:
+                # nothing to compact, but the append-delta chain must
+                # not grow unboundedly across maintenance passes —
+                # collapse it into a full snapshot (a compaction commit
+                # would have been one anyway)
+                checkpoint_manifest(spark, table_dir)
+                expire_snapshots(
+                    spark, table_dir, keep_last=expire_keep_last
+                )
             return
         if use_manifest:
             report = compact_partitions_versioned(

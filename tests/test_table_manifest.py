@@ -179,25 +179,26 @@ def test_append_files_concurrent_cas_retry(spark, tmp_path):
     tm.append_files(spark, a, root, partition_col="lang")
 
     # make appender B lose its first CAS: just before B's commit, an
-    # "other writer" takes the generation B is aiming for (a no-op
-    # commit of the current file list)
-    real_commit = tm.commit_manifest
+    # "other writer" takes the generation B is aiming for (an empty
+    # delta commit)
+    real_commit = tm.commit_delta
     interloped = {"done": False}
 
-    def racing_commit(spark_, root_, files, *, parent=None, force_hadoop=False):
+    def racing_commit(spark_, root_, adds, removes=None, *, parent=None,
+                      force_hadoop=False):
         if not interloped["done"]:
             interloped["done"] = True
-            current = tm.read_manifest(spark_, root_)["files"]
-            real_commit(spark_, root_, current, parent=parent)
+            real_commit(spark_, root_, [], parent=parent)
         return real_commit(
-            spark_, root_, files, parent=parent, force_hadoop=force_hadoop
+            spark_, root_, adds, removes,
+            parent=parent, force_hadoop=force_hadoop,
         )
 
-    tm.commit_manifest, orig = racing_commit, tm.commit_manifest
+    tm.commit_delta, orig = racing_commit, tm.commit_delta
     try:
         r = tm.append_files(spark, b, root, partition_col="lang")
     finally:
-        tm.commit_manifest = orig
+        tm.commit_delta = orig
     # B lost gen 2 to the interloper, retried, landed gen 3
     assert r["commit_retries"] == 1 and r["generation"] == 3
     got = {
@@ -253,6 +254,109 @@ def test_snapshot_read_partition_pruning(spark, tmp_path):
         "de"
     }
     assert snap.count() == docs.filter("lang = 'de'").count()
+
+
+def test_append_commits_are_deltas(spark, tmp_path):
+    """The scale property that makes per-micro-batch commits viable:
+    an append's manifest bytes track the BATCH, not the table — the
+    second append's commit is no bigger than the first even though the
+    table doubled; on-disk it lists only its own adds."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        append_files,
+        snapshot_read,
+    )
+    from tagminder_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    root = str(tmp_path / "t")
+    append_files(spark, a, root, partition_col="lang")
+    append_files(spark, b, root, partition_col="lang")
+
+    mdir = os.path.join(root, "_manifest")
+    raw1 = json.loads(open(os.path.join(mdir, "v0000000001.json"), "rb").read())
+    raw2 = json.loads(open(os.path.join(mdir, "v0000000002.json"), "rb").read())
+    assert "files" not in raw1 and "files" not in raw2  # deltas on disk
+    assert raw2["parent"] == 1 and not raw2["removes"]
+    # delta 2 lists only batch-b files, not the union
+    assert len(raw2["adds"]) < len(raw1["adds"]) + len(raw2["adds"])
+    # resolution still yields the union
+    assert snapshot_read(spark, root).count() == docs.count()
+
+
+def test_checkpoint_collapses_delta_chain(spark, tmp_path):
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        append_files,
+        checkpoint_manifest,
+        expire_snapshots,
+        read_manifest,
+        snapshot_read,
+    )
+    from tagminder_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    root = str(tmp_path / "t")
+    for m in range(3):
+        append_files(
+            spark, docs.filter(F.col("doc_id") % 3 == m), root,
+            partition_col="lang",
+        )
+    gen = checkpoint_manifest(spark, root)
+    assert gen == 4
+    raw = json.loads(
+        open(os.path.join(root, "_manifest", "v0000000004.json"), "rb").read()
+    )
+    assert "files" in raw  # full snapshot on disk
+    assert read_manifest(spark, root, 4)["files"] == read_manifest(
+        spark, root, 3
+    )["files"]
+    # idempotent: current gen is already full
+    assert checkpoint_manifest(spark, root) is None
+    # after the checkpoint, expiry can drop ALL the delta manifests
+    out = expire_snapshots(spark, root, keep_last=1)
+    assert out["removed_generations"] == [1, 2, 3]
+    assert snapshot_read(spark, root).count() == docs.count()
+
+
+def test_expire_keeps_chain_needed_manifests(spark, tmp_path):
+    """A retained DELTA generation resolves through older manifests:
+    expiry must keep those manifest files (chain infrastructure) even
+    though their generations are outside the retention window."""
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        append_files,
+        expire_snapshots,
+        list_generations,
+        snapshot_read,
+    )
+    from tagminder_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    root = str(tmp_path / "t")
+    for m in range(3):
+        append_files(
+            spark, docs.filter(F.col("doc_id") % 3 == m), root,
+            partition_col="lang",
+        )
+    # keep only gen 3 — but gen 3 is a delta chaining through 2 and 1
+    out = expire_snapshots(spark, root, keep_last=1)
+    assert out["removed_generations"] == []  # all needed for the chain
+    assert list_generations(spark, root) == [1, 2, 3]
+    # appends never remove files, so nothing is reclaimable either
+    assert out["removed_files"] == []
+    assert snapshot_read(spark, root).count() == docs.count()
 
 
 def test_schema_evolution_on_append(spark, tmp_path):
