@@ -15,8 +15,11 @@ have two structural failure modes at 100 TB that
    keep a transaction log instead of renaming directories.
 
 The fix, scoped to exactly what compaction needs: every table version
-is a tiny JSON **manifest** (`_manifest/v0000000001.json`) listing the
-data files that make up that version.  Writers commit a new generation
+is a JSON **manifest** (`_manifest/v0000000001.json`).  Two commit
+shapes (Delta Lake's JSON-log design in miniature): appends write
+DELTAS (adds + parent pointer — O(|batch|) bytes at any table size),
+while init / maintenance / checkpoint / rollback write FULL snapshots
+that bound the chain readers fold.  Writers commit a new generation
 with an atomic create-if-absent (hard-link CAS locally, rename-CAS on
 Hadoop filesystems); maintenance writes NEW files and a new manifest
 and leaves the old files on disk, so a reader pinned to generation N
