@@ -249,6 +249,13 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
             ["media_id"],
             [("width", "num"), ("height", "num"), ("channels", "num"), ("n_feat", "num")],
         ),
+        # round 8: the REAL decode path (genuine PPM parse, analytic
+        # pixel-sum oracle) — fails if the decoder misreads one pixel
+        "mm_real_image_features": (
+            ["media_id"],
+            [("width", "num"), ("height", "num"), ("sum_r", "num"),
+             ("sum_g", "num"), ("sum_b", "num")],
+        ),
         # round 5: the audio leg — overlapping-window chunking with
         # byte-exact (base64) chunk payloads
         "mm_audio_chunks": (

@@ -317,6 +317,107 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the REAL decode path, oracle-gated (round 8): PPM pixel math is exact
+# integer arithmetic, so DuckDB replays the per-channel pixel SUMS of
+# the genuinely-decoded image over a generated (x, y) grid — this gate
+# fails if the actual decoder misreads a single pixel
+_MM_REAL_SQL = """
+WITH d AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h,
+         (doc_id * 131) % 256 AS base
+  FROM documents
+), grid AS (
+  -- DuckDB's generate_series can't take correlated bounds: generate
+  -- the max grid (w <= 16, h <= 13) and filter per document
+  SELECT d.doc_id, d.w, d.h, d.base, x.generate_series AS x,
+         y.generate_series AS y
+  FROM d, generate_series(0, 15) AS x, generate_series(0, 12) AS y
+  WHERE x.generate_series < d.w AND y.generate_series < d.h
+)
+SELECT doc_id AS media_id,
+       CAST(MAX(w) AS INT) AS width,
+       CAST(MAX(h) AS INT) AS height,
+       CAST(SUM(((x * 255) // (w - 1) + base) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM(((y * 255) // (h - 1)) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((x + y + base) % 256) AS BIGINT) AS sum_b
+FROM grid GROUP BY doc_id
+"""
+
+
+@q("mm_real_image_features", _MM_REAL_SQL)
+def mm_real_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, value-checked against an analytic oracle: a
+    mapInPandas stage synthesizes a valid binary PPM per document
+    (gradient pixels — pure integer formulas of (x, y, doc_id)), the
+    GENUINE decoder (sources/multimodal.py decode_ppm — no fake, no
+    Pillow) parses it back, and the featurizer's channel means are
+    converted to exact integer pixel SUMS (mean × 255 × w × h rounds
+    to the true sum well inside float32 error).  DuckDB computes the
+    same sums directly over a generated pixel grid, so a single
+    misread pixel value fails the gate.  Evidence upgrade for the
+    multimodal row: the real codec path is now oracle-gated, not just
+    pytest-covered."""
+    from collections.abc import Iterator as _It
+
+    import numpy as np
+    import pandas as pd
+
+    from tagminder_spark.sources.multimodal import (
+        MEDIA_SCHEMA,
+        decode_and_featurize_images,
+        encode_ppm,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def synth(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                did = int(r.media_id)
+                w, h, base = 4 + did % 13, 3 + did % 11, (did * 131) % 256
+                y, x = np.mgrid[0:h, 0:w]
+                arr = np.stack(
+                    [
+                        (x * 255 // (w - 1) + base) % 256,
+                        (y * 255 // (h - 1)) % 256,
+                        (x + y + base) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                rows.append(
+                    {
+                        "media_id": did,
+                        "kind": "image",
+                        "content": encode_ppm(arr),
+                        "meta": None,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "content", "meta"]
+            )
+
+    media = d.mapInPandas(synth, MEDIA_SCHEMA)
+    feats = decode_and_featurize_images(media, dim=9)
+    px = F.col("width") * F.col("height")
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.round(F.element_at("feature", 1) * 255 * px)
+        .cast("long")
+        .alias("sum_r"),
+        F.round(F.element_at("feature", 5) * 255 * px)
+        .cast("long")
+        .alias("sum_g"),
+        F.round(F.element_at("feature", 9) * 255 * px)
+        .cast("long")
+        .alias("sum_b"),
+    )
+
+
 # resize twin: fake dims = 64 + (md5 bytes 0/1) % 192, payload =
 # md5(content || '224x224') digest (md5 over UTF-8 text == md5 over the
 # encoded binary content)

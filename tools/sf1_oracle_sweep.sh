@@ -17,7 +17,7 @@ QUERIES=(
   cur_pipeline_e2e cur_incremental_e2e cur_lm_perplexity
   d_lsh_roundtrip cur_artifact_roundtrip s3_tag_parse_real
   t_chunk_windows cur_compact_shards cur_zorder_compact cur_selective_compact t_stream_maintain
-  cur_manifest_isolation t_stream_manifest
+  cur_manifest_isolation t_stream_manifest mm_real_image_features
 )
 # d_embedding_lsh_scaled is excluded BY DESIGN: its oracle is pinned to
 # the n=500 derivation; at sf1 the default path derives wider bands (the
