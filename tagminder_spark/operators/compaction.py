@@ -116,10 +116,16 @@ class _LocalFS:
     def write_new(self, p: str, data: bytes) -> None:
         """Atomic create-if-absent: readers never see a partial file and
         two writers racing the same path cannot both win (hard-link CAS
-        — ``os.link`` fails with EEXIST if the target appeared)."""
+        — ``os.link`` fails with EEXIST if the target appeared).  The
+        temp name carries pid AND a uuid: two THREADS of one driver
+        committing the same generation (append retry racing
+        maintenance) must not share a temp file, or the loser could
+        truncate it between the winner's write and ``os.link`` and the
+        winning CAS would publish foreign bytes."""
         import os
+        import uuid
 
-        tmp = p + f".tmp.{os.getpid()}"
+        tmp = p + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
         with open(tmp, "wb") as f:
             f.write(data)
             f.flush()
@@ -193,10 +199,43 @@ class _HadoopFS:
         return bytes(baos.toByteArray())
 
     def write_new(self, p: str, data: bytes) -> None:
-        """Atomic create-if-absent via write-to-temp + rename (rename
-        refuses an existing destination on Hadoop filesystems)."""
+        """Create-if-absent via write-to-temp + rename.
+
+        CAS strength is SCHEME-dependent and the caller must know it:
+
+        - **HDFS**: rename refuses an existing destination — a true
+          atomic CAS.
+        - **RawLocalFileSystem** (``file:`` / the ``force_hadoop`` test
+          path): rename maps to ``rename(2)``, which silently REPLACES
+          an existing destination.  The pre-rename ``exists`` check plus
+          the post-rename READBACK below close most of that window: a
+          committer whose readback shows someone else's bytes knows it
+          lost and raises, so its payload is retried at the next
+          generation instead of silently dropped.  The residual race —
+          A renames, A reads back its own bytes, THEN B's rename
+          replaces the file — is unclosable without a true
+          create-if-absent primitive; B's readback then shows B's
+          bytes, so B proceeds and **A's already-acknowledged commit is
+          lost**.
+        - **S3A**: dst-exists check-then-copy, not atomic — same
+          residual race.
+
+        Hence the manifest module's contract: multi-writer optimistic
+        commits are only fully safe on HDFS-like stores; on ``file:``
+        or object stores run a SINGLE writer per table or front the
+        commit with an external lock (Delta Lake's LogStore pattern).
+        The default local backend (:class:`_LocalFS`) is NOT affected —
+        its hard-link CAS is a real create-if-absent.
+
+        Raises ``FileExistsError`` on a detected lost CAS (destination
+        existed, or readback shows foreign bytes) and ``OSError`` on a
+        genuine IO failure — callers' retry loops key on that
+        distinction (retrying an IO error as a "conflict" would spin).
+        """
         import uuid
 
+        if self._fs.exists(self._jpath(p)):
+            raise FileExistsError(f"manifest CAS lost: {p} exists")
         tmp = p + f".tmp.{uuid.uuid4().hex[:8]}"
         out = self._fs.create(self._jpath(tmp), False)
         try:
@@ -205,8 +244,17 @@ class _HadoopFS:
             out.close()
         if not self._fs.rename(self._jpath(tmp), self._jpath(p)):
             self._fs.delete(self._jpath(tmp), False)
+            # Hadoop rename reports False both for dst-exists (true CAS
+            # loss) and for unrelated IO failures — disambiguate so the
+            # caller's conflict-retry loop never spins on an IO error
+            if self._fs.exists(self._jpath(p)):
+                raise FileExistsError(f"manifest CAS lost: {p}")
+            raise OSError(f"hadoop rename failed (IO, not CAS): {tmp} -> {p}")
+        # rename succeeded — but on file:/s3a it may have REPLACED a
+        # concurrent committer's file; verify our bytes actually landed
+        if self.read_bytes(p) != data:
             raise FileExistsError(
-                f"manifest CAS lost (or rename failed): {p}"
+                f"manifest CAS lost post-rename (foreign bytes): {p}"
             )
 
 

@@ -497,7 +497,12 @@ def chunk_audio(
                 try:
                     rate, nch, samples = decode_wav(content)
                     n_frames = samples.shape[0]
-                    dur = n_frames * 1000 // rate
+                    # ceiling, not floor: when n_frames*1000 % rate != 0
+                    # a floored duration would orphan the trailing
+                    # partial-millisecond of frames from every chunk
+                    # (the per-chunk frame math already caps f1 at
+                    # n_frames, so the final window just ends short)
+                    dur = -(-n_frames * 1000 // rate)
 
                     def slice_bytes(s_ms, e_ms, _r=rate, _n=n_frames, _s=samples):
                         f0 = s_ms * _r // 1000

@@ -210,8 +210,10 @@ def streaming_dedup_probe(
     batch_id)`` receives the verified near-dup pairs for the batch
     (default: append to an in-memory list on the returned query object —
     test/dev convenience, bounded at ``max_collected`` pairs so a
-    pathological batch cannot balloon the driver; pairs beyond the cap
-    are counted in ``q.dropped_pairs`` and a warning is logged once —
+    pathological batch cannot balloon the driver; once the cap is hit,
+    ``q.dropped_batches[0]`` counts the number of OVERFLOWING BATCHES
+    (not individual dropped pairs — the limit pushdown means the driver
+    never learns the true pair count) and a warning is logged once —
     pass a real ``sink`` for production streams).
 
     The probe intentionally does NOT fold the batch into the index
@@ -316,7 +318,14 @@ def streaming_ingest_with_maintenance(
     ``snapshot_read`` always see a prefix-consistent table (exactly the
     committed batches, never a half-written one) and the loop works on
     object stores.  Readers must then use ``snapshot_read``, not a bare
-    directory read.
+    directory read.  **Retention footgun:** every maintenance pass runs
+    ``expire_snapshots(keep_last=expire_keep_last)`` — an external
+    reader pinned MORE than ``expire_keep_last`` generations back loses
+    its files mid-scan.  ``expire_keep_last`` is the caller's promise
+    about the longest-running concurrent reader (measured in
+    maintenance passes, i.e. roughly ``maintenance_every ×
+    expire_keep_last`` micro-batches of slack); size it up for
+    long-running analytical readers.
 
     Returns the streaming query; ``q.maintenance_reports`` accumulates
     one planner/rewrite report per maintenance pass.
