@@ -59,9 +59,216 @@ from tagminder_spark.operators.compaction import (
 
 MANIFEST_DIR = "_manifest"
 
+#: ops accepted by :func:`prune_manifest` / ``snapshot_read(where=...)``
+_WHERE_OPS = ("=", "==", "<", "<=", ">", ">=", "between")
+
 
 def _gen_name(gen: int) -> str:
     return f"v{gen:010d}.json"
+
+
+def collect_file_stats(
+    base: str,
+    rels: list[str],
+    cols: tuple[str, ...] | list[str],
+) -> dict[str, dict[str, list]]:
+    """Driver-side parquet-FOOTER pass: per-file min/max for ``cols``,
+    aggregated across row groups — the stats an Iceberg manifest entry
+    carries (``lower_bounds``/``upper_bounds``), collected at commit
+    time so :func:`snapshot_read` can skip files before Spark ever
+    plans them.  Returns ``{rel: {col: [lo, hi]}}``.
+
+    Scope, deliberately conservative (a missing stat only costs
+    pruning, never correctness):
+
+    - numeric (int/float) columns only — parquet writers may TRUNCATE
+      string min/max, and pruning on a truncated upper bound would
+      wrongly skip files; partition-path values (``lang=en``) cover the
+      realistic string axis via :func:`prune_manifest`'s path parsing;
+    - a column missing stats in ANY row group gets no entry;
+    - only local / ``file:`` bases are read (footer via pyarrow); on a
+      remote scheme this returns ``{}`` and every file is simply kept.
+
+    Cost: one footer read per NEW file — O(|batch|) at append time,
+    never O(table).
+    """
+    import os.path
+
+    import pyarrow.parquet as pq
+
+    local = base
+    if local.startswith("file://"):
+        local = local[7:]
+    elif local.startswith("file:"):
+        local = local[5:]
+    if "://" in local:
+        return {}
+    out: dict[str, dict[str, list]] = {}
+    want = set(cols)
+    for rel in rels:
+        try:
+            meta = pq.read_metadata(os.path.join(local, rel))
+        except Exception:
+            continue
+        schema = meta.schema
+        idx_of = {
+            schema.column(i).name: i for i in range(len(schema.names))
+        }
+        colstats: dict[str, list] = {}
+        for c in want:
+            i = idx_of.get(c)
+            if i is None:
+                continue
+            lo = hi = None
+            ok = meta.num_row_groups > 0
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(i).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                mn, mx = st.min, st.max
+                if (
+                    isinstance(mn, bool)
+                    or not isinstance(mn, (int, float))
+                    or not isinstance(mx, (int, float))
+                ):
+                    ok = False
+                    break
+                lo = mn if lo is None else min(lo, mn)
+                hi = mx if hi is None else max(hi, mx)
+            if ok and lo is not None:
+                colstats[c] = [lo, hi]
+        if colstats:
+            out[rel] = colstats
+    return out
+
+
+def _partition_values(rel: str) -> dict[str, str]:
+    """``k=v`` directory segments of a relative file path — the
+    partition values Spark would derive, usable as exact (lo==hi)
+    pruning bounds for partition columns the footers never store."""
+    out: dict[str, str] = {}
+    for seg in posixpath.dirname(rel).split("/"):
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            out[k] = v
+    return out
+
+
+def _range_excludes(lo, hi, op: str, val) -> bool:
+    """True iff NO value in [lo, hi] can satisfy ``<col> <op> <val>``
+    — the file-skip test.  Bounds and the literal must be mutually
+    comparable (caller aligns types); ``between`` takes a (lo, hi)
+    literal pair."""
+    if op in ("=", "=="):
+        return val < lo or val > hi
+    if op == "<":
+        return lo >= val
+    if op == "<=":
+        return lo > val
+    if op == ">":
+        return hi <= val
+    if op == ">=":
+        return hi < val
+    if op == "between":
+        a, b = val
+        return hi < a or lo > b
+    raise ValueError(f"unsupported where op {op!r}")
+
+
+def _aligned(bound, val) -> bool:
+    """Only compare bound/literal pairs of compatible kinds — a str
+    partition value never prunes against a numeric literal and vice
+    versa (mixed kinds keep the file: conservative)."""
+    num = (int, float)
+    if isinstance(val, tuple):
+        return all(_aligned(bound, v) for v in val)
+    if isinstance(bound, bool) or isinstance(val, bool):
+        return False
+    return (
+        isinstance(bound, num) and isinstance(val, num)
+    ) or (isinstance(bound, str) and isinstance(val, str))
+
+
+def prune_manifest(
+    manifest: dict,
+    where: list[tuple],
+) -> dict:
+    """Driver-side data skipping over a resolved manifest: drop every
+    file whose stats PROVE no row can match ``where`` (a conjunction of
+    ``(col, op, literal)`` with op in ``=,==,<,<=,>,>=,between`` —
+    ``between`` takes an inclusive ``(lo, hi)`` literal pair).
+
+    Two bound sources per file, checked in order: footer min/max stats
+    committed with the file (:func:`collect_file_stats`), then
+    ``k=v`` partition-path segments (exact bounds for partition
+    columns).  A conjunct whose column has neither keeps the file —
+    pruning is an optimization, never a filter; callers still apply
+    the predicate to the rows (``snapshot_read(where=...)`` does).
+
+    Returns ``{"files": kept_entries, "skipped": n, "scanned": n}``.
+    Pure python over the manifest — zero IO, exactly what a 100 TB
+    selective read needs before Spark plans 800k files."""
+    for cond in where:
+        if len(cond) != 3 or cond[1] not in _WHERE_OPS:
+            raise ValueError(f"bad where conjunct {cond!r}")
+    stats = manifest.get("stats", {})
+    kept: list = []
+    skipped = 0
+    for entry in manifest["files"]:
+        rel = entry[0]
+        fstats = stats.get(rel, {})
+        pvals = _partition_values(rel)
+        drop = False
+        for col, op, val in where:
+            rng = fstats.get(col)
+            if rng is None and col in pvals:
+                pv: int | float | str = pvals[col]
+                if isinstance(val, (int, float)) and not isinstance(val, bool):
+                    try:
+                        pv = type(val)(pv)
+                    except ValueError:
+                        continue
+                rng = [pv, pv]
+            if rng is None or not _aligned(rng[0], val):
+                continue
+            if _range_excludes(rng[0], rng[1], op, val):
+                drop = True
+                break
+        if drop:
+            skipped += 1
+        else:
+            kept.append(entry)
+    return {
+        "files": kept,
+        "skipped": skipped,
+        "scanned": len(manifest["files"]),
+    }
+
+
+def _where_to_column(where: list[tuple]):
+    """The Spark residual filter equivalent to a ``where`` spec — the
+    pruned read stays EXACTLY the predicate selection even when stats
+    cover no file at all."""
+    cond = F.lit(True)
+    for col, op, val in where:
+        c = F.col(col)
+        if op in ("=", "=="):
+            e = c == F.lit(val)
+        elif op == "<":
+            e = c < F.lit(val)
+        elif op == "<=":
+            e = c <= F.lit(val)
+        elif op == ">":
+            e = c > F.lit(val)
+        elif op == ">=":
+            e = c >= F.lit(val)
+        elif op == "between":
+            e = (c >= F.lit(val[0])) & (c <= F.lit(val[1]))
+        else:
+            raise ValueError(f"unsupported where op {op!r}")
+        cond = cond & e
+    return cond
 
 
 def _manifest_dir(fs, base: str) -> str:
@@ -122,7 +329,13 @@ def read_manifest(
     Resolution walks parents back to the nearest full snapshot (or the
     empty table at parent 0) and folds the deltas forward; the chain
     length is bounded by the maintenance cadence because every
-    maintenance commit is full."""
+    maintenance commit is full.
+
+    Manifests may carry a ``"stats"`` sidecar (``{rel: {col: [lo,
+    hi]}}`` — per-file column bounds from :func:`collect_file_stats`);
+    it folds alongside the file list (removes drop entries, adds
+    overwrite) and comes back as ``"stats"`` (``{}`` when absent), the
+    input :func:`prune_manifest` skips files with."""
     if gen is None:
         gens = list_generations(spark, root, force_hadoop=force_hadoop)
         if not gens:
@@ -135,10 +348,12 @@ def read_manifest(
         chain.append(man)
         if "files" in man:  # full snapshot — chain base
             files = {p: sz for p, sz in man["files"]}
+            stats = dict(man.get("stats", {}))
             break
         parent = man.get("parent", 0)
         if parent == 0:  # delta on the empty table
             files = {}
+            stats = {}
             break
         cur = parent
     for man in reversed(chain):
@@ -146,12 +361,15 @@ def read_manifest(
             continue
         for rel in man.get("removes", []):
             files.pop(rel, None)
+            stats.pop(rel, None)
         for rel, sz in man.get("adds", []):
             files[rel] = sz
+        stats.update(man.get("stats", {}))
     return {
         "generation": gen,
         "parent": chain[0].get("parent"),
         "files": sorted([p, sz] for p, sz in files.items()),
+        "stats": {rel: stats[rel] for rel in sorted(stats) if rel in files},
     }
 
 
@@ -180,6 +398,7 @@ def commit_manifest(
     files: list[tuple[str, int]],
     *,
     parent: int | None = None,
+    stats: dict[str, dict[str, list]] | None = None,
     force_hadoop: bool = False,
 ) -> int:
     """Commit ``files`` (relative-path, size) as the next generation.
@@ -190,6 +409,10 @@ def commit_manifest(
     re-reads and retries or aborts) — optimistic concurrency, exactly
     Iceberg's commit protocol in miniature.  ``parent=None`` means
     "whatever is current" (0 for a fresh table).
+
+    ``stats`` (``{rel: {col: [lo, hi]}}``) attaches per-file column
+    bounds for :func:`prune_manifest`; entries for files not in
+    ``files`` are dropped.
     """
     fs, base = table_fs(spark, root, force_hadoop)
     if parent is None:
@@ -198,14 +421,17 @@ def commit_manifest(
     gen = parent + 1
     mdir = _manifest_dir(fs, base)
     fs.mkdirs(mdir)
-    payload = json.dumps(
-        {
-            "generation": gen,
-            "parent": parent,
-            "files": sorted([p, int(sz)] for p, sz in files),
-        },
-        separators=(",", ":"),
-    ).encode()
+    doc = {
+        "generation": gen,
+        "parent": parent,
+        "files": sorted([p, int(sz)] for p, sz in files),
+    }
+    if stats:
+        names = {p for p, _ in files}
+        kept = {rel: stats[rel] for rel in sorted(stats) if rel in names}
+        if kept:
+            doc["stats"] = kept
+    payload = json.dumps(doc, separators=(",", ":")).encode()
     fs.write_new(fs.join(mdir, _gen_name(gen)), payload)
     return gen
 
@@ -217,12 +443,15 @@ def commit_delta(
     removes: list[str] | None = None,
     *,
     parent: int | None = None,
+    stats: dict[str, dict[str, list]] | None = None,
     force_hadoop: bool = False,
 ) -> int:
     """Commit a DELTA generation: only the added (rel, size) entries
     and removed rel paths, plus the parent pointer — O(|change|) bytes
     regardless of table size.  Same atomic create-if-absent CAS as
-    :func:`commit_manifest`."""
+    :func:`commit_manifest`.  ``stats`` carries bounds for THIS delta's
+    adds only (keeping the commit O(|batch|)); readers fold them with
+    the chain."""
     fs, base = table_fs(spark, root, force_hadoop)
     if parent is None:
         gens = list_generations(spark, root, force_hadoop=force_hadoop)
@@ -230,15 +459,18 @@ def commit_delta(
     gen = parent + 1
     mdir = _manifest_dir(fs, base)
     fs.mkdirs(mdir)
-    payload = json.dumps(
-        {
-            "generation": gen,
-            "parent": parent,
-            "adds": sorted([p, int(sz)] for p, sz in adds),
-            "removes": sorted(removes or []),
-        },
-        separators=(",", ":"),
-    ).encode()
+    doc = {
+        "generation": gen,
+        "parent": parent,
+        "adds": sorted([p, int(sz)] for p, sz in adds),
+        "removes": sorted(removes or []),
+    }
+    if stats:
+        names = {p for p, _ in adds}
+        kept = {rel: stats[rel] for rel in sorted(stats) if rel in names}
+        if kept:
+            doc["stats"] = kept
+    payload = json.dumps(doc, separators=(",", ":")).encode()
     fs.write_new(fs.join(mdir, _gen_name(gen)), payload)
     return gen
 
@@ -264,7 +496,7 @@ def checkpoint_manifest(
     return commit_manifest(
         spark, root,
         [(p, sz) for p, sz in man["files"]],
-        parent=gens[-1], force_hadoop=force_hadoop,
+        parent=gens[-1], stats=man["stats"], force_hadoop=force_hadoop,
     )
 
 
@@ -272,11 +504,15 @@ def init_manifest(
     spark: SparkSession,
     root: str,
     *,
+    stats_cols: tuple[str, ...] | None = None,
     force_hadoop: bool = False,
 ) -> int:
     """Bootstrap versioning on an existing directory table: commit
     generation 1 from a full listing.  Refuses if already versioned
-    (the listing would see multiple versions' files)."""
+    (the listing would see multiple versions' files).  ``stats_cols``
+    runs one footer pass over the listing and commits per-file min/max
+    bounds for those columns (:func:`collect_file_stats`) so the very
+    first snapshot is already skippable."""
     if list_generations(spark, root, force_hadoop=force_hadoop):
         raise ValueError(f"{root!r} is already manifest-versioned")
     fs, base = table_fs(spark, root, force_hadoop)
@@ -284,8 +520,12 @@ def init_manifest(
         (posixpath.relpath(p.replace("\\", "/"), base.replace("\\", "/")), sz)
         for p, sz in list_data_files(spark, root)
     ]
+    stats = (
+        collect_file_stats(base, [r for r, _ in rel], stats_cols)
+        if stats_cols else None
+    )
     return commit_manifest(
-        spark, root, rel, parent=0, force_hadoop=force_hadoop
+        spark, root, rel, parent=0, stats=stats, force_hadoop=force_hadoop
     )
 
 
@@ -294,18 +534,62 @@ def snapshot_read(
     root: str,
     gen: int | None = None,
     *,
+    where: list[tuple] | None = None,
     force_hadoop: bool = False,
 ) -> DataFrame:
     """Read the table PINNED to one manifest generation: Spark gets the
     explicit file list (never a directory listing), so concurrent
     appends and maintenance are invisible and cannot break the scan.
-    ``basePath`` keeps directory-partition columns (``lang=…``)."""
+    ``basePath`` keeps directory-partition columns (``lang=…``).
+
+    ``where`` (a conjunction of ``(col, op, literal)`` —
+    see :func:`prune_manifest`) enables MANIFEST-LEVEL DATA SKIPPING:
+    files whose committed min/max bounds (or partition-path values)
+    prove no row can match are dropped from the list BEFORE Spark
+    plans, and the equivalent residual filter is applied to the rows —
+    so the result is exactly the predicate selection whether or not any
+    stats exist.  At 100 TB this is the difference between planning
+    800k files and planning the handful a selective predicate touches
+    (footer pruning alone still costs a task + footer read per file).
+    Use :func:`snapshot_scan_plan` to observe what was skipped."""
     man = read_manifest(spark, root, gen, force_hadoop=force_hadoop)
     fs, base = table_fs(spark, root, force_hadoop)
-    paths = [fs.join(base, rel) for rel, _sz in man["files"]]
+    entries = man["files"]
+    if where:
+        pruned = prune_manifest(man, where)
+        if pruned["files"]:  # all-pruned falls back to the full list —
+            entries = pruned["files"]  # the residual filter still
+            # yields the exact (empty) result, and Spark needs >=1 file
+            # for the schema
+    paths = [fs.join(base, rel) for rel, _sz in entries]
     if not paths:
         raise ValueError(f"manifest gen {man['generation']} lists no files")
-    return spark.read.option("basePath", base).parquet(*paths)
+    df = spark.read.option("basePath", base).parquet(*paths)
+    if where:
+        df = df.filter(_where_to_column(where))
+    return df
+
+
+def snapshot_scan_plan(
+    spark: SparkSession | None,
+    root: str,
+    gen: int | None = None,
+    *,
+    where: list[tuple] | None = None,
+    force_hadoop: bool = False,
+) -> dict:
+    """What :func:`snapshot_read` would scan: ``{"scanned": total
+    manifest files, "skipped": files pruned by stats/partition bounds,
+    "files": kept entries}`` — the observability hook the data-skipping
+    gate asserts on (strictly fewer files for a selective predicate).
+    Driver-side manifest read only; no data IO."""
+    man = read_manifest(spark, root, gen, force_hadoop=force_hadoop)
+    if not where:
+        return {
+            "files": man["files"], "skipped": 0,
+            "scanned": len(man["files"]),
+        }
+    return prune_manifest(man, where)
 
 
 def plan_compaction_manifest(
@@ -366,11 +650,17 @@ def append_files(
     *,
     partition_col: str | None = "lang",
     max_retries: int = 5,
+    stats_cols: tuple[str, ...] | None = None,
     force_hadoop: bool = False,
 ) -> dict:
     """Append ``df`` to a versioned table as one manifest commit:
     write to a hidden stage dir, move the (UUID-named) files into the
     live partition dirs, commit ``previous ∪ new``.
+
+    ``stats_cols`` adds a footer pass over THIS batch's files and
+    commits per-file min/max bounds with the delta — O(|batch|) like
+    the commit itself — enabling :func:`snapshot_read`'s ``where``
+    pruning on those columns.
 
     O(|batch|) — the commit never lists the table, so ingest cost
     tracks batch size, not table size (the property a per-micro-batch
@@ -408,6 +698,10 @@ def append_files(
         )
     finally:
         fs.delete(stage, ignore_errors=True)
+    stats = (
+        collect_file_stats(base, [rel for rel, _ in new], stats_cols)
+        if stats_cols else None
+    )
 
     for attempt in range(max_retries + 1):
         gens = list_generations(spark, root, force_hadoop=force_hadoop)
@@ -415,7 +709,7 @@ def append_files(
         try:
             gen = commit_delta(
                 spark, root, new,
-                parent=parent, force_hadoop=force_hadoop,
+                parent=parent, stats=stats, force_hadoop=force_hadoop,
             )
             break
         except FileExistsError:
@@ -469,7 +763,7 @@ def rollback(
     return commit_manifest(
         spark, root,
         [(p, sz) for p, sz in man["files"]],
-        force_hadoop=force_hadoop,
+        stats=man["stats"], force_hadoop=force_hadoop,
     )
 
 
@@ -510,11 +804,18 @@ def compact_partitions_versioned(
     order_col: str = "doc_id",
     zorder_cols: tuple[str, ...] | None = None,
     zorder_bits: int = 6,
+    stats_cols: tuple[str, ...] | None = None,
     force_hadoop: bool = False,
 ) -> dict:
     """Selective compaction as a manifest commit — the snapshot-safe,
     object-store-safe twin of
     :func:`~tagminder_spark.operators.compaction.compact_partitions`.
+
+    ``stats_cols`` collects min/max bounds for the REWRITTEN files
+    (untouched partitions keep their existing committed bounds) —
+    and since the rewrite clusters on ``order_col``/``zorder_cols``,
+    post-compaction bounds are naturally tight, which is exactly why
+    Iceberg re-derives stats on rewriteDataFiles.
 
     Reads ONLY the candidate partitions' current files (explicit file
     list — healthy directories cost zero IO), bin-packs them into new
@@ -586,9 +887,18 @@ def compact_partitions_versioned(
         )
     finally:
         fs.delete(stage, ignore_errors=True)
+    keep_rels = {rel for rel, _ in keep}
+    stats = {
+        rel: s for rel, s in man["stats"].items() if rel in keep_rels
+    }
+    if stats_cols:
+        stats.update(
+            collect_file_stats(base, [rel for rel, _ in new], stats_cols)
+        )
     gen = commit_manifest(
         spark, root, keep + new,
-        parent=man["generation"], force_hadoop=force_hadoop,
+        parent=man["generation"], stats=stats or None,
+        force_hadoop=force_hadoop,
     )
     return {
         "generation": gen,

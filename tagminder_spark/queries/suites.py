@@ -405,6 +405,9 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
         "t_stream_maintain": (["doc_id"], [("lang", "str")]),
         "t_stream_manifest": (["doc_id"], [("lang", "str")]),
         "cur_manifest_isolation": (["doc_id"], [("lang", "str")]),
+        # round 9: manifest-level data skipping (per-file min/max stats
+        # + driver-side file pruning in snapshot_read(where=...))
+        "cur_manifest_skipping": (["doc_id"], [("lang", "str")]),
     },
     # the report family (92/94/95/96)
     "suite_reports": {

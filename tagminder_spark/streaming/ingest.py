@@ -284,6 +284,7 @@ def streaming_ingest_with_maintenance(
     min_files: int = 8,
     use_manifest: bool = False,
     expire_keep_last: int = 2,
+    manifest_stats_cols: tuple[str, ...] | None = None,
     query_name: str = "ingest_maintain",
 ):
     """Continuous ingest with AUTOMATIC table maintenance — the
@@ -325,7 +326,10 @@ def streaming_ingest_with_maintenance(
     about the longest-running concurrent reader (measured in
     maintenance passes, i.e. roughly ``maintenance_every ×
     expire_keep_last`` micro-batches of slack); size it up for
-    long-running analytical readers.
+    long-running analytical readers.  ``manifest_stats_cols`` threads a
+    per-batch footer pass into every append and compaction commit so
+    downstream ``snapshot_read(where=...)`` can data-skip on those
+    columns from the first micro-batch on.
 
     Returns the streaming query; ``q.maintenance_reports`` accumulates
     one planner/rewrite report per maintenance pass.
@@ -362,7 +366,8 @@ def streaming_ingest_with_maintenance(
         if batch_df.head(1):
             if use_manifest:
                 append_files(
-                    spark, batch_df, table_dir, partition_col=partition_col
+                    spark, batch_df, table_dir, partition_col=partition_col,
+                    stats_cols=manifest_stats_cols,
                 )
             else:
                 (
@@ -410,6 +415,7 @@ def streaming_ingest_with_maintenance(
             report = compact_partitions_versioned(
                 spark, table_dir, partition_col, values,
                 target_bytes=target_bytes,
+                stats_cols=manifest_stats_cols,
             )
             report["expired"] = expire_snapshots(
                 spark, table_dir, keep_last=expire_keep_last

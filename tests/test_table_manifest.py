@@ -185,13 +185,13 @@ def test_append_files_concurrent_cas_retry(spark, tmp_path):
     interloped = {"done": False}
 
     def racing_commit(spark_, root_, adds, removes=None, *, parent=None,
-                      force_hadoop=False):
+                      stats=None, force_hadoop=False):
         if not interloped["done"]:
             interloped["done"] = True
             real_commit(spark_, root_, [], parent=parent)
         return real_commit(
             spark_, root_, adds, removes,
-            parent=parent, force_hadoop=force_hadoop,
+            parent=parent, stats=stats, force_hadoop=force_hadoop,
         )
 
     tm.commit_delta, orig = racing_commit, tm.commit_delta
@@ -783,3 +783,183 @@ def test_local_write_new_threads_never_share_tmp(tmp_path):
     for i in range(n):
         data = (tmp_path / f"g{i}.json").read_bytes()
         assert data in (payload_a, payload_b), f"corrupt commit at g{i}"
+
+
+# ---------------------------------------------------------------------------
+# manifest-level data skipping (round 9, VERDICT r8 next-round #1)
+
+
+def _range_clustered_table(spark, root: str):
+    """documents written so files carry DISJOINT doc_id ranges (range
+    repartition before the partitioned write) — the layout where
+    min/max stats actually prune."""
+    from tagminder_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    (
+        docs.repartitionByRange(8, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("append").partitionBy("lang").parquet(root)
+    )
+    return docs
+
+
+def test_data_skipping_prunes_files_and_stays_exact(spark, tmp_path):
+    """A selective doc_id predicate over a stats-committed manifest must
+    plan strictly fewer files than the manifest lists AND return exactly
+    the predicate selection."""
+    from tagminder_spark.operators.table_manifest import (
+        init_manifest,
+        read_manifest,
+        snapshot_read,
+        snapshot_scan_plan,
+    )
+
+    root = str(tmp_path / "t")
+    docs = _range_clustered_table(spark, root)
+    init_manifest(spark, root, stats_cols=("doc_id",))
+    man = read_manifest(spark, root)
+    assert man["stats"], "init_manifest(stats_cols) committed no stats"
+    # every file entry got doc_id bounds (all-parquet, single type)
+    assert set(man["stats"]) == {rel for rel, _ in man["files"]}
+
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    lo, hi = ids[0], ids[len(ids) // 10]  # bottom decile
+    where = [("doc_id", "between", (lo, hi))]
+    plan = snapshot_scan_plan(spark, root, where=where)
+    assert plan["skipped"] > 0, "selective predicate pruned nothing"
+    assert len(plan["files"]) < plan["scanned"]
+
+    got = sorted(
+        (r["doc_id"], r["lang"])
+        for r in snapshot_read(spark, root, where=where).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["lang"])
+        for r in docs.filter(
+            (docs.doc_id >= lo) & (docs.doc_id <= hi)
+        ).collect()
+    )
+    assert got == want
+
+
+def test_data_skipping_partition_path_bounds(spark, tmp_path):
+    """Partition-directory values (lang=en) prune even though footers
+    never store the partition column — and the result stays exact."""
+    from tagminder_spark.operators.table_manifest import (
+        init_manifest,
+        snapshot_read,
+        snapshot_scan_plan,
+    )
+
+    root = str(tmp_path / "t")
+    docs = _range_clustered_table(spark, root)
+    init_manifest(spark, root)  # no footer stats at all
+    plan = snapshot_scan_plan(spark, root, where=[("lang", "=", "en")])
+    assert plan["skipped"] > 0  # the non-en files
+    got = _rows(snapshot_read(spark, root, where=[("lang", "=", "en")]))
+    assert got == _rows(docs.filter(docs.lang == "en"))
+
+
+def test_data_skipping_stats_fold_through_chain(spark, tmp_path):
+    """Stats survive the delta chain: append deltas carry their own
+    bounds, checkpoint/compaction/rollback preserve them, and pruning
+    works at every stage with exact results."""
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        append_files,
+        checkpoint_manifest,
+        compact_partitions_versioned,
+        init_manifest,
+        read_manifest,
+        rollback,
+        snapshot_read,
+        snapshot_scan_plan,
+    )
+    from tagminder_spark.session import load_table
+
+    root = str(tmp_path / "t")
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    lowest = docs.filter(F.col("doc_id") % 3 == 0)
+    lowest.repartitionByRange(4, "doc_id").write.mode("append").partitionBy(
+        "lang"
+    ).parquet(root)
+    init_manifest(spark, root, stats_cols=("doc_id",))
+
+    # two appends as stats-carrying deltas
+    b1 = docs.filter(F.col("doc_id") % 3 == 1).repartitionByRange(2, "doc_id")
+    b2 = docs.filter(F.col("doc_id") % 3 == 2).repartitionByRange(2, "doc_id")
+    append_files(spark, b1, root, stats_cols=("doc_id",))
+    append_files(spark, b2, root, stats_cols=("doc_id",))
+    man = read_manifest(spark, root)
+    assert set(man["stats"]) == {rel for rel, _ in man["files"]}
+
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    mid = ids[len(ids) // 2]
+    where = [("doc_id", ">=", mid)]
+
+    def exact(tag):
+        got = _rows(snapshot_read(spark, root, where=where))
+        assert got == _rows(docs.filter(F.col("doc_id") >= mid)), tag
+
+    assert snapshot_scan_plan(spark, root, where=where)["skipped"] > 0
+    exact("after deltas")
+
+    checkpoint_manifest(spark, root)
+    man2 = read_manifest(spark, root)
+    assert man2["stats"] == man["stats"]  # checkpoint preserves
+    exact("after checkpoint")
+
+    compact_partitions_versioned(
+        spark, root, "lang", ["en"],
+        target_bytes=4 << 20, stats_cols=("doc_id",),
+    )
+    man3 = read_manifest(spark, root)
+    assert set(man3["stats"]) == {rel for rel, _ in man3["files"]}
+    exact("after versioned compaction")
+
+    g = rollback(spark, root, man2["generation"])
+    man4 = read_manifest(spark, root, g)
+    assert man4["stats"] == man2["stats"]  # rollback preserves
+    exact("after rollback")
+
+
+def test_data_skipping_conservative_without_stats(spark, tmp_path):
+    """Files committed WITHOUT stats are never pruned (only the residual
+    filter applies) and an all-pruned predicate still returns a correct
+    empty result instead of erroring."""
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        append_files,
+        init_manifest,
+        snapshot_read,
+        snapshot_scan_plan,
+    )
+    from tagminder_spark.session import load_table
+
+    root = str(tmp_path / "t")
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    half.repartitionByRange(4, "doc_id").write.mode("append").partitionBy(
+        "lang"
+    ).parquet(root)
+    init_manifest(spark, root, stats_cols=("doc_id",))
+    # stats-less delta: its files must survive every numeric predicate
+    append_files(spark, docs.filter(F.col("doc_id") % 2 == 1), root)
+
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    lo = ids[0]
+    plan = snapshot_scan_plan(spark, root, where=[("doc_id", "=", lo)])
+    # some stats-carrying files prune, every stats-less file is kept
+    assert 0 < plan["skipped"] < plan["scanned"]
+    got = _rows(snapshot_read(spark, root, where=[("doc_id", "=", lo)]))
+    assert got == _rows(docs.filter(F.col("doc_id") == lo))
+
+    # predicate outside every file's range: all stats-carrying files
+    # pruned, stats-less kept, result exactly empty
+    got = snapshot_read(
+        spark, root, where=[("doc_id", "=", ids[-1] + 10_000)]
+    ).collect()
+    assert got == []
