@@ -909,6 +909,76 @@ def compact_partitions_versioned(
     }
 
 
+def merge_into_manifest(
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    key: str = "__path",
+    *,
+    partition_col: str | None = None,
+    stats_cols: tuple[str, ...] | None = None,
+    force_hadoop: bool = False,
+) -> dict:
+    """Snapshot-isolated MERGE-by-rewrite — the manifest-versioned twin
+    of :func:`~tagminder_spark.operators.diff_audit.merge_into_parquet`
+    (the reference's UPDATE-in-transaction, tm_db.py:580-611): read the
+    CURRENT snapshot, keep the anti-join survivors, union the updated
+    rows, write everything as NEW files, and commit the new file list
+    as the next full-snapshot generation.
+
+    Old files are never touched: a reader pinned to any earlier
+    generation finishes its scan untouched (no directory swap, no
+    rename — object-store safe), and :func:`expire_snapshots` reclaims
+    them once the retention window passes.  Like
+    :func:`compact_partitions_versioned` — and unlike
+    :func:`append_files` — a lost commit CAS is NOT retried: a merge
+    REPLACES rows, so a concurrent commit means the table changed under
+    it and the caller must re-plan against the fresh snapshot
+    (``FileExistsError`` surfaces).
+
+    At 100 TB the table would be bucket-partitioned and only touched
+    buckets rewritten (``merge_into_bucketed_parquet``'s pruning); this
+    full-rewrite form is the snapshot-isolation contract at the alib
+    scale, where the reference rewrites the whole SQLite table anyway.
+    """
+    import uuid
+
+    fs, base = table_fs(spark, root, force_hadoop)
+    man = read_manifest(spark, root, force_hadoop=force_hadoop)
+    existing = snapshot_read(spark, root, man["generation"],
+                             force_hadoop=force_hadoop)
+    missing = [c for c in existing.columns if c not in updates.columns]
+    if missing:
+        raise ValueError(f"updates lack table columns: {missing}")
+    survivors = existing.join(updates.select(key), key, "left_anti")
+    merged = survivors.unionByName(updates.select(*existing.columns))
+
+    stage = fs.join(base, f".__merge_stage_{uuid.uuid4().hex[:8]}__")
+    writer = merged.write.mode("overwrite")
+    if partition_col:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(stage)
+    try:
+        new = _move_stage_files(
+            spark, fs, stage, base, force_hadoop=force_hadoop
+        )
+    finally:
+        fs.delete(stage, ignore_errors=True)
+    stats = (
+        collect_file_stats(base, [rel for rel, _ in new], stats_cols)
+        if stats_cols else None
+    )
+    gen = commit_manifest(
+        spark, root, new,
+        parent=man["generation"], stats=stats, force_hadoop=force_hadoop,
+    )
+    return {
+        "generation": gen,
+        "files_out": len(new),
+        "files_replaced": len(man["files"]),
+    }
+
+
 def expire_snapshots(
     spark: SparkSession,
     root: str,

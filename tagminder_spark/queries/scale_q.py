@@ -98,7 +98,10 @@ def w_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NORMV = "NULLIF(NULLIF(trim({x}), ''), '\"\"')"
 _LIVE_RE = r"(?i)(?:[\(\[\{{<]\s*live\s*[\)\]\}}>]|- live)\s*$"
 
-_CHAIN_SQL = rf"""
+# Shared CTE prefix (alib fixture → steps 02/04/09/17/20): the chain
+# lifecycle gates (pl_chain_e2e changelog counts, pl_chain_manifest
+# merged-table read-back) compose their final SELECTs over it.
+_CHAIN_CTES = rf"""
 WITH alib AS (
   -- DISTINCT: the synthetic lineitem does not enforce (orderkey,
   -- linenumber) uniqueness; every derived column is a function of that
@@ -238,7 +241,9 @@ s20 AS (
              v -> v IS NOT NULL) AS yvals
     FROM s17
   )
-),
+)"""
+
+_CHAIN_SQL = _CHAIN_CTES + rf""",
 -- diff-audit: normalized old-vs-new per tracked column, count changes.
 -- sf1-tractable shape: project the comparison down to 7 BOOLEANs inside
 -- the join (the wide string pairs never materialize — the original
@@ -282,23 +287,9 @@ ORDER BY alib_column
 """
 
 
-@q("pl_chain_e2e", _CHAIN_SQL)
-def pl_chain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end pipeline run (the reference's primary workload): a
-    synthesized alib flows through steps 02→04→09→17→20 sequentially,
-    then one diff-audit against the original produces the changelog;
-    returns per-column change counts. Value-checked since round 4: the
-    oracle composes the five per-step SQL idioms into one CTE chain and
-    replays diff-audit's normalized comparison."""
-    from tagminder_spark.operators.diff_audit import diff_audit
-    from tagminder_spark.pipeline import (
-        step02_clean_text,
-        step04_merge_writers,
-        step09_live_markers,
-        step17_dedupe_tags,
-        step20_dates,
-    )
-
+def _chain_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthesized alib the chain lifecycle gates share (matches the
+    ``alib`` CTE of ``_CHAIN_CTES`` exactly)."""
     li = load_table(spark, sf_dir, "lineitem")
     k = F.col("l_orderkey")
     ln = F.col("l_linenumber")
@@ -334,18 +325,45 @@ def pl_chain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()  # (orderkey, linenumber) is not unique in the synthetic
     # lineitem; every column is a function of that pair, so distinct()
     # makes __path a true key for the diff-audit join
+    return alib
+
+
+def _chain_steps(d: DataFrame) -> DataFrame:
+    """Steps 02→04→09→17→20 — the lifecycle both chain gates run."""
+    from tagminder_spark.pipeline import (
+        step02_clean_text,
+        step04_merge_writers,
+        step09_live_markers,
+        step17_dedupe_tags,
+        step20_dates,
+    )
+
+    return step20_dates(
+        step17_dedupe_tags(
+            step09_live_markers(step04_merge_writers(step02_clean_text(d)))
+        )
+    )
+
+
+_CHAIN_COLS = ["title", "subtitle", "album", "live", "composer", "genre", "year"]
+
+
+@q("pl_chain_e2e", _CHAIN_SQL)
+def pl_chain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pipeline run (the reference's primary workload): a
+    synthesized alib flows through steps 02→04→09→17→20 sequentially,
+    then one diff-audit against the original produces the changelog;
+    returns per-column change counts. Value-checked since round 4: the
+    oracle composes the five per-step SQL idioms into one CTE chain and
+    replays diff-audit's normalized comparison."""
+    from tagminder_spark.operators.diff_audit import diff_audit
+
     # persist: the diff joins alib against chain(alib) — without the
     # cache the wide-string distinct (the most expensive stage here)
     # runs once per side
-    alib = scoped_persist(alib)
-    def chain(d):
-        return step20_dates(
-            step17_dedupe_tags(
-                step09_live_markers(step04_merge_writers(step02_clean_text(d)))
-            )
-        )
-
-    cols = ["title", "subtitle", "album", "live", "composer", "genre", "year"]
+    alib = scoped_persist(_chain_fixture(spark, sf_dir))
+    chain = _chain_steps
+    cols = _CHAIN_COLS
     # join-based diff on purpose: the five-step expression tree is deep,
     # and the in-row variant (diff_audit_inline) would inline THREE more
     # copies of it per tracked column — past whole-stage-codegen limits
@@ -356,4 +374,91 @@ def pl_chain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         changelog.groupBy("alib_column")
         .agg(F.count(F.lit(1)).alias("n_changes"))
         .orderBy("alib_column")
+    )
+
+
+# pl_chain_manifest: the same lifecycle, but the alib table LIVES on a
+# manifest-versioned table — the oracle replays the MERGE itself: every
+# row's final value is the chain output when any tracked column changed
+# (normalized compare), the original otherwise, with sqlmodded = the
+# number of changed fields.
+_MERGE_NCH = "\n       + ".join(
+    f"CAST(({_NORMV.format(x=f'a.{c}')} IS DISTINCT FROM "
+    f"{_NORMV.format(x=f'n.{c}')}) AS INT)"
+    for c in ("title", "subtitle", "album", "live", "composer", "genre", "year")
+)
+_MERGE_D_COLS = ",\n         ".join(
+    f"a.{c} AS a_{c}, n.{c} AS n_{c}"
+    for c in ("title", "subtitle", "album", "live", "composer", "genre", "year")
+)
+_MERGE_OUT = ",\n       ".join(
+    f"CASE WHEN nch > 0 THEN n_{c} ELSE a_{c} END AS {c}"
+    for c in ("title", "subtitle", "album", "live", "composer", "genre", "year")
+)
+
+_CHAIN_MERGE_SQL = _CHAIN_CTES + f""",
+d AS (
+  SELECT a.__path,
+         {_MERGE_D_COLS},
+         {_MERGE_NCH} AS nch
+  FROM alib a JOIN s20 n USING (__path)
+)
+SELECT __path,
+       {_MERGE_OUT},
+       CAST(nch AS INT) AS sqlmodded
+FROM d
+"""
+
+
+@q("pl_chain_manifest", _CHAIN_MERGE_SQL)
+def pl_chain_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship alib lifecycle ON a manifest-versioned table
+    (round 9, VERDICT r8 #5; rides suite_curation per the rotation
+    rule): the synthesized alib is written to disk and versioned, the
+    five-step chain runs over a PINNED ``snapshot_read``, diff-audit
+    computes the updated rows, and ``merge_into_manifest`` lands the
+    MERGE as a new full-snapshot generation — no directory swap, old
+    files intact, so the gate proves mid-merge isolation by counting a
+    gen-1-pinned reader AFTER the merge.  The changelog goes to a
+    second versioned table through ``append_files`` (one O(|batch|)
+    delta commit).  The oracle replays the merge semantics row-by-row:
+    final values + the per-row ``__sqlmodded`` change count, so the
+    read-back of the committed table is value-exact, not just
+    row-stable."""
+    import tempfile
+
+    from tagminder_spark.operators.diff_audit import diff_audit
+    from tagminder_spark.operators.table_manifest import (
+        append_files,
+        init_manifest,
+        merge_into_manifest,
+        snapshot_read,
+    )
+
+    base = tempfile.mkdtemp(prefix="tm_chainmanifest_")
+    root = f"{base}/alib"
+    _chain_fixture(spark, sf_dir).write.parquet(root)
+    init_manifest(spark, root)
+
+    pinned = snapshot_read(spark, root, 1)  # the long-running reader
+    table = snapshot_read(spark, root)
+    updated, changelog = diff_audit(
+        table, _chain_steps(table), "__path", _CHAIN_COLS, script="chain"
+    )
+    merge_into_manifest(spark, root, updated, "__path")
+
+    clog_root = f"{base}/changelog"
+    append_files(spark, changelog, clog_root, partition_col=None)
+    if not snapshot_read(spark, clog_root).head(1):
+        raise AssertionError("changelog append committed no rows")
+
+    back = snapshot_read(spark, root)
+    n_pinned, n_back = pinned.count(), back.count()
+    if n_pinned != n_back:  # gen-1 files must have survived the merge
+        raise AssertionError(
+            f"pinned pre-merge reader broke: {n_pinned} vs {n_back}"
+        )
+    return back.select(
+        "__path", *_CHAIN_COLS,
+        F.col("__sqlmodded").cast("int").alias("sqlmodded"),
     )

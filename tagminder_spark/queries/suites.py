@@ -408,6 +408,15 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
         # round 9: manifest-level data skipping (per-file min/max stats
         # + driver-side file pruning in snapshot_read(where=...))
         "cur_manifest_skipping": (["doc_id"], [("lang", "str")]),
+        # round 9: the flagship alib lifecycle (chain + diff-audit
+        # MERGE) on a manifest-versioned table — merged read-back
+        # value-exact, pinned pre-merge reader proven intact
+        "pl_chain_manifest": (
+            ["__path"],
+            [("title", "str"), ("subtitle", "str"), ("album", "str"),
+             ("live", "str"), ("composer", "str"), ("genre", "str"),
+             ("year", "str"), ("sqlmodded", "num")],
+        ),
     },
     # the report family (92/94/95/96)
     "suite_reports": {

@@ -963,3 +963,51 @@ def test_data_skipping_conservative_without_stats(spark, tmp_path):
         spark, root, where=[("doc_id", "=", ids[-1] + 10_000)]
     ).collect()
     assert got == []
+
+
+def test_merge_into_manifest_snapshot_isolated(spark, tmp_path):
+    """MERGE as a versioned commit: updated keys take new values,
+    survivors keep theirs, the pre-merge generation stays fully
+    readable, and updates missing table columns are refused."""
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        init_manifest,
+        merge_into_manifest,
+        snapshot_read,
+    )
+    from tagminder_spark.session import load_table
+
+    root = str(tmp_path / "t")
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    docs.write.parquet(root)
+    init_manifest(spark, root)
+
+    updates = (
+        snapshot_read(spark, root)
+        .filter(F.col("doc_id") % 5 == 0)
+        .withColumn("n_chars", F.lit(-1).cast("long"))
+    )
+    r = merge_into_manifest(spark, root, updates, "doc_id")
+    assert r["generation"] == 2
+
+    back = snapshot_read(spark, root)
+    got = {row["doc_id"]: row["n_chars"] for row in back.collect()}
+    want = {
+        row["doc_id"]: (-1 if row["doc_id"] % 5 == 0 else row["n_chars"])
+        for row in docs.collect()
+    }
+    assert got == want
+    # pre-merge generation still value-complete
+    old = {
+        row["doc_id"]: row["n_chars"]
+        for row in snapshot_read(spark, root, 1).collect()
+    }
+    assert old == {r_["doc_id"]: r_["n_chars"] for r_ in docs.collect()}
+
+    with pytest.raises(ValueError, match="lack table columns"):
+        merge_into_manifest(
+            spark, root, updates.drop("lang"), "doc_id"
+        )
