@@ -538,6 +538,56 @@ def incremental_lsh_pairs(
     )
 
 
+def cross_batch_lsh_pairs(
+    indexes: list[tuple[DataFrame, DataFrame]],
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs whose members sit in DIFFERENT batches of a
+    window — the pairs the per-batch probes structurally cannot see
+    (each micro-batch compares only against itself and the standing
+    index; a pair split across two not-yet-folded batches is invisible
+    to both probes).  Candidates are blocked on ``batch_a < batch_b``,
+    so in-batch pairs and pairs against the standing index — both
+    already emitted — never reappear; together with the per-batch
+    probes this makes the streamed pair set EQUAL to the batch
+    operator's (the recall-equality contract
+    ``streaming_dedup_probe(fold_every=…)`` tests pin).
+
+    Cost: one banded union over the window (bounded by the fold
+    cadence), bucket-keyed candidate join, exact verification over the
+    window's shingles — the same sub-linear shape as the per-batch
+    probe, amortized once per fold."""
+    banded = None
+    sh = None
+    for i, (b, s) in enumerate(indexes):
+        tb = b.withColumn("__batch", F.lit(i))
+        banded = tb if banded is None else banded.unionByName(tb)
+        sh = s if sh is None else sh.unionByName(s)
+    if banded is None:
+        raise ValueError("cross_batch_lsh_pairs needs >= 1 index")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.__batch") < F.col("b.__batch"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    return (
+        jaccard_for_pairs(sh.dropDuplicates(["id", "h"]), candidates)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

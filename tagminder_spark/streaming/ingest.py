@@ -197,6 +197,7 @@ def streaming_dedup_probe(
     threshold: float = 0.5,
     sink=None,
     max_collected: int = 100_000,
+    fold_every: int | None = None,
     query_name: str = "dedup_probe",
 ):
     """Streaming twin of the incremental fuzzy-dedup probe: every
@@ -216,30 +217,45 @@ def streaming_dedup_probe(
     never learns the true pair count) and a warning is logged once —
     pass a real ``sink`` for production streams).
 
-    The probe intentionally does NOT fold the batch into the index
-    mid-stream: index compaction is a periodic batch job (the same
-    separation the diff-audit MERGE uses), which keeps the streaming
-    path stateless and restart-safe.
+    With ``fold_every=None`` the probe does NOT fold batches into the
+    index mid-stream: index compaction stays a periodic batch job (the
+    same separation the diff-audit MERGE uses), which keeps the
+    streaming path stateless and restart-safe — and leaves the **known
+    recall gap**: a near-dup pair whose two members arrive in DIFFERENT
+    micro-batches is not flagged until an external compaction folds
+    earlier batches in.
 
-    **Known recall gap (by design):** each micro-batch is compared only
-    against itself and the standing index — a near-dup pair whose two
-    members arrive in DIFFERENT micro-batches of the same stream is NOT
-    flagged until the periodic compaction folds earlier batches into
-    the index. Callers needing batch-equivalent recall must either run
-    the batch ``incremental_lsh_pairs`` after compaction or size the
-    compaction period to their staleness tolerance; this probe is the
-    low-latency leg, not a replacement for the batch operator.
+    ``fold_every=N`` closes that gap in-stream (round 9, VERDICT r8
+    #3): index maintenance runs beside table maintenance on a cadence.
+    Every N batches the window's batch indexes are (a) cross-probed
+    with :func:`~tagminder_spark.operators.dedupe.cross_batch_lsh_pairs`
+    — emitting exactly the pairs split across the window's batches,
+    which the per-batch probes structurally cannot see (delivered to
+    the sink with ``batch_id = -fold_number``) — and (b) folded into
+    the standing index (:func:`compact_lsh_index`), so later batches
+    probe a fresh index.  Batch indexes are eagerly local-checkpointed
+    (a foreachBatch frame is not valid outside its micro-batch, and
+    the fold must not recompute lineage); production would instead
+    re-persist the on-disk standing artifacts
+    (``queries/dedup.py: standing LSH index``).  After the stream
+    drains, call ``q.finalize()`` to flush the tail window — from then
+    on the emitted pair set EQUALS the batch operator's over the same
+    corpus (the recall-equality contract the tests pin); until the
+    final fold the residual staleness is bounded by ``fold_every``
+    micro-batches.
     """
-    from tagminder_spark.operators.dedupe import incremental_lsh_pairs, lsh_index
+    from tagminder_spark.operators.dedupe import (
+        compact_lsh_index,
+        cross_batch_lsh_pairs,
+        incremental_lsh_pairs,
+        lsh_index,
+    )
 
     collected: list = []
     dropped = [0]
+    state = {"standing": standing_index, "pending": [], "folds": 0}
 
-    def _process(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.head(1):
-            return
-        batch_index = lsh_index(batch_df, id_col, text_col, n=n, k=k, bands=bands)
-        pairs = incremental_lsh_pairs(batch_index, standing_index, threshold=threshold)
+    def _emit(pairs: DataFrame, batch_id: int) -> None:
         if sink is not None:
             sink(pairs, batch_id)
             return
@@ -263,6 +279,48 @@ def streaming_dedup_probe(
                 )
             dropped[0] += 1
 
+    def _fold() -> None:
+        """Emit the window's cross-batch pairs, fold the window into
+        the standing index, clear the window."""
+        pending = state["pending"]
+        if not pending:
+            return
+        state["folds"] += 1
+        if len(pending) > 1:
+            _emit(
+                cross_batch_lsh_pairs(pending, threshold=threshold),
+                -state["folds"],
+            )
+        pb, ps = pending[0]
+        for b, s in pending[1:]:
+            pb = pb.unionByName(b)
+            ps = ps.unionByName(s)
+        nb, nsh = compact_lsh_index(state["standing"], (pb, ps))
+        # eager checkpoint: bounds the fold-of-fold lineage and
+        # materializes once instead of per later probe
+        state["standing"] = (
+            nb.localCheckpoint(True), nsh.localCheckpoint(True)
+        )
+        state["pending"] = []
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        batch_index = lsh_index(batch_df, id_col, text_col, n=n, k=k, bands=bands)
+        if fold_every:
+            batch_index = (
+                batch_index[0].localCheckpoint(True),
+                batch_index[1].localCheckpoint(True),
+            )
+        pairs = incremental_lsh_pairs(
+            batch_index, state["standing"], threshold=threshold
+        )
+        _emit(pairs, batch_id)
+        if fold_every:
+            state["pending"].append(batch_index)
+            if len(state["pending"]) >= fold_every:
+                _fold()
+
     q = (
         stream.writeStream.foreachBatch(_process)
         .queryName(query_name)
@@ -271,6 +329,8 @@ def streaming_dedup_probe(
     )
     q.collected_pairs = collected  # type: ignore[attr-defined]
     q.dropped_batches = dropped  # type: ignore[attr-defined]
+    q.finalize = _fold  # type: ignore[attr-defined]
+    q.fold_state = state  # type: ignore[attr-defined]
     return q
 
 

@@ -621,3 +621,96 @@ def test_streaming_ingest_with_auto_maintenance(spark, tmp_path):
     total_files = len(list_data_files(spark, table))
     assert total_files < 6 * n_langs, (total_files, n_langs)
     assert files_per_dir <= 4
+
+
+def _fold_probe_fixture(spark, tmp_path):
+    """Three deterministic micro-batches (one file each, mtime-ordered)
+    with controlled near-dup pairs: (11,12) in-batch, (13,14) split
+    across batches 0/1 (same fold window), (1,2) split across batches
+    0/2 (fold boundary between them)."""
+    import os
+    import shutil
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    batches = [
+        [(1, base + "alpha"), (10, "completely unrelated filler one xyzzy"),
+         (11, base + "beta"), (12, base + "beta prime"),
+         (13, base + "gamma")],
+        [(20, "another unrelated filler two plugh"),
+         (14, base + "gamma prime")],
+        [(2, base + "alpha prime"),
+         (30, "third unrelated filler three frobozz")],
+    ]
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    for i, rows in enumerate(batches):
+        stage = tmp_path / f"stage{i}"
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        dst = incoming / f"b{i}.parquet"
+        shutil.move(str(part), str(dst))
+        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+    all_rows = [r for b in batches for r in b]
+    corpus = spark.createDataFrame(all_rows, "doc_id long, text string")
+    empty = corpus.limit(0)
+    return incoming, corpus, empty
+
+
+def _run_probe(spark, incoming, empty_docs, fold_every, finalize):
+    from tagminder_spark.operators.dedupe import lsh_index
+    from tagminder_spark.streaming.ingest import streaming_dedup_probe
+
+    standing = lsh_index(empty_docs, "doc_id", "text")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(incoming))
+    )
+    q = streaming_dedup_probe(stream, standing, fold_every=fold_every)
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+    if finalize:
+        q.finalize()
+    return {(a, b) for a, b, _ in q.collected_pairs}
+
+
+def test_dedup_probe_cross_batch_gap_without_fold(spark, tmp_path):
+    """Documents the structural gap the fold cadence exists to close:
+    without fold_every, pairs split across micro-batches are invisible;
+    in-batch pairs are found."""
+    incoming, _corpus, empty = _fold_probe_fixture(spark, tmp_path)
+    got = _run_probe(spark, incoming, empty, fold_every=None, finalize=False)
+    assert (11, 12) in got          # in-batch pair
+    assert (1, 2) not in got        # split batches 0/2 — the gap
+    assert (13, 14) not in got      # split batches 0/1 — the gap
+
+
+def test_dedup_probe_fold_in_closes_cross_batch_recall(spark, tmp_path):
+    """VERDICT r8 #3 done-criteria: (a) a near-dup pair arriving in
+    batches 1 and 3 is flagged after the batch-2 maintenance fold —
+    WITHOUT finalize; (b) after the final fold-in the streamed pair set
+    equals the batch operator's over the same corpus."""
+    from tagminder_spark.operators.dedupe import minhash_lsh_pairs
+
+    incoming, corpus, empty = _fold_probe_fixture(spark, tmp_path)
+
+    # (a) fold after batch 2 puts batch 0's docs in the standing index,
+    # so batch 3's probe flags (1, 2) mid-stream
+    got_mid = _run_probe(spark, incoming, empty, fold_every=2, finalize=False)
+    assert (1, 2) in got_mid
+    assert (13, 14) in got_mid  # window-internal split pair: emitted by
+    # the fold's cross-batch probe (batch_id = -1 path)
+
+    # (b) recall equality after finalize: streamed == batch operator
+    got = _run_probe(spark, incoming, empty, fold_every=2, finalize=True)
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(corpus, "doc_id", "text").collect()
+    }
+    assert got == want
+    assert {(1, 2), (11, 12), (13, 14)} <= want  # fixture is non-trivial
