@@ -256,6 +256,19 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
             [("width", "num"), ("height", "num"), ("sum_r", "num"),
              ("sum_g", "num"), ("sum_b", "num")],
         ),
+        # round 9: the real PNG (all 5 filters × gray/RGB/RGBA) and WAV
+        # PCM (sample-accurate chunk windows, int16 sums) decode paths,
+        # each pinned to an analytic DuckDB oracle
+        "mm_real_png_features": (
+            ["media_id"],
+            [("width", "num"), ("height", "num"), ("sum_r", "num"),
+             ("sum_g", "num"), ("sum_b", "num")],
+        ),
+        "mm_real_wav_chunks": (
+            ["media_id", "chunk_idx"],
+            [("start_ms", "num"), ("end_ms", "num"), ("n_bytes", "num"),
+             ("sample_sum", "num")],
+        ),
         # round 5: the audio leg — overlapping-window chunking with
         # byte-exact (base64) chunk payloads
         "mm_audio_chunks": (

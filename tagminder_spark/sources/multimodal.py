@@ -121,16 +121,30 @@ def decode_bmp(content: bytes):
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def encode_png(arr) -> bytes:
-    """Minimal REAL PNG encoder (8-bit RGB, filter 0, one IDAT) — pure
-    stdlib zlib; pairs with :func:`decode_png` for round-trip tests."""
+def encode_png(arr, *, filters=None) -> bytes:
+    """REAL PNG encoder, pure stdlib zlib — pairs with
+    :func:`decode_png` for round-trips and lets the oracle gates
+    exercise the decoder's whole envelope:
+
+    - ``arr`` shape picks the color type: HxW or HxWx1 → grayscale (0),
+      HxWx2 → gray+alpha (4), HxWx3 → RGB (2), HxWx4 → RGBA (6);
+    - ``filters``: None → all rows filter 0 (the round-8 behavior),
+      ``"cycle"`` → row ``y`` uses filter ``y % 5``, or a per-row
+      sequence of filter types 0-4.  Filtering is computed from the RAW
+      current/previous rows (the spec's definition), vectorized per
+      row."""
     import struct
     import zlib
 
     import numpy as np
 
     a = np.ascontiguousarray(arr, dtype=np.uint8)
-    h, w = a.shape[0], a.shape[1]
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, channels = a.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}.get(channels)
+    if color is None:
+        raise ValueError(f"unsupported channel count {channels}")
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -138,12 +152,49 @@ def encode_png(arr) -> bytes:
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    def row_filter(y: int) -> int:
+        if filters is None:
+            return 0
+        if filters == "cycle":
+            return y % 5
+        return int(filters[y])
+
+    raw = bytearray()
+    prev = np.zeros((w, channels), dtype=np.int32)
+    for y in range(h):
+        cur = a[y].astype(np.int32)
+        left = np.zeros_like(cur)
+        left[1:] = cur[:-1]
+        f = row_filter(y)
+        if f == 0:
+            out = cur
+        elif f == 1:  # Sub
+            out = cur - left
+        elif f == 2:  # Up
+            out = cur - prev
+        elif f == 3:  # Average
+            out = cur - ((left + prev) >> 1)
+        elif f == 4:  # Paeth
+            upleft = np.zeros_like(prev)
+            upleft[1:] = prev[:-1]
+            p = left + prev - upleft
+            pa = np.abs(p - left)
+            pb = np.abs(p - prev)
+            pc = np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            out = cur - pred
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        raw += bytes([f]) + (out & 0xFF).astype(np.uint8).tobytes()
+        prev = cur
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
         + chunk(b"IEND", b"")
     )
 
@@ -307,6 +358,28 @@ def decode_wav(content: bytes):
         raise ValueError(f"unsupported sample width {width}")
     samples = np.frombuffer(frames, dtype=dtype)
     return rate, nch, samples.reshape(-1, nch)
+
+
+def encode_wav(samples, rate: int) -> bytes:
+    """REAL RIFF/WAVE PCM encoder (stdlib ``wave``): int16 samples,
+    shape (frames,) mono or (frames, channels) — pairs with
+    :func:`decode_wav` for round-trips and the analytic WAV oracle
+    gate."""
+    import io
+    import wave as _wave
+
+    import numpy as np
+
+    a = np.ascontiguousarray(samples, dtype="<i2")
+    if a.ndim == 1:
+        a = a[:, None]
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as wf:
+        wf.setnchannels(a.shape[1])
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(a.tobytes())
+    return buf.getvalue()
 
 
 def encode_ppm(arr) -> bytes:
