@@ -604,3 +604,312 @@ def r92_most_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = piece if out is None else out.unionByName(piece)
     return out
+
+
+# --------------------------------------------------------------------------
+# KPI header tiles (92-library-insights.py:906-919): the six summary
+# numbers the page leads with — tracks, album roots, distinct album
+# artists, listening hours, storage GB, format count
+# --------------------------------------------------------------------------
+
+_KPI_SQL = r"""
+WITH alib AS (
+  SELECT 'alb' || CAST(l_orderkey % 350 AS VARCHAR) AS album_root,
+         CASE WHEN l_orderkey % 17 = 0 THEN NULL
+              ELSE 'AA ' || CAST(l_orderkey % 60 AS VARCHAR)
+                || CASE WHEN l_orderkey % 6 = 0
+                        THEN chr(92) || chr(92) || 'AA '
+                             || CAST(l_partkey % 60 AS VARCHAR)
+                        ELSE '' END END AS albumartist,
+         60 + l_orderkey % 300 AS length_s,
+         (1000 + l_partkey % 5000) * 1024 AS size_bytes,
+         ['flac', 'mp3', 'm4a', 'ogg', 'wv', 'ape']
+           [l_suppkey % 6 + 1] AS filetype
+  FROM lineitem
+), aa AS (
+  SELECT DISTINCT trim(tok) AS tok
+  FROM alib, unnest(string_split(albumartist, chr(92) || chr(92))) AS t(tok)
+  WHERE albumartist IS NOT NULL AND trim(tok) <> ''
+)
+SELECT tile, CAST(value AS DOUBLE) AS value FROM (
+  SELECT 'tracks' AS tile, CAST(COUNT(*) AS DOUBLE) AS value FROM alib
+  UNION ALL
+  SELECT 'albums', CAST(COUNT(DISTINCT album_root) AS DOUBLE) FROM alib
+  UNION ALL
+  SELECT 'album_artists', CAST(COUNT(*) AS DOUBLE) FROM aa
+  UNION ALL
+  SELECT 'listening_hours', ROUND(SUM(length_s) / 3600.0, 2) FROM alib
+  UNION ALL
+  SELECT 'storage_gb', ROUND(SUM(size_bytes) / 1073741824.0, 3) FROM alib
+  UNION ALL
+  SELECT 'formats', CAST(COUNT(DISTINCT filetype) AS DOUBLE) FROM alib
+)
+"""
+
+
+@q("r92_kpi_tiles", _KPI_SQL)
+def r92_kpi_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dashboard's KPI header tiles (92-library-insights.py:
+    906-919): Tracks / Albums (folder roots) / Album Artists /
+    Listening Time (hours) / Storage (GB) / Formats — six numbers from
+    two hash aggregates (one over the track grain, one over the
+    exploded-distinct albumartist tokens), unioned long.  No window, no
+    sort bigger than six rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ok, pk, sk = F.col("l_orderkey"), F.col("l_partkey"), F.col("l_suppkey")
+    ftypes = ["flac", "mp3", "m4a", "ogg", "wv", "ape"]
+    fexpr = F.lit(None).cast("string")
+    for i, t in enumerate(ftypes):
+        fexpr = F.when(sk % 6 == i, F.lit(t)).otherwise(fexpr)
+    alib = li.select(
+        F.concat(F.lit("alb"), (ok % 350).cast("string")).alias("album_root"),
+        F.when(ok % 17 == 0, F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(
+                F.lit("AA "), (ok % 60).cast("string"),
+                F.when(
+                    ok % 6 == 0,
+                    F.concat(F.lit(D + "AA "), (pk % 60).cast("string")),
+                ).otherwise(F.lit("")),
+            )
+        )
+        .alias("albumartist"),
+        (F.lit(60) + ok % 300).alias("length_s"),
+        ((F.lit(1000) + pk % 5000) * 1024).alias("size_bytes"),
+        fexpr.alias("filetype"),
+    )
+    base = alib.agg(
+        F.count(F.lit(1)).cast("double").alias("tracks"),
+        F.countDistinct("album_root").cast("double").alias("albums"),
+        F.round(F.sum("length_s") / 3600.0, 2).alias("listening_hours"),
+        F.round(F.sum("size_bytes") / 1073741824.0, 3).alias("storage_gb"),
+        F.countDistinct("filetype").cast("double").alias("formats"),
+    )
+    n_aa = (
+        alib.filter(F.col("albumartist").isNotNull())
+        .select(F.explode(_split_toks(F.col("albumartist"))).alias("tok"))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("double").alias("album_artists"))
+    )
+    pieces = [
+        base.select(F.lit(t).alias("tile"), F.col(t).alias("value"))
+        for t in ("tracks", "albums", "listening_hours", "storage_gb",
+                  "formats")
+    ]
+    pieces.append(
+        n_aa.select(
+            F.lit("album_artists").alias("tile"),
+            F.col("album_artists").alias("value"),
+        )
+    )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Album count by albumartist (92-library-insights.py:1936-1964): the
+# top-30 horizontal bar distinct from artist-depth (which adds year
+# spread) — distinct (album, token) pairs, counts, deterministic rank
+# --------------------------------------------------------------------------
+
+_ALBUMS_PER_ARTIST_SQL = r"""
+WITH alib AS (
+  SELECT 'alb' || CAST(l_orderkey % 350 AS VARCHAR) AS album_root,
+         CASE WHEN l_orderkey % 17 = 0 THEN NULL
+              ELSE 'AA ' || CAST(l_orderkey % 60 AS VARCHAR)
+                || CASE WHEN l_orderkey % 6 = 0
+                        THEN chr(92) || chr(92) || 'AA '
+                             || CAST(l_partkey % 60 AS VARCHAR)
+                        ELSE '' END END AS albumartist
+  FROM lineitem
+), pairs AS (
+  SELECT DISTINCT album_root, trim(tok) AS albumartist_tok
+  FROM alib, unnest(string_split(albumartist, chr(92) || chr(92))) AS t(tok)
+  WHERE albumartist IS NOT NULL AND trim(tok) <> ''
+), counts AS (
+  SELECT albumartist_tok, COUNT(*) AS albums FROM pairs GROUP BY 1
+), ranked AS (
+  SELECT albumartist_tok, albums,
+         ROW_NUMBER() OVER (ORDER BY albums DESC, albumartist_tok ASC)
+           AS rn
+  FROM counts
+)
+SELECT CAST(rn AS BIGINT) AS rank, albumartist_tok,
+       CAST(albums AS BIGINT) AS albums
+FROM ranked WHERE rn <= 30
+"""
+
+
+@q("r92_albums_per_artist", _ALBUMS_PER_ARTIST_SQL)
+def r92_albums_per_artist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Album count by albumartist (92-library-insights.py:1936-1964,
+    the ``tm-insights-albums-per-artist`` bar): distinct (album root,
+    albumartist token) pairs → album counts → top-30 with deterministic
+    tie-break.  Runs as TakeOrdered over the already-aggregated token
+    counts (the rank window sees only the reduced 30 rows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ok, pk = F.col("l_orderkey"), F.col("l_partkey")
+    alib = li.select(
+        F.concat(F.lit("alb"), (ok % 350).cast("string")).alias("album_root"),
+        F.when(ok % 17 == 0, F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(
+                F.lit("AA "), (ok % 60).cast("string"),
+                F.when(
+                    ok % 6 == 0,
+                    F.concat(F.lit(D + "AA "), (pk % 60).cast("string")),
+                ).otherwise(F.lit("")),
+            )
+        )
+        .alias("albumartist"),
+    )
+    pairs = (
+        alib.filter(F.col("albumartist").isNotNull())
+        .select(
+            "album_root",
+            F.explode(_split_toks(F.col("albumartist"))).alias(
+                "albumartist_tok"
+            ),
+        )
+        .distinct()
+    )
+    counts = pairs.groupBy("albumartist_tok").agg(
+        F.count(F.lit(1)).alias("albums")
+    )
+    return _ranked_topn(
+        counts, [F.desc("albums"), F.asc("albumartist_tok")], 30
+    ).select(
+        "rank", "albumartist_tok", F.col("albums").cast("long").alias("albums")
+    )
+
+
+# --------------------------------------------------------------------------
+# Jazz / Rock-Pop composer spotlights (92-library-insights.py:3424-3450):
+# the two top-composer cards beside the classical one
+# (r92_genre_spotlight) — track-level genre-token scoping, distinct
+# (album, composer-token) pairs, top-25 per scope
+# --------------------------------------------------------------------------
+
+_GENRE_COMPOSERS_SQL = r"""
+WITH alib AS (
+  SELECT 'alb' || CAST(l_orderkey % 350 AS VARCHAR) AS album_root,
+         CASE l_partkey % 10
+           WHEN 0 THEN 'Classical'
+           WHEN 1 THEN 'Jazz'
+           WHEN 2 THEN 'Jazz Fusion' || chr(92) || chr(92) || 'Funk'
+           WHEN 3 THEN 'Rock'
+           WHEN 4 THEN 'Pop' || chr(92) || chr(92) || 'Indie'
+           WHEN 5 THEN 'Acid Jazz'
+           WHEN 6 THEN 'Metal'
+           WHEN 7 THEN 'Folk' || chr(92) || chr(92) || 'Alternative'
+           WHEN 8 THEN NULL
+           ELSE 'Electronic' END AS genre,
+         CASE WHEN l_orderkey % 13 = 0 THEN NULL
+              ELSE 'Comp ' || CAST(l_partkey % 45 AS VARCHAR)
+                || CASE WHEN l_orderkey % 4 = 0
+                        THEN chr(92) || chr(92) || 'Comp '
+                             || CAST(l_suppkey % 45 AS VARCHAR)
+                        ELSE '' END END AS composer
+  FROM lineitem
+), toks AS (
+  SELECT album_root, composer,
+         list_transform(string_split(genre, chr(92) || chr(92)),
+                        x -> lower(trim(x))) AS gtoks
+  FROM alib WHERE genre IS NOT NULL AND composer IS NOT NULL
+), scoped AS (
+  SELECT 'jazz' AS scope, album_root, composer FROM toks
+  WHERE len(list_filter(gtoks, x -> regexp_matches(x, '\bjazz\b'))) > 0
+  UNION ALL
+  SELECT 'rockpop', album_root, composer FROM toks
+  WHERE len(list_filter(gtoks, x -> regexp_matches(x,
+        '(rock|pop|metal|punk|indie|alternative|grunge|folk)'))) > 0
+), pairs AS (
+  SELECT DISTINCT scope, album_root, trim(tok) AS composer_tok
+  FROM scoped, unnest(string_split(composer, chr(92) || chr(92))) AS t(tok)
+  WHERE trim(tok) <> ''
+), counts AS (
+  SELECT scope, composer_tok, COUNT(*) AS albums,
+         ROW_NUMBER() OVER (PARTITION BY scope
+                            ORDER BY COUNT(*) DESC, composer_tok ASC) AS rn
+  FROM pairs GROUP BY scope, composer_tok
+)
+SELECT scope, CAST(rn AS BIGINT) AS rank, composer_tok,
+       CAST(albums AS BIGINT) AS albums
+FROM counts WHERE rn <= 25
+"""
+
+
+@q("r92_genre_composers", _GENRE_COMPOSERS_SQL)
+def r92_genre_composers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jazz and Rock/Pop top-composer spotlights
+    (92-library-insights.py:3424-3450; the classical card is
+    ``r92_genre_spotlight``): track-level genre-token scoping (word
+    match ``\\bjazz\\b``; the rock/pop family regex), distinct
+    (album, composer token) pairs per scope, album counts, top-25
+    deterministic.  Two scopes in one long frame; the rank window runs
+    over per-scope token counts — tiny after the aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ok, pk, sk = F.col("l_orderkey"), F.col("l_partkey"), F.col("l_suppkey")
+    gnames = [
+        "Classical", "Jazz", "Jazz Fusion" + D + "Funk", "Rock",
+        "Pop" + D + "Indie", "Acid Jazz", "Metal",
+        "Folk" + D + "Alternative", None, "Electronic",
+    ]
+    gexpr = F.lit(None).cast("string")
+    for i, g in enumerate(gnames):
+        if g is not None:
+            gexpr = F.when(pk % 10 == i, F.lit(g)).otherwise(gexpr)
+    alib = li.select(
+        F.concat(F.lit("alb"), (ok % 350).cast("string")).alias("album_root"),
+        gexpr.alias("genre"),
+        F.when(ok % 13 == 0, F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(
+                F.lit("Comp "), (pk % 45).cast("string"),
+                F.when(
+                    ok % 4 == 0,
+                    F.concat(F.lit(D + "Comp "), (sk % 45).cast("string")),
+                ).otherwise(F.lit("")),
+            )
+        )
+        .alias("composer"),
+    )
+    toks = alib.filter(
+        F.col("genre").isNotNull() & F.col("composer").isNotNull()
+    ).withColumn(
+        "gtoks", F.transform(_split_toks(F.col("genre")), lambda x: F.lower(x))
+    )
+
+    def scoped(scope: str, pattern: str) -> DataFrame:
+        return toks.filter(
+            F.exists("gtoks", lambda x: x.rlike(pattern))
+        ).select(
+            F.lit(scope).alias("scope"), "album_root", "composer"
+        )
+
+    both = scoped("jazz", r"\bjazz\b").unionByName(
+        scoped("rockpop", r"(rock|pop|metal|punk|indie|alternative|grunge|folk)")
+    )
+    pairs = (
+        both.select(
+            "scope", "album_root",
+            F.explode(_split_toks(F.col("composer"))).alias("composer_tok"),
+        )
+        .distinct()
+    )
+    counts = pairs.groupBy("scope", "composer_tok").agg(
+        F.count(F.lit(1)).alias("albums")
+    )
+    w = Window.partitionBy("scope").orderBy(
+        F.desc("albums"), F.asc("composer_tok")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 25)
+        .select(
+            "scope", F.col("rank").cast("long").alias("rank"),
+            "composer_tok", F.col("albums").cast("long").alias("albums"),
+        )
+    )

@@ -513,6 +513,15 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
             [("composer_key", "str"), ("title_key", "str"),
              ("tracks", "num"), ("distinct_artists", "num")],
         ),
+        # round 9: the last residual card variants — KPI header tiles,
+        # album-count-by-artist bar, jazz/rockpop composer spotlights
+        "r92_kpi_tiles": (["tile"], [("value", "num")]),
+        "r92_albums_per_artist": (
+            ["rank"], [("albumartist_tok", "str"), ("albums", "num")]
+        ),
+        "r92_genre_composers": (
+            ["scope", "rank"], [("composer_tok", "str"), ("albums", "num")]
+        ),
         # round 5: library-health card (keep-columns coverage + radar
         # missing-rate vector, compilation-aware albumartist denominators)
         "r92_health_radar": (

@@ -67,6 +67,7 @@ def render_dashboard(
 # assembles persona → format → time → RG → artists → roles → labels →
 # genre highlights); each name is a registered, oracle-gated query
 INSIGHTS_SECTIONS: tuple[str, ...] = (
+    "r92_kpi_tiles",
     "r92_persona",
     "r92_album_stats",
     "r92_format_mix",
@@ -78,6 +79,7 @@ INSIGHTS_SECTIONS: tuple[str, ...] = (
     "r92_rg_trend",
     "r92_rg_by_genre",
     "r92_artist_depth",
+    "r92_albums_per_artist",
     "r92_releasetype_mix",
     "r92_rating_artists",
     "r92_va_share",
@@ -87,6 +89,7 @@ INSIGHTS_SECTIONS: tuple[str, ...] = (
     "r92_studios",
     "r92_genre_drift",
     "r92_genre_spotlight",
+    "r92_genre_composers",
     "r92_spotlight_roles",
     "r92_most_instances",
 )
