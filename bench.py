@@ -100,6 +100,12 @@ EXTRA = [
     # inside the query) + the manifest-mode streaming ingest loop
     "cur_manifest_isolation",
     "t_stream_manifest",
+    # round 9: manifest-level data skipping (range-clustered write +
+    # footer-stats init + pruned snapshot read, all IO inside) and the
+    # flagship alib lifecycle on a manifest-versioned table (chain +
+    # diff-audit MERGE as a versioned commit + changelog append)
+    "cur_manifest_skipping",
+    "pl_chain_manifest",
 ]
 
 
