@@ -109,6 +109,14 @@ class _LocalFS:
 
         return os.stat(p).st_size
 
+    def file_mtime(self, p: str) -> float:
+        """Last-modified time (seconds since epoch) — the age signal
+        :func:`~tagminder_spark.operators.table_manifest.expire_snapshots`'s
+        orphan-reclaim guard keys on."""
+        import os
+
+        return os.stat(p).st_mtime
+
     def read_bytes(self, p: str) -> bytes:
         with open(p, "rb") as f:
             return f.read()
@@ -149,12 +157,22 @@ class _HadoopFS:
     log instead of renaming directories.
     """
 
+    #: schemes whose rename(2) analogue refuses an existing destination —
+    #: a true create-if-absent, so the post-rename readback is redundant
+    _TRUE_CAS_SCHEMES = ("hdfs", "webhdfs", "viewfs")
+
+    _warned_weak_cas: set = set()
+
     def __init__(self, spark: SparkSession, root: str):
         self._jvm = spark._jvm
         self._jpath = self._jvm.org.apache.hadoop.fs.Path
         self._fs = self._jpath(root).getFileSystem(
             spark._jsc.hadoopConfiguration()
         )
+        try:
+            self._scheme = self._fs.getUri().getScheme() or ""
+        except Exception:
+            self._scheme = ""
 
     def join(self, base: str, *parts: str) -> str:
         return "/".join([base.rstrip("/"), *parts])
@@ -187,6 +205,13 @@ class _HadoopFS:
 
     def file_size(self, p: str) -> int:
         return self._fs.getFileStatus(self._jpath(p)).getLen()
+
+    def file_mtime(self, p: str) -> float:
+        # Hadoop reports millis since epoch
+        return (
+            self._fs.getFileStatus(self._jpath(p)).getModificationTime()
+            / 1000.0
+        )
 
     def read_bytes(self, p: str) -> bytes:
         # copy the stream into a ByteArrayOutputStream JVM-side — one
@@ -223,9 +248,17 @@ class _HadoopFS:
         Hence the manifest module's contract: multi-writer optimistic
         commits are only fully safe on HDFS-like stores; on ``file:``
         or object stores run a SINGLE writer per table or front the
-        commit with an external lock (Delta Lake's LogStore pattern).
-        The default local backend (:class:`_LocalFS`) is NOT affected —
-        its hard-link CAS is a real create-if-absent.
+        commit with an external lock (Delta Lake's LogStore pattern) —
+        enforced as a one-time ``logging`` warning per scheme at the
+        first commit, not just this docstring.  The default local
+        backend (:class:`_LocalFS`) is NOT affected — its hard-link CAS
+        is a real create-if-absent.
+
+        The post-rename readback is GATED ON THE SCHEME: on HDFS-like
+        stores (``hdfs``/``webhdfs``/``viewfs``) rename already refuses
+        an existing destination — a true CAS — so the readback would be
+        a wasted namenode+datanode round-trip per commit; it runs only
+        on schemes where rename can silently replace.
 
         Raises ``FileExistsError`` on a detected lost CAS (destination
         existed, or readback shows foreign bytes) and ``OSError`` on a
@@ -234,6 +267,18 @@ class _HadoopFS:
         """
         import uuid
 
+        true_cas = self._scheme in self._TRUE_CAS_SCHEMES
+        if not true_cas and self._scheme not in self._warned_weak_cas:
+            self._warned_weak_cas.add(self._scheme)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "manifest commits via the Hadoop %r filesystem are not "
+                "fully multi-writer safe (rename can silently replace a "
+                "concurrent commit); run a single writer per table or "
+                "front commits with an external lock",
+                self._scheme or "local",
+            )
         if self._fs.exists(self._jpath(p)):
             raise FileExistsError(f"manifest CAS lost: {p} exists")
         tmp = p + f".tmp.{uuid.uuid4().hex[:8]}"
@@ -250,9 +295,10 @@ class _HadoopFS:
             if self._fs.exists(self._jpath(p)):
                 raise FileExistsError(f"manifest CAS lost: {p}")
             raise OSError(f"hadoop rename failed (IO, not CAS): {tmp} -> {p}")
-        # rename succeeded — but on file:/s3a it may have REPLACED a
-        # concurrent committer's file; verify our bytes actually landed
-        if self.read_bytes(p) != data:
+        # rename succeeded — on file:/s3a it may have REPLACED a
+        # concurrent committer's file; verify our bytes actually landed.
+        # On true-CAS schemes (hdfs) the rename itself proved it.
+        if not true_cas and self.read_bytes(p) != data:
             raise FileExistsError(
                 f"manifest CAS lost post-rename (foreign bytes): {p}"
             )

@@ -143,15 +143,41 @@ def collect_file_stats(
     return out
 
 
+def _unescape_path_value(v: str) -> str:
+    """Hive/Spark ``unescapePathName``: partition-path VALUES are stored
+    with special characters (``=``, ``:``, ``%``, ``/`` …) escaped as
+    ``%XX`` (Spark's ``ExternalCatalogUtils.escapePathName``).  Pruning
+    must compare the LOGICAL value against predicate literals — matching
+    the raw escaped token would wrongly skip a file whose value contains
+    any escaped character (``lang=a%3Db`` vs literal ``a=b``)."""
+    if "%" not in v:
+        return v
+    out: list[str] = []
+    i, n = 0, len(v)
+    while i < n:
+        c = v[i]
+        if c == "%" and i + 3 <= n:
+            try:
+                out.append(chr(int(v[i + 1:i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def _partition_values(rel: str) -> dict[str, str]:
     """``k=v`` directory segments of a relative file path — the
-    partition values Spark would derive, usable as exact (lo==hi)
-    pruning bounds for partition columns the footers never store."""
+    partition values Spark would derive (Hive-unescaped, so they match
+    predicate literals), usable as exact (lo==hi) pruning bounds for
+    partition columns the footers never store."""
     out: dict[str, str] = {}
     for seg in posixpath.dirname(rel).split("/"):
         if "=" in seg:
             k, _, v = seg.partition("=")
-            out[k] = v
+            out[k] = _unescape_path_value(v)
     return out
 
 
@@ -557,10 +583,15 @@ def snapshot_read(
     entries = man["files"]
     if where:
         pruned = prune_manifest(man, where)
-        if pruned["files"]:  # all-pruned falls back to the full list —
-            entries = pruned["files"]  # the residual filter still
-            # yields the exact (empty) result, and Spark needs >=1 file
-            # for the schema
+        if pruned["files"]:
+            entries = pruned["files"]
+        elif entries:
+            # all-pruned: Spark still needs >=1 file for the schema, but
+            # ONE arbitrary file suffices — the residual filter already
+            # guarantees the exact empty result.  (A zero-match lookup is
+            # the MOST selective predicate; falling back to the full
+            # 800k-file list would defeat the module.)
+            entries = entries[:1]
     paths = [fs.join(base, rel) for rel, _sz in entries]
     if not paths:
         raise ValueError(f"manifest gen {man['generation']} lists no files")
@@ -667,7 +698,11 @@ def append_files(
     streaming commit needs at 100 TB).  A crash before the commit
     leaves only unreferenced files (invisible to every snapshot
     reader); ``expire_snapshots(remove_unreferenced=True)`` reclaims
-    them.
+    them.  Note the stage-move window: files land in the live
+    partition dirs BEFORE the commit publishes them, so an expiry's
+    orphan reclaim must be age-guarded (``min_unreferenced_age``,
+    the default) or it could delete a concurrent append's in-flight
+    files.
 
     The commit is a DELTA (:func:`commit_delta`): only this batch's
     file entries are written, so commit cost is O(|batch|) in BYTES as
@@ -943,7 +978,10 @@ def compact_with_replan(
     A lost attempt's already-written data files become unreferenced
     debris (no manifest ever pointed at them);
     ``expire_snapshots(remove_unreferenced=True)`` reclaims them on the
-    normal cadence.
+    normal cadence — its ``min_unreferenced_age`` guard (default 3
+    days) keeps that reclaim from racing a CONCURRENT appender's
+    stage-move-to-commit window, so the flag is safe to run beside the
+    very appenders this function converges against.
 
     Returns the compaction report plus ``replan_retries`` (0 = first
     attempt won); a no-candidates pass returns a zero-work report at
@@ -1051,6 +1089,7 @@ def expire_snapshots(
     *,
     keep_last: int = 2,
     remove_unreferenced: bool = False,
+    min_unreferenced_age: float = 3 * 24 * 3600.0,
     force_hadoop: bool = False,
 ) -> dict:
     """Reclaim storage: delete data files referenced ONLY by
@@ -1060,9 +1099,24 @@ def expire_snapshots(
 
     ``remove_unreferenced=True`` additionally deletes data files no
     retained manifest references at all — crash debris from an
-    interrupted stage-move.  Only safe when every writer goes through
-    the manifest (a concurrent PLAIN append's files look exactly like
-    debris), which is why it is opt-in.
+    interrupted stage-move or a lost compaction CAS.  Two hazards make
+    this opt-in AND age-guarded:
+
+    - a concurrent PLAIN (non-manifest) append's files look exactly
+      like debris — the flag requires every writer to go through the
+      manifest;
+    - **even a manifest appender has an unreferenced window**:
+      :func:`append_files` moves staged files into the live partition
+      dirs BEFORE :func:`commit_delta` publishes them, so a concurrent
+      expiry that reclaimed "unreferenced" files unconditionally could
+      delete an in-flight append's data and leave its subsequent commit
+      pointing at nothing.  ``min_unreferenced_age`` closes that race
+      the way Iceberg's ``removeOrphanFiles(olderThan=…)`` does: only
+      files whose mtime is older than the threshold are reclaimed —
+      real debris survives its writer by days, an in-flight append's
+      files are seconds old.  The default (3 days) matches Iceberg;
+      never set it below the longest plausible stage-move-to-commit
+      gap (i.e. a slow append's write duration).
 
     Delta-chain awareness: a retained generation may be a delta whose
     resolution walks to manifests OLDER than the retention window —
@@ -1097,6 +1151,9 @@ def expire_snapshots(
                 removed_files.append(rel)
                 live.add(rel)  # don't double-delete across old gens
     if remove_unreferenced:
+        import time
+
+        now = time.time()
         for p, _sz in list_data_files(spark, root):
             rel = posixpath.relpath(
                 p.replace("\\", "/"), base.replace("\\", "/")
@@ -1104,6 +1161,16 @@ def expire_snapshots(
             if rel.startswith(MANIFEST_DIR):
                 continue
             if rel not in live:
+                # age guard: a file younger than the threshold may be an
+                # in-flight append's stage-moved data whose commit_delta
+                # hasn't published yet — deleting it would corrupt that
+                # commit.  Old debris is safe: its writer is long gone.
+                try:
+                    age = now - fs.file_mtime(p)
+                except OSError:
+                    continue  # vanished under us — nothing to reclaim
+                if age < min_unreferenced_age:
+                    continue
                 fs.delete(p)
                 removed_files.append(rel)
     removed_manifests = []

@@ -1126,3 +1126,205 @@ def test_appender_and_compactor_threads_both_commit(spark, tmp_path):
     assert gens == sorted(gens)
     for h in hist[1:]:
         assert h["parent"] == h["generation"] - 1
+
+
+# ---------------------------------------------------------------------------
+# round 10: pruning-correctness fixes + age-guarded orphan reclaim
+
+
+def test_partition_path_escaped_values_not_mispruned(spark, tmp_path):
+    """A partition VALUE containing '=' is stored Hive-escaped
+    (lang=a%3Db); pruning must compare the unescaped logical value, or a
+    predicate with the real literal wrongly drops the file (ADVICE r9 —
+    pruning is proof-based, never a filter)."""
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        init_manifest,
+        snapshot_read,
+        snapshot_scan_plan,
+    )
+    from tagminder_spark.session import load_table
+
+    root = str(tmp_path / "t")
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    weird = docs.limit(20).withColumn("lang", F.lit("a=b"))
+    plain = docs.filter(F.col("lang") == "en").limit(20)
+    weird.unionByName(plain).write.mode("append").partitionBy(
+        "lang"
+    ).parquet(root)
+    init_manifest(spark, root)
+
+    # Spark escaped the directory name
+    import os
+
+    assert any("lang=a%3Db" in d for d in os.listdir(root)), os.listdir(root)
+
+    plan = snapshot_scan_plan(spark, root, where=[("lang", "=", "a=b")])
+    assert plan["skipped"] > 0, "the en files should prune"
+    got = snapshot_read(spark, root, where=[("lang", "=", "a=b")]).count()
+    assert got == 20  # every escaped-partition row survived pruning
+
+
+def test_all_pruned_predicate_plans_single_file(spark, tmp_path):
+    """A zero-match predicate is the MOST selective case: the read must
+    plan exactly one file (schema anchor), not fall back to the full
+    list (ADVICE r9)."""
+    from tagminder_spark.operators.table_manifest import (
+        init_manifest,
+        read_manifest,
+        snapshot_read,
+    )
+
+    root = str(tmp_path / "t")
+    docs = _range_clustered_table(spark, root)
+    init_manifest(spark, root, stats_cols=("doc_id",))
+    man = read_manifest(spark, root)
+    assert len(man["files"]) > 1
+    top = max(r["doc_id"] for r in docs.select("doc_id").collect())
+    df = snapshot_read(spark, root, where=[("doc_id", "=", top + 99_999)])
+    assert df.collect() == []
+    assert len(df.inputFiles()) == 1, df.inputFiles()
+
+
+def test_expiry_age_guard_protects_inflight_append(spark, tmp_path):
+    """VERDICT r9 'what's wrong' #1: append_files moves staged files into
+    the live dirs BEFORE commit_delta publishes them; a concurrent
+    expire_snapshots(remove_unreferenced=True) must NOT reclaim those
+    young unreferenced files (age guard), or the append commits a
+    manifest pointing at deleted data."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    import tagminder_spark.operators.table_manifest as tm
+    from tagminder_spark.session import load_table
+
+    root = str(tmp_path / "t")
+    docs = _fragmented_table(spark, root)
+    tm.init_manifest(spark, root)
+
+    moved = threading.Event()
+    expired = threading.Event()
+    real_commit = tm.commit_delta
+
+    def paused_commit(*a, **kw):
+        moved.set()  # stage-move already happened when we get here
+        assert expired.wait(60)
+        return real_commit(*a, **kw)
+
+    batch = (
+        load_table(spark, SF_DIR, "documents")
+        .select((F.col("doc_id") + 5_000_000).alias("doc_id"), "lang")
+        .limit(25)
+    )
+    errors: list = []
+
+    def appender():
+        try:
+            tm.append_files(spark, batch, root, partition_col="lang")
+        except Exception as e:
+            errors.append(e)
+
+    tm.commit_delta = paused_commit
+    try:
+        t = threading.Thread(target=appender)
+        t.start()
+        assert moved.wait(60)
+        # concurrent expiry with orphan reclaim ON and the default age
+        # guard: the appender's in-flight files are seconds old → kept
+        out = tm.expire_snapshots(
+            spark, root, keep_last=1, remove_unreferenced=True
+        )
+        assert out["removed_files"] == []
+        expired.set()
+        t.join(60)
+    finally:
+        tm.commit_delta = real_commit
+    assert not errors, errors
+    got = _rows(tm.snapshot_read(spark, root))
+    assert len([d for d, _ in got if d >= 5_000_000]) == 25
+    assert [(d, l) for d, l in got if d < 5_000_000] == _rows(docs)
+
+
+def test_expiry_reclaims_only_old_debris(spark, tmp_path):
+    """Unreferenced files older than min_unreferenced_age are reclaimed;
+    younger ones survive (and an explicit age of 0 restores the old
+    reclaim-everything behavior for single-writer offline cleanup)."""
+    import os
+
+    import tagminder_spark.operators.table_manifest as tm
+
+    root = str(tmp_path / "t")
+    _fragmented_table(spark, root)
+    tm.init_manifest(spark, root)
+
+    old = os.path.join(root, "lang=en", "debris_old.parquet")
+    young = os.path.join(root, "lang=en", "debris_young.parquet")
+    for p in (old, young):
+        with open(p, "wb") as f:
+            f.write(b"not really parquet")
+    four_days_ago = __import__("time").time() - 4 * 24 * 3600
+    os.utime(old, (four_days_ago, four_days_ago))
+
+    out = tm.expire_snapshots(
+        spark, root, keep_last=1, remove_unreferenced=True
+    )
+    assert out["removed_files"] == ["lang=en/debris_old.parquet"]
+    assert not os.path.exists(old) and os.path.exists(young)
+
+    out2 = tm.expire_snapshots(
+        spark, root, keep_last=1,
+        remove_unreferenced=True, min_unreferenced_age=0.0,
+    )
+    assert out2["removed_files"] == ["lang=en/debris_young.parquet"]
+    assert not os.path.exists(young)
+
+
+def test_hadoop_write_new_readback_gated_on_scheme(spark, tmp_path):
+    """On true-CAS schemes (hdfs) the post-rename readback is skipped —
+    the rename itself proved the commit; on weak schemes (file/s3a) it
+    still runs and a foreign readback raises FileExistsError.  The
+    single-writer warning fires once per weak scheme."""
+    import logging
+
+    from tagminder_spark.operators.compaction import _HadoopFS, table_fs
+
+    root = str(tmp_path / "t")
+    (tmp_path / "t").mkdir()
+    fs, base = table_fs(spark, root, force_hadoop=True)
+    assert isinstance(fs, _HadoopFS)
+
+    # weak scheme (file): readback runs — simulate foreign bytes
+    _HadoopFS._warned_weak_cas.discard(fs._scheme)
+    logger = logging.getLogger("tagminder_spark.operators.compaction")
+    records: list = []
+    h = logging.Handler()
+    h.emit = records.append  # type: ignore[method-assign]
+    logger.addHandler(h)
+    try:
+        fs.write_new(fs.join(base, "a.json"), b"mine")
+    finally:
+        logger.removeHandler(h)
+    assert any("single writer" in r.getMessage() for r in records)
+
+    real_read = fs.read_bytes
+    fs.read_bytes = lambda p: b"foreign"  # type: ignore[method-assign]
+    try:
+        with pytest.raises(FileExistsError, match="foreign bytes"):
+            fs.write_new(fs.join(base, "b.json"), b"mine")
+    finally:
+        fs.read_bytes = real_read
+
+    # true-CAS scheme: readback must NOT run at all
+    fs._scheme = "hdfs"
+
+    def boom(p):
+        raise AssertionError("readback ran on a true-CAS scheme")
+
+    fs.read_bytes = boom  # type: ignore[method-assign]
+    try:
+        fs.write_new(fs.join(base, "c.json"), b"mine")
+    finally:
+        fs.read_bytes = real_read
+    assert real_read(fs.join(base, "c.json")) == b"mine"
