@@ -60,17 +60,141 @@ from tagminder_spark.operators.compaction import (
 MANIFEST_DIR = "_manifest"
 
 #: ops accepted by :func:`prune_manifest` / ``snapshot_read(where=...)``
-_WHERE_OPS = ("=", "==", "<", "<=", ">", ">=", "between")
+_WHERE_OPS = ("=", "==", "<", "<=", ">", ">=", "between", "in", "prefix")
 
 
 def _gen_name(gen: int) -> str:
     return f"v{gen:010d}.json"
 
 
+#: Iceberg's ``truncate(16)`` default — string bounds stored in the
+#: manifest are cut to this many code points (lower bound as a prefix,
+#: upper bound prefix-incremented) so an 800k-entry stats sidecar never
+#: balloons on long keys.
+STRING_BOUND_LEN = 16
+
+_MAX_CODE_POINT = 0x10FFFF
+
+
+def _truncated_upper(s: str, length: int = STRING_BOUND_LEN) -> str | None:
+    """A string ``>= s`` of at most ``length`` code points — Iceberg's
+    ``UnicodeUtil.truncateStringMax``: cut to ``length``, then increment
+    the last incrementable code point and drop everything after it.
+    Returns None when no such string exists (every kept code point is
+    already U+10FFFF) — the caller then drops the bound (conservative).
+    """
+    if len(s) <= length:
+        return s
+    cut = s[:length]
+    for i in range(len(cut) - 1, -1, -1):
+        cp = ord(cut[i])
+        if cp < _MAX_CODE_POINT:
+            nxt = cp + 1
+            if 0xD800 <= nxt <= 0xDFFF:  # skip the surrogate gap
+                nxt = 0xE000
+            return cut[:i] + chr(nxt)
+    return None
+
+
+def _string_bounds(mn: str, mx: str) -> list | None:
+    """Manifest-storable [lo, hi] for footer string min/max: lo is a
+    plain prefix (always ``<=`` the true min), hi is prefix-incremented
+    so it stays ``>=`` the true max even after truncation — pruning on
+    these bounds can never wrongly skip a file."""
+    hi = _truncated_upper(mx)
+    if hi is None:
+        return None
+    return [mn[:STRING_BOUND_LEN], hi]
+
+
+def _stats_from_metadata(meta, want: set) -> dict[str, list]:
+    """Per-column [lo, hi] from one parquet FileMetaData, aggregated
+    across row groups.  Numeric bounds verbatim; string bounds via the
+    truncation-safe :func:`_string_bounds` (the footer values Spark's
+    parquet-mr writes are themselves exact or conservatively truncated
+    — parquet's BinaryTruncator increments the upper bound, so folding
+    them is sound).  A column missing stats in ANY row group, or of any
+    other type, gets no entry (missing stat ⇒ file kept)."""
+    schema = meta.schema
+    idx_of = {schema.column(i).name: i for i in range(len(schema.names))}
+    colstats: dict[str, list] = {}
+    for c in want:
+        i = idx_of.get(c)
+        if i is None:
+            continue
+        lo = hi = None
+        ok = meta.num_row_groups > 0
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(i).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mn, mx = st.min, st.max
+            if isinstance(mn, bool) or not (
+                (isinstance(mn, (int, float)) and isinstance(mx, (int, float)))
+                or (isinstance(mn, str) and isinstance(mx, str))
+            ):
+                ok = False
+                break
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+        if ok and lo is not None:
+            if isinstance(lo, str):
+                b = _string_bounds(lo, hi)
+                if b is not None:
+                    colstats[c] = b
+            else:
+                colstats[c] = [lo, hi]
+    return colstats
+
+
+def _read_footer_metadata_hadoop(spark: SparkSession, fs, path: str):
+    """Parquet footer through the Hadoop FileSystem — ONE positioned
+    tail read per file (two py4j calls), never the whole file: read the
+    last ``min(size, 1 MiB)`` bytes, decode the footer length from the
+    8-byte trailer, and hand pyarrow a synthetic ``PAR1 + footer``
+    buffer (``read_metadata`` only ever touches the trailer region, so
+    the data pages need not exist in the buffer).  Falls back to one
+    exact-length re-read for footers larger than the speculative tail.
+    This is what keeps :func:`collect_file_stats` alive on object
+    stores, where the round-9 implementation silently returned ``{}``.
+    """
+    import io
+    import struct
+
+    import pyarrow.parquet as pq
+
+    size = fs.file_size(path)
+    tail_len = min(size, 1 << 20)
+    jvm = spark._jvm
+    stream = fs._fs.open(fs._jpath(path))
+    try:
+        stream.seek(size - tail_len)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 65536, False)
+        tail = bytes(baos.toByteArray())
+        if len(tail) < 8 or tail[-4:] != b"PAR1":
+            raise ValueError(f"not a parquet file: {path}")
+        footer_len = struct.unpack("<I", tail[-8:-4])[0]
+        if footer_len + 8 > len(tail):
+            stream.seek(size - footer_len - 8)
+            baos2 = jvm.java.io.ByteArrayOutputStream()
+            jvm.org.apache.hadoop.io.IOUtils.copyBytes(
+                stream, baos2, 65536, False
+            )
+            tail = bytes(baos2.toByteArray())
+    finally:
+        stream.close()
+    return pq.read_metadata(io.BytesIO(b"PAR1" + tail[-(footer_len + 8):]))
+
+
 def collect_file_stats(
     base: str,
     rels: list[str],
     cols: tuple[str, ...] | list[str],
+    *,
+    fs=None,
+    spark: SparkSession | None = None,
 ) -> dict[str, dict[str, list]]:
     """Driver-side parquet-FOOTER pass: per-file min/max for ``cols``,
     aggregated across row groups — the stats an Iceberg manifest entry
@@ -81,13 +205,18 @@ def collect_file_stats(
     Scope, deliberately conservative (a missing stat only costs
     pruning, never correctness):
 
-    - numeric (int/float) columns only — parquet writers may TRUNCATE
-      string min/max, and pruning on a truncated upper bound would
-      wrongly skip files; partition-path values (``lang=en``) cover the
-      realistic string axis via :func:`prune_manifest`'s path parsing;
+    - numeric (int/float) columns verbatim; STRING columns via
+      Iceberg-style ``truncate(16)`` bounds (:func:`_string_bounds`:
+      lower bound stored as a plain prefix, upper bound
+      prefix-incremented) — this is what unlocks pruning on
+      ``__path``/``__dirpath``, the engine's primary key;
     - a column missing stats in ANY row group gets no entry;
-    - only local / ``file:`` bases are read (footer via pyarrow); on a
-      remote scheme this returns ``{}`` and every file is simply kept.
+    - local / ``file:`` bases read footers via pyarrow directly; a
+      remote scheme needs ``fs``+``spark`` (the Hadoop backend from
+      :func:`~tagminder_spark.operators.compaction.table_fs`) and then
+      reads each footer with ONE positioned tail read
+      (:func:`_read_footer_metadata_hadoop`); a remote base without
+      ``fs`` returns ``{}`` and every file is simply kept.
 
     Cost: one footer read per NEW file — O(|batch|) at append time,
     never O(table).
@@ -96,6 +225,24 @@ def collect_file_stats(
 
     import pyarrow.parquet as pq
 
+    from tagminder_spark.operators.compaction import _HadoopFS
+
+    want = set(cols)
+    out: dict[str, dict[str, list]] = {}
+    if isinstance(fs, _HadoopFS):
+        if spark is None:
+            return {}
+        for rel in rels:
+            try:
+                meta = _read_footer_metadata_hadoop(
+                    spark, fs, fs.join(base, rel)
+                )
+            except Exception:
+                continue
+            colstats = _stats_from_metadata(meta, want)
+            if colstats:
+                out[rel] = colstats
+        return out
     local = base
     if local.startswith("file://"):
         local = local[7:]
@@ -103,41 +250,12 @@ def collect_file_stats(
         local = local[5:]
     if "://" in local:
         return {}
-    out: dict[str, dict[str, list]] = {}
-    want = set(cols)
     for rel in rels:
         try:
             meta = pq.read_metadata(os.path.join(local, rel))
         except Exception:
             continue
-        schema = meta.schema
-        idx_of = {
-            schema.column(i).name: i for i in range(len(schema.names))
-        }
-        colstats: dict[str, list] = {}
-        for c in want:
-            i = idx_of.get(c)
-            if i is None:
-                continue
-            lo = hi = None
-            ok = meta.num_row_groups > 0
-            for rg in range(meta.num_row_groups):
-                st = meta.row_group(rg).column(i).statistics
-                if st is None or not st.has_min_max:
-                    ok = False
-                    break
-                mn, mx = st.min, st.max
-                if (
-                    isinstance(mn, bool)
-                    or not isinstance(mn, (int, float))
-                    or not isinstance(mx, (int, float))
-                ):
-                    ok = False
-                    break
-                lo = mn if lo is None else min(lo, mn)
-                hi = mx if hi is None else max(hi, mx)
-            if ok and lo is not None:
-                colstats[c] = [lo, hi]
+        colstats = _stats_from_metadata(meta, want)
         if colstats:
             out[rel] = colstats
     return out
@@ -181,11 +299,27 @@ def _partition_values(rel: str) -> dict[str, str]:
     return out
 
 
+def _prefix_successor(s: str) -> str | None:
+    """The smallest string greater than EVERY string with prefix ``s``
+    — increment the last incrementable code point (dropping trailing
+    U+10FFFF); None when no successor exists (cannot exclude on the
+    low side, conservative)."""
+    for i in range(len(s) - 1, -1, -1):
+        cp = ord(s[i])
+        if cp < _MAX_CODE_POINT:
+            nxt = cp + 1
+            if 0xD800 <= nxt <= 0xDFFF:  # skip the surrogate gap
+                nxt = 0xE000
+            return s[:i] + chr(nxt)
+    return None
+
+
 def _range_excludes(lo, hi, op: str, val) -> bool:
     """True iff NO value in [lo, hi] can satisfy ``<col> <op> <val>``
     — the file-skip test.  Bounds and the literal must be mutually
     comparable (caller aligns types); ``between`` takes a (lo, hi)
-    literal pair."""
+    literal pair, ``in`` a literal list (excluded iff EVERY member
+    is), ``prefix`` a string prefix."""
     if op in ("=", "=="):
         return val < lo or val > hi
     if op == "<":
@@ -199,6 +333,15 @@ def _range_excludes(lo, hi, op: str, val) -> bool:
     if op == "between":
         a, b = val
         return hi < a or lo > b
+    if op == "in":
+        return all(
+            _aligned(lo, v) and _range_excludes(lo, hi, "=", v) for v in val
+        )
+    if op == "prefix":
+        if hi < val:  # the smallest prefixed string is val itself
+            return True
+        up = _prefix_successor(val)
+        return up is not None and lo >= up
     raise ValueError(f"unsupported where op {op!r}")
 
 
@@ -207,7 +350,7 @@ def _aligned(bound, val) -> bool:
     partition value never prunes against a numeric literal and vice
     versa (mixed kinds keep the file: conservative)."""
     num = (int, float)
-    if isinstance(val, tuple):
+    if isinstance(val, (tuple, list)):
         return all(_aligned(bound, v) for v in val)
     if isinstance(bound, bool) or isinstance(val, bool):
         return False
@@ -216,28 +359,119 @@ def _aligned(bound, val) -> bool:
     ) or (isinstance(bound, str) and isinstance(val, str))
 
 
+def _is_or(cond) -> bool:
+    return (
+        isinstance(cond, (tuple, list))
+        and len(cond) == 2
+        and cond[0] == "or"
+    )
+
+
+def _validate_where(where: list) -> None:
+    for cond in where:
+        if _is_or(cond):
+            if not cond[1]:
+                raise ValueError("empty OR disjunction")
+            for disj in cond[1]:
+                if not disj:
+                    raise ValueError("empty disjunct in OR")
+                _validate_where(disj)
+            continue
+        if len(cond) != 3 or cond[1] not in _WHERE_OPS:
+            raise ValueError(f"bad where conjunct {cond!r}")
+        if cond[1] == "in" and not isinstance(cond[2], (list, tuple)):
+            raise ValueError(f"'in' literal must be a list: {cond!r}")
+        if cond[1] == "prefix" and not isinstance(cond[2], str):
+            raise ValueError(f"'prefix' literal must be a str: {cond!r}")
+
+
+def _coerce_pv(pv: str, val):
+    """A partition-path value (always a string on disk) coerced to the
+    literal's kind so the pair is comparable — None when it can't be
+    (mixed kinds keep the file: conservative)."""
+    if isinstance(val, str):
+        return pv
+    if isinstance(val, bool):
+        return None
+    if isinstance(val, (int, float)):
+        try:
+            return type(val)(pv)
+        except ValueError:
+            return None
+    if isinstance(val, (tuple, list)):
+        if not val:
+            return pv  # empty IN excludes vacuously; kind is moot
+        if all(isinstance(v, str) for v in val):
+            return pv
+        if all(
+            isinstance(v, (int, float)) and not isinstance(v, bool)
+            for v in val
+        ):
+            cast = int if all(isinstance(v, int) for v in val) else float
+            try:
+                return cast(pv)
+            except ValueError:
+                return None
+    return None
+
+
+def _cond_excludes(cond, fstats: dict, pvals: dict) -> bool:
+    """True iff this conjunct PROVES the file holds no matching row.
+    An ``("or", [conj_list, ...])`` conjunct excludes only when EVERY
+    disjunct is itself excluded (some condition within each disjunct
+    proves impossibility)."""
+    if _is_or(cond):
+        return all(
+            any(_cond_excludes(c, fstats, pvals) for c in disj)
+            for disj in cond[1]
+        )
+    col, op, val = cond
+    rng = fstats.get(col)
+    if rng is None and col in pvals:
+        pv = _coerce_pv(pvals[col], val)
+        if pv is not None:
+            rng = [pv, pv]
+    if rng is None:
+        return False
+    if op == "in":  # alignment is per-member inside _range_excludes
+        return _range_excludes(rng[0], rng[1], op, val)
+    if not _aligned(rng[0], val):
+        return False
+    return _range_excludes(rng[0], rng[1], op, val)
+
+
 def prune_manifest(
     manifest: dict,
     where: list[tuple],
 ) -> dict:
     """Driver-side data skipping over a resolved manifest: drop every
-    file whose stats PROVE no row can match ``where`` (a conjunction of
-    ``(col, op, literal)`` with op in ``=,==,<,<=,>,>=,between`` —
-    ``between`` takes an inclusive ``(lo, hi)`` literal pair).
+    file whose stats PROVE no row can match ``where``.
+
+    ``where`` is a CONJUNCTION whose members are each either
+
+    - ``(col, op, literal)`` with op in ``=,==,<,<=,>,>=,between,in,
+      prefix`` — ``between`` takes an inclusive ``(lo, hi)`` literal
+      pair, ``in`` a literal list (a file is excluded only when every
+      member is provably absent), ``prefix`` a string prefix
+      (``col.startswith(literal)`` — the path-predicate shape every
+      tagminder query issues, prunable thanks to the truncation-safe
+      string bounds); or
+    - ``("or", [conjunct_list, ...])`` — an OR of conjunctions; the
+      file is pruned only if EVERY disjunct excludes it (the quota /
+      language-split disjunctions stay honest at 100 TB).
 
     Two bound sources per file, checked in order: footer min/max stats
     committed with the file (:func:`collect_file_stats`), then
     ``k=v`` partition-path segments (exact bounds for partition
-    columns).  A conjunct whose column has neither keeps the file —
-    pruning is an optimization, never a filter; callers still apply
-    the predicate to the rows (``snapshot_read(where=...)`` does).
+    columns, Hive-unescaped).  A conjunct whose column has neither
+    keeps the file — pruning is an optimization, never a filter;
+    callers still apply the predicate to the rows
+    (``snapshot_read(where=...)`` does).
 
     Returns ``{"files": kept_entries, "skipped": n, "scanned": n}``.
     Pure python over the manifest — zero IO, exactly what a 100 TB
     selective read needs before Spark plans 800k files."""
-    for cond in where:
-        if len(cond) != 3 or cond[1] not in _WHERE_OPS:
-            raise ValueError(f"bad where conjunct {cond!r}")
+    _validate_where(where)
     stats = manifest.get("stats", {})
     kept: list = []
     skipped = 0
@@ -245,23 +479,7 @@ def prune_manifest(
         rel = entry[0]
         fstats = stats.get(rel, {})
         pvals = _partition_values(rel)
-        drop = False
-        for col, op, val in where:
-            rng = fstats.get(col)
-            if rng is None and col in pvals:
-                pv: int | float | str = pvals[col]
-                if isinstance(val, (int, float)) and not isinstance(val, bool):
-                    try:
-                        pv = type(val)(pv)
-                    except ValueError:
-                        continue
-                rng = [pv, pv]
-            if rng is None or not _aligned(rng[0], val):
-                continue
-            if _range_excludes(rng[0], rng[1], op, val):
-                drop = True
-                break
-        if drop:
+        if any(_cond_excludes(cond, fstats, pvals) for cond in where):
             skipped += 1
         else:
             kept.append(entry)
@@ -272,29 +490,54 @@ def prune_manifest(
     }
 
 
-def _where_to_column(where: list[tuple]):
+def _conjunct_to_column(cond):
+    if _is_or(cond):
+        out = None
+        for disj in cond[1]:
+            e = _where_to_column(disj)
+            out = e if out is None else (out | e)
+        return out
+    col, op, val = cond
+    c = F.col(col)
+    if op in ("=", "=="):
+        return c == F.lit(val)
+    if op == "<":
+        return c < F.lit(val)
+    if op == "<=":
+        return c <= F.lit(val)
+    if op == ">":
+        return c > F.lit(val)
+    if op == ">=":
+        return c >= F.lit(val)
+    if op == "between":
+        return (c >= F.lit(val[0])) & (c <= F.lit(val[1]))
+    if op == "in":
+        return c.isin(list(val)) if val else F.lit(False)
+    if op == "prefix":
+        return c.startswith(val)
+    raise ValueError(f"unsupported where op {op!r}")
+
+
+def _where_to_column(where: list):
     """The Spark residual filter equivalent to a ``where`` spec — the
     pruned read stays EXACTLY the predicate selection even when stats
     cover no file at all."""
     cond = F.lit(True)
-    for col, op, val in where:
-        c = F.col(col)
-        if op in ("=", "=="):
-            e = c == F.lit(val)
-        elif op == "<":
-            e = c < F.lit(val)
-        elif op == "<=":
-            e = c <= F.lit(val)
-        elif op == ">":
-            e = c > F.lit(val)
-        elif op == ">=":
-            e = c >= F.lit(val)
-        elif op == "between":
-            e = (c >= F.lit(val[0])) & (c <= F.lit(val[1]))
-        else:
-            raise ValueError(f"unsupported where op {op!r}")
-        cond = cond & e
+    for c in where:
+        cond = cond & _conjunct_to_column(c)
     return cond
+
+
+def _where_columns(where: list) -> set:
+    """Every column a ``where`` spec references (OR branches included)."""
+    out: set = set()
+    for cond in where:
+        if _is_or(cond):
+            for disj in cond[1]:
+                out |= _where_columns(disj)
+        else:
+            out.add(cond[0])
+    return out
 
 
 def _manifest_dir(fs, base: str) -> str:
@@ -331,12 +574,32 @@ def _read_raw(
     return json.loads(fs.read_bytes(path))
 
 
+#: folded-snapshot cache (BASELINE.md §13 / VERDICT r9 #5): at 800k
+#: files the ~6 MB-per-100k base-parse term dominates every
+#: read_manifest fold, yet a committed manifest chain is IMMUTABLE
+#: (CAS create-if-absent — no file is ever rewritten), so the resolved
+#: file list for (table, generation) can be cached driver-side.  The
+#: key carries the generation file's mtime to catch a table deleted and
+#: recreated at the same path.  Bounded LRU; entries are returned as
+#: shallow copies (fresh outer containers, shared immutable rows).
+_FOLD_CACHE: dict = {}
+_FOLD_CACHE_MAX = 64
+_FOLD_CACHE_STATS = {"hits": 0, "misses": 0}
+
+
+def _fold_cache_clear() -> None:
+    _FOLD_CACHE.clear()
+    _FOLD_CACHE_STATS["hits"] = 0
+    _FOLD_CACHE_STATS["misses"] = 0
+
+
 def read_manifest(
     spark: SparkSession | None,
     root: str,
     gen: int | None = None,
     *,
     force_hadoop: bool = False,
+    use_cache: bool = True,
 ) -> dict:
     """Load one manifest RESOLVED to its full file list:
     ``{"generation": N, "files": [[rel_path, bytes], ...]}`` — paths
@@ -361,12 +624,40 @@ def read_manifest(
     hi]}}`` — per-file column bounds from :func:`collect_file_stats`);
     it folds alongside the file list (removes drop entries, adds
     overwrite) and comes back as ``"stats"`` (``{}`` when absent), the
-    input :func:`prune_manifest` skips files with."""
+    input :func:`prune_manifest` skips files with.
+
+    Resolution is CACHED (``_FOLD_CACHE``): a committed chain is
+    immutable, so repeat reads of the same (table, generation) return
+    the folded result without re-parsing — at 800k files that turns the
+    ~1.2 s base-parse cost into a one-time charge per generation
+    (``use_cache=False`` opts out; the cache key carries the manifest
+    file's mtime, so a recreated table never serves stale entries).
+    Callers must not mutate the returned containers."""
     if gen is None:
         gens = list_generations(spark, root, force_hadoop=force_hadoop)
         if not gens:
             raise FileNotFoundError(f"no manifest under {root!r}")
         gen = gens[-1]
+    fs_, base_ = table_fs(spark, root, force_hadoop)
+    key = None
+    if use_cache:
+        try:
+            mtime = fs_.file_mtime(
+                fs_.join(_manifest_dir(fs_, base_), _gen_name(gen))
+            )
+            key = (str(base_), gen, mtime)
+        except Exception:  # missing file (or py4j error on remote FS)
+            key = None  # → the uncached read below raises as before
+        if key is not None and key in _FOLD_CACHE:
+            _FOLD_CACHE_STATS["hits"] += 1
+            hit = _FOLD_CACHE[key]
+            return {
+                "generation": hit["generation"],
+                "parent": hit["parent"],
+                "files": list(hit["files"]),
+                "stats": dict(hit["stats"]),
+            }
+        _FOLD_CACHE_STATS["misses"] += 1
     chain: list[dict] = []
     cur = gen
     while True:
@@ -391,12 +682,23 @@ def read_manifest(
         for rel, sz in man.get("adds", []):
             files[rel] = sz
         stats.update(man.get("stats", {}))
-    return {
+    out = {
         "generation": gen,
         "parent": chain[0].get("parent"),
         "files": sorted([p, sz] for p, sz in files.items()),
         "stats": {rel: stats[rel] for rel in sorted(stats) if rel in files},
     }
+    if key is not None:
+        if len(_FOLD_CACHE) >= _FOLD_CACHE_MAX:  # bounded: evict oldest
+            _FOLD_CACHE.pop(next(iter(_FOLD_CACHE)))
+        _FOLD_CACHE[key] = out
+        return {
+            "generation": out["generation"],
+            "parent": out["parent"],
+            "files": list(out["files"]),
+            "stats": dict(out["stats"]),
+        }
+    return out
 
 
 def _chain_gens(
@@ -547,7 +849,8 @@ def init_manifest(
         for p, sz in list_data_files(spark, root)
     ]
     stats = (
-        collect_file_stats(base, [r for r, _ in rel], stats_cols)
+        collect_file_stats(base, [r for r, _ in rel], stats_cols,
+                           fs=fs, spark=spark)
         if stats_cols else None
     )
     return commit_manifest(
@@ -736,7 +1039,8 @@ def append_files(
     finally:
         fs.delete(stage, ignore_errors=True)
     stats = (
-        collect_file_stats(base, [rel for rel, _ in new], stats_cols)
+        collect_file_stats(base, [rel for rel, _ in new], stats_cols,
+                           fs=fs, spark=spark)
         if stats_cols else None
     )
 
@@ -762,6 +1066,7 @@ def snapshot_read_merged(
     root: str,
     gen: int | None = None,
     *,
+    where: list[tuple] | None = None,
     force_hadoop: bool = False,
 ) -> DataFrame:
     """:func:`snapshot_read` with schema merging — for tables whose
@@ -770,17 +1075,44 @@ def snapshot_read_merged(
     as NULL from older files); the manifest only has to keep listing
     files, which is why append-time schema evolution is free here.
     Costs a footer read per file at planning — use the plain
-    :func:`snapshot_read` when the schema is known to be uniform."""
+    :func:`snapshot_read` when the schema is known to be uniform.
+
+    ``where`` gives evolved tables the SAME manifest-level data
+    skipping as the plain read (prune by committed bounds, then apply
+    the exact residual filter) — a predicate on a column some older
+    files lack still prunes/filters correctly because those files
+    surface the column as NULL, which never satisfies a comparison.
+    Caveat (inherent to mergeSchema): the result schema is the UNION
+    of the files actually read, so pruning can narrow it — a predicate
+    whose kept files all predate an added column returns rows without
+    that column.  Callers needing a stable evolved schema should
+    select it explicitly against the unpruned read's schema."""
     man = read_manifest(spark, root, gen, force_hadoop=force_hadoop)
     fs, base = table_fs(spark, root, force_hadoop)
-    paths = [fs.join(base, rel) for rel, _sz in man["files"]]
+    entries = man["files"]
+    if where:
+        pruned = prune_manifest(man, where)
+        if pruned["files"]:
+            entries = pruned["files"]
+        elif entries:
+            entries = entries[:1]  # schema anchor; residual yields empty
+    paths = [fs.join(base, rel) for rel, _sz in entries]
     if not paths:
         raise ValueError(f"manifest gen {man['generation']} lists no files")
-    return (
+    df = (
         spark.read.option("basePath", base)
         .option("mergeSchema", "true")
         .parquet(*paths)
     )
+    if where:
+        # an evolved table may prune away every file CARRYING a
+        # predicate column; the merged schema then lacks it and the
+        # residual would not resolve — but every surviving row reads
+        # that column as NULL, which no comparison satisfies: empty.
+        if _where_columns(where) - set(df.columns):
+            return df.filter(F.lit(False))
+        df = df.filter(_where_to_column(where))
+    return df
 
 
 def rollback(
@@ -930,7 +1262,8 @@ def compact_partitions_versioned(
     }
     if stats_cols:
         stats.update(
-            collect_file_stats(base, [rel for rel, _ in new], stats_cols)
+            collect_file_stats(base, [rel for rel, _ in new], stats_cols,
+                           fs=fs, spark=spark)
         )
     gen = commit_manifest(
         spark, root, keep + new,
@@ -1069,7 +1402,8 @@ def merge_into_manifest(
     finally:
         fs.delete(stage, ignore_errors=True)
     stats = (
-        collect_file_stats(base, [rel for rel, _ in new], stats_cols)
+        collect_file_stats(base, [rel for rel, _ in new], stats_cols,
+                           fs=fs, spark=spark)
         if stats_cols else None
     )
     gen = commit_manifest(

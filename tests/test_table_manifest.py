@@ -1328,3 +1328,286 @@ def test_hadoop_write_new_readback_gated_on_scheme(spark, tmp_path):
     finally:
         fs.read_bytes = real_read
     assert real_read(fs.join(base, "c.json")) == b"mine"
+
+
+# ---------------------------------------------------------------------------
+# round 10: string bounds, disjunction pruning, merged-read skipping,
+# fold cache, Hadoop-stream footer stats
+
+
+def test_truncated_string_bound_helpers():
+    from tagminder_spark.operators.table_manifest import (
+        STRING_BOUND_LEN,
+        _prefix_successor,
+        _string_bounds,
+        _truncated_upper,
+    )
+
+    # short strings pass through untouched
+    assert _truncated_upper("abc") == "abc"
+    long = "a" * 20
+    up = _truncated_upper(long)
+    assert len(up) == STRING_BOUND_LEN and up == "a" * 15 + "b"
+    assert up > long  # the defining property
+    # trailing max code points: increment an earlier position
+    tricky = "ab" + chr(0x10FFFF) * 20
+    up2 = _truncated_upper(tricky)
+    assert up2 is not None and up2 > tricky and len(up2) <= STRING_BOUND_LEN
+    # nothing incrementable → None (caller drops the bound)
+    assert _truncated_upper(chr(0x10FFFF) * 20) is None
+    # surrogate gap is skipped, bound stays a valid upper
+    s = "x" * 15 + chr(0xD7FF) + "tail"
+    up3 = _truncated_upper(s)
+    assert up3 is not None and up3 > s and "\ud800" not in up3
+
+    lo, hi = _string_bounds("m" * 30, "m" * 30 + "z")
+    assert lo == "m" * 16 and hi > "m" * 30 + "z" and lo <= "m" * 30
+
+    assert _prefix_successor("ab") == "ac"
+    assert _prefix_successor("a" + chr(0x10FFFF)) == "b"
+    assert _prefix_successor(chr(0x10FFFF)) is None
+
+
+def test_prune_manifest_in_prefix_and_or():
+    """Pure-python pruning semantics over a synthetic manifest: IN
+    excludes only when EVERY member is provably absent; OR prunes only
+    when EVERY disjunct excludes; mixed-type bounds stay conservative."""
+    import pytest as _pytest
+
+    from tagminder_spark.operators.table_manifest import prune_manifest
+
+    man = {
+        "files": [
+            ["lang=en/a.parquet", 1],
+            ["lang=fr/b.parquet", 1],
+            ["lang=de/c.parquet", 1],
+        ],
+        "stats": {
+            "lang=en/a.parquet": {"doc_id": [0, 99], "path": ["a", "f"]},
+            "lang=fr/b.parquet": {"doc_id": [100, 199], "path": ["g", "p"]},
+            "lang=de/c.parquet": {"doc_id": [200, 299], "path": ["q", "z"]},
+        },
+    }
+
+    # IN: both members inside file 1's range → only files 2,3 pruned
+    p = prune_manifest(man, [("doc_id", "in", [5, 42])])
+    assert [f[0] for f in p["files"]] == ["lang=en/a.parquet"]
+    # IN with one member per file → nothing prunable
+    p = prune_manifest(man, [("doc_id", "in", [5, 150, 250])])
+    assert p["skipped"] == 0
+    # empty IN matches nothing → everything pruned (sound: residual is FALSE)
+    p = prune_manifest(man, [("doc_id", "in", [])])
+    assert p["skipped"] == 3
+    # IN with a mixed-kind member → conservative keep everywhere
+    p = prune_manifest(man, [("doc_id", "in", [5, "x"])])
+    assert p["skipped"] == 0
+
+    # prefix on the string-bounds column
+    p = prune_manifest(man, [("path", "prefix", "h")])
+    assert [f[0] for f in p["files"]] == ["lang=fr/b.parquet"]
+    # prefix on partition-path values
+    p = prune_manifest(man, [("lang", "prefix", "e")])
+    assert [f[0] for f in p["files"]] == ["lang=en/a.parquet"]
+
+    # OR: pruned only when EVERY disjunct excludes
+    p = prune_manifest(
+        man,
+        [("or", [[("doc_id", "<", 50)], [("doc_id", ">", 250)]])],
+    )
+    assert {f[0] for f in p["files"]} == {
+        "lang=en/a.parquet", "lang=de/c.parquet"
+    }
+    # OR where one disjunct is un-provable (unknown column) → keep all
+    p = prune_manifest(
+        man,
+        [("or", [[("doc_id", "<", 50)], [("mystery", "=", 1)]])],
+    )
+    assert p["skipped"] == 0
+
+    # malformed specs raise
+    with _pytest.raises(ValueError):
+        prune_manifest(man, [("or", [])])
+    with _pytest.raises(ValueError):
+        prune_manifest(man, [("doc_id", "in", 5)])
+    with _pytest.raises(ValueError):
+        prune_manifest(man, [("path", "prefix", 5)])
+
+
+def test_string_bounds_prune_and_stay_exact(spark, tmp_path):
+    """VERDICT r9 #3 done-criterion: string-column stats land in the
+    manifest and a path-prefix predicate plans strictly fewer files
+    with a value-exact result."""
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        init_manifest,
+        read_manifest,
+        snapshot_read,
+        snapshot_scan_plan,
+    )
+    from tagminder_spark.session import load_table
+
+    root = str(tmp_path / "t")
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    # a __path-like string key, long enough to exercise truncation
+    docs = docs.withColumn(
+        "path",
+        F.concat(
+            F.lit("/music/"), F.col("lang"), F.lit("/album_"),
+            F.lpad((F.col("doc_id") % 40).cast("string"), 4, "0"),
+            F.lit("/track_with_a_long_name_"),
+            F.col("doc_id").cast("string"), F.lit(".flac"),
+        ),
+    )
+    (
+        docs.repartitionByRange(8, "path")
+        .sortWithinPartitions("path")
+        .write.mode("append").parquet(root)
+    )
+    init_manifest(spark, root, stats_cols=("path", "doc_id"))
+    man = read_manifest(spark, root)
+    assert all("path" in s for s in man["stats"].values())
+    # bounds are truncated yet ordered
+    for lo, hi in (s["path"] for s in man["stats"].values()):
+        assert len(lo) <= 16 and len(hi) <= 16 and lo <= hi
+
+    where = [("path", "prefix", "/music/de/")]
+    plan = snapshot_scan_plan(spark, root, where=where)
+    assert 0 < plan["skipped"] < plan["scanned"]
+    got = sorted(
+        r["path"] for r in snapshot_read(spark, root, where=where).collect()
+    )
+    want = sorted(
+        r["path"]
+        for r in docs.filter(F.col("path").startswith("/music/de/")).collect()
+    )
+    assert got == want
+
+    # range predicate on the string key prunes too
+    where2 = [("path", ">=", "/music/zh/")]
+    plan2 = snapshot_scan_plan(spark, root, where=where2)
+    assert plan2["skipped"] > 0
+    got2 = snapshot_read(spark, root, where=where2).count()
+    assert got2 == docs.filter(F.col("path") >= "/music/zh/").count()
+
+
+def test_snapshot_read_merged_where_prunes(spark, tmp_path):
+    """Schema-evolved tables get data skipping too (VERDICT r9 #7):
+    fewer files planned, value-exact, and a predicate on the evolved
+    column that prunes away every carrying file returns empty."""
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        append_files,
+        init_manifest,
+        snapshot_read_merged,
+    )
+    from tagminder_spark.session import load_table
+
+    root = str(tmp_path / "t")
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    old.repartitionByRange(4, "doc_id").write.mode("append").partitionBy(
+        "lang"
+    ).parquet(root)
+    init_manifest(spark, root, stats_cols=("doc_id",))
+    new = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .withColumn("score", (F.col("doc_id") % 7).cast("double"))
+        .repartitionByRange(4, "doc_id")
+    )
+    append_files(spark, new, root, stats_cols=("doc_id", "score"))
+
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    odd = next(i for i in ids if i % 2 == 1)  # lives in an evolved file
+    df = snapshot_read_merged(spark, root, where=[("doc_id", "=", odd)])
+    assert len(df.inputFiles()) < 8  # pruned
+    got = [(r["doc_id"], r["score"]) for r in df.collect()]
+    assert got == [(odd, float(odd % 7))]
+
+    # even id: kept files may all predate the score column (schema
+    # narrows to the files read — documented mergeSchema caveat)
+    even = next(i for i in ids if i % 2 == 0)
+    rows = snapshot_read_merged(
+        spark, root, where=[("doc_id", "=", even)]
+    ).collect()
+    assert [r["doc_id"] for r in rows] == [even]
+
+    # predicate impossible per stats on the evolved column → empty
+    out = snapshot_read_merged(spark, root, where=[("score", ">", 100.0)])
+    assert out.collect() == []
+
+
+def test_fold_cache_repeat_reads_hit(spark, tmp_path):
+    """VERDICT r9 #5: repeat read_manifest of an immutable generation is
+    served from the fold cache; a table recreated at the same path is
+    NOT served stale entries."""
+    import shutil
+
+    import tagminder_spark.operators.table_manifest as tm
+
+    root = str(tmp_path / "t")
+    _fragmented_table(spark, root)
+    tm.init_manifest(spark, root)
+    tm._fold_cache_clear()
+
+    m1 = tm.read_manifest(spark, root)
+    assert tm._FOLD_CACHE_STATS == {"hits": 0, "misses": 1}
+    m2 = tm.read_manifest(spark, root)
+    assert tm._FOLD_CACHE_STATS["hits"] == 1
+    assert m1 == m2 and m1["files"] is not m2["files"]  # fresh containers
+
+    # a reader mutating its copy must not poison later reads
+    m2["files"].clear()
+    assert tm.read_manifest(spark, root)["files"] == m1["files"]
+
+    # recreate the table at the same path with different content
+    shutil.rmtree(root)
+    docs = _fragmented_table(spark, root)
+    tm.init_manifest(spark, root)
+    m3 = tm.read_manifest(spark, root)
+    assert m3["generation"] == 1
+    assert _rows(tm.snapshot_read(spark, root)) == _rows(docs)
+
+    # use_cache=False bypasses entirely
+    tm._fold_cache_clear()
+    tm.read_manifest(spark, root, use_cache=False)
+    assert tm._FOLD_CACHE_STATS == {"hits": 0, "misses": 0}
+
+
+def test_remote_scheme_stats_via_hadoop_footer(spark, tmp_path):
+    """VERDICT r9 #4 done-criterion: with force_hadoop=True the footer
+    stats are collected through the Hadoop FS stream (positioned tail
+    read) and the pruned plan is identical to the local-path run."""
+    import shutil
+
+    from tagminder_spark.operators.table_manifest import (
+        init_manifest,
+        read_manifest,
+        snapshot_read,
+        snapshot_scan_plan,
+    )
+
+    root_a = str(tmp_path / "a")
+    root_b = str(tmp_path / "b")
+    docs = _range_clustered_table(spark, root_a)
+    shutil.copytree(root_a, root_b)
+
+    init_manifest(spark, root_a, stats_cols=("doc_id", "lang"))
+    init_manifest(
+        spark, root_b, stats_cols=("doc_id", "lang"), force_hadoop=True
+    )
+    sa = read_manifest(spark, root_a)["stats"]
+    sb = read_manifest(spark, root_b, force_hadoop=True)["stats"]
+    assert sb and sa == sb  # byte-identical copies → identical stats
+
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    where = [("doc_id", "<=", ids[len(ids) // 10])]
+    pa = snapshot_scan_plan(spark, root_a, where=where)
+    pb = snapshot_scan_plan(spark, root_b, where=where, force_hadoop=True)
+    assert pb["skipped"] > 0
+    assert [f[0] for f in pa["files"]] == [f[0] for f in pb["files"]]
+    got = snapshot_read(
+        spark, root_b, where=where, force_hadoop=True
+    ).count()
+    assert got == len([i for i in ids if i <= ids[len(ids) // 10]])

@@ -34,6 +34,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from tagminder_spark.operators.table_manifest import (  # noqa: E402
+    _fold_cache_clear,
     checkpoint_manifest,
     commit_delta,
     commit_manifest,
@@ -93,7 +94,11 @@ def main(out_path: str | None = None) -> dict:
                     None, root, _mkfiles(50, prefix=f"lang=en/b{j}-"),
                     parent=g,
                 )
-            sec = _bench(lambda: read_manifest(None, root, g))
+            # cold fold (use_cache=False): the price the fold cache
+            # exists to amortize — cached repeat reads measured below
+            sec = _bench(
+                lambda: read_manifest(None, root, g, use_cache=False)
+            )
             row = {
                 "probe": "chain_fold",
                 "base_files": 100_000,
@@ -103,10 +108,28 @@ def main(out_path: str | None = None) -> dict:
             results["probes"].append(row)
             print(json.dumps(row), flush=True)
 
+            # round 10 (VERDICT r9 #5): repeat reads through the fold
+            # cache must be ~free — one miss, then O(copy) per read
+            _fold_cache_clear()
+            read_manifest(None, root, g)  # populate
+            cached = _bench(lambda: read_manifest(None, root, g))
+            row = {
+                "probe": "fold_cache_repeat_read",
+                "base_files": 100_000,
+                "chain_len": chain_len,
+                "cold_sec": round(sec, 6),
+                "cached_sec": round(cached, 6),
+                "speedup": round(sec / max(cached, 1e-9), 1),
+            }
+            results["probes"].append(row)
+            print(json.dumps(row), flush=True)
+
             t0 = time.perf_counter()
             cg = checkpoint_manifest(None, root)
             cp_sec = time.perf_counter() - t0
-            post = _bench(lambda: read_manifest(None, root, cg))
+            post = _bench(
+                lambda: read_manifest(None, root, cg, use_cache=False)
+            )
             row = {
                 "probe": "checkpoint",
                 "table_files": 100_000 + 50 * chain_len,
