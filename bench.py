@@ -106,6 +106,11 @@ EXTRA = [
     # diff-audit MERGE as a versioned commit + changelog append)
     "cur_manifest_skipping",
     "pl_chain_manifest",
+    # round 10: file-granular copy-on-write MERGE — updates touch only
+    # the bottom doc_id decile, so the rewrite volume (and hence the
+    # merge premium over an unversioned write) tracks the touched-file
+    # count, not the table size (all disk IO inside the query)
+    "cur_merge_cow",
 ]
 
 

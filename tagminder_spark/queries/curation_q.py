@@ -951,6 +951,90 @@ def cur_manifest_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MERGE_COW_SQL = """
+SELECT doc_id, lang,
+       CASE WHEN doc_id <= (SELECT min(doc_id)
+                                   + (max(doc_id) - min(doc_id)) // 10
+                            FROM documents)
+            THEN CAST(-1 AS BIGINT)
+            ELSE CAST(n_chars AS BIGINT) END AS n_chars
+FROM documents
+"""
+
+
+@q("cur_merge_cow", _MERGE_COW_SQL)
+def cur_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-granular copy-on-write MERGE gate (round 10, VERDICT r9 #1;
+    outside the gate window per the rotation rule — rides
+    suite_curation): write the corpus range-clustered on doc_id,
+    bootstrap a manifest WITH per-file doc_id bounds, then MERGE an
+    update set that touches only the bottom doc_id decile.
+
+    The gate raises unless the merge (a) left MORE files untouched than
+    it rewrote, (b) carried every untouched file into the new
+    generation with an IDENTICAL manifest entry (same rel path + size —
+    the file on disk is the same file, byte for byte: nothing was
+    rewritten or moved), and (c) kept the pre-merge pinned reader
+    intact.  The oracle replays the merge row-by-row, so the committed
+    read-back is value-exact.  At 100 TB this is the difference between
+    a MERGE costing O(table) and O(touched files) — the reference's
+    row-addressed UPDATEs (tm_db.py:580-611) write only changed rows,
+    and this is the Spark-native equivalent at file granularity."""
+    import tempfile
+
+    from tagminder_spark.operators.table_manifest import (
+        init_manifest,
+        merge_into_manifest,
+        read_manifest,
+        snapshot_read,
+    )
+
+    base = tempfile.mkdtemp(prefix="tm_mergecow_")
+    root = f"{base}/t"
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    (
+        docs.repartitionByRange(8, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("append").parquet(root)
+    )
+    init_manifest(spark, root, stats_cols=("doc_id",))
+    man1 = read_manifest(spark, root)
+    pinned = snapshot_read(spark, root, 1)
+
+    bounds = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).first()
+    cut = bounds["lo"] + (bounds["hi"] - bounds["lo"]) // 10
+    updates = (
+        snapshot_read(spark, root)
+        .filter(F.col("doc_id") <= cut)
+        .withColumn("n_chars", F.lit(-1).cast("long"))
+    )
+    report = merge_into_manifest(spark, root, updates, "doc_id")
+    if report["files_untouched"] <= report["files_rewritten"]:
+        raise AssertionError(
+            f"copy-on-write MERGE rewrote too much: {report}"
+        )
+    man2 = read_manifest(spark, root)
+    old_entries = {rel: sz for rel, sz in man1["files"]}
+    carried = [e for e in man2["files"] if e[0] in old_entries]
+    if len(carried) != report["files_untouched"] or any(
+        sz != old_entries[rel] for rel, sz in carried
+    ):
+        raise AssertionError(
+            "untouched files were not carried byte-identical: "
+            f"{report} carried={len(carried)}"
+        )
+    if pinned.count() != docs.count():
+        raise AssertionError("pinned pre-merge reader broke")
+    back = snapshot_read(spark, root)
+    return back.select(
+        "doc_id", F.col("lang").cast("string").alias("lang"), "n_chars"
+    )
+
+
 # ---------------------------------------------------------------------------
 # bigram-LM perplexity (the actual CCNet quality mechanism)
 

@@ -421,6 +421,11 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
         # round 9: manifest-level data skipping (per-file min/max stats
         # + driver-side file pruning in snapshot_read(where=...))
         "cur_manifest_skipping": (["doc_id"], [("lang", "str")]),
+        # round 10: file-granular copy-on-write MERGE — untouched
+        # files carried byte-identical, merged read-back value-exact
+        "cur_merge_cow": (
+            ["doc_id"], [("lang", "str"), ("n_chars", "num")],
+        ),
         # round 9: the flagship alib lifecycle (chain + diff-audit
         # MERGE) on a manifest-versioned table — merged read-back
         # value-exact, pinned pre-merge reader proven intact
