@@ -281,18 +281,46 @@ def streaming_dedup_probe(
 
     def _fold() -> None:
         """Emit the window's cross-batch pairs, fold the window into
-        the standing index, clear the window."""
+        the standing index, clear the window.
+
+        Latest-batch-wins WITHIN the window (ADVICE r9): an id
+        re-ingested across two pending batches must contribute only its
+        NEWEST version — otherwise the cross-probe merges both versions'
+        shingles (dropDuplicates on (id, h) silently understates
+        Jaccard) and the fold leaves the stale version's band/shingle
+        rows in the standing index.  Each pending batch is anti-joined
+        against the id sets of every LATER batch (the same broadcast
+        anti-join incremental_lsh_pairs uses; O(window) and the window
+        is bounded by ``fold_every``), which keeps the documented
+        recall-equality-with-batch-operator contract exact for
+        re-ingested ids."""
         pending = state["pending"]
         if not pending:
             return
         state["folds"] += 1
-        if len(pending) > 1:
+        deduped: list = []
+        later_ids = None
+        for b, s in reversed(pending):
+            if later_ids is None:
+                deduped.append((b, s))
+            else:
+                deduped.append((
+                    b.join(F.broadcast(later_ids), "id", "left_anti"),
+                    s.join(F.broadcast(later_ids), "id", "left_anti"),
+                ))
+            ids = s.select("id").dropDuplicates()
+            later_ids = (
+                ids if later_ids is None
+                else later_ids.unionByName(ids).dropDuplicates()
+            )
+        deduped.reverse()
+        if len(deduped) > 1:
             _emit(
-                cross_batch_lsh_pairs(pending, threshold=threshold),
+                cross_batch_lsh_pairs(deduped, threshold=threshold),
                 -state["folds"],
             )
-        pb, ps = pending[0]
-        for b, s in pending[1:]:
+        pb, ps = deduped[0]
+        for b, s in deduped[1:]:
             pb = pb.unionByName(b)
             ps = ps.unionByName(s)
         nb, nsh = compact_lsh_index(state["standing"], (pb, ps))

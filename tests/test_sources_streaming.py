@@ -714,3 +714,86 @@ def test_dedup_probe_fold_in_closes_cross_batch_recall(spark, tmp_path):
     }
     assert got == want
     assert {(1, 2), (11, 12), (13, 14)} <= want  # fixture is non-trivial
+
+
+def test_dedup_probe_fold_latest_version_wins(spark, tmp_path):
+    """ADVICE r9: an id RE-INGESTED across two pending batches of the
+    same fold window must contribute only its newest version — (a) the
+    window cross-probe's Jaccard is computed on the new shingles alone
+    (merged old+new shingles would dilute it below threshold), (b) the
+    fold leaves exactly one version in the standing index, and (c) the
+    final pair set equals the batch operator's over the LATEST corpus."""
+    import os
+    import shutil
+
+    from tagminder_spark.operators.dedupe import lsh_index, minhash_lsh_pairs
+    from tagminder_spark.streaming.ingest import streaming_dedup_probe
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    stale = (
+        "entirely different placeholder words occupying roughly the same "
+        "shingle volume as the base text so the diluted union would sink "
+        "the true jaccard beneath the threshold for sure " * 2
+    )
+    batches = [
+        [(51, base + "delta prime"), (50, stale),
+         (60, "unrelated filler one xyzzy")],
+        [(61, "unrelated filler two plugh")],
+        [(50, base + "delta"), (62, "unrelated filler three frobozz")],
+    ]
+    incoming = tmp_path / "incoming2"
+    incoming.mkdir()
+    for i, rows in enumerate(batches):
+        stage = tmp_path / f"restage{i}"
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        dst = incoming / f"b{i}.parquet"
+        shutil.move(str(part), str(dst))
+        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+
+    latest = {}
+    for rows in batches:
+        for i_, t_ in rows:
+            latest[i_] = t_
+    corpus = spark.createDataFrame(
+        sorted(latest.items()), "doc_id long, text string"
+    )
+    empty = corpus.limit(0)
+
+    standing = lsh_index(empty, "doc_id", "text")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(incoming))
+    )
+    q = streaming_dedup_probe(stream, standing, fold_every=3)
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+    q.finalize()
+    got = {(a, b) for a, b, _ in q.collected_pairs}
+    jac = {(a, b): j for a, b, j in q.collected_pairs}
+
+    # (a) the split pair is found, at the NEW version's similarity
+    assert (50, 51) in got
+    assert jac[(50, 51)] >= 0.5
+
+    # (b) one version in the folded standing index: id 50's shingles
+    # equal a fresh index over the new text alone
+    _, folded_sh = q.fold_state["standing"]
+    new_only = lsh_index(
+        corpus.filter("doc_id = 50"), "doc_id", "text"
+    )[1]
+    got_sh = folded_sh.filter("id = 50").count()
+    assert got_sh == new_only.count(), (got_sh, new_only.count())
+
+    # (c) recall equality against the batch operator over LATEST corpus
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(corpus, "doc_id", "text").collect()
+    }
+    assert got == want and (50, 51) in want
