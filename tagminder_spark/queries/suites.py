@@ -264,6 +264,14 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
             [("width", "num"), ("height", "num"), ("sum_r", "num"),
              ("sum_g", "num"), ("sum_b", "num")],
         ),
+        # round 10: baseline JPEG decode (pure python+numpy: markers,
+        # DHT huffman, dequant, IDCT, YCbCr) on codec fixed points —
+        # bit-exact vs an analytic DuckDB oracle
+        "mm_real_jpeg_features": (
+            ["media_id"],
+            [("width", "num"), ("height", "num"), ("sum_all", "num"),
+             ("sum_col0", "num"), ("sum_col1", "num")],
+        ),
         "mm_real_wav_chunks": (
             ["media_id", "chunk_idx"],
             [("start_ms", "num"), ("end_ms", "num"), ("n_bytes", "num"),

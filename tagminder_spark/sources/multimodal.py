@@ -300,11 +300,11 @@ def decode_png(content: bytes):
 
 
 def _decode_image_real(content: bytes):
-    """Decode to (width, height, HxWx3 uint8 RGB).  PPM, 24-bit BMP and
-    8-bit non-interlaced PNG decode for real with stdlib+numpy alone;
-    every other format needs Pillow and raises NotImplementedError in
-    this container (the documented codec seam — sources/multimodal.py
-    module docstring)."""
+    """Decode to (width, height, HxWx3 uint8 RGB).  PPM, 24-bit BMP,
+    8-bit non-interlaced PNG and baseline JPEG decode for real with
+    stdlib+numpy alone; every other format needs Pillow and raises
+    NotImplementedError in this container (the documented codec seam —
+    sources/multimodal.py module docstring)."""
     if content.startswith(b"P6"):
         return decode_ppm(content)
     if content.startswith(_PNG_SIG):
@@ -312,6 +312,13 @@ def _decode_image_real(content: bytes):
             return decode_png(content)
         except ValueError:
             pass  # 16-bit/interlaced → Pillow seam
+    if content.startswith(b"\xff\xd8"):
+        from tagminder_spark.sources.jpeg import decode_jpeg
+
+        try:
+            return decode_jpeg(content)
+        except ValueError:
+            pass  # progressive/arithmetic/12-bit → Pillow seam
     if content.startswith(b"BM"):
         try:
             return decode_bmp(content)

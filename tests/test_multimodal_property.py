@@ -57,3 +57,88 @@ def test_wav_roundtrip_property(duration_ms, rate, seed):
     assert samples.dtype.itemsize == 2
     # peak bounded by the synth amplitude
     assert np.abs(samples).max() <= 20000
+
+
+# ---------------------------------------------------------------------------
+# round 10: baseline JPEG (sources/jpeg.py)
+
+
+@st.composite
+def jpeg_fixed_point_images(draw):
+    """Images on the codec's fixed points: 8x8 blocks of even constants
+    plus the integer-scaled (0,4) cosine pattern — encode→decode must be
+    BIT-exact at quant=16 (the property the oracle gate leans on)."""
+    bw = draw(st.integers(min_value=1, max_value=3))
+    bh = draw(st.integers(min_value=1, max_value=3))
+    seed = draw(st.integers(min_value=0, max_value=2**31 - 1))
+    rng = np.random.default_rng(seed)
+    sign = np.array([1, -1, -1, 1, 1, -1, -1, 1], dtype=np.int32)
+    img = np.zeros((bh * 8, bw * 8), dtype=np.int32)
+    for by in range(bh):
+        for bx in range(bw):
+            v = int(rng.integers(14, 114)) * 2  # even, 28..226
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v + 2 * np.tile(
+                sign, (8, 1)
+            )
+    return img.astype(np.uint8)
+
+
+@settings(max_examples=30, deadline=None)
+@given(jpeg_fixed_point_images(), st.booleans())
+def test_jpeg_fixed_point_roundtrip_exact(src, as_rgb):
+    from tagminder_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    inp = np.repeat(src[:, :, None], 3, axis=2) if as_rgb else src
+    w, h, got = decode_jpeg(encode_jpeg(inp, quant=16))
+    assert (w, h) == (src.shape[1], src.shape[0])
+    for c in range(3):
+        assert np.array_equal(got[:, :, c], src), f"channel {c}"
+
+
+@settings(max_examples=30, deadline=None)
+@given(images())
+def test_jpeg_random_roundtrip_bounded_error(src):
+    """Arbitrary content at quant=1: lossy but tightly bounded (DCT
+    rounding + quantize ±0.5/coef + YCbCr rounding) — and dimensions
+    that are NOT multiples of 8 exercise the edge-replication pad."""
+    from tagminder_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    w, h, got = decode_jpeg(encode_jpeg(src, quant=1))
+    assert (w, h) == (src.shape[1], src.shape[0])
+    assert np.abs(got.astype(int) - src.astype(int)).max() <= 6
+
+
+@settings(max_examples=20, deadline=None)
+@given(images())
+def test_jpeg_gray_roundtrip_tight(src):
+    from tagminder_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    gray = src[:, :, 0]
+    w, h, got = decode_jpeg(encode_jpeg(gray, quant=1))
+    assert np.abs(got[:, :, 0].astype(int) - gray.astype(int)).max() <= 2
+    assert np.array_equal(got[:, :, 0], got[:, :, 1])
+
+
+def test_jpeg_rejects_garbage_and_truncation():
+    import pytest
+
+    from tagminder_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg at all")
+    enc = encode_jpeg(np.full((16, 16), 100, dtype=np.uint8))
+    with pytest.raises(ValueError):
+        decode_jpeg(enc[: len(enc) // 2])
+
+
+def test_jpeg_routes_through_generic_image_decode():
+    """_decode_image_real dispatches FFD8 content to the real JPEG
+    decoder (no Pillow in this container — a fallthrough would raise
+    NotImplementedError)."""
+    from tagminder_spark.sources.jpeg import encode_jpeg
+    from tagminder_spark.sources.multimodal import _decode_image_real
+
+    img = np.full((8, 16), 64, dtype=np.uint8)
+    w, h, rgb = _decode_image_real(encode_jpeg(img, quant=16))
+    assert (w, h) == (16, 8)
+    assert np.array_equal(rgb[:, :, 0], img)
