@@ -634,6 +634,15 @@ def read_manifest(
     overwrite) and comes back as ``"stats"`` (``{}`` when absent), the
     input :func:`prune_manifest` skips files with.
 
+    Merge-on-read state (round 10, :func:`merge_on_read`) folds the
+    same way: ``"seqs"`` (``{rel: commit-sequence}`` for data files —
+    missing means 0, i.e. predates every delete) and ``"deletes"``
+    (``[[rel, seq, keycol], ...]`` equality-delete files; a delete
+    applies to data files whose seq is STRICTLY LOWER).  Deltas add
+    via ``"seqs"`` / ``"delete_adds"`` and retire via
+    ``"delete_removes"``; both come back resolved (``{}``/``[]`` when
+    the table has no MoR state).
+
     Resolution is CACHED (``_FOLD_CACHE``): a committed chain is
     immutable, so repeat reads of the same (table, generation) return
     the folded result without re-parsing — at 800k files that turns the
@@ -658,13 +667,7 @@ def read_manifest(
             key = None  # → the uncached read below raises as before
         if key is not None and key in _FOLD_CACHE:
             _FOLD_CACHE_STATS["hits"] += 1
-            hit = _FOLD_CACHE[key]
-            return {
-                "generation": hit["generation"],
-                "parent": hit["parent"],
-                "files": list(hit["files"]),
-                "stats": dict(hit["stats"]),
-            }
+            return _copy_man(_FOLD_CACHE[key])
         _FOLD_CACHE_STATS["misses"] += 1
     chain: list[dict] = []
     cur = gen
@@ -674,11 +677,16 @@ def read_manifest(
         if "files" in man:  # full snapshot — chain base
             files = {p: sz for p, sz in man["files"]}
             stats = dict(man.get("stats", {}))
+            seqs = {r: int(s) for r, s in man.get("seqs", {}).items()}
+            deletes = {d[0]: [int(d[1]), d[2]]
+                       for d in man.get("deletes", [])}
             break
         parent = man.get("parent", 0)
         if parent == 0:  # delta on the empty table
             files = {}
             stats = {}
+            seqs = {}
+            deletes = {}
             break
         cur = parent
     for man in reversed(chain):
@@ -687,26 +695,46 @@ def read_manifest(
         for rel in man.get("removes", []):
             files.pop(rel, None)
             stats.pop(rel, None)
+            seqs.pop(rel, None)
         for rel, sz in man.get("adds", []):
             files[rel] = sz
         stats.update(man.get("stats", {}))
+        seqs.update(
+            {r: int(s) for r, s in man.get("seqs", {}).items()}
+        )
+        for rel in man.get("delete_removes", []):
+            deletes.pop(rel, None)
+        for rel, seq, keycol in man.get("delete_adds", []):
+            deletes[rel] = [int(seq), keycol]
     out = {
         "generation": gen,
         "parent": chain[0].get("parent"),
         "files": sorted([p, sz] for p, sz in files.items()),
         "stats": {rel: stats[rel] for rel in sorted(stats) if rel in files},
+        "seqs": {rel: seqs[rel] for rel in sorted(seqs) if rel in files},
+        "deletes": sorted(
+            [rel, seq, keycol] for rel, (seq, keycol) in deletes.items()
+        ),
     }
     if key is not None:
         if len(_FOLD_CACHE) >= _FOLD_CACHE_MAX:  # bounded: evict oldest
             _FOLD_CACHE.pop(next(iter(_FOLD_CACHE)))
         _FOLD_CACHE[key] = out
-        return {
-            "generation": out["generation"],
-            "parent": out["parent"],
-            "files": list(out["files"]),
-            "stats": dict(out["stats"]),
-        }
+        return _copy_man(out)
     return out
+
+
+def _copy_man(man: dict) -> dict:
+    """Shallow copy with fresh outer containers (rows stay shared —
+    callers must not mutate them)."""
+    return {
+        "generation": man["generation"],
+        "parent": man["parent"],
+        "files": list(man["files"]),
+        "stats": dict(man["stats"]),
+        "seqs": dict(man.get("seqs", {})),
+        "deletes": list(man.get("deletes", [])),
+    }
 
 
 def _chain_gens(
@@ -735,6 +763,8 @@ def commit_manifest(
     *,
     parent: int | None = None,
     stats: dict[str, dict[str, list]] | None = None,
+    seqs: dict[str, int] | None = None,
+    deletes: list[tuple[str, int, str]] | None = None,
     force_hadoop: bool = False,
 ) -> int:
     """Commit ``files`` (relative-path, size) as the next generation.
@@ -748,7 +778,9 @@ def commit_manifest(
 
     ``stats`` (``{rel: {col: [lo, hi]}}``) attaches per-file column
     bounds for :func:`prune_manifest`; entries for files not in
-    ``files`` are dropped.
+    ``files`` are dropped.  ``seqs`` / ``deletes`` carry merge-on-read
+    state (:func:`merge_on_read`) through full-snapshot commits —
+    seq 0 entries are elided (the default).
     """
     fs, base = table_fs(spark, root, force_hadoop)
     if parent is None:
@@ -762,11 +794,22 @@ def commit_manifest(
         "parent": parent,
         "files": sorted([p, int(sz)] for p, sz in files),
     }
+    names = {p for p, _ in files}
     if stats:
-        names = {p for p, _ in files}
         kept = {rel: stats[rel] for rel in sorted(stats) if rel in names}
         if kept:
             doc["stats"] = kept
+    if seqs:
+        kept_seqs = {
+            rel: int(s) for rel in sorted(seqs)
+            if rel in names and (s := seqs[rel])
+        }
+        if kept_seqs:
+            doc["seqs"] = kept_seqs
+    if deletes:
+        doc["deletes"] = sorted(
+            [rel, int(seq), keycol] for rel, seq, keycol in deletes
+        )
     payload = json.dumps(doc, separators=(",", ":")).encode()
     fs.write_new(fs.join(mdir, _gen_name(gen)), payload)
     return gen
@@ -780,6 +823,9 @@ def commit_delta(
     *,
     parent: int | None = None,
     stats: dict[str, dict[str, list]] | None = None,
+    seqs: dict[str, int] | None = None,
+    delete_adds: list[tuple[str, int, str]] | None = None,
+    delete_removes: list[str] | None = None,
     force_hadoop: bool = False,
 ) -> int:
     """Commit a DELTA generation: only the added (rel, size) entries
@@ -787,7 +833,9 @@ def commit_delta(
     regardless of table size.  Same atomic create-if-absent CAS as
     :func:`commit_manifest`.  ``stats`` carries bounds for THIS delta's
     adds only (keeping the commit O(|batch|)); readers fold them with
-    the chain."""
+    the chain.  ``seqs``/``delete_adds``/``delete_removes`` carry this
+    delta's merge-on-read changes (:func:`merge_on_read` /
+    :func:`materialize_deletes`) — also O(|change|)."""
     fs, base = table_fs(spark, root, force_hadoop)
     if parent is None:
         gens = list_generations(spark, root, force_hadoop=force_hadoop)
@@ -801,11 +849,24 @@ def commit_delta(
         "adds": sorted([p, int(sz)] for p, sz in adds),
         "removes": sorted(removes or []),
     }
+    names = {p for p, _ in adds}
     if stats:
-        names = {p for p, _ in adds}
         kept = {rel: stats[rel] for rel in sorted(stats) if rel in names}
         if kept:
             doc["stats"] = kept
+    if seqs:
+        kept_seqs = {
+            rel: int(s) for rel in sorted(seqs)
+            if rel in names and (s := seqs[rel])
+        }
+        if kept_seqs:
+            doc["seqs"] = kept_seqs
+    if delete_adds:
+        doc["delete_adds"] = sorted(
+            [rel, int(seq), keycol] for rel, seq, keycol in delete_adds
+        )
+    if delete_removes:
+        doc["delete_removes"] = sorted(delete_removes)
     payload = json.dumps(doc, separators=(",", ":")).encode()
     fs.write_new(fs.join(mdir, _gen_name(gen)), payload)
     return gen
@@ -832,7 +893,9 @@ def checkpoint_manifest(
     return commit_manifest(
         spark, root,
         [(p, sz) for p, sz in man["files"]],
-        parent=gens[-1], stats=man["stats"], force_hadoop=force_hadoop,
+        parent=gens[-1], stats=man["stats"],
+        seqs=man["seqs"] or None, deletes=man["deletes"] or None,
+        force_hadoop=force_hadoop,
     )
 
 
@@ -868,6 +931,67 @@ def init_manifest(
     )
 
 
+def _delete_mask_groups(
+    entries: list, seqs: dict, deletes: list
+) -> dict[tuple, list]:
+    """Group data-file entries by WHICH equality-delete files apply to
+    them (a delete at seq D applies to files with seq < D).  Two files
+    between the same pair of delete seqs behave identically, so the
+    group count is bounded by ``len(deletes) + 1`` — the
+    materialization cadence — never by the number of commits."""
+    groups: dict[tuple, list] = {}
+    for rel, sz in entries:
+        fseq = seqs.get(rel, 0)
+        mask = tuple(d[1] > fseq for d in deletes)
+        groups.setdefault(mask, []).append([rel, sz])
+    return groups
+
+
+def _read_entries_with_deletes(
+    spark: SparkSession,
+    fs,
+    base: str,
+    entries: list,
+    man: dict,
+    *,
+    merge_schema: bool = False,
+) -> DataFrame:
+    """Plan ``entries`` as an explicit file list with the manifest's
+    equality-delete files APPLIED (Iceberg merge-on-read, read side):
+    each mask group is one parquet scan anti-joined against the union
+    of its applicable delete-key files — the delete side is small by
+    the MoR premise (it is the update batch), so every anti-join is a
+    broadcast hash join; no shuffle is added to the data side."""
+    deletes = man.get("deletes") or []
+
+    def _plain(ents: list) -> DataFrame:
+        reader = spark.read.option("basePath", base)
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*[fs.join(base, rel) for rel, _ in ents])
+
+    if not deletes:
+        return _plain(entries)
+    groups = _delete_mask_groups(entries, man.get("seqs") or {}, deletes)
+    parts: list[DataFrame] = []
+    for mask in sorted(groups):
+        df_g = _plain(groups[mask])
+        applicable = [d for d, hit in zip(deletes, mask) if hit]
+        by_key: dict[str, list[str]] = {}
+        for rel, _seq, keycol in applicable:
+            by_key.setdefault(keycol, []).append(rel)
+        for keycol in sorted(by_key):
+            kdf = spark.read.parquet(
+                *[fs.join(base, r) for r in by_key[keycol]]
+            ).select(keycol)
+            df_g = df_g.join(F.broadcast(kdf), keycol, "left_anti")
+        parts.append(df_g)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=merge_schema)
+    return out
+
+
 def snapshot_read(
     spark: SparkSession,
     root: str,
@@ -890,7 +1014,12 @@ def snapshot_read(
     stats exist.  At 100 TB this is the difference between planning
     800k files and planning the handful a selective predicate touches
     (footer pruning alone still costs a task + footer read per file).
-    Use :func:`snapshot_scan_plan` to observe what was skipped."""
+    Use :func:`snapshot_scan_plan` to observe what was skipped.
+
+    Tables with pending merge-on-read state (:func:`merge_on_read`)
+    come back with their equality-delete files applied — broadcast
+    anti-joins per mask group (:func:`_read_entries_with_deletes`), so
+    a reader never sees a superseded row version."""
     man = read_manifest(spark, root, gen, force_hadoop=force_hadoop)
     fs, base = table_fs(spark, root, force_hadoop)
     entries = man["files"]
@@ -905,10 +1034,9 @@ def snapshot_read(
             # the MOST selective predicate; falling back to the full
             # 800k-file list would defeat the module.)
             entries = entries[:1]
-    paths = [fs.join(base, rel) for rel, _sz in entries]
-    if not paths:
+    if not entries:
         raise ValueError(f"manifest gen {man['generation']} lists no files")
-    df = spark.read.option("basePath", base).parquet(*paths)
+    df = _read_entries_with_deletes(spark, fs, base, entries, man)
     if where:
         df = df.filter(_where_to_column(where))
     return df
@@ -932,8 +1060,11 @@ def snapshot_scan_plan(
         return {
             "files": man["files"], "skipped": 0,
             "scanned": len(man["files"]),
+            "delete_files": len(man["deletes"]),
         }
-    return prune_manifest(man, where)
+    plan = prune_manifest(man, where)
+    plan["delete_files"] = len(man["deletes"])
+    return plan
 
 
 def plan_compaction_manifest(
@@ -1059,10 +1190,24 @@ def append_files(
     for attempt in range(max_retries + 1):
         gens = list_generations(spark, root, force_hadoop=force_hadoop)
         parent = gens[-1] if gens else 0
+        # merge-on-read interplay: when the table carries pending
+        # equality deletes, this batch must commit with its OWN
+        # sequence — a default (0) sequence would wrongly subject the
+        # fresh rows to every pending delete.  Re-checked per CAS
+        # attempt because a concurrent MoR merge can introduce deletes
+        # between attempts; the manifest fold is driver-side and cached.
+        seqs = None
+        if parent:
+            man_cur = read_manifest(
+                spark, root, parent, force_hadoop=force_hadoop
+            )
+            if man_cur["deletes"]:
+                seqs = {rel: parent + 1 for rel, _ in new}
         try:
             gen = commit_delta(
                 spark, root, new,
-                parent=parent, stats=stats, force_hadoop=force_hadoop,
+                parent=parent, stats=stats, seqs=seqs,
+                force_hadoop=force_hadoop,
             )
             break
         except FileExistsError:
@@ -1108,13 +1253,10 @@ def snapshot_read_merged(
             entries = pruned["files"]
         elif entries:
             entries = entries[:1]  # schema anchor; residual yields empty
-    paths = [fs.join(base, rel) for rel, _sz in entries]
-    if not paths:
+    if not entries:
         raise ValueError(f"manifest gen {man['generation']} lists no files")
-    df = (
-        spark.read.option("basePath", base)
-        .option("mergeSchema", "true")
-        .parquet(*paths)
+    df = _read_entries_with_deletes(
+        spark, fs, base, entries, man, merge_schema=True
     )
     if where:
         # an evolved table may prune away every file CARRYING a
@@ -1144,7 +1286,9 @@ def rollback(
     return commit_manifest(
         spark, root,
         [(p, sz) for p, sz in man["files"]],
-        stats=man["stats"], force_hadoop=force_hadoop,
+        stats=man["stats"],
+        seqs=man["seqs"] or None, deletes=man["deletes"] or None,
+        force_hadoop=force_hadoop,
     )
 
 
@@ -1170,6 +1314,7 @@ def table_history(
             "bytes": sum(sz for _, sz in man["files"]),
             "added_files": len(cur - prev_files),
             "removed_files": len(prev_files - cur),
+            "delete_files": len(man["deletes"]),
         })
         prev_files = cur
     return out
@@ -1229,9 +1374,12 @@ def compact_partitions_versioned(
     keep = [(rel, sz) for rel, sz in man["files"]
             if not rel.startswith(prefixes)]
 
-    df = spark.read.option("basePath", base).parquet(
-        *[fs.join(base, rel) for rel, _ in replaced]
-    )
+    # merge-on-read awareness: apply pending equality deletes to the
+    # rows being rewritten (the rewrite MATERIALIZES them for these
+    # files); the output files get seq = the committed generation so no
+    # prior delete re-applies, while carried deletes keep applying to
+    # the untouched files.
+    df = _read_entries_with_deletes(spark, fs, base, replaced, man)
     if not zorder_cols and order_col not in df.columns:
         raise ValueError(
             f"order_col {order_col!r} not in input columns {df.columns}"
@@ -1278,9 +1426,16 @@ def compact_partitions_versioned(
             collect_file_stats(base, [rel for rel, _ in new], stats_cols,
                            fs=fs, spark=spark)
         )
+    seqs = None
+    if man["deletes"]:
+        seqs = {
+            rel: s for rel, s in man["seqs"].items() if rel in keep_rels
+        }
+        seqs.update({rel: man["generation"] + 1 for rel, _ in new})
     gen = commit_manifest(
         spark, root, keep + new,
         parent=man["generation"], stats=stats or None,
+        seqs=seqs, deletes=man["deletes"] or None,
         force_hadoop=force_hadoop,
     )
     return {
@@ -1525,8 +1680,10 @@ def merge_into_manifest(
             touched, untouched = list(man["files"]), []
 
         if touched:
-            tdf = spark.read.option("basePath", base).parquet(
-                *[fs.join(base, rel) for rel, _ in touched]
+            # pending MoR deletes are applied here — the rewrite
+            # materializes them for the touched files
+            tdf = _read_entries_with_deletes(
+                spark, fs, base, touched, man
             ).select(*existing.columns)
             survivors = tdf.join(updates.select(key), key, "left_anti")
             merged = survivors.unionByName(updates.select(*existing.columns))
@@ -1559,9 +1716,17 @@ def merge_into_manifest(
             fs=fs, spark=spark, string_bound_len=string_bound_len,
         )
     )
+    seqs = None
+    if man["deletes"]:  # carried deletes still apply to untouched files
+        seqs = {
+            rel: s for rel, s in man["seqs"].items()
+            if rel in untouched_rels
+        }
+        seqs.update({rel: man["generation"] + 1 for rel, _ in new})
     gen = commit_manifest(
         spark, root, untouched + new,
         parent=man["generation"], stats=stats or None,
+        seqs=seqs, deletes=man["deletes"] or None,
         force_hadoop=force_hadoop,
     )
     return {
@@ -1570,6 +1735,219 @@ def merge_into_manifest(
         "files_rewritten": len(touched),
         "files_untouched": len(untouched),
         "files_replaced": len(touched),
+    }
+
+
+def merge_on_read(
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    key: str = "__path",
+    *,
+    partition_col: str | None = None,
+    stats_cols: tuple[str, ...] | None = None,
+    string_bound_len: int = 64,
+    force_hadoop: bool = False,
+) -> dict:
+    """MERGE as Iceberg's **merge-on-read** (equality deletes) — the
+    write-optimized twin of :func:`merge_into_manifest`: the update
+    rows land as NEW data files (an append) and the update KEYS land as
+    an equality-delete file; **no existing data file is read, touched,
+    or rewritten**.  The commit is a delta — O(|updates|) bytes and IO
+    at ANY table size, on ANY layout (copy-on-write needs a
+    key-clustered table to bound its rewrite set; merge-on-read does
+    not).
+
+    Readers (:func:`snapshot_read`) apply the delete at plan time: a
+    delete committed at sequence D hides matching-key rows in data
+    files with sequence < D, while this merge's own rows (sequence = D)
+    survive — so the read is exactly the post-MERGE table, and a second
+    merge's delete (D' > D) supersedes the first merge's rows for
+    re-updated keys.  The read premium is one broadcast anti-join per
+    pending delete batch; :func:`materialize_deletes` (or any
+    compaction touching the files) folds it back to zero on the
+    maintenance cadence — the classic MoR write-now/pay-at-read trade.
+
+    Like :func:`append_files` the update keys only ADD state, but a
+    MERGE logically replaces rows, so a lost commit CAS is NOT retried
+    (a concurrent commit means the table changed under it — the caller
+    re-plans; same posture as :func:`merge_into_manifest`).
+
+    Reference semantics matched: row-addressed UPDATEs in a
+    transaction (tm_db.py:580-611) — here with the write cost of the
+    update set alone.
+    """
+    import uuid
+
+    fs, base = table_fs(spark, root, force_hadoop)
+    man = read_manifest(spark, root, force_hadoop=force_hadoop)
+    if key not in updates.columns:
+        raise ValueError(f"updates lack the merge key {key!r}")
+    existing = snapshot_read(spark, root, man["generation"],
+                             force_hadoop=force_hadoop)
+    missing = [c for c in existing.columns if c not in updates.columns]
+    if missing:
+        raise ValueError(f"updates lack table columns: {missing}")
+    gen = man["generation"] + 1
+    updates = updates.select(*existing.columns).persist()
+    try:
+        stage = fs.join(base, f".__mor_stage_{uuid.uuid4().hex[:8]}__")
+        writer = updates.write.mode("overwrite")
+        if partition_col:
+            writer = writer.partitionBy(partition_col)
+        writer.parquet(stage)
+        try:
+            new = _move_stage_files(
+                spark, fs, stage, base, force_hadoop=force_hadoop
+            )
+        finally:
+            fs.delete(stage, ignore_errors=True)
+
+        dstage = fs.join(
+            base, f".__mor_del_stage_{uuid.uuid4().hex[:8]}__"
+        )
+        (
+            updates.select(key).distinct().coalesce(1)
+            .write.mode("overwrite").parquet(dstage)
+        )
+        del_entries: list[tuple[str, int]] = []
+        try:
+            ddir = fs.join(base, "_deletes")
+            if not fs.exists(ddir):
+                fs.mkdirs(ddir)
+            for p, sz in list_data_files(spark, dstage):
+                rel = f"_deletes/eq_{uuid.uuid4().hex[:12]}.parquet"
+                fs.rename(p, fs.join(base, rel))
+                del_entries.append((rel, sz))
+        finally:
+            fs.delete(dstage, ignore_errors=True)
+
+        stats = collect_file_stats(
+            base, [rel for rel, _ in new],
+            stats_cols if stats_cols else (key,),
+            fs=fs, spark=spark, string_bound_len=string_bound_len,
+        )
+    finally:
+        updates.unpersist()
+    commit_delta(
+        spark, root, new, parent=man["generation"],
+        stats=stats or None,
+        seqs={rel: gen for rel, _ in new},
+        delete_adds=[(rel, gen, key) for rel, _ in del_entries],
+        force_hadoop=force_hadoop,
+    )
+    return {
+        "generation": gen,
+        "files_added": len(new),
+        "delete_files": len(del_entries),
+        "data_files_rewritten": 0,
+        "bytes_added": sum(sz for _, sz in new)
+        + sum(sz for _, sz in del_entries),
+        "pending_deletes": len(man["deletes"]) + len(del_entries),
+    }
+
+
+def materialize_deletes(
+    spark: SparkSession,
+    root: str,
+    *,
+    partition_col: str | None = None,
+    stats_cols: tuple[str, ...] | None = None,
+    string_bound_len: int = 64,
+    force_hadoop: bool = False,
+) -> dict:
+    """Fold pending equality deletes back into the data files —
+    Iceberg's ``rewrite_position_delete_files`` + touched-file rewrite
+    in one maintenance pass, FILE-GRANULAR: a data file is rewritten
+    only when (a) some delete applies to it by sequence AND (b) its
+    committed key bounds cannot prove it holds none of that delete's
+    keys (the same containment probe copy-on-write MERGE uses —
+    bound-less files are conservatively rewritten).  Every other file
+    is carried byte-identical; the commit is a full snapshot with the
+    delete list emptied, so subsequent reads are plain scans again.
+
+    Like every REPLACE-shaped maintenance commit, a lost CAS surfaces
+    (``FileExistsError``) — re-plan against the fresh snapshot.  The
+    retired delete files stay on disk for pinned readers;
+    :func:`expire_snapshots` reclaims them with the generations that
+    reference them."""
+    import uuid
+
+    fs, base = table_fs(spark, root, force_hadoop)
+    man = read_manifest(spark, root, force_hadoop=force_hadoop)
+    deletes = man["deletes"]
+    if not deletes:
+        return {"generation": man["generation"], "files_rewritten": 0,
+                "files_untouched": len(man["files"]),
+                "delete_files_dropped": 0}
+    seqs = man["seqs"]
+    candidates = [
+        [rel, sz] for rel, sz in man["files"]
+        if any(d[1] > seqs.get(rel, 0) for d in deletes)
+    ]
+    carried = [
+        [rel, sz] for rel, sz in man["files"]
+        if not any(d[1] > seqs.get(rel, 0) for d in deletes)
+    ]
+    # bounds-prune the candidates per delete key column: reuse the CoW
+    # containment probe with the delete keys standing in for updates
+    keycols = sorted({d[2] for d in deletes})
+    touched_rels: set[str] = set()
+    for keycol in keycols:
+        subset = [
+            e for e in candidates
+            if any(d[1] > seqs.get(e[0], 0) and d[2] == keycol
+                   for d in deletes)
+        ]
+        if not subset:
+            continue
+        kdf = spark.read.parquet(
+            *[fs.join(base, d[0]) for d in deletes if d[2] == keycol]
+        ).select(keycol).distinct()
+        sub_man = {"files": subset, "stats": man["stats"]}
+        probe_touched, _ = _cow_touched_files(spark, sub_man, keycol, kdf)
+        touched_rels.update(rel for rel, _ in probe_touched)
+    touched = [e for e in candidates if e[0] in touched_rels]
+    carried += [e for e in candidates if e[0] not in touched_rels]
+
+    new: list[tuple[str, int]] = []
+    if touched:
+        tdf = _read_entries_with_deletes(spark, fs, base, touched, man)
+        stage = fs.join(base, f".__mat_stage_{uuid.uuid4().hex[:8]}__")
+        writer = tdf.write.mode("overwrite")
+        if partition_col:
+            writer = writer.partitionBy(partition_col)
+        writer.parquet(stage)
+        try:
+            new = _move_stage_files(
+                spark, fs, stage, base, force_hadoop=force_hadoop
+            )
+        finally:
+            fs.delete(stage, ignore_errors=True)
+
+    carried_rels = {rel for rel, _ in carried}
+    stats = {
+        rel: s for rel, s in man["stats"].items() if rel in carried_rels
+    }
+    if new:
+        stats.update(
+            collect_file_stats(
+                base, [rel for rel, _ in new],
+                stats_cols if stats_cols else tuple(keycols),
+                fs=fs, spark=spark, string_bound_len=string_bound_len,
+            )
+        )
+    gen = commit_manifest(
+        spark, root, carried + new,
+        parent=man["generation"], stats=stats or None,
+        force_hadoop=force_hadoop,
+    )
+    return {
+        "generation": gen,
+        "files_rewritten": len(touched),
+        "files_untouched": len(carried),
+        "files_out": len(new),
+        "delete_files_dropped": len(deletes),
     }
 
 
@@ -1628,12 +2006,15 @@ def expire_snapshots(
     for g in retained:
         man = read_manifest(spark, root, g, force_hadoop=force_hadoop)
         live.update(rel for rel, _ in man["files"])
+        live.update(rel for rel, _seq, _k in man["deletes"])
     removed_files: list[str] = []
     for g in gens:
         if g in retained:
             continue
         man = read_manifest(spark, root, g, force_hadoop=force_hadoop)
-        for rel, _ in man["files"]:
+        retired = [rel for rel, _ in man["files"]]
+        retired += [rel for rel, _seq, _k in man["deletes"]]
+        for rel in retired:
             if rel not in live:
                 p = fs.join(base, rel)
                 if fs.exists(p):

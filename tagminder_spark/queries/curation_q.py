@@ -1035,6 +1035,102 @@ def cur_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MERGE_MOR_SQL = """
+SELECT doc_id, lang,
+       CASE WHEN doc_id <= (SELECT min(doc_id)
+                                   + (max(doc_id) - min(doc_id)) // 10
+                            FROM documents)
+            THEN CAST(-1 AS BIGINT)
+            ELSE CAST(n_chars AS BIGINT) END AS n_chars
+FROM documents
+"""
+
+
+@q("cur_merge_mor", _MERGE_MOR_SQL)
+def cur_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read MERGE gate (round 10 — rides suite_curation): the
+    write-optimized twin of ``cur_merge_cow``.  The merge lands the
+    update rows plus an equality-delete file and rewrites NOTHING —
+    the gate raises unless (a) zero data files were rewritten and every
+    pre-merge file entry is carried verbatim (same rel path + size:
+    the commit never even read them), (b) the MoR read — data scan
+    anti-joined against the broadcast delete keys, superseded versions
+    hidden by commit sequence — is value-exact against the oracle's
+    row-by-row merge replay, and (c) ``materialize_deletes`` then
+    folds the delete back in FILE-GRANULARLY (bounds-pruned rewrite
+    set, delete list emptied) with the read-back still value-exact.
+
+    At 100 TB: copy-on-write needs a key-clustered layout to bound its
+    rewrite set; merge-on-read costs O(|updates|) write IO on ANY
+    layout and defers the reconciliation to the maintenance cadence —
+    Iceberg's equality deletes, as manifest machinery."""
+    import tempfile
+
+    from tagminder_spark.operators.table_manifest import (
+        materialize_deletes,
+        merge_on_read,
+        read_manifest,
+        snapshot_read,
+    )
+
+    base = tempfile.mkdtemp(prefix="tm_mergemor_")
+    root = f"{base}/t"
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    (
+        docs.repartitionByRange(8, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("append").parquet(root)
+    )
+    from tagminder_spark.operators.table_manifest import init_manifest
+
+    init_manifest(spark, root, stats_cols=("doc_id",))
+    man1 = read_manifest(spark, root)
+
+    bounds = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).first()
+    cut = bounds["lo"] + (bounds["hi"] - bounds["lo"]) // 10
+    updates = (
+        snapshot_read(spark, root)
+        .filter(F.col("doc_id") <= cut)
+        .withColumn("n_chars", F.lit(-1).cast("long"))
+    )
+    report = merge_on_read(spark, root, updates, "doc_id")
+    if report["data_files_rewritten"] != 0:
+        raise AssertionError(f"MoR merge rewrote data files: {report}")
+    man2 = read_manifest(spark, root)
+    old_entries = {rel: sz for rel, sz in man1["files"]}
+    carried = [e for e in man2["files"] if e[0] in old_entries]
+    if len(carried) != len(old_entries) or any(
+        sz != old_entries[rel] for rel, sz in carried
+    ):
+        raise AssertionError(
+            f"MoR merge disturbed existing files: {report}"
+        )
+    if not man2["deletes"]:
+        raise AssertionError("no equality-delete file committed")
+
+    # the MoR read itself must already be the merged table
+    mor_rows = snapshot_read(spark, root).count()
+    mat = materialize_deletes(spark, root)
+    if mat["delete_files_dropped"] < 1 or read_manifest(
+        spark, root
+    )["deletes"]:
+        raise AssertionError(f"materialization left deletes: {mat}")
+    if mat["files_untouched"] <= mat["files_rewritten"]:
+        raise AssertionError(
+            f"materialization was not file-granular: {mat}"
+        )
+    back = snapshot_read(spark, root)
+    if back.count() != mor_rows:
+        raise AssertionError("materialization changed the row count")
+    return back.select(
+        "doc_id", F.col("lang").cast("string").alias("lang"), "n_chars"
+    )
+
+
 # ---------------------------------------------------------------------------
 # bigram-LM perplexity (the actual CCNet quality mechanism)
 

@@ -434,6 +434,11 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
         "cur_merge_cow": (
             ["doc_id"], [("lang", "str"), ("n_chars", "num")],
         ),
+        # round 10: merge-on-read MERGE — equality-delete file, zero
+        # data files rewritten, file-granular materialization
+        "cur_merge_mor": (
+            ["doc_id"], [("lang", "str"), ("n_chars", "num")],
+        ),
         # round 9: the flagship alib lifecycle (chain + diff-audit
         # MERGE) on a manifest-versioned table — merged read-back
         # value-exact, pinned pre-merge reader proven intact

@@ -185,14 +185,11 @@ def test_append_files_concurrent_cas_retry(spark, tmp_path):
     interloped = {"done": False}
 
     def racing_commit(spark_, root_, adds, removes=None, *, parent=None,
-                      stats=None, force_hadoop=False):
+                      **kw):
         if not interloped["done"]:
             interloped["done"] = True
             real_commit(spark_, root_, [], parent=parent)
-        return real_commit(
-            spark_, root_, adds, removes,
-            parent=parent, stats=stats, force_hadoop=force_hadoop,
-        )
+        return real_commit(spark_, root_, adds, removes, parent=parent, **kw)
 
     tm.commit_delta, orig = racing_commit, tm.commit_delta
     try:
@@ -1037,15 +1034,11 @@ def test_compact_with_replan_converges_after_lost_cas(spark, tmp_path):
     real_commit = tm.commit_manifest
     interloped = {"done": False}
 
-    def racing_commit(spark_, root_, files, *, parent=None, stats=None,
-                      force_hadoop=False):
+    def racing_commit(spark_, root_, files, *, parent=None, **kw):
         if not interloped["done"]:
             interloped["done"] = True
             tm.append_files(spark_, extra, root_, partition_col="lang")
-        return real_commit(
-            spark_, root_, files,
-            parent=parent, stats=stats, force_hadoop=force_hadoop,
-        )
+        return real_commit(spark_, root_, files, parent=parent, **kw)
 
     tm.commit_manifest, orig = racing_commit, tm.commit_manifest
     try:
@@ -1798,3 +1791,393 @@ def test_merge_cow_string_key_and_blind_fallback(spark, tmp_path):
         spark, root, upd2.limit(1), "__path", file_granular=False
     )
     assert r3["files_untouched"] == 0 and r3["files_rewritten"] > 0
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read (equality-delete files) — round 10
+
+
+def _clustered_docs(spark, root: str, n_files: int = 8):
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import init_manifest
+    from tagminder_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    (
+        docs.repartitionByRange(n_files, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("append").parquet(root)
+    )
+    init_manifest(spark, root, stats_cols=("doc_id",))
+    return docs
+
+
+def test_merge_on_read_writes_no_data_file(spark, tmp_path):
+    """The MoR contract: the merge lands update rows + an equality-
+    delete file, and NOT ONE existing data file is rewritten or even
+    read — every pre-merge entry (path, size, mtime) is carried
+    verbatim into the delta's resolution, yet the read-back is exactly
+    the post-MERGE table and the pinned pre-merge reader is intact."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        merge_on_read,
+        read_manifest,
+        snapshot_read,
+    )
+
+    root = str(tmp_path / "t")
+    docs = _clustered_docs(spark, root)
+    man1 = read_manifest(spark, root)
+    pre_entries = {rel: sz for rel, sz in man1["files"]}
+    pre_mtimes = {
+        rel: os.stat(os.path.join(root, rel)).st_mtime_ns
+        for rel in pre_entries
+    }
+    pinned = snapshot_read(spark, root, 1)
+
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    cut = ids[len(ids) // 10]
+    updates = docs.filter(F.col("doc_id") <= cut).withColumn(
+        "n_chars", F.lit(-1).cast("long")
+    )
+    r = merge_on_read(spark, root, updates, "doc_id")
+    assert r["data_files_rewritten"] == 0
+    assert r["delete_files"] >= 1 and r["files_added"] >= 1
+
+    man2 = read_manifest(spark, root)
+    for rel, sz in man2["files"]:
+        if rel in pre_entries:
+            assert sz == pre_entries[rel]
+            assert (
+                os.stat(os.path.join(root, rel)).st_mtime_ns
+                == pre_mtimes[rel]
+            ), f"data file touched by MoR merge: {rel}"
+    assert len(
+        [rel for rel, _ in man2["files"] if rel in pre_entries]
+    ) == len(pre_entries), "a pre-merge file vanished"
+    assert len(man2["deletes"]) == r["delete_files"]
+
+    got = {
+        row["doc_id"]: row["n_chars"]
+        for row in snapshot_read(spark, root).collect()
+    }
+    want = {
+        row["doc_id"]: (-1 if row["doc_id"] <= cut else row["n_chars"])
+        for row in docs.collect()
+    }
+    assert got == want
+    assert pinned.count() == len(ids)
+
+
+def test_merge_on_read_sequences_supersede(spark, tmp_path):
+    """Sequence semantics: a second merge's delete (higher seq) hides
+    the FIRST merge's rows for re-updated keys, never its own; time
+    travel to the intermediate generation replays the first merge."""
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        merge_on_read,
+        snapshot_read,
+    )
+
+    root = str(tmp_path / "t")
+    docs = _clustered_docs(spark, root)
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    lo, mid = ids[len(ids) // 10], ids[len(ids) // 5]
+
+    u1 = docs.filter(F.col("doc_id") <= mid).withColumn(
+        "n_chars", F.lit(-1).cast("long")
+    )
+    g1 = merge_on_read(spark, root, u1, "doc_id")["generation"]
+    u2 = docs.filter(
+        (F.col("doc_id") > lo) & (F.col("doc_id") <= mid)
+    ).withColumn("n_chars", F.lit(-2).cast("long"))
+    merge_on_read(spark, root, u2, "doc_id")
+
+    got = {
+        row["doc_id"]: row["n_chars"]
+        for row in snapshot_read(spark, root).collect()
+    }
+    want = {
+        row["doc_id"]: (
+            -2 if lo < row["doc_id"] <= mid
+            else (-1 if row["doc_id"] <= lo else row["n_chars"])
+        )
+        for row in docs.collect()
+    }
+    assert got == want
+    # time travel: the pinned intermediate generation shows merge 1 only
+    g1_rows = {
+        row["doc_id"]: row["n_chars"]
+        for row in snapshot_read(spark, root, g1).collect()
+    }
+    want1 = {
+        row["doc_id"]: (-1 if row["doc_id"] <= mid else row["n_chars"])
+        for row in docs.collect()
+    }
+    assert g1_rows == want1
+
+
+def test_append_after_merge_on_read_not_hidden(spark, tmp_path):
+    """A plain append AFTER a pending delete commits with its own
+    sequence, so the older delete never hides the fresh rows — the
+    seq-stamping branch in append_files."""
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        append_files,
+        merge_on_read,
+        read_manifest,
+        snapshot_read,
+    )
+
+    root = str(tmp_path / "t")
+    docs = _clustered_docs(spark, root)
+    u = docs.limit(20).withColumn("n_chars", F.lit(-1).cast("long"))
+    merge_on_read(spark, root, u, "doc_id")
+
+    # re-append the SAME keys the delete targets — worst case
+    fresh = u.withColumn("n_chars", F.lit(-9).cast("long"))
+    append_files(spark, fresh, root, partition_col=None)
+    man = read_manifest(spark, root)
+    assert man["deletes"], "precondition: delete still pending"
+    back = snapshot_read(spark, root)
+    assert back.filter(F.col("n_chars") == -9).count() == 20
+    # the MoR update rows for those keys also survive (append is not a
+    # merge: both versions coexist, exactly like a directory append)
+    assert back.filter(F.col("n_chars") == -1).count() == 20
+
+
+def test_materialize_deletes_file_granular_and_exact(spark, tmp_path):
+    """Materialization folds the pending deletes back into data files
+    file-granularly: files whose key bounds exclude every delete key
+    are carried byte-identical, the delete list empties, and the
+    read-back is unchanged."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        materialize_deletes,
+        merge_on_read,
+        read_manifest,
+        snapshot_read,
+    )
+
+    root = str(tmp_path / "t")
+    docs = _clustered_docs(spark, root)
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    cut = ids[len(ids) // 10]
+    u = docs.filter(F.col("doc_id") <= cut).withColumn(
+        "n_chars", F.lit(-1).cast("long")
+    )
+    merge_on_read(spark, root, u, "doc_id")
+    before = _rows(snapshot_read(spark, root).select("doc_id", "lang"))
+    man_pre = read_manifest(spark, root)
+    pre = {rel: sz for rel, sz in man_pre["files"]}
+    pre_mtimes = {
+        rel: os.stat(os.path.join(root, rel)).st_mtime_ns for rel in pre
+    }
+
+    r = materialize_deletes(spark, root)
+    assert r["delete_files_dropped"] >= 1
+    assert r["files_untouched"] > r["files_rewritten"], r
+
+    man_post = read_manifest(spark, root)
+    assert man_post["deletes"] == [] and man_post["seqs"] == {}
+    carried = [e for e in man_post["files"] if e[0] in pre]
+    assert len(carried) == r["files_untouched"]
+    for rel, sz in carried:
+        assert sz == pre[rel]
+        assert (
+            os.stat(os.path.join(root, rel)).st_mtime_ns
+            == pre_mtimes[rel]
+        ), f"untouched file rewritten by materialization: {rel}"
+    after = _rows(snapshot_read(spark, root).select("doc_id", "lang"))
+    assert after == before
+    got = {
+        row["doc_id"]: row["n_chars"]
+        for row in snapshot_read(spark, root).collect()
+    }
+    assert all(
+        got[row["doc_id"]] == (-1 if row["doc_id"] <= cut
+                               else row["n_chars"])
+        for row in docs.collect()
+    )
+
+
+def test_merge_on_read_pruned_read_applies_deletes(spark, tmp_path):
+    """Data skipping composes with MoR: a snapshot_read(where=...) over
+    a table with pending deletes both prunes files AND hides superseded
+    row versions."""
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        merge_on_read,
+        snapshot_read,
+        snapshot_scan_plan,
+    )
+
+    root = str(tmp_path / "t")
+    docs = _clustered_docs(spark, root)
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    cut = ids[len(ids) // 10]
+    u = docs.filter(F.col("doc_id") <= cut).withColumn(
+        "n_chars", F.lit(-1).cast("long")
+    )
+    merge_on_read(spark, root, u, "doc_id")
+
+    where = [("doc_id", "<=", cut)]
+    plan = snapshot_scan_plan(spark, root, where=where)
+    assert plan["skipped"] > 0 and plan["delete_files"] >= 1
+    got = {
+        row["doc_id"]: row["n_chars"]
+        for row in snapshot_read(spark, root, where=where).collect()
+    }
+    want = {i: -1 for i in ids if i <= cut}
+    assert got == want
+
+
+def test_checkpoint_rollback_preserve_mor_state(spark, tmp_path):
+    """checkpoint_manifest and rollback carry seqs + deletes: a
+    checkpointed chain reads identically, and rolling back PAST a merge
+    restores the pre-merge rows."""
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        checkpoint_manifest,
+        merge_on_read,
+        read_manifest,
+        rollback,
+        snapshot_read,
+    )
+
+    root = str(tmp_path / "t")
+    docs = _clustered_docs(spark, root)
+    u = docs.limit(25).withColumn("n_chars", F.lit(-1).cast("long"))
+    merge_on_read(spark, root, u, "doc_id")
+    want = {
+        row["doc_id"]: row["n_chars"]
+        for row in snapshot_read(spark, root).collect()
+    }
+
+    g = checkpoint_manifest(spark, root)
+    assert g is not None
+    man = read_manifest(spark, root, g)
+    assert man["deletes"] and man["seqs"]
+    got = {
+        row["doc_id"]: row["n_chars"]
+        for row in snapshot_read(spark, root, g).collect()
+    }
+    assert got == want
+
+    rollback(spark, root, 1)  # past the merge: original table
+    back = {
+        row["doc_id"]: row["n_chars"]
+        for row in snapshot_read(spark, root).collect()
+    }
+    orig = {row["doc_id"]: row["n_chars"] for row in docs.collect()}
+    assert back == orig
+
+
+def test_compaction_with_pending_deletes_stays_exact(spark, tmp_path):
+    """compact_partitions_versioned over a table with pending deletes
+    materializes them for the rewritten partitions (new files get the
+    committed generation as their sequence) while the carried deletes
+    keep applying to untouched partitions — read-back identical before
+    and after."""
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        compact_partitions_versioned,
+        init_manifest,
+        merge_on_read,
+        read_manifest,
+        snapshot_read,
+    )
+    from tagminder_spark.session import load_table
+
+    root = str(tmp_path / "t")
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    en = docs.filter(F.col("lang") == "en").repartition(12)
+    rest = docs.filter(F.col("lang") != "en").coalesce(1)
+    en.write.mode("append").partitionBy("lang").parquet(root)
+    rest.write.mode("append").partitionBy("lang").parquet(root)
+    init_manifest(spark, root)
+
+    u = docs.limit(30).withColumn("n_chars", F.lit(-1).cast("long"))
+    merge_on_read(spark, root, u, "doc_id", partition_col="lang")
+    before = sorted(
+        (r["doc_id"], r["n_chars"])
+        for r in snapshot_read(spark, root).collect()
+    )
+
+    compact_partitions_versioned(
+        spark, root, "lang", ["en"], target_bytes=8 << 20,
+        order_col="doc_id",
+    )
+    man = read_manifest(spark, root)
+    assert man["deletes"], "deletes must be carried for untouched files"
+    # compacted outputs got the committed generation as their seq
+    new_seqs = {
+        man["seqs"].get(rel, 0) for rel, _ in man["files"]
+        if rel.startswith("lang=en/")
+    }
+    assert max(new_seqs) == man["generation"]
+    after = sorted(
+        (r["doc_id"], r["n_chars"])
+        for r in snapshot_read(spark, root).collect()
+    )
+    assert after == before
+
+
+def test_expire_reclaims_retired_delete_files(spark, tmp_path):
+    """Delete files are first-class for retention: referenced by a
+    retained generation → kept; referenced only by expired generations
+    → reclaimed with them."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        expire_snapshots,
+        materialize_deletes,
+        merge_on_read,
+        read_manifest,
+        snapshot_read,
+    )
+
+    root = str(tmp_path / "t")
+    docs = _clustered_docs(spark, root)
+    u = docs.limit(15).withColumn("n_chars", F.lit(-1).cast("long"))
+    merge_on_read(spark, root, u, "doc_id")
+    man = read_manifest(spark, root)
+    del_rel = man["deletes"][0][0]
+    assert os.path.exists(os.path.join(root, del_rel))
+
+    # while the MoR generation is retained, the delete file survives
+    rep = expire_snapshots(spark, root, keep_last=1)
+    assert del_rel not in rep["removed_files"]
+    assert os.path.exists(os.path.join(root, del_rel))
+
+    materialize_deletes(spark, root)
+    rep2 = expire_snapshots(spark, root, keep_last=1)
+    assert del_rel in rep2["removed_files"]
+    assert not os.path.exists(os.path.join(root, del_rel))
+    # table still reads exact after full reclamation
+    got = {
+        row["doc_id"]: row["n_chars"]
+        for row in snapshot_read(spark, root).collect()
+    }
+    updated = {r["doc_id"] for r in u.collect()}
+    for row in docs.collect():
+        want = -1 if row["doc_id"] in updated else row["n_chars"]
+        assert got[row["doc_id"]] == want
