@@ -277,6 +277,14 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
             [("start_ms", "num"), ("end_ms", "num"), ("n_bytes", "num"),
              ("sample_sum", "num")],
         ),
+        # round 10: REAL FLAC decode (pure python+numpy: Rice/LPC/
+        # escape subframes, CRC-8/16, PCM MD5) — lossless, so the WAV
+        # gate's integer oracle replays it exactly
+        "mm_real_flac_chunks": (
+            ["media_id", "chunk_idx"],
+            [("start_ms", "num"), ("end_ms", "num"), ("n_bytes", "num"),
+             ("sample_sum", "num")],
+        ),
         # round 5: the audio leg — overlapping-window chunking with
         # byte-exact (base64) chunk payloads
         "mm_audio_chunks": (

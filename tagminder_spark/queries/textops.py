@@ -763,6 +763,123 @@ def mm_real_wav_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the REAL FLAC decode path, oracle-gated (round 10): the WAV gate's
+# integer sample formula, losslessly compressed — the oracle is the
+# SAME window/sum replay, so a single reconstructed sample anywhere in
+# the Rice/LPC/stereo pipeline fails the hash.  Per-doc the encoder
+# pins a different subframe family (fixed/verbatim/LPC/escape) and a
+# small blocksize forces multi-frame streams.
+_MM_FLAC_SQL = """
+WITH d AS (
+  SELECT doc_id, 4000 + (doc_id % 3) * 2000 AS rate, 30 + doc_id % 50 AS n
+  FROM documents
+), dd AS (
+  SELECT doc_id, rate, n, (n * 1000 + rate - 1) // rate AS dur FROM d
+), ch AS (
+  SELECT doc_id, rate, n, dur, s.generate_series AS start_ms
+  FROM dd, generate_series(0, 30, 5) AS s
+  WHERE s.generate_series < dur
+), cb AS (
+  SELECT doc_id, rate, n, start_ms,
+         start_ms // 5 AS chunk_idx,
+         LEAST(start_ms + 8, dur) AS end_ms,
+         (start_ms * rate) // 1000 AS f0,
+         LEAST((LEAST(start_ms + 8, dur) * rate + 999) // 1000, n) AS f1
+  FROM ch
+), fr AS (
+  SELECT cb.doc_id, cb.chunk_idx, cb.start_ms, cb.end_ms,
+         i.generate_series AS i
+  FROM cb, generate_series(0, 79) AS i
+  WHERE i.generate_series >= cb.f0 AND i.generate_series < cb.f1
+)
+SELECT doc_id AS media_id,
+       CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(MIN(start_ms) AS BIGINT) AS start_ms,
+       CAST(MIN(end_ms) AS BIGINT) AS end_ms,
+       CAST(COUNT(*) * 2 AS BIGINT) AS n_bytes,
+       CAST(SUM((doc_id * 7 + i * 13) % 4096 - 2048) AS BIGINT) AS sample_sum
+FROM fr GROUP BY doc_id, chunk_idx
+"""
+
+
+@q("mm_real_flac_chunks", _MM_FLAC_SQL)
+def mm_real_flac_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC decode + sample-accurate chunking, value-checked: each
+    document synthesizes the SAME int16 signal as the WAV gate but
+    encodes it as genuine FLAC (``sources/flac.py`` — frames, Rice
+    residuals, CRC-8/16, PCM MD5), varying the subframe family per doc
+    (best-fixed / verbatim / order-2 LPC / escape partitions) with an
+    8-sample-per-ms-scale blocksize so every stream is multi-frame.
+    ``chunk_audio`` windows it through the codec-agnostic REAL path
+    (``decode_audio`` dispatches on the fLaC magic), and the oracle is
+    the identical integer replay as ``mm_real_wav_chunks`` — FLAC is
+    lossless, so ANY reconstruction error (a Rice parameter misread, a
+    predictor off-by-one, a CRC slip, a mid-frame boundary error)
+    changes a sample sum and fails the gate."""
+    from collections.abc import Iterator as _It
+
+    import numpy as np
+    import pandas as pd
+
+    from tagminder_spark.sources.flac import encode_flac
+    from tagminder_spark.sources.multimodal import (
+        MEDIA_SCHEMA,
+        chunk_audio,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def synth(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        forces = [None, "verbatim", "lpc", "escape"]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                did = int(r.media_id)
+                rate = 4000 + (did % 3) * 2000
+                n = 30 + did % 50
+                i = np.arange(n, dtype=np.int64)
+                s = ((did * 7 + i * 13) % 4096 - 2048).astype("<i2")
+                rows.append(
+                    {
+                        "media_id": did,
+                        "kind": "audio",
+                        "content": encode_flac(
+                            s, rate, blocksize=32,
+                            force=forces[did % 4],
+                        ),
+                        "meta": None,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "content", "meta"]
+            )
+
+    media = d.mapInPandas(synth, MEDIA_SCHEMA)
+    chunks = chunk_audio(media, window_ms=8, hop_ms=5)
+
+    def sums(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            out = pdf.copy()
+            out["n_bytes"] = out["chunk_bytes"].map(len)
+            out["sample_sum"] = out["chunk_bytes"].map(
+                lambda b: int(
+                    np.frombuffer(b, dtype="<i2").astype(np.int64).sum()
+                )
+            )
+            yield out[
+                ["media_id", "chunk_idx", "start_ms", "end_ms",
+                 "n_bytes", "sample_sum"]
+            ]
+
+    return chunks.mapInPandas(
+        sums,
+        "media_id long, chunk_idx int, start_ms long, end_ms long,"
+        " n_bytes long, sample_sum long",
+    )
+
+
 # resize twin: fake dims = 64 + (md5 bytes 0/1) % 192, payload =
 # md5(content || '224x224') digest (md5 over UTF-8 text == md5 over the
 # encoded binary content)

@@ -1,16 +1,18 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The column contract and Spark-side plumbing (schemas, Arrow batching,
-partitioning) are real and tested.  Decoding is REAL for the
-self-describing uncompressed formats stdlib+numpy can parse — binary
-PPM and uncompressed 24-bit BMP images (:func:`decode_ppm` /
-:func:`decode_bmp`), RIFF/WAVE PCM audio (:func:`decode_wav`, stdlib
-``wave``) — with genuine pixel/sample-accurate featurize, resize and
-chunking paths.  Compressed formats (JPEG/PNG/FLAC/MP4…) still need
-Pillow/ffmpeg, absent in this container: those import-tries raise
-``NotImplementedError`` from the real path and fall back to a
-deterministic fake so the distributed machinery is exercised end-to-end
-regardless of codec availability.
+partitioning) are real and tested.  Decoding is REAL for the formats
+stdlib+numpy can parse — binary PPM, uncompressed 24-bit BMP, 8-bit
+PNG (:func:`decode_png`, hand-rolled filters over stdlib zlib) and
+baseline JPEG (:mod:`tagminder_spark.sources.jpeg`) images; RIFF/WAVE
+PCM (:func:`decode_wav`, stdlib ``wave``) and FLAC
+(:mod:`tagminder_spark.sources.flac`, pure python+numpy, CRC/MD5
+verified) audio — with genuine pixel/sample-accurate featurize, resize
+and chunking paths.  The remaining compressed formats (progressive
+JPEG, MP3/Opus, MP4…) still need Pillow/ffmpeg, absent in this
+container: those import-tries raise ``NotImplementedError`` from the
+real path and fall back to a deterministic fake so the distributed
+machinery is exercised end-to-end regardless of codec availability.
 
 Design for 100 TB of media:
 - content stays a ``binary`` column read lazily (binaryFile source or
@@ -367,6 +369,24 @@ def decode_wav(content: bytes):
     return rate, nch, samples.reshape(-1, nch)
 
 
+def decode_audio(content: bytes):
+    """Codec-agnostic REAL audio decode: RIFF/WAVE PCM via
+    :func:`decode_wav`, FLAC via
+    :func:`tagminder_spark.sources.flac.decode_flac` (pure
+    python+numpy, CRC- and MD5-verified, lossless).  Same return
+    contract as ``decode_wav`` — (rate, n_channels, samples
+    ``(frames, channels)``) — so chunking/featurizing plumbing never
+    cares which container the bytes came in.  Raises ValueError for
+    anything else (MP3/Opus/… stay behind the documented seam)."""
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        return decode_wav(content)
+    if content[:4] == b"fLaC":
+        from tagminder_spark.sources.flac import decode_flac
+
+        return decode_flac(content)
+    raise ValueError("unsupported audio container")
+
+
 def encode_wav(samples, rate: int) -> bytes:
     """REAL RIFF/WAVE PCM encoder (stdlib ``wave``): int16 samples,
     shape (frames,) mono or (frames, channels) — pairs with
@@ -438,6 +458,23 @@ def make_wav(
         wf.setframerate(rate)
         wf.writeframes(samples.tobytes())
     return buf.getvalue()
+
+
+def make_flac(
+    duration_ms: int, rate: int = 8000, freq: float = 440.0, seed: int = 0
+) -> bytes:
+    """Deterministic REAL mono 16-bit FLAC (same sine+seed-phase signal
+    as :func:`make_wav`, losslessly compressed) — valid input for the
+    genuine compressed-audio decode path."""
+    import numpy as np
+
+    from tagminder_spark.sources.flac import encode_flac
+
+    n = max(1, duration_ms * rate // 1000)
+    phase = (hashlib.md5(str(seed).encode()).digest()[0] / 255.0) * 2 * np.pi
+    t = np.arange(n, dtype=np.float64) / rate
+    samples = (np.sin(2 * np.pi * freq * t + phase) * 20000).astype("<i2")
+    return encode_flac(samples, rate)
 
 
 def _fake_dims(content: bytes) -> tuple[int, int]:
@@ -544,11 +581,12 @@ def chunk_audio(
     output row per (window_ms) chunk advanced by hop_ms, with the raw
     chunk bytes carried through Arrow.
 
-    REAL path (runs in this container): RIFF/WAVE PCM decodes via the
-    stdlib ``wave`` module (:func:`decode_wav`) and windows are
+    REAL path (runs in this container): RIFF/WAVE PCM and FLAC decode
+    via :func:`decode_audio` (stdlib ``wave`` /
+    :mod:`~tagminder_spark.sources.flac`) and windows are
     SAMPLE-ACCURATE — frame range [start_ms·rate/1000,
     ceil(end_ms·rate/1000)), chunk bytes = the raw PCM of exactly those
-    frames.  Compressed formats (FLAC/MP3/…) would need
+    frames.  Remaining compressed formats (MP3/Opus/…) would need
     soundfile/librosa and fall through to the fake. Fake path
     (deterministic, oracle-replayable): duration_ms = len(content) *
     ``ms_per_byte`` and a chunk's bytes are the proportional byte range
@@ -575,7 +613,7 @@ def chunk_audio(
             for r in pdf.itertuples():
                 content = bytes(r.content or b"")
                 try:
-                    rate, nch, samples = decode_wav(content)
+                    rate, nch, samples = decode_audio(content)
                     n_frames = samples.shape[0]
                     # ceiling, not floor: when n_frames*1000 % rate != 0
                     # a floored duration would orphan the trailing

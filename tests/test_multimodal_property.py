@@ -142,3 +142,109 @@ def test_jpeg_routes_through_generic_image_decode():
     w, h, rgb = _decode_image_real(encode_jpeg(img, quant=16))
     assert (w, h) == (16, 8)
     assert np.array_equal(rgb[:, :, 0], img)
+
+
+# ---------------------------------------------------------------------------
+# FLAC (sources/flac.py) — lossless, so every property is bit-exact
+
+
+@given(
+    n=st.integers(1, 3000),
+    seed=st.integers(0, 2**31 - 1),
+    blocksize=st.sampled_from([192, 256, 576, 1024]),
+    force=st.sampled_from([None, "verbatim", "lpc", "escape"]),
+)
+@settings(max_examples=40, deadline=None)
+def test_flac_mono_roundtrip_property(n, seed, blocksize, force):
+    from tagminder_spark.sources.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(seed)
+    x = rng.integers(-32768, 32768, n).astype(np.int16)
+    rate, nch, s = decode_flac(
+        encode_flac(x, 8000, blocksize=blocksize, force=force)
+    )
+    assert (rate, nch) == (8000, 1)
+    assert np.array_equal(s[:, 0], x)
+
+
+@given(
+    n=st.integers(2, 1500),
+    seed=st.integers(0, 2**31 - 1),
+    stereo=st.sampled_from(
+        ["independent", "mid-side", "left-side", "right-side"]
+    ),
+)
+@settings(max_examples=30, deadline=None)
+def test_flac_stereo_decorrelation_roundtrip(n, seed, stereo):
+    from tagminder_spark.sources.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(seed)
+    x = rng.integers(-32768, 32768, (n, 2)).astype(np.int16)
+    _, nch, s = decode_flac(
+        encode_flac(x, 44100, blocksize=256, stereo=stereo)
+    )
+    assert nch == 2
+    assert np.array_equal(s, x)
+
+
+def test_flac_wasted_bits_and_constant_paths():
+    from tagminder_spark.sources.flac import decode_flac, encode_flac
+
+    # every sample has >=3 trailing zero bits -> wasted-bits encoding
+    x = (np.arange(-400, 400, dtype=np.int16) * 8).astype(np.int16)
+    _, _, s = decode_flac(encode_flac(x, 8000, blocksize=192))
+    assert np.array_equal(s[:, 0], x)
+    # constant subframes (incl. int16 extremes)
+    for v in (0, 1, -1, 32767, -32768):
+        c = np.full(500, v, np.int16)
+        _, _, s = decode_flac(encode_flac(c, 8000, blocksize=192))
+        assert np.array_equal(s[:, 0], c)
+
+
+def test_flac_crc_and_md5_tamper_rejected():
+    import pytest as _pytest
+
+    from tagminder_spark.sources.flac import decode_flac, encode_flac
+
+    x = (np.sin(np.arange(2000) / 7.0) * 9000).astype(np.int16)
+    good = encode_flac(x, 8000, blocksize=512)
+    # flip one bit in a frame body -> CRC-16 (or header CRC-8) fails
+    bad = bytearray(good)
+    bad[len(bad) // 2] ^= 0x10
+    with _pytest.raises(ValueError):
+        decode_flac(bytes(bad))
+    # garbage and truncation
+    with _pytest.raises(ValueError):
+        decode_flac(b"not flac at all")
+    with _pytest.raises(ValueError):
+        decode_flac(good[: len(good) // 2])
+
+
+def test_flac_streaminfo_metadata_only():
+    from tagminder_spark.sources.flac import encode_flac, flac_streaminfo
+
+    x = np.zeros((1234, 2), np.int16)
+    info = flac_streaminfo(encode_flac(x, 48000, blocksize=576))
+    assert info["rate"] == 48000
+    assert info["channels"] == 2
+    assert info["bps"] == 16
+    assert info["total_samples"] == 1234
+    assert info["min_blocksize"] == info["max_blocksize"] == 576
+
+
+def test_decode_audio_dispatch_wav_flac_equal():
+    """The codec-agnostic dispatcher: the same PCM through WAV and FLAC
+    containers decodes to identical samples; unknown containers raise
+    (→ chunk_audio's documented fake path)."""
+    import pytest as _pytest
+
+    from tagminder_spark.sources.flac import encode_flac
+    from tagminder_spark.sources.multimodal import decode_audio, encode_wav
+
+    x = ((np.arange(777) * 131) % 4096 - 2048).astype(np.int16)
+    rw, cw, sw = decode_audio(encode_wav(x, 8000))
+    rf, cf, sf_ = decode_audio(encode_flac(x, 8000, blocksize=192))
+    assert (rw, cw) == (rf, cf) == (8000, 1)
+    assert np.array_equal(sw, sf_)
+    with _pytest.raises(ValueError):
+        decode_audio(b"\x00\x01\x02\x03 definitely not audio")
