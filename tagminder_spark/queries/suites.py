@@ -294,6 +294,13 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
         "mm_video_frames": (
             ["media_id", "frame_idx"], [("frame_b64", "str")],
         ),
+        # round 10: REAL MP4 sample-table resolution (ISO-BMFF box walk,
+        # stts/stsz/stsc/stco/stss) — frame bytes sliced from mdat,
+        # byte-exact vs the oracle's payload formula
+        "mm_real_mp4_frames": (
+            ["media_id", "frame_idx"],
+            [("n_bytes", "num"), ("frame_b64", "str")],
+        ),
         "mm_image_resize": (
             ["media_id"],
             [("width", "num"), ("height", "num"), ("target_w", "num"),

@@ -880,6 +880,94 @@ def mm_real_flac_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the REAL MP4 sample-table path, oracle-gated (round 10): each doc
+# muxes a spec-valid MP4 (multi-chunk stsc, per-sample stsz, stss sync
+# marks) whose sample payloads are an md5 formula; frame-sampling
+# resolves the table structurally and slices exact codec bytes out of
+# mdat, and DuckDB replays both the tick→sample selection (uniform
+# 100 ms deltas, 250 ms ticks) and the payload bytes.  A one-byte
+# offset error anywhere in stts/stsc/stco resolution changes a frame's
+# base64 and fails the gate.
+_MM_MP4_SQL = """
+WITH d AS (SELECT doc_id, 3 + doc_id % 7 AS n FROM documents),
+f AS (
+  SELECT doc_id, n, s.generate_series AS i
+  FROM d, generate_series(0, 10) AS s
+  WHERE s.generate_series * 250 <= (n - 1) * 100
+), sel AS (
+  SELECT doc_id, i, (i * 5) // 2 AS j FROM f
+)
+SELECT doc_id AS media_id,
+       CAST(i AS INT) AS frame_idx,
+       CAST(16 * (1 + j % 3) AS BIGINT) AS n_bytes,
+       to_base64(repeat(unhex(md5(doc_id || ':' || j)), 1 + j % 3))
+         AS frame_b64
+FROM sel
+"""
+
+
+@q("mm_real_mp4_frames", _MM_MP4_SQL)
+def mm_real_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4 frame-sampling, value-checked end to end: each document
+    muxes a genuine ISO-BMFF file (``sources/mp4.py`` fixture muxer —
+    ftyp + mdat + full moov sample table; chunks of 2 and 3 samples so
+    stsc/stco resolution is non-trivial), ``sample_video_frames``
+    resolves the sample table STRUCTURALLY (no codec) and emits the
+    exact mdat byte range of the last sample at-or-before each 250 ms
+    tick, and the oracle replays the tick→sample math and the payload
+    formula.  Codec decode of the extracted bytes remains the
+    documented pyav seam — at 100 TB the sample table IS the plan
+    (which byte ranges to fetch); this gate pins that plan exactly."""
+    import hashlib as _hl
+    from collections.abc import Iterator as _It
+
+    import pandas as pd
+
+    from tagminder_spark.sources.mp4 import make_mp4
+    from tagminder_spark.sources.multimodal import (
+        MEDIA_SCHEMA,
+        sample_video_frames,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def synth(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                did = int(r.media_id)
+                n = 3 + did % 7
+                payloads = [
+                    _hl.md5(f"{did}:{j}".encode()).digest() * (1 + j % 3)
+                    for j in range(n)
+                ]
+                rows.append(
+                    {
+                        "media_id": did,
+                        "kind": "video",
+                        "content": make_mp4(
+                            payloads, fps=10, timescale=1000,
+                            chunk_sizes=(2, 3),
+                        ),
+                        "meta": None,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "content", "meta"]
+            )
+
+    media = d.mapInPandas(synth, MEDIA_SCHEMA)
+    frames = sample_video_frames(media, every_ms=250)
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.length("frame_png").cast("long").alias("n_bytes"),
+        F.base64("frame_png").alias("frame_b64"),
+    )
+
+
 # resize twin: fake dims = 64 + (md5 bytes 0/1) % 192, payload =
 # md5(content || '224x224') digest (md5 over UTF-8 text == md5 over the
 # encoded binary content)

@@ -532,18 +532,55 @@ def decode_and_featurize_images(media: DataFrame, dim: int = 8) -> DataFrame:
 
 
 def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Frame-sampling plumbing: one output row per sampled frame.
+    """Frame-sampling: one output row per sampled frame.
 
-    Real decode requires ffmpeg/pyav (NotImplementedError); the fake emits
-    one deterministic pseudo-frame per second of reported duration so the
-    fan-out shape (1 row in → N rows out) is exercised.
-    """
+    REAL path (runs in this container): ISO-BMFF/MP4 content resolves
+    its sample table structurally
+    (:func:`tagminder_spark.sources.mp4.mp4_sample_table` —
+    stts/stsz/stsc/stco/stss exactly as a demuxer would), one sample is
+    selected per ``every_ms`` (the last sample at-or-before each tick),
+    and the row carries that sample's exact codec bytes sliced from
+    ``mdat`` — the byte-range plan a distributed frame-sampler issues
+    against object storage.  Decoding those bytes to pixels is the
+    remaining pyav seam.  Fake path (non-MP4 bytes): one deterministic
+    pseudo-frame per second of reported duration, preserving the
+    fan-out shape."""
     import pandas as pd
+
+    from tagminder_spark.sources.mp4 import (
+        extract_sample,
+        mp4_sample_table,
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples():
+                content = bytes(getattr(r, "content", None) or b"")
+                try:
+                    table = mp4_sample_table(content)
+                    dur = table[-1][2] + 1 if table else 0
+                    i = 0
+                    t = 0
+                    while t < dur and i < 100:
+                        # last sample at-or-before the tick
+                        j = max(
+                            k for k, s in enumerate(table) if s[2] <= t
+                        )
+                        rows.append(
+                            {
+                                "media_id": r.media_id,
+                                "frame_idx": i,
+                                "frame_png": extract_sample(
+                                    content, table[j]
+                                ),
+                            }
+                        )
+                        i += 1
+                        t += every_ms
+                    continue
+                except ValueError:
+                    pass  # not MP4 (or malformed) → deterministic fake
                 duration = (r.meta or {}).get("duration_ms") or 0
                 n = max(1, int(duration // every_ms))
                 for i in range(min(n, 100)):

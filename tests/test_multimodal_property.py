@@ -248,3 +248,116 @@ def test_decode_audio_dispatch_wav_flac_equal():
     assert np.array_equal(sw, sf_)
     with _pytest.raises(ValueError):
         decode_audio(b"\x00\x01\x02\x03 definitely not audio")
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF structural parsing (sources/mp4.py)
+
+
+@given(
+    n=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+    chunking=st.sampled_from([(1,), (2,), (2, 3), (5, 1, 2)]),
+    co64=st.booleans(),
+)
+@settings(max_examples=30, deadline=None)
+def test_mp4_sample_table_roundtrip_property(n, seed, chunking, co64):
+    """Mux → resolve → extract is byte-exact for arbitrary payload
+    sizes, chunk layouts and both chunk-offset box forms."""
+    import hashlib
+
+    from tagminder_spark.sources.mp4 import (
+        extract_sample,
+        make_mp4,
+        mp4_sample_table,
+    )
+
+    rng = np.random.default_rng(seed)
+    payloads = [
+        hashlib.md5(f"{seed}:{i}".encode()).digest()[: 1 + int(v)]
+        for i, v in enumerate(rng.integers(0, 16, n))
+    ]
+    b = make_mp4(payloads, fps=25, timescale=1000,
+                 chunk_sizes=chunking, use_co64=co64)
+    table = mp4_sample_table(b)
+    assert len(table) == n
+    for i, entry in enumerate(table):
+        assert extract_sample(b, entry) == payloads[i]
+    # uniform 40 ms deltas at fps=25
+    assert [e[2] for e in table] == [i * 40 for i in range(n)]
+
+
+def test_mp4_parse_metadata_and_sync_flags():
+    from tagminder_spark.sources.mp4 import (
+        make_mp4,
+        mp4_sample_table,
+        parse_mp4,
+    )
+
+    payloads = [bytes([i]) * (4 + i) for i in range(9)]
+    b = make_mp4(payloads, fps=10, width=320, height=240,
+                 codec=b"avc1", sync_every=4)
+    info = parse_mp4(b)
+    assert info["brand"] == "isom"
+    t = info["tracks"][0]
+    assert (t["handler"], t["codec"]) == ("vide", "avc1")
+    assert (t["width"], t["height"]) == (320, 240)
+    assert t["n_samples"] == 9
+    assert info["duration_ms"] == 900
+    keys = [e[3] for e in mp4_sample_table(b)]
+    assert keys == [i % 4 == 0 for i in range(9)]
+
+
+def test_mp4_garbage_and_truncation_rejected():
+    import random
+
+    import pytest as _pytest
+
+    from tagminder_spark.sources.mp4 import (
+        make_mp4,
+        mp4_sample_table,
+        parse_mp4,
+    )
+
+    random.seed(1)
+    for _ in range(100):
+        junk = bytes(
+            random.getrandbits(8) for _ in range(random.randint(0, 256))
+        )
+        with _pytest.raises(ValueError):
+            mp4_sample_table(junk)
+    good = make_mp4([b"abc", b"defg"], fps=5)
+    with _pytest.raises(ValueError):
+        parse_mp4(good[: len(good) // 3])
+
+
+def test_sample_video_frames_real_vs_fake_dispatch(spark):
+    """Real MP4 content yields exact mdat sample bytes; non-MP4 bytes
+    fall to the deterministic md5 fake — same schema, same fan-out."""
+    import hashlib
+
+    from tagminder_spark.sources.mp4 import make_mp4
+    from tagminder_spark.sources.multimodal import sample_video_frames
+
+    payloads = [hashlib.md5(f"p{i}".encode()).digest() for i in range(6)]
+    mp4 = make_mp4(payloads, fps=10, timescale=1000)  # 100ms deltas
+    rows = [
+        (1, "video", bytearray(mp4), ("video/mp4", None, None, 600)),
+        (2, "video", bytearray(b"not an mp4"),
+         ("video/mp4", None, None, 2000)),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, content binary, "
+              "meta struct<mime:string,width:int,height:int,"
+              "duration_ms:long>"
+    )
+    out = {
+        (r["media_id"], r["frame_idx"]): bytes(r["frame_png"])
+        for r in sample_video_frames(media, every_ms=200).collect()
+    }
+    # real: ticks 0,200,400 -> samples 0,2,4
+    for i, j in enumerate((0, 2, 4)):
+        assert out[(1, i)] == payloads[j]
+    # fake: duration 2000 -> 2 pseudo-frames of md5(media_id:i)
+    for i in range(2):
+        assert out[(2, i)] == hashlib.md5(f"2:{i}".encode()).digest()
