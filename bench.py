@@ -111,6 +111,16 @@ EXTRA = [
     # merge premium over an unversioned write) tracks the touched-file
     # count, not the table size (all disk IO inside the query)
     "cur_merge_cow",
+    # round 10: merge-on-read MERGE — same update set, but committed as
+    # data adds + an equality-delete file (zero rewrites) and then
+    # materialized; the pair (cur_merge_cow, cur_merge_mor) measures
+    # the write-now vs pay-at-read trade directly
+    "cur_merge_mor",
+    # round 10: real FLAC decode + sample-accurate chunking and real
+    # MP4 sample-table frame extraction (codec fixtures synthesized
+    # in-query)
+    "mm_real_flac_chunks",
+    "mm_real_mp4_frames",
 ]
 
 
