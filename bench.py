@@ -124,6 +124,33 @@ EXTRA = [
 ]
 
 
+def _calibrate() -> dict:
+    """Host-speed calibration embedded in the artifact (round 10): the
+    sandbox VM's effective CPU speed varies BOOT TO BOOT (shared
+    hypervisor), which loadavg cannot express — an idle run on a slow
+    boot reads as a regression.  Two ~1 s single-process probes give
+    cross-round numbers to normalize by: a BLAS matmul (the numpy/Arrow
+    path) and a pure-python md5 loop (the bytecode path)."""
+    import hashlib
+
+    import numpy as np
+
+    a = np.random.default_rng(0).random((2000, 2000))
+    t0 = time.perf_counter()
+    float((a @ a).sum())
+    t_blas = time.perf_counter() - t0
+    block = b"x" * (1 << 20)
+    t0 = time.perf_counter()
+    h = hashlib.md5()
+    for _ in range(256):
+        h.update(block)
+    t_hash = time.perf_counter() - t0
+    return {
+        "matmul_2k_sec": round(t_blas, 3),
+        "md5_256mb_sec": round(t_hash, 3),
+    }
+
+
 def _run_once(spark, qs, name: str, sf_dir: str) -> float:
     t0 = time.perf_counter()
     df = qs[name](spark, sf_dir)
@@ -160,6 +187,7 @@ def main() -> None:
     qs = entry.queries()
 
     load_before = os.getloadavg()
+    calibration = _calibrate()
 
     # Warm the JVM + file listing once with a trivial action.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
@@ -193,6 +221,7 @@ def main() -> None:
                 "passes": passes,
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in load_after],
+                "calibration": calibration,
                 "cpus": os.cpu_count(),
             }
         )

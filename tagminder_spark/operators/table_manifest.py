@@ -931,19 +931,32 @@ def init_manifest(
     )
 
 
+def _partition_spec(rel: str) -> tuple:
+    """The partition SPEC of one file: the ordered tuple of ``k=v``
+    directory keys on its path.  Distinct specs under one table are
+    partition-spec EVOLUTION (an append switched ``partitionBy``):
+    Spark's directory-partition inference needs a consistent scheme per
+    scan, so readers group files by spec — Iceberg's per-entry spec-id
+    in miniature."""
+    return tuple(sorted(_partition_values(rel)))
+
+
 def _delete_mask_groups(
     entries: list, seqs: dict, deletes: list
 ) -> dict[tuple, list]:
-    """Group data-file entries by WHICH equality-delete files apply to
-    them (a delete at seq D applies to files with seq < D).  Two files
-    between the same pair of delete seqs behave identically, so the
-    group count is bounded by ``len(deletes) + 1`` — the
-    materialization cadence — never by the number of commits."""
+    """Group data-file entries by (partition spec, WHICH equality-delete
+    files apply) — a delete at seq D applies to files with seq < D.
+    Two files under the same spec and between the same pair of delete
+    seqs behave identically, so the group count is bounded by
+    ``specs × (len(deletes) + 1)`` — the spec-evolution and
+    materialization cadences — never by the number of commits."""
     groups: dict[tuple, list] = {}
     for rel, sz in entries:
         fseq = seqs.get(rel, 0)
         mask = tuple(d[1] > fseq for d in deletes)
-        groups.setdefault(mask, []).append([rel, sz])
+        groups.setdefault((_partition_spec(rel), mask), []).append(
+            [rel, sz]
+        )
     return groups
 
 
@@ -957,12 +970,20 @@ def _read_entries_with_deletes(
     merge_schema: bool = False,
 ) -> DataFrame:
     """Plan ``entries`` as an explicit file list with the manifest's
-    equality-delete files APPLIED (Iceberg merge-on-read, read side):
-    each mask group is one parquet scan anti-joined against the union
-    of its applicable delete-key files — the delete side is small by
-    the MoR premise (it is the update batch), so every anti-join is a
-    broadcast hash join; no shuffle is added to the data side."""
+    equality-delete files APPLIED (Iceberg merge-on-read, read side)
+    and partition-spec EVOLUTION resolved: files are grouped by
+    (partition spec, applicable-delete mask); each group is one
+    parquet scan — so Spark's directory-partition inference always
+    sees a consistent scheme — anti-joined against the union of its
+    applicable delete-key files (small by the MoR premise: it is the
+    update batch, so every anti-join is a broadcast hash join; no
+    shuffle is added to the data side).  Groups union by name; a
+    partition column one spec lacks reads as NULL there, exactly
+    Iceberg's null-for-absent-spec-field semantics."""
+    if not entries:
+        raise ValueError("no data files to plan")
     deletes = man.get("deletes") or []
+    groups = _delete_mask_groups(entries, man.get("seqs") or {}, deletes)
 
     def _plain(ents: list) -> DataFrame:
         reader = spark.read.option("basePath", base)
@@ -970,12 +991,11 @@ def _read_entries_with_deletes(
             reader = reader.option("mergeSchema", "true")
         return reader.parquet(*[fs.join(base, rel) for rel, _ in ents])
 
-    if not deletes:
+    if len(groups) == 1 and not deletes:
         return _plain(entries)
-    groups = _delete_mask_groups(entries, man.get("seqs") or {}, deletes)
     parts: list[DataFrame] = []
-    for mask in sorted(groups):
-        df_g = _plain(groups[mask])
+    for spec, mask in sorted(groups):
+        df_g = _plain(groups[(spec, mask)])
         applicable = [d for d, hit in zip(deletes, mask) if hit]
         by_key: dict[str, list[str]] = {}
         for rel, _seq, keycol in applicable:
@@ -987,8 +1007,11 @@ def _read_entries_with_deletes(
             df_g = df_g.join(F.broadcast(kdf), keycol, "left_anti")
         parts.append(df_g)
     out = parts[0]
+    multi_spec = len({spec for spec, _ in groups}) > 1
     for p in parts[1:]:
-        out = out.unionByName(p, allowMissingColumns=merge_schema)
+        out = out.unionByName(
+            p, allowMissingColumns=merge_schema or multi_spec
+        )
     return out
 
 
@@ -1019,7 +1042,10 @@ def snapshot_read(
     Tables with pending merge-on-read state (:func:`merge_on_read`)
     come back with their equality-delete files applied — broadcast
     anti-joins per mask group (:func:`_read_entries_with_deletes`), so
-    a reader never sees a superseded row version."""
+    a reader never sees a superseded row version.  Tables whose
+    appends EVOLVED the partition spec (a later batch used a different
+    ``partitionBy``) read correctly too: files group per spec and a
+    partition column one spec lacks comes back NULL for its rows."""
     man = read_manifest(spark, root, gen, force_hadoop=force_hadoop)
     fs, base = table_fs(spark, root, force_hadoop)
     entries = man["files"]

@@ -2181,3 +2181,103 @@ def test_expire_reclaims_retired_delete_files(spark, tmp_path):
     for row in docs.collect():
         want = -1 if row["doc_id"] in updated else row["n_chars"]
         assert got[row["doc_id"]] == want
+
+
+# ---------------------------------------------------------------------------
+# partition-spec evolution — round 10
+
+
+def test_partition_spec_evolution_read_and_prune(spark, tmp_path):
+    """An append that switches partitionBy evolves the table's
+    partition spec: readers group files per spec (Spark's directory
+    inference always sees a consistent scheme), union by name with
+    NULL for a partition column a spec lacks, and data skipping keeps
+    pruning per file.  Iceberg's spec-id semantics in miniature."""
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        append_files,
+        init_manifest,
+        snapshot_read,
+        snapshot_scan_plan,
+    )
+    from tagminder_spark.session import load_table
+
+    root = str(tmp_path / "t")
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    # generation 1: partitioned by lang (lang lives in the path)
+    old.drop("source").write.mode("append").partitionBy("lang").parquet(
+        root
+    )
+    init_manifest(spark, root)
+    # spec evolution: next batch partitions by source instead
+    append_files(
+        spark, new.drop("lang"), root, partition_col="source"
+    )
+
+    back = snapshot_read(spark, root)
+    assert set(back.columns) >= {"doc_id", "lang", "source"}
+    assert back.count() == docs.count()
+    # old-spec rows carry lang (from the path) and NULL source; the
+    # evolved spec the other way around
+    assert back.filter(
+        (F.col("doc_id") % 2 == 0) & F.col("lang").isNotNull()
+        & F.col("source").isNull()
+    ).count() == old.count()
+    assert back.filter(
+        (F.col("doc_id") % 2 == 1) & F.col("source").isNotNull()
+        & F.col("lang").isNull()
+    ).count() == new.count()
+
+    # partition-path pruning still works per spec: a lang predicate
+    # plans only old-spec files of that lang... plus nothing else
+    langs = [r["lang"] for r in old.select("lang").distinct().collect()]
+    where = [("lang", "=", langs[0])]
+    plan = snapshot_scan_plan(spark, root, where=where)
+    assert 0 < len(plan["files"]) < plan["scanned"]
+    got = snapshot_read(spark, root, where=where)
+    want = old.filter(F.col("lang") == langs[0]).count()
+    assert got.count() == want
+
+
+def test_spec_evolution_with_merge_on_read(spark, tmp_path):
+    """MoR deletes compose with spec evolution: groups are keyed by
+    (spec, delete mask), so a merge's delete hides old rows in BOTH
+    specs while the merge's own rows survive."""
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        append_files,
+        init_manifest,
+        merge_on_read,
+        snapshot_read,
+    )
+    from tagminder_spark.session import load_table
+
+    root = str(tmp_path / "t")
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    old.write.mode("append").partitionBy("lang").parquet(root)
+    init_manifest(spark, root)
+    append_files(spark, new, root, partition_col=None)  # spec change
+
+    updates = docs.limit(40).withColumn(
+        "n_chars", F.lit(-1).cast("long")
+    )
+    r = merge_on_read(spark, root, updates, "doc_id")
+    assert r["data_files_rewritten"] == 0
+    got = {
+        row["doc_id"]: row["n_chars"]
+        for row in snapshot_read(spark, root).collect()
+    }
+    updated = {row["doc_id"] for row in updates.collect()}
+    for row in docs.collect():
+        want = -1 if row["doc_id"] in updated else row["n_chars"]
+        assert got[row["doc_id"]] == want, row["doc_id"]
