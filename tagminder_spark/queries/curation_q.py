@@ -840,6 +840,76 @@ def t_stream_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("doc_id", F.col("lang").cast("string").alias("lang"))
 
 
+_STREAM_UPSERT_SQL = """
+SELECT doc_id, lang,
+       CASE WHEN doc_id % 5 = 0 THEN CAST(-1 AS BIGINT)
+            ELSE CAST(n_chars AS BIGINT) END AS n_chars
+FROM documents
+"""
+
+
+@q("t_stream_upsert", _STREAM_UPSERT_SQL)
+def t_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming UPSERT gate (round 10 — rides suite_curation): the
+    corpus flows through the manifest ingest loop in four micro-batches
+    — three disjoint initial slices, then a re-ingest of every 5th doc
+    with a changed value — with ``upsert_key="doc_id"``: each batch is
+    a merge-on-read commit (update rows + equality-delete file, zero
+    data files rewritten), the re-ingested keys supersede by commit
+    sequence, and the maintenance pass materializes the pending
+    deletes file-granularly.  The oracle replays latest-wins row by
+    row, so a sequencing error (an old version surviving, or a fresh
+    row hidden by an older delete) fails the hash.  The reference's
+    spool→upsert semantics (tags2db.py) as streaming manifest
+    commits."""
+    import tempfile
+    import time as _time
+
+    from tagminder_spark.operators.table_manifest import snapshot_read
+    from tagminder_spark.streaming.ingest import (
+        streaming_ingest_with_maintenance,
+    )
+
+    base = tempfile.mkdtemp(prefix="tm_streamupsert_")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    src = f"{base}/src"
+    table = f"{base}/table"
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _time.sleep(0.15)
+    (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("n_chars", F.lit(-1).cast("long"))
+        .coalesce(1).write.mode("append").parquet(src)
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    q_stream = streaming_ingest_with_maintenance(
+        stream, table,
+        partition_col="lang", maintenance_every=2,
+        target_bytes=4 << 20, min_files=4,
+        use_manifest=True, upsert_key="doc_id",
+    )
+    q_stream.processAllAvailable()
+    q_stream.stop()
+    if not any(
+        rep.get("materialized") for rep in q_stream.maintenance_reports
+    ):
+        raise AssertionError("maintenance never materialized deletes")
+    back = snapshot_read(spark, table)
+    return back.select(
+        "doc_id", F.col("lang").cast("string").alias("lang"), "n_chars"
+    )
+
+
 _MANIFEST_SQL = """
 SELECT doc_id, lang FROM documents
 """

@@ -440,6 +440,11 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
         ),
         "t_stream_maintain": (["doc_id"], [("lang", "str")]),
         "t_stream_manifest": (["doc_id"], [("lang", "str")]),
+        # round 10: streaming UPSERT via merge-on-read commits —
+        # latest-wins by commit sequence, maintenance materializes
+        "t_stream_upsert": (
+            ["doc_id"], [("lang", "str"), ("n_chars", "num")],
+        ),
         "cur_manifest_isolation": (["doc_id"], [("lang", "str")]),
         # round 9: manifest-level data skipping (per-file min/max stats
         # + driver-side file pruning in snapshot_read(where=...))

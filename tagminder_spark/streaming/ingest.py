@@ -371,6 +371,7 @@ def streaming_ingest_with_maintenance(
     target_bytes: int = 64 << 20,
     min_files: int = 8,
     use_manifest: bool = False,
+    upsert_key: str | None = None,
     expire_keep_last: int = 2,
     manifest_stats_cols: tuple[str, ...] | None = None,
     query_name: str = "ingest_maintain",
@@ -419,6 +420,20 @@ def streaming_ingest_with_maintenance(
     downstream ``snapshot_read(where=...)`` can data-skip on those
     columns from the first micro-batch on.
 
+    ``upsert_key`` (requires ``use_manifest``) turns the loop into a
+    streaming UPSERT: each micro-batch commits via
+    :func:`~tagminder_spark.operators.table_manifest.merge_on_read` —
+    update rows + an equality-delete file, O(|batch|) IO, zero data
+    files rewritten — so a key re-ingested in a LATER batch supersedes
+    the earlier version by commit sequence (the reference's
+    spool→upsert semantics, tags2db.py, as streaming manifest
+    commits).  Every maintenance pass first
+    ``materialize_deletes`` (file-granular, bounds-pruned) so the
+    read-side anti-join debt is folded on the maintenance cadence.
+    Keys duplicated WITHIN one batch are the caller's contract
+    (dropDuplicates upstream) — both rows share one commit sequence,
+    so neither supersedes the other.
+
     Returns the streaming query; ``q.maintenance_reports`` accumulates
     one planner/rewrite report per maintenance pass.
     """
@@ -432,9 +447,13 @@ def streaming_ingest_with_maintenance(
         checkpoint_manifest,
         compact_partitions_versioned,
         expire_snapshots,
+        materialize_deletes,
         plan_compaction_manifest,
         read_manifest,
     )
+
+    if upsert_key and not use_manifest:
+        raise ValueError("upsert_key requires use_manifest=True")
 
     reports: list = []
 
@@ -452,7 +471,26 @@ def streaming_ingest_with_maintenance(
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if batch_df.head(1):
-            if use_manifest:
+            if use_manifest and upsert_key:
+                from tagminder_spark.operators.table_manifest import (
+                    merge_on_read,
+                )
+
+                try:
+                    merge_on_read(
+                        spark, table_dir, batch_df, upsert_key,
+                        partition_col=partition_col,
+                        stats_cols=manifest_stats_cols,
+                    )
+                except FileNotFoundError:
+                    # first batch bootstraps the table — nothing to
+                    # merge into yet, a plain append IS the upsert
+                    append_files(
+                        spark, batch_df, table_dir,
+                        partition_col=partition_col,
+                        stats_cols=manifest_stats_cols,
+                    )
+            elif use_manifest:
                 append_files(
                     spark, batch_df, table_dir, partition_col=partition_col,
                     stats_cols=manifest_stats_cols,
@@ -470,6 +508,18 @@ def streaming_ingest_with_maintenance(
                 man = read_manifest(spark, table_dir)
             except FileNotFoundError:  # nothing committed yet
                 return
+            if upsert_key and man["deletes"]:
+                # fold the upserts' read-side anti-join debt back into
+                # the data files on the maintenance cadence (file-
+                # granular: bounds-pruned rewrite set)
+                mat = materialize_deletes(
+                    spark, table_dir, partition_col=partition_col,
+                    stats_cols=manifest_stats_cols,
+                )
+                mat["batch_id"] = batch_id
+                mat["materialized"] = True
+                reports.append(mat)
+                man = read_manifest(spark, table_dir)
             plan = plan_compaction_manifest(
                 man, target_bytes=target_bytes, min_files=min_files,
             )

@@ -797,3 +797,67 @@ def test_dedup_probe_fold_latest_version_wins(spark, tmp_path):
         for r in minhash_lsh_pairs(corpus, "doc_id", "text").collect()
     }
     assert got == want and (50, 51) in want
+
+
+def test_streaming_upsert_mode_latest_wins(spark, tmp_path):
+    """upsert_key turns the manifest ingest loop into a streaming
+    UPSERT: re-ingested keys supersede by commit sequence, maintenance
+    materializes the pending deletes, and the final snapshot is
+    latest-wins — with zero data files rewritten on the merge path."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        read_manifest,
+        snapshot_read,
+    )
+    from tagminder_spark.session import load_table
+    from tagminder_spark.streaming.ingest import (
+        streaming_ingest_with_maintenance,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    # batches 0-2: initial thirds; batch 3: re-ingest of a slice with a
+    # new value (written LAST so the file source orders it after)
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _time.sleep(0.1)
+    updated = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "n_chars", F.lit(-1).cast("long")
+    )
+    updated.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    q = streaming_ingest_with_maintenance(
+        stream, table,
+        partition_col="lang", maintenance_every=2,
+        target_bytes=4 << 20, min_files=4,
+        use_manifest=True, upsert_key="doc_id",
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r["doc_id"]: r["n_chars"]
+        for r in snapshot_read(spark, table).collect()
+    }
+    assert len(got) == docs.count()  # upsert: no duplicate keys
+    for row in docs.collect():
+        want = -1 if row["doc_id"] % 5 == 0 else row["n_chars"]
+        assert got[row["doc_id"]] == want, row["doc_id"]
+    # batch 3 (the merge) is a maintenance batch, so its pass
+    # materialized the pending delete and the final chain is clean
+    assert any(rep.get("materialized") for rep in q.maintenance_reports)
+    assert read_manifest(spark, table)["deletes"] == []

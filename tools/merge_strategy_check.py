@@ -47,7 +47,14 @@ from tagminder_spark.operators.table_manifest import (  # noqa: E402
 )
 from tagminder_spark.session import get_spark  # noqa: E402
 
-SIZES = [(200_000, 16), (800_000, 16), (3_200_000, 16)]
+#: (rows, files): file SIZE is held constant (~12.5k rows/file) so the
+#: table grows by adding files — the way a real table grows.  The
+#: update always touches the same absolute key range (the bottom
+#: 12,500 keys ≈ one file), so CoW's touched set is constant while
+#: full-rewrite's work grows with the table.
+SIZES = [(200_000, 16), (800_000, 64), (3_200_000, 256),
+         (12_800_000, 1024)]
+UPDATE_ROWS = 12_500
 REPS = 2
 
 
@@ -67,7 +74,7 @@ def _make_table(spark, root: str, rows: int, files: int) -> None:
 
 
 def _updates(spark, rows: int):
-    cut = rows // 16
+    cut = UPDATE_ROWS
     return spark.range(cut).select(
         F.col("id").alias("doc_id"),
         (F.col("id") % 7).cast("string").alias("lang"),
