@@ -789,9 +789,12 @@ def commit_manifest(
     gen = parent + 1
     mdir = _manifest_dir(fs, base)
     fs.mkdirs(mdir)
+    import time
+
     doc = {
         "generation": gen,
         "parent": parent,
+        "ts": round(time.time(), 3),
         "files": sorted([p, int(sz)] for p, sz in files),
     }
     names = {p for p, _ in files}
@@ -843,9 +846,12 @@ def commit_delta(
     gen = parent + 1
     mdir = _manifest_dir(fs, base)
     fs.mkdirs(mdir)
+    import time
+
     doc = {
         "generation": gen,
         "parent": parent,
+        "ts": round(time.time(), 3),
         "adds": sorted([p, int(sz)] for p, sz in adds),
         "removes": sorted(removes or []),
     }
@@ -1295,6 +1301,57 @@ def snapshot_read_merged(
     return df
 
 
+def generation_as_of(
+    spark: SparkSession | None,
+    root: str,
+    ts: float,
+    *,
+    force_hadoop: bool = False,
+) -> int:
+    """The newest generation committed at-or-before unix time ``ts`` —
+    Iceberg's ``FOR TIMESTAMP AS OF`` resolution.  Commit time comes
+    from the manifest doc's ``ts`` field (written at commit); manifests
+    from before that field existed fall back to the manifest FILE's
+    mtime (weaker: a copy/rsync can disturb it).  Raises if the table
+    has no generation that old."""
+    fs, base = table_fs(spark, root, force_hadoop)
+    gens = list_generations(spark, root, force_hadoop=force_hadoop)
+    best = None
+    for g in gens:
+        raw = _read_raw(spark, root, g, force_hadoop=force_hadoop)
+        committed = raw.get("ts")
+        if committed is None:
+            committed = fs.file_mtime(
+                fs.join(_manifest_dir(fs, base), _gen_name(g))
+            )
+        if committed <= ts:
+            best = g
+        else:
+            break  # generations commit in time order
+    if best is None:
+        raise ValueError(
+            f"no generation of {root!r} committed at or before {ts}"
+        )
+    return best
+
+
+def snapshot_as_of(
+    spark: SparkSession,
+    root: str,
+    ts: float,
+    *,
+    where: list[tuple] | None = None,
+    force_hadoop: bool = False,
+) -> DataFrame:
+    """Time travel: :func:`snapshot_read` pinned to the generation that
+    was current at unix time ``ts`` (``FOR TIMESTAMP AS OF``).  Subject
+    to retention — an expired generation cannot be read."""
+    gen = generation_as_of(spark, root, ts, force_hadoop=force_hadoop)
+    return snapshot_read(
+        spark, root, gen, where=where, force_hadoop=force_hadoop
+    )
+
+
 def rollback(
     spark: SparkSession | None,
     root: str,
@@ -1332,9 +1389,11 @@ def table_history(
     prev_files: set[str] = set()
     for g in list_generations(spark, root, force_hadoop=force_hadoop):
         man = read_manifest(spark, root, g, force_hadoop=force_hadoop)
+        raw = _read_raw(spark, root, g, force_hadoop=force_hadoop)
         cur = {rel for rel, _ in man["files"]}
         out.append({
             "generation": g,
+            "ts": raw.get("ts"),
             "parent": man.get("parent"),
             "files": len(cur),
             "bytes": sum(sz for _, sz in man["files"]),

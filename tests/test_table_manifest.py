@@ -2281,3 +2281,53 @@ def test_spec_evolution_with_merge_on_read(spark, tmp_path):
     for row in docs.collect():
         want = -1 if row["doc_id"] in updated else row["n_chars"]
         assert got[row["doc_id"]] == want, row["doc_id"]
+
+
+def test_snapshot_as_of_time_travel(spark, tmp_path):
+    """FOR TIMESTAMP AS OF: commits carry their wall time; resolution
+    picks the newest generation at-or-before the timestamp, before the
+    first commit raises, and the resolved read shows that generation's
+    rows."""
+    import time
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        append_files,
+        generation_as_of,
+        init_manifest,
+        snapshot_as_of,
+        table_history,
+    )
+    from tagminder_spark.session import load_table
+
+    root = str(tmp_path / "t")
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    before_any = time.time()
+    time.sleep(0.05)
+    docs.write.mode("append").partitionBy("lang").parquet(root)
+    init_manifest(spark, root)
+    time.sleep(0.05)
+    between = time.time()
+    time.sleep(0.05)
+    append_files(
+        spark,
+        docs.limit(7).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "lang"
+        ),
+        root, partition_col="lang",
+    )
+
+    assert generation_as_of(spark, root, between) == 1
+    assert generation_as_of(spark, root, time.time()) == 2
+    assert snapshot_as_of(spark, root, between).count() == docs.count()
+    assert (
+        snapshot_as_of(spark, root, time.time()).count()
+        == docs.count() + 7
+    )
+    with _pytest.raises(ValueError):
+        generation_as_of(spark, root, before_any)
+    hist = table_history(spark, root)
+    assert all(h["ts"] is not None for h in hist)
+    assert hist[0]["ts"] <= hist[1]["ts"]
