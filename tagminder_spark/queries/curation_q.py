@@ -840,6 +840,63 @@ def t_stream_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("doc_id", F.col("lang").cast("string").alias("lang"))
 
 
+_TIME_TRAVEL_SQL = """
+SELECT doc_id, lang FROM documents
+"""
+
+
+@q("cur_time_travel", _TIME_TRAVEL_SQL)
+def cur_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOR TIMESTAMP AS OF gate (round 10 — rides suite_curation):
+    commit the corpus, capture a wall-clock instant, then pile a
+    foreign append AND a merge-on-read mutation on top — and read the
+    table AS OF the captured instant.  The result must be exactly the
+    original corpus (the oracle pins it row-exact): timestamp
+    resolution picks the pre-mutation generation, and the pinned read
+    is immune to everything committed after it.  Also asserts the
+    resolved generation is strictly older than the current one."""
+    import tempfile
+    import time as _time
+
+    from tagminder_spark.operators.table_manifest import (
+        append_files,
+        generation_as_of,
+        init_manifest,
+        merge_on_read,
+        read_manifest,
+        snapshot_as_of,
+    )
+
+    base = tempfile.mkdtemp(prefix="tm_timetravel_")
+    root = f"{base}/t"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    docs.write.mode("append").partitionBy("lang").parquet(root)
+    init_manifest(spark, root)
+    _time.sleep(0.05)
+    pinned_ts = _time.time()
+    _time.sleep(0.05)
+    append_files(
+        spark,
+        docs.limit(9).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "lang"
+        ),
+        root, partition_col="lang",
+    )
+    merge_on_read(
+        spark, root,
+        docs.limit(50).withColumn("lang", F.lit("zz")),
+        "doc_id", partition_col="lang",
+    )
+    gen = generation_as_of(spark, root, pinned_ts)
+    cur = read_manifest(spark, root)["generation"]
+    if gen >= cur:
+        raise AssertionError(f"as-of gen {gen} not older than {cur}")
+    back = snapshot_as_of(spark, root, pinned_ts)
+    return back.select(
+        "doc_id", F.col("lang").cast("string").alias("lang")
+    )
+
+
 _STREAM_UPSERT_SQL = """
 SELECT doc_id, lang,
        CASE WHEN doc_id % 5 = 0 THEN CAST(-1 AS BIGINT)

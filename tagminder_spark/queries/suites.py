@@ -445,6 +445,9 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
         "t_stream_upsert": (
             ["doc_id"], [("lang", "str"), ("n_chars", "num")],
         ),
+        # round 10: FOR TIMESTAMP AS OF — pre-mutation snapshot
+        # resolved by commit wall time, row-exact vs the oracle
+        "cur_time_travel": (["doc_id"], [("lang", "str")]),
         "cur_manifest_isolation": (["doc_id"], [("lang", "str")]),
         # round 9: manifest-level data skipping (per-file min/max stats
         # + driver-side file pruning in snapshot_read(where=...))
