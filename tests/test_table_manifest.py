@@ -2331,3 +2331,43 @@ def test_snapshot_as_of_time_travel(spark, tmp_path):
     hist = table_history(spark, root)
     assert all(h["ts"] is not None for h in hist)
     assert hist[0]["ts"] <= hist[1]["ts"]
+
+
+def test_snapshot_read_fast_path_and_mor_plan_shape(spark, tmp_path):
+    """Physical-plan pins for the round-10 read path: a single-spec
+    table with no pending deletes keeps the ORIGINAL one-scan plan (no
+    Union introduced by the grouping machinery), and a table WITH
+    pending deletes applies them as a BROADCAST left-anti hash join —
+    never a shuffled join, never a cartesian."""
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        init_manifest,
+        merge_on_read,
+        snapshot_read,
+    )
+    from tagminder_spark.session import load_table
+
+    root = str(tmp_path / "t")
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    docs.write.mode("append").partitionBy("lang").parquet(root)
+    init_manifest(spark, root)
+
+    plain = snapshot_read(spark, root)
+    plan = plain._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan, plan
+
+    merge_on_read(
+        spark, root,
+        docs.limit(20).withColumn("n_chars", F.lit(-1).cast("long")),
+        "doc_id", partition_col="lang",
+    )
+    mor = snapshot_read(spark, root)
+    mor_plan = mor._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in mor_plan and "LeftAnti" in mor_plan, (
+        mor_plan
+    )
+    assert "SortMergeJoin" not in mor_plan
+    assert "CartesianProduct" not in mor_plan
