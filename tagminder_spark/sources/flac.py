@@ -28,8 +28,9 @@ the stereo/LPC paths real files use):
 - frame CRC-16 verified.
 
 Encoder (the fixture half — real spec-valid streams, built from the
-spec, not transcribed tables): fixed blocksize, independent channels,
-16-bit; per-subframe CONSTANT / VERBATIM / best-of-FIXED(0-2) with
+spec, not transcribed tables): fixed blocksize, 16- or 24-bit
+(``bits=24`` exercises the 3-byte MD5 packing and the wider subframe
+paths); per-subframe CONSTANT / VERBATIM / best-of-FIXED(0-2) with
 multi-partition Rice residuals and per-partition parameter fit.  The
 encoder never shares code with the decoder's reconstruction (predict vs
 un-predict are written separately), so a round-trip genuinely crosses
@@ -633,8 +634,10 @@ def encode_flac(
     blocksize: int = 1024,
     force: str | None = None,
     stereo: str = "independent",
+    bits: int = 16,
 ) -> bytes:
-    """Encode int16 PCM (``(frames,)`` mono or ``(frames, channels)``)
+    """Encode PCM (``(frames,)`` mono or ``(frames, channels)``;
+    int16 at ``bits=16``, int32 holding 24-bit samples at ``bits=24``)
     as a spec-valid fixed-blocksize FLAC stream.  Default subframes:
     CONSTANT / best-of-FIXED(0-2) with multi-partition Rice residuals;
     ``force`` pins a path for decoder coverage (``"verbatim"``,
@@ -649,7 +652,13 @@ def encode_flac(
     decoder accepts the output."""
     import numpy as np
 
-    a = np.ascontiguousarray(samples, dtype=np.int16)
+    if bits not in (16, 24):
+        raise ValueError(f"unsupported bits {bits}")
+    dtype = np.int16 if bits == 16 else np.int32
+    a = np.ascontiguousarray(samples, dtype=dtype)
+    if bits == 24 and (a.max(initial=0) >= 1 << 23
+                       or a.min(initial=0) < -(1 << 23)):
+        raise ValueError("samples exceed 24-bit range")
     if a.ndim == 1:
         a = a[:, None]
     nframes, nch = a.shape
@@ -660,7 +669,7 @@ def encode_flac(
         raise ValueError(f"unknown stereo mode {stereo!r}")
     if stereo != "independent" and nch != 2:
         raise ValueError("stereo decorrelation needs exactly 2 channels")
-    bps = 16
+    bps = bits
 
     # STREAMINFO
     si = _BitWriter()
@@ -673,7 +682,7 @@ def encode_flac(
     si.write(bps - 1, 5)
     si.write(nframes, 36)
     si.align()
-    md5 = hashlib.md5(a.astype("<i2").tobytes()).digest()
+    md5 = hashlib.md5(_pcm_bytes(a, bps, (bps + 7) // 8)).digest()
     streaminfo = si.getvalue() + md5
 
     out = bytearray(b"fLaC")
@@ -693,7 +702,7 @@ def encode_flac(
         ch_code = {"independent": nch - 1, "left-side": 0b1000,
                    "right-side": 0b1001, "mid-side": 0b1010}[stereo]
         hdr.write(ch_code, 4)
-        hdr.write(0b100, 3)  # 16-bit samples
+        hdr.write(0b100 if bps == 16 else 0b110, 3)  # 16/24-bit
         hdr.write(0, 1)
         for byte in _utf8_encode(frame_no):
             hdr.write(byte, 8)

@@ -178,24 +178,30 @@ def _table_u32s(data: bytes, box, *, skip: int = 0) -> list[int]:
     return [_u(data, p + 4 * i, 4) for i in range(n)]
 
 
-def mp4_sample_table(content: bytes, *, track: int = 0) -> list[tuple]:
-    """Resolve the full per-sample table of the ``track``-th VIDEO
-    track: ``[(offset, size, time_ms, keyframe), ...]`` — the exact
-    demuxer computation: stts expands to per-sample decode times, stsc
-    maps samples into chunks, stco/co64 anchors each chunk's first
-    byte, stsz sizes accumulate within a chunk, stss marks the sync
-    samples (all samples sync when absent).  This is the structure a
-    distributed frame-sampler needs to plan byte-range reads."""
+def mp4_sample_table(
+    content: bytes, *, track: int = 0, handler: str = "vide"
+) -> list[tuple]:
+    """Resolve the full per-sample table of the ``track``-th track of
+    ``handler`` type (``"vide"`` for video, ``"soun"`` for audio — the
+    m4a shape the reference's tag scanner handles via mutagen MP4):
+    ``[(offset, size, time_ms, keyframe), ...]`` — the exact demuxer
+    computation: stts expands to per-sample decode times, stsc maps
+    samples into chunks, stco/co64 anchors each chunk's first byte,
+    stsz sizes accumulate within a chunk, stss marks the sync samples
+    (all samples sync when absent).  This is the structure a
+    distributed frame-sampler or audio-chunker needs to plan
+    byte-range reads."""
     moov = _find(content, 0, len(content), b"moov")
     if moov is None:
         raise ValueError("MP4 lacks a moov box")
+    want = handler.encode("latin-1")
     vids = []
     for s, e in _find_all(content, moov[0], moov[1], b"trak"):
         hd = _find(content, s, e, b"mdia", b"hdlr")
-        if hd and content[hd[0] + 8:hd[0] + 12] == b"vide":
+        if hd and content[hd[0] + 8:hd[0] + 12] == want:
             vids.append((s, e))
     if track >= len(vids):
-        raise ValueError(f"no video track {track}")
+        raise ValueError(f"no {handler} track {track}")
     s, e = vids[track]
     stbl = _find(content, s, e, b"mdia", b"minf", b"stbl")
     if stbl is None:
@@ -318,13 +324,16 @@ def make_mp4(
     sync_every: int = 3,
     chunk_sizes: tuple[int, ...] = (2,),
     use_co64: bool = False,
+    handler: str = "vide",
 ) -> bytes:
     """Mux ``payloads`` (one opaque codec sample each) into a spec-valid
     minimal MP4: ftyp + mdat + moov with the complete sample table.
     ``chunk_sizes`` cycles to split samples into multiple chunks (so
     stsc/stco resolution is genuinely exercised); every
     ``sync_every``-th sample is marked sync in stss.  Payload bytes are
-    stored verbatim, so extraction is byte-exact and oracle-checkable."""
+    stored verbatim, so extraction is byte-exact and oracle-checkable.
+    ``handler="soun"`` emits an m4a-shaped AUDIO track instead (smhd +
+    AudioSampleEntry; ``fps`` then means sample-batches per second)."""
     n = len(payloads)
     if n == 0:
         raise ValueError("need at least one sample")
@@ -363,22 +372,34 @@ def make_mp4(
     mdhd = _full(b"mdhd", 0, 0, struct.pack(
         ">IIIIHH", 0, 0, timescale, dur, 0x55C4, 0
     ))
-    hdlr = _full(b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide" +
+    hbytes = handler.encode("latin-1")
+    hdlr = _full(b"hdlr", 0, 0, struct.pack(">I", 0) + hbytes +
                  b"\x00" * 12 + b"fixture\x00")
-    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    if handler == "soun":
+        vmhd = _full(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
+    else:
+        vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
     dref = _full(b"dref", 0, 0, struct.pack(">I", 1) +
                  _full(b"url ", 0, 1, b""))
     dinf = _box(b"dinf", dref)
-    entry = (
-        b"\x00" * 6 + struct.pack(">H", 1)          # data_reference_index
-        + b"\x00" * 16
-        + struct.pack(">HH", width, height)
-        + struct.pack(">II", 0x480000, 0x480000)     # 72 dpi
-        + struct.pack(">I", 0)
-        + struct.pack(">H", 1)                       # frame count
-        + b"\x00" * 32                               # compressor name
-        + struct.pack(">Hh", 24, -1)                 # depth, pre_defined
-    )
+    if handler == "soun":
+        entry = (
+            b"\x00" * 6 + struct.pack(">H", 1)      # data_reference_index
+            + b"\x00" * 8                            # reserved
+            + struct.pack(">HHHH", 2, 16, 0, 0)      # ch, bits, predefined
+            + struct.pack(">I", timescale << 16)     # samplerate 16.16
+        )
+    else:
+        entry = (
+            b"\x00" * 6 + struct.pack(">H", 1)      # data_reference_index
+            + b"\x00" * 16
+            + struct.pack(">HH", width, height)
+            + struct.pack(">II", 0x480000, 0x480000)  # 72 dpi
+            + struct.pack(">I", 0)
+            + struct.pack(">H", 1)                    # frame count
+            + b"\x00" * 32                           # compressor name
+            + struct.pack(">Hh", 24, -1)              # depth, pre_defined
+        )
     stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) +
                  _box(codec, entry))
     stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, delta))

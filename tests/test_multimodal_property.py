@@ -361,3 +361,54 @@ def test_sample_video_frames_real_vs_fake_dispatch(spark):
     # fake: duration 2000 -> 2 pseudo-frames of md5(media_id:i)
     for i in range(2):
         assert out[(2, i)] == hashlib.md5(f"2:{i}".encode()).digest()
+
+
+@given(
+    n=st.integers(1, 2000),
+    seed=st.integers(0, 2**31 - 1),
+    stereo=st.sampled_from(["independent", "mid-side"]),
+)
+@settings(max_examples=20, deadline=None)
+def test_flac_24bit_roundtrip_property(n, seed, stereo):
+    """24-bit FLAC: wider subframes, side channel at 25 bits, and the
+    3-byte-per-sample MD5 packing — all bit-exact."""
+    from tagminder_spark.sources.flac import (
+        decode_flac,
+        encode_flac,
+        flac_streaminfo,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (max(n, 2), 2) if stereo != "independent" else n
+    x = rng.integers(-(1 << 23), 1 << 23, shape).astype(np.int32)
+    b = encode_flac(x, 96000, blocksize=256, bits=24, stereo=stereo)
+    assert flac_streaminfo(b)["bps"] == 24
+    _, _, s = decode_flac(b)
+    assert s.dtype == np.int32
+    assert np.array_equal(s if x.ndim == 2 else s[:, 0], x)
+
+
+def test_mp4_audio_track_m4a_shape():
+    """handler="soun" muxes and resolves an m4a-shaped audio track
+    (smhd + AudioSampleEntry); the default video lookup correctly
+    reports no track."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from tagminder_spark.sources.mp4 import (
+        extract_sample,
+        make_mp4,
+        mp4_sample_table,
+        parse_mp4,
+    )
+
+    payloads = [hashlib.md5(f"au{i}".encode()).digest() for i in range(7)]
+    b = make_mp4(payloads, fps=5, handler="soun", codec=b"mp4a")
+    info = parse_mp4(b)
+    t = info["tracks"][0]
+    assert (t["handler"], t["codec"]) == ("soun", "mp4a")
+    table = mp4_sample_table(b, handler="soun")
+    assert [extract_sample(b, e) for e in table] == payloads
+    with _pytest.raises(ValueError):
+        mp4_sample_table(b)  # no video track
