@@ -765,6 +765,7 @@ def commit_manifest(
     stats: dict[str, dict[str, list]] | None = None,
     seqs: dict[str, int] | None = None,
     deletes: list[tuple[str, int, str]] | None = None,
+    op: str | None = None,
     force_hadoop: bool = False,
 ) -> int:
     """Commit ``files`` (relative-path, size) as the next generation.
@@ -797,6 +798,8 @@ def commit_manifest(
         "ts": round(time.time(), 3),
         "files": sorted([p, int(sz)] for p, sz in files),
     }
+    if op:
+        doc["op"] = op
     names = {p for p, _ in files}
     if stats:
         kept = {rel: stats[rel] for rel in sorted(stats) if rel in names}
@@ -829,6 +832,7 @@ def commit_delta(
     seqs: dict[str, int] | None = None,
     delete_adds: list[tuple[str, int, str]] | None = None,
     delete_removes: list[str] | None = None,
+    op: str | None = None,
     force_hadoop: bool = False,
 ) -> int:
     """Commit a DELTA generation: only the added (rel, size) entries
@@ -855,6 +859,8 @@ def commit_delta(
         "adds": sorted([p, int(sz)] for p, sz in adds),
         "removes": sorted(removes or []),
     }
+    if op:
+        doc["op"] = op
     names = {p for p, _ in adds}
     if stats:
         kept = {rel: stats[rel] for rel in sorted(stats) if rel in names}
@@ -901,7 +907,7 @@ def checkpoint_manifest(
         [(p, sz) for p, sz in man["files"]],
         parent=gens[-1], stats=man["stats"],
         seqs=man["seqs"] or None, deletes=man["deletes"] or None,
-        force_hadoop=force_hadoop,
+        op="checkpoint", force_hadoop=force_hadoop,
     )
 
 
@@ -933,7 +939,8 @@ def init_manifest(
         if stats_cols else None
     )
     return commit_manifest(
-        spark, root, rel, parent=0, stats=stats, force_hadoop=force_hadoop
+        spark, root, rel, parent=0, stats=stats, op="init",
+        force_hadoop=force_hadoop,
     )
 
 
@@ -1239,7 +1246,7 @@ def append_files(
             gen = commit_delta(
                 spark, root, new,
                 parent=parent, stats=stats, seqs=seqs,
-                force_hadoop=force_hadoop,
+                op="append", force_hadoop=force_hadoop,
             )
             break
         except FileExistsError:
@@ -1299,6 +1306,99 @@ def snapshot_read_merged(
             return df.filter(F.lit(False))
         df = df.filter(_where_to_column(where))
     return df
+
+
+#: commit ops that change no logical rows — table_changes skips them
+_ROW_PRESERVING_OPS = {"init", "checkpoint", "compact", "materialize"}
+
+
+def table_changes(
+    spark: SparkSession,
+    root: str,
+    from_gen: int,
+    to_gen: int | None = None,
+    *,
+    force_hadoop: bool = False,
+) -> DataFrame:
+    """Row-level CHANGE FEED between two generations — Delta's
+    ``table_changes`` / Iceberg's incremental read, from the manifest's
+    per-commit provenance: each commit after ``from_gen`` (exclusive)
+    up to ``to_gen`` (inclusive, default current) contributes
+
+    - ``append``: its added files' rows as ``_change_type="insert"``;
+    - ``merge-mor``: its added rows as inserts PLUS its equality-delete
+      keys as ``_change_type="delete"`` rows (key column set, every
+      other column NULL — the delete file stores keys, not preimages);
+    - ``init`` / ``checkpoint`` / ``compact`` / ``materialize``: no
+      logical rows changed — skipped entirely (their file rewrites are
+      layout, not data);
+    - ``merge-cow`` / ``rollback`` (or a legacy commit without an
+      ``op`` tag): the commit does not record which rows changed —
+      raises ValueError, exactly Delta's posture when CDC is not
+      enabled for a write.
+
+    Changes are PER COMMIT, not netted: a key inserted at gen N and
+    superseded at gen N+1 appears as insert, then delete+insert —
+    which is what an incremental downstream consumer replays.  Each
+    row carries ``_commit_gen`` so consumers can order/batch by
+    commit.  At 100 TB this is the point: a consumer reads O(changed
+    rows) per sync instead of re-scanning the table."""
+    fs, base = table_fs(spark, root, force_hadoop)
+    if to_gen is None:
+        gens = list_generations(spark, root, force_hadoop=force_hadoop)
+        if not gens:
+            raise FileNotFoundError(f"no manifest under {root!r}")
+        to_gen = gens[-1]
+    if to_gen < from_gen:
+        raise ValueError(f"to_gen {to_gen} < from_gen {from_gen}")
+    # schema anchor: the table as of from_gen (columns for NULL fill)
+    anchor = snapshot_read(spark, root, from_gen,
+                           force_hadoop=force_hadoop)
+    cols = anchor.columns
+    parts: list[DataFrame] = []
+    for g in range(from_gen + 1, to_gen + 1):
+        raw = _read_raw(spark, root, g, force_hadoop=force_hadoop)
+        op = raw.get("op")
+        if op in _ROW_PRESERVING_OPS:
+            continue
+        if op not in ("append", "merge-mor"):
+            raise ValueError(
+                f"generation {g} ({op or 'untagged'}) does not record "
+                "row-level changes; change feed unavailable across it"
+            )
+        adds = raw.get("adds", [])
+        if adds:
+            ins = spark.read.option("basePath", base).parquet(
+                *[fs.join(base, rel) for rel, _ in adds]
+            ).select(*cols)
+            parts.append(
+                ins.withColumn("_change_type", F.lit("insert"))
+                .withColumn("_commit_gen", F.lit(g))
+            )
+        for rel, _seq, keycol in raw.get("delete_adds", []):
+            keys = spark.read.parquet(fs.join(base, rel))
+            row = keys.select(
+                *[
+                    F.col(keycol).alias(c) if c == keycol
+                    else F.lit(None).cast(anchor.schema[c].dataType)
+                    .alias(c)
+                    for c in cols
+                ]
+            )
+            parts.append(
+                row.withColumn("_change_type", F.lit("delete"))
+                .withColumn("_commit_gen", F.lit(g))
+            )
+    if not parts:
+        return (
+            anchor.withColumn("_change_type", F.lit("insert"))
+            .withColumn("_commit_gen", F.lit(from_gen))
+            .limit(0)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def generation_as_of(
@@ -1371,7 +1471,7 @@ def rollback(
         [(p, sz) for p, sz in man["files"]],
         stats=man["stats"],
         seqs=man["seqs"] or None, deletes=man["deletes"] or None,
-        force_hadoop=force_hadoop,
+        op="rollback", force_hadoop=force_hadoop,
     )
 
 
@@ -1394,6 +1494,7 @@ def table_history(
         out.append({
             "generation": g,
             "ts": raw.get("ts"),
+            "op": raw.get("op"),
             "parent": man.get("parent"),
             "files": len(cur),
             "bytes": sum(sz for _, sz in man["files"]),
@@ -1521,7 +1622,7 @@ def compact_partitions_versioned(
         spark, root, keep + new,
         parent=man["generation"], stats=stats or None,
         seqs=seqs, deletes=man["deletes"] or None,
-        force_hadoop=force_hadoop,
+        op="compact", force_hadoop=force_hadoop,
     )
     return {
         "generation": gen,
@@ -1812,7 +1913,7 @@ def merge_into_manifest(
         spark, root, untouched + new,
         parent=man["generation"], stats=stats or None,
         seqs=seqs, deletes=man["deletes"] or None,
-        force_hadoop=force_hadoop,
+        op="merge-cow", force_hadoop=force_hadoop,
     )
     return {
         "generation": gen,
@@ -1919,7 +2020,7 @@ def merge_on_read(
         stats=stats or None,
         seqs={rel: gen for rel, _ in new},
         delete_adds=[(rel, gen, key) for rel, _ in del_entries],
-        force_hadoop=force_hadoop,
+        op="merge-mor", force_hadoop=force_hadoop,
     )
     return {
         "generation": gen,
@@ -2025,7 +2126,7 @@ def materialize_deletes(
     gen = commit_manifest(
         spark, root, carried + new,
         parent=man["generation"], stats=stats or None,
-        force_hadoop=force_hadoop,
+        op="materialize", force_hadoop=force_hadoop,
     )
     return {
         "generation": gen,

@@ -897,6 +897,82 @@ def cur_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TABLE_CHANGES_SQL = """
+WITH b AS (SELECT min(doc_id) + (max(doc_id) - min(doc_id)) // 10 AS cut
+           FROM documents)
+SELECT 'insert' AS _change_type, CAST(2 AS INT) AS _commit_gen,
+       doc_id + 10000000 AS doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+UNION ALL
+SELECT 'insert', CAST(3 AS INT), doc_id, lang, CAST(-1 AS BIGINT)
+FROM documents, b WHERE doc_id <= b.cut
+UNION ALL
+SELECT 'delete', CAST(3 AS INT), doc_id, CAST(NULL AS VARCHAR),
+       CAST(NULL AS BIGINT)
+FROM documents, b WHERE doc_id <= b.cut
+"""
+
+
+@q("cur_table_changes", _TABLE_CHANGES_SQL)
+def cur_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-feed gate (round 10 — rides suite_curation): init the
+    corpus (gen 1), append a shifted batch (gen 2), merge-on-read the
+    bottom decile (gen 3), then read ``table_changes(from_gen=1)``.
+    The oracle replays the exact per-commit feed — gen-2 inserts,
+    gen-3 upsert as insert+delete pairs (delete rows carry the key and
+    NULLs, the equality-delete file stores keys, not preimages) — so a
+    feed that nets changes, mis-attributes a commit, or leaks a
+    layout rewrite fails the hash.  At 100 TB the feed is what lets a
+    downstream consumer sync O(changed rows) instead of re-scanning
+    the table."""
+    import tempfile
+
+    from tagminder_spark.operators.table_manifest import (
+        append_files,
+        init_manifest,
+        merge_on_read,
+        snapshot_read,
+        table_changes,
+    )
+
+    base = tempfile.mkdtemp(prefix="tm_tablechanges_")
+    root = f"{base}/t"
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    (
+        docs.repartitionByRange(8, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("append").parquet(root)
+    )
+    init_manifest(spark, root, stats_cols=("doc_id",))
+
+    appended = docs.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "lang", "n_chars"
+    )
+    append_files(spark, appended, root, partition_col=None)
+
+    bounds = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).first()
+    cut = bounds["lo"] + (bounds["hi"] - bounds["lo"]) // 10
+    updates = (
+        snapshot_read(spark, root)
+        .filter(F.col("doc_id") <= cut)
+        .withColumn("n_chars", F.lit(-1).cast("long"))
+    )
+    merge_on_read(spark, root, updates, "doc_id")
+
+    feed = table_changes(spark, root, 1)
+    return feed.select(
+        "_change_type",
+        F.col("_commit_gen").cast("int").alias("_commit_gen"),
+        "doc_id",
+        F.col("lang").cast("string").alias("lang"),
+        "n_chars",
+    )
+
+
 _STREAM_UPSERT_SQL = """
 SELECT doc_id, lang,
        CASE WHEN doc_id % 5 = 0 THEN CAST(-1 AS BIGINT)

@@ -448,6 +448,12 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
         # round 10: FOR TIMESTAMP AS OF — pre-mutation snapshot
         # resolved by commit wall time, row-exact vs the oracle
         "cur_time_travel": (["doc_id"], [("lang", "str")]),
+        # round 10: row-level change feed from per-commit provenance —
+        # append inserts + MoR insert/delete pairs, per-commit exact
+        "cur_table_changes": (
+            ["doc_id", "_change_type", "_commit_gen"],
+            [("lang", "str"), ("n_chars", "num")],
+        ),
         "cur_manifest_isolation": (["doc_id"], [("lang", "str")]),
         # round 9: manifest-level data skipping (per-file min/max stats
         # + driver-side file pruning in snapshot_read(where=...))

@@ -2371,3 +2371,65 @@ def test_snapshot_read_fast_path_and_mor_plan_shape(spark, tmp_path):
     )
     assert "SortMergeJoin" not in mor_plan
     assert "CartesianProduct" not in mor_plan
+
+
+def test_table_changes_cdc_feed(spark, tmp_path):
+    """Change feed: appends and MoR merges emit per-commit
+    insert/delete rows; layout commits (compaction/materialize) are
+    skipped; a CoW merge in range raises (it does not record which
+    rows changed)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        append_files,
+        compact_partitions_versioned,
+        merge_into_manifest,
+        merge_on_read,
+        table_changes,
+        table_history,
+    )
+
+    root = str(tmp_path / "t")
+    docs = _clustered_docs(spark, root)  # gen 1 (init)
+    appended = docs.limit(10).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "lang",
+        F.col("n_chars"),
+    )
+    append_files(spark, appended, root, partition_col=None)  # gen 2
+    upd = docs.limit(25).withColumn("n_chars", F.lit(-1).cast("long"))
+    merge_on_read(spark, root, upd, "doc_id")  # gen 3
+
+    ch = table_changes(spark, root, 1)
+    rows = ch.collect()
+    ins2 = {r["doc_id"] for r in rows
+            if r["_change_type"] == "insert" and r["_commit_gen"] == 2}
+    ins3 = {(r["doc_id"], r["n_chars"]) for r in rows
+            if r["_change_type"] == "insert" and r["_commit_gen"] == 3}
+    dels = {r["doc_id"] for r in rows
+            if r["_change_type"] == "delete"}
+    upd_ids = {r["doc_id"] for r in upd.collect()}
+    assert ins2 == {r["doc_id"] for r in appended.collect()}
+    assert ins3 == {(i, -1) for i in upd_ids}
+    assert dels == upd_ids
+    assert all(
+        r["lang"] is None for r in rows if r["_change_type"] == "delete"
+    )
+
+    # a layout commit is invisible to the feed
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    compact_partitions_versioned(
+        spark, root, "lang", langs[:1], target_bytes=8 << 20,
+        order_col="doc_id",
+    )  # gen 4 — but the table was written unpartitioned, so this may
+    # be a no-op; either way the feed result is unchanged:
+    assert table_changes(spark, root, 1).count() == len(rows)
+
+    # CoW merge breaks the feed across its commit — surfaced, not wrong
+    merge_into_manifest(spark, root, upd, "doc_id")
+    hist = table_history(spark, root)
+    assert hist[-1]["op"] == "merge-cow"
+    with _pytest.raises(ValueError, match="merge-cow"):
+        table_changes(spark, root, 1)
+    # ...but a feed STARTING at the CoW commit still works
+    assert table_changes(spark, root, hist[-1]["generation"]).count() == 0
