@@ -1308,6 +1308,88 @@ def snapshot_read_merged(
     return df
 
 
+def create_tag(
+    spark: SparkSession | None,
+    root: str,
+    name: str,
+    gen: int | None = None,
+    *,
+    force_hadoop: bool = False,
+) -> int:
+    """Pin a generation under an immutable NAME — Iceberg's snapshot
+    tags: ``create_tag(root, "training-run-07")`` freezes the exact
+    table a job consumed, :func:`expire_snapshots` retains tagged
+    generations (and their files) regardless of ``keep_last``, and
+    :func:`resolve_tag` turns the name back into a generation for
+    :func:`snapshot_read`.  The tag file is a create-if-absent CAS like
+    every commit — re-tagging an existing name raises; :func:`drop_tag`
+    releases it."""
+    if not name or "/" in name or "\\" in name:
+        raise ValueError(f"invalid tag name {name!r}")
+    fs, base = table_fs(spark, root, force_hadoop)
+    if gen is None:
+        gens = list_generations(spark, root, force_hadoop=force_hadoop)
+        if not gens:
+            raise FileNotFoundError(f"no manifest under {root!r}")
+        gen = gens[-1]
+    else:
+        _read_raw(spark, root, gen, force_hadoop=force_hadoop)  # exists?
+    doc = {"tag": name, "generation": int(gen)}
+    fs.write_new(
+        fs.join(_manifest_dir(fs, base), f"tag_{name}.json"),
+        json.dumps(doc, separators=(",", ":")).encode(),
+    )
+    return gen
+
+
+def list_tags(
+    spark: SparkSession | None,
+    root: str,
+    *,
+    force_hadoop: bool = False,
+) -> dict[str, int]:
+    """``{tag name: generation}`` for every tag on the table."""
+    fs, base = table_fs(spark, root, force_hadoop)
+    mdir = _manifest_dir(fs, base)
+    out: dict[str, int] = {}
+    if not fs.exists(mdir):
+        return out
+    for fname in fs.listdir(mdir):
+        if fname.startswith("tag_") and fname.endswith(".json"):
+            doc = json.loads(fs.read_bytes(fs.join(mdir, fname)))
+            out[doc["tag"]] = int(doc["generation"])
+    return out
+
+
+def resolve_tag(
+    spark: SparkSession | None,
+    root: str,
+    name: str,
+    *,
+    force_hadoop: bool = False,
+) -> int:
+    tags = list_tags(spark, root, force_hadoop=force_hadoop)
+    if name not in tags:
+        raise ValueError(f"no tag {name!r} on {root!r}")
+    return tags[name]
+
+
+def drop_tag(
+    spark: SparkSession | None,
+    root: str,
+    name: str,
+    *,
+    force_hadoop: bool = False,
+) -> None:
+    """Release a tag; the generation becomes subject to normal
+    retention at the next :func:`expire_snapshots`."""
+    fs, base = table_fs(spark, root, force_hadoop)
+    path = fs.join(_manifest_dir(fs, base), f"tag_{name}.json")
+    if not fs.exists(path):
+        raise ValueError(f"no tag {name!r} on {root!r}")
+    fs.delete(path)
+
+
 #: commit ops that change no logical rows — table_changes skips them
 _ROW_PRESERVING_OPS = {"init", "checkpoint", "compact", "materialize"}
 
@@ -2185,6 +2267,13 @@ def expire_snapshots(
     fs, base = table_fs(spark, root, force_hadoop)
     gens = list_generations(spark, root, force_hadoop=force_hadoop)
     retained = set(gens[-keep_last:])
+    # tagged generations are pinned regardless of keep_last — a tag is
+    # a caller's promise that someone still reads that exact snapshot
+    retained |= {
+        g for g in list_tags(spark, root,
+                             force_hadoop=force_hadoop).values()
+        if g in set(gens)
+    }
     needed = set()
     for g in retained:
         needed.update(_chain_gens(spark, root, g, force_hadoop=force_hadoop))

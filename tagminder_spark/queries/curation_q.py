@@ -897,6 +897,58 @@ def cur_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SNAPSHOT_TAGS_SQL = """
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+"""
+
+
+@q("cur_snapshot_tags", _SNAPSHOT_TAGS_SQL)
+def cur_snapshot_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-tag gate (round 10 — rides suite_curation): tag the
+    initial generation, pile two merge-on-read mutations on top, run
+    ``expire_snapshots(keep_last=1)`` — which would normally reclaim
+    the initial snapshot — and read back THROUGH THE TAG.  The oracle
+    pins the result to the original corpus row-exact: the tag held the
+    generation (and every file it references) out of retention, the
+    exact guarantee a pinned training-run snapshot needs."""
+    import tempfile
+
+    from tagminder_spark.operators.table_manifest import (
+        create_tag,
+        expire_snapshots,
+        init_manifest,
+        merge_on_read,
+        resolve_tag,
+        snapshot_read,
+    )
+
+    base = tempfile.mkdtemp(prefix="tm_snaptags_")
+    root = f"{base}/t"
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    docs.write.mode("append").parquet(root)
+    init_manifest(spark, root)
+    create_tag(spark, root, "pinned-run")
+    for v in (-1, -2):
+        merge_on_read(
+            spark, root,
+            snapshot_read(spark, root).limit(40).withColumn(
+                "n_chars", F.lit(v).cast("long")
+            ),
+            "doc_id",
+        )
+    rep = expire_snapshots(spark, root, keep_last=1)
+    if 1 not in rep["retained_generations"]:
+        raise AssertionError(f"tagged generation was not retained: {rep}")
+    back = snapshot_read(
+        spark, root, resolve_tag(spark, root, "pinned-run")
+    )
+    return back.select(
+        "doc_id", F.col("lang").cast("string").alias("lang"), "n_chars"
+    )
+
+
 _TABLE_CHANGES_SQL = """
 WITH b AS (SELECT min(doc_id) + (max(doc_id) - min(doc_id)) // 10 AS cut
            FROM documents)

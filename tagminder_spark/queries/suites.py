@@ -454,6 +454,11 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
             ["doc_id", "_change_type", "_commit_gen"],
             [("lang", "str"), ("n_chars", "num")],
         ),
+        # round 10: snapshot tags — tagged generation survives expiry,
+        # reads back row-exact through the tag
+        "cur_snapshot_tags": (
+            ["doc_id"], [("lang", "str"), ("n_chars", "num")],
+        ),
         "cur_manifest_isolation": (["doc_id"], [("lang", "str")]),
         # round 9: manifest-level data skipping (per-file min/max stats
         # + driver-side file pruning in snapshot_read(where=...))

@@ -2433,3 +2433,57 @@ def test_table_changes_cdc_feed(spark, tmp_path):
         table_changes(spark, root, 1)
     # ...but a feed STARTING at the CoW commit still works
     assert table_changes(spark, root, hist[-1]["generation"]).count() == 0
+
+
+def test_snapshot_tags_pin_retention(spark, tmp_path):
+    """Tags are immutable named refs: a tagged generation (and its
+    files) survives expire_snapshots regardless of keep_last, reads
+    back exact via resolve_tag, re-tagging raises, and dropping the
+    tag releases the pin."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        create_tag,
+        drop_tag,
+        expire_snapshots,
+        list_tags,
+        merge_on_read,
+        resolve_tag,
+        snapshot_read,
+    )
+
+    root = str(tmp_path / "t")
+    docs = _clustered_docs(spark, root)
+    n0 = docs.count()
+    create_tag(spark, root, "baseline")  # pins gen 1
+    # two mutations so gen 1 falls outside keep_last=1
+    for v in (-1, -2):
+        merge_on_read(
+            spark, root,
+            docs.limit(10).withColumn("n_chars", F.lit(v).cast("long")),
+            "doc_id",
+        )
+    assert list_tags(spark, root) == {"baseline": 1}
+    with _pytest.raises(FileExistsError):
+        create_tag(spark, root, "baseline", 2)
+
+    rep = expire_snapshots(spark, root, keep_last=1)
+    assert 1 in rep["retained_generations"]
+    pinned = snapshot_read(spark, root, resolve_tag(spark, root, "baseline"))
+    got = {r["doc_id"]: r["n_chars"] for r in pinned.collect()}
+    orig = {r["doc_id"]: r["n_chars"] for r in docs.collect()}
+    assert got == orig  # the tagged snapshot is the PRE-merge table
+    for rel, _ in __import__(
+        "tagminder_spark.operators.table_manifest",
+        fromlist=["read_manifest"],
+    ).read_manifest(spark, root, 1)["files"]:
+        assert os.path.exists(os.path.join(root, rel)), rel
+
+    drop_tag(spark, root, "baseline")
+    rep2 = expire_snapshots(spark, root, keep_last=1)
+    assert 1 not in rep2["retained_generations"]
+    with _pytest.raises(ValueError):
+        resolve_tag(spark, root, "baseline")
