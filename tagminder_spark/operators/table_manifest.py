@@ -1308,6 +1308,161 @@ def snapshot_read_merged(
     return df
 
 
+def stage_append(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    *,
+    partition_col: str | None = None,
+    stats_cols: tuple[str, ...] | None = None,
+    string_bound_len: int = STRING_BOUND_LEN,
+    force_hadoop: bool = False,
+) -> str:
+    """WRITE-AUDIT-PUBLISH, write step (Iceberg's WAP pattern): land
+    ``df``'s files in the table directories and record them in a
+    STAGED doc (``_manifest/staged_<id>.json``) that is NOT a
+    generation — every reader still sees the table without the batch.
+    An auditor then checks the batch (:func:`read_staged` — quality
+    gates, row counts, contract checks) and either
+    :func:`publish_staged` (one O(|batch|) delta commit makes it
+    visible atomically) or :func:`abandon_staged` (files deleted,
+    nothing ever happened).  Staged files are protected from
+    :func:`expire_snapshots`' orphan reclaim for the duration —
+    the staged doc IS the reference.  Returns the staged id."""
+    import uuid
+
+    fs, base = table_fs(spark, root, force_hadoop)
+    stage = fs.join(base, f".__wap_stage_{uuid.uuid4().hex[:8]}__")
+    writer = df.write.mode("overwrite")
+    if partition_col:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(stage)
+    try:
+        new = _move_stage_files(
+            spark, fs, stage, base, force_hadoop=force_hadoop
+        )
+    finally:
+        fs.delete(stage, ignore_errors=True)
+    stats = (
+        collect_file_stats(base, [rel for rel, _ in new], stats_cols,
+                           fs=fs, spark=spark,
+                           string_bound_len=string_bound_len)
+        if stats_cols else None
+    )
+    sid = uuid.uuid4().hex[:12]
+    doc: dict = {"staged": sid,
+                 "adds": sorted([p, int(sz)] for p, sz in new)}
+    if stats:
+        doc["stats"] = stats
+    fs.write_new(
+        fs.join(_manifest_dir(fs, base), f"staged_{sid}.json"),
+        json.dumps(doc, separators=(",", ":")).encode(),
+    )
+    return sid
+
+
+def _staged_doc(fs, base: str, staged_id: str) -> tuple[str, dict]:
+    path = fs.join(_manifest_dir(fs, base), f"staged_{staged_id}.json")
+    if not fs.exists(path):
+        raise ValueError(f"no staged batch {staged_id!r}")
+    return path, json.loads(fs.read_bytes(path))
+
+
+def list_staged(
+    spark: SparkSession | None,
+    root: str,
+    *,
+    force_hadoop: bool = False,
+) -> list[str]:
+    """Ids of every batch currently staged on the table."""
+    fs, base = table_fs(spark, root, force_hadoop)
+    mdir = _manifest_dir(fs, base)
+    if not fs.exists(mdir):
+        return []
+    return sorted(
+        n[len("staged_"):-len(".json")]
+        for n in fs.listdir(mdir)
+        if n.startswith("staged_") and n.endswith(".json")
+    )
+
+
+def read_staged(
+    spark: SparkSession,
+    root: str,
+    staged_id: str,
+    *,
+    force_hadoop: bool = False,
+) -> DataFrame:
+    """The staged batch, for the AUDIT step — exactly the rows that
+    would become visible on publish."""
+    fs, base = table_fs(spark, root, force_hadoop)
+    _path, doc = _staged_doc(fs, base, staged_id)
+    return spark.read.option("basePath", base).parquet(
+        *[fs.join(base, rel) for rel, _ in doc["adds"]]
+    )
+
+
+def publish_staged(
+    spark: SparkSession,
+    root: str,
+    staged_id: str,
+    *,
+    max_retries: int = 5,
+    force_hadoop: bool = False,
+) -> dict:
+    """PUBLISH step: one delta commit makes the staged batch visible
+    atomically (append semantics — retried through lost CAS like
+    :func:`append_files`, sequence-stamped when deletes are pending);
+    the staged doc is then removed."""
+    fs, base = table_fs(spark, root, force_hadoop)
+    path, doc = _staged_doc(fs, base, staged_id)
+    adds = [(rel, sz) for rel, sz in doc["adds"]]
+    stats = doc.get("stats")
+    for attempt in range(max_retries + 1):
+        gens = list_generations(spark, root, force_hadoop=force_hadoop)
+        parent = gens[-1] if gens else 0
+        seqs = None
+        if parent:
+            man_cur = read_manifest(
+                spark, root, parent, force_hadoop=force_hadoop
+            )
+            if man_cur["deletes"]:
+                seqs = {rel: parent + 1 for rel, _ in adds}
+        try:
+            gen = commit_delta(
+                spark, root, adds, parent=parent, stats=stats,
+                seqs=seqs, op="append", force_hadoop=force_hadoop,
+            )
+            break
+        except FileExistsError:
+            if attempt == max_retries:
+                raise
+    fs.delete(path)
+    return {"generation": gen, "files_added": len(adds),
+            "staged_id": staged_id}
+
+
+def abandon_staged(
+    spark: SparkSession,
+    root: str,
+    staged_id: str,
+    *,
+    force_hadoop: bool = False,
+) -> dict:
+    """Abandon the staged batch: its data files are deleted and the
+    staged doc removed — the table never saw it."""
+    fs, base = table_fs(spark, root, force_hadoop)
+    path, doc = _staged_doc(fs, base, staged_id)
+    removed = []
+    for rel, _ in doc["adds"]:
+        p = fs.join(base, rel)
+        if fs.exists(p):
+            fs.delete(p)
+        removed.append(rel)
+    fs.delete(path)
+    return {"staged_id": staged_id, "removed_files": removed}
+
+
 def create_tag(
     spark: SparkSession | None,
     root: str,
@@ -2282,6 +2437,12 @@ def expire_snapshots(
         man = read_manifest(spark, root, g, force_hadoop=force_hadoop)
         live.update(rel for rel, _ in man["files"])
         live.update(rel for rel, _seq, _k in man["deletes"])
+    # a staged (write-audit-publish) batch is referenced by its staged
+    # doc, not by any generation — its files must survive until the
+    # batch is published or abandoned, however long the audit takes
+    for sid in list_staged(spark, root, force_hadoop=force_hadoop):
+        _p, sdoc = _staged_doc(fs, base, sid)
+        live.update(rel for rel, _ in sdoc["adds"])
     removed_files: list[str] = []
     for g in gens:
         if g in retained:

@@ -897,6 +897,66 @@ def cur_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WAP_SQL = """
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+UNION ALL
+SELECT doc_id + 10000000, lang, CAST(n_chars AS BIGINT)
+FROM documents WHERE doc_id % 4 = 0
+"""
+
+
+@q("cur_wap_publish", _WAP_SQL)
+def cur_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish gate (round 10 — rides suite_curation): two
+    batches are STAGED (files landed, invisible to every reader); a
+    real audit — the quality contract ``n_chars >= 0`` — passes the
+    first and fails the second, so the first is PUBLISHED (one atomic
+    append commit) and the second ABANDONED (files deleted).  The
+    oracle pins the final table to corpus ∪ good-batch exactly: a
+    staged batch leaking into a read, a publish losing rows, or an
+    abandon leaving rows all fail the hash.  Iceberg's WAP pattern —
+    at 100 TB this is how a curation pipeline gates data quality
+    without ever exposing a half-validated batch."""
+    import tempfile
+
+    from tagminder_spark.operators.table_manifest import (
+        abandon_staged,
+        init_manifest,
+        publish_staged,
+        read_staged,
+        snapshot_read,
+        stage_append,
+    )
+
+    base = tempfile.mkdtemp(prefix="tm_wap_")
+    root = f"{base}/t"
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    docs.write.mode("append").parquet(root)
+    init_manifest(spark, root)
+
+    good = docs.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "lang", "n_chars"
+    )
+    bad = docs.filter(F.col("doc_id") % 4 == 1).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"), "lang",
+        (-F.col("n_chars")).alias("n_chars"),  # violates the contract
+    )
+    for batch in (good, bad):
+        sid = stage_append(spark, batch, root)
+        staged = read_staged(spark, root, sid)
+        if staged.filter(F.col("n_chars") < 0).head(1):
+            abandon_staged(spark, root, sid)
+        else:
+            publish_staged(spark, root, sid)
+
+    back = snapshot_read(spark, root)
+    return back.select(
+        "doc_id", F.col("lang").cast("string").alias("lang"), "n_chars"
+    )
+
+
 _SNAPSHOT_TAGS_SQL = """
 SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM documents
 """

@@ -459,6 +459,11 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
         "cur_snapshot_tags": (
             ["doc_id"], [("lang", "str"), ("n_chars", "num")],
         ),
+        # round 10: write-audit-publish — staged batches invisible,
+        # quality-audited, then published or abandoned atomically
+        "cur_wap_publish": (
+            ["doc_id"], [("lang", "str"), ("n_chars", "num")],
+        ),
         "cur_manifest_isolation": (["doc_id"], [("lang", "str")]),
         # round 9: manifest-level data skipping (per-file min/max stats
         # + driver-side file pruning in snapshot_read(where=...))

@@ -2487,3 +2487,59 @@ def test_snapshot_tags_pin_retention(spark, tmp_path):
     assert 1 not in rep2["retained_generations"]
     with _pytest.raises(ValueError):
         resolve_tag(spark, root, "baseline")
+
+
+def test_write_audit_publish_lifecycle(spark, tmp_path):
+    """WAP: a staged batch is invisible to readers, readable for
+    audit, protected from orphan reclaim even at min_age=0, published
+    atomically as one append commit — and an abandoned batch vanishes
+    without the table ever seeing it."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        abandon_staged,
+        expire_snapshots,
+        list_staged,
+        publish_staged,
+        read_staged,
+        snapshot_read,
+        stage_append,
+        table_history,
+    )
+
+    root = str(tmp_path / "t")
+    docs = _clustered_docs(spark, root)
+    n0 = docs.count()
+
+    good = docs.limit(20).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "lang", "n_chars"
+    )
+    sid = stage_append(spark, good, root)
+    assert list_staged(spark, root) == [sid]
+    # invisible until published
+    assert snapshot_read(spark, root).count() == n0
+    # auditable
+    assert read_staged(spark, root, sid).count() == 20
+    # orphan reclaim cannot touch it, even with no age guard
+    rep = expire_snapshots(
+        spark, root, keep_last=1,
+        remove_unreferenced=True, min_unreferenced_age=0.0,
+    )
+    assert read_staged(spark, root, sid).count() == 20
+
+    pub = publish_staged(spark, root, sid)
+    assert snapshot_read(spark, root).count() == n0 + 20
+    assert table_history(spark, root)[-1]["op"] == "append"
+    assert list_staged(spark, root) == []
+
+    bad = docs.limit(5).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"), "lang", "n_chars"
+    )
+    sid2 = stage_append(spark, bad, root)
+    ab = abandon_staged(spark, root, sid2)
+    assert list_staged(spark, root) == []
+    assert snapshot_read(spark, root).count() == n0 + 20
+    for rel in ab["removed_files"]:
+        assert not os.path.exists(os.path.join(root, rel))
