@@ -1308,6 +1308,101 @@ def snapshot_read_merged(
     return df
 
 
+def metadata_table(
+    spark: SparkSession,
+    root: str,
+    kind: str,
+    gen: int | None = None,
+    *,
+    force_hadoop: bool = False,
+) -> DataFrame:
+    """Iceberg-style METADATA TABLES — the table's own bookkeeping as
+    DataFrames, so operators inspect a 800k-file table with the same
+    engine they query data with (`SELECT ... FROM t.files WHERE ...`):
+
+    - ``"files"``: one row per data file of the (pinned) snapshot —
+      rel path, bytes, commit sequence, partition values as a map, and
+      per-column [lo, hi] bounds as strings;
+    - ``"history"``: one row per retained generation (op, wall time,
+      files/bytes, add/remove deltas, pending delete files);
+    - ``"partitions"``: per-partition-directory file count and bytes
+      (the compaction planner's view);
+    - ``"deletes"``: pending equality-delete files (rel, sequence,
+      key column);
+    - ``"tags"`` / ``"staged"``: named refs and write-audit-publish
+      batches.
+
+    All driver-side manifest reads — no data IO."""
+    man = read_manifest(spark, root, gen, force_hadoop=force_hadoop)
+    if kind == "files":
+        seqs = man["seqs"]
+        stats = man["stats"]
+        rows = [
+            {
+                "file": rel,
+                "bytes": int(sz),
+                "seq": int(seqs.get(rel, 0)),
+                "partition": _partition_values(rel) or None,
+                "bounds": {
+                    c: f"[{b[0]}, {b[1]}]"
+                    for c, b in stats.get(rel, {}).items()
+                } or None,
+            }
+            for rel, sz in man["files"]
+        ]
+        schema = ("file string, bytes long, seq int, "
+                  "partition map<string,string>, bounds map<string,string>")
+    elif kind == "history":
+        rows = table_history(spark, root, force_hadoop=force_hadoop)
+        schema = ("generation int, ts double, op string, parent int, "
+                  "files int, bytes long, added_files int, "
+                  "removed_files int, delete_files int")
+        rows = [{k: r.get(k) for k in (
+            "generation", "ts", "op", "parent", "files", "bytes",
+            "added_files", "removed_files", "delete_files",
+        )} for r in rows]
+    elif kind == "partitions":
+        agg: dict[str, list[int]] = {}
+        for rel, sz in man["files"]:
+            d = posixpath.dirname(rel)
+            a = agg.setdefault(d, [0, 0])
+            a[0] += 1
+            a[1] += int(sz)
+        rows = [
+            {"partition_dir": d, "files": n, "bytes": b}
+            for d, (n, b) in sorted(agg.items())
+        ]
+        schema = "partition_dir string, files int, bytes long"
+    elif kind == "deletes":
+        rows = [
+            {"file": rel, "seq": int(seq), "key": keycol}
+            for rel, seq, keycol in man["deletes"]
+        ]
+        schema = "file string, seq int, key string"
+    elif kind == "tags":
+        rows = [
+            {"tag": t, "generation": g}
+            for t, g in sorted(
+                list_tags(spark, root, force_hadoop=force_hadoop).items()
+            )
+        ]
+        schema = "tag string, generation int"
+    elif kind == "staged":
+        fs, base = table_fs(spark, root, force_hadoop)
+        rows = []
+        for sid in list_staged(spark, root, force_hadoop=force_hadoop):
+            _p, doc = _staged_doc(fs, base, sid)
+            rows.append({
+                "staged_id": sid,
+                "files": len(doc["adds"]),
+                "bytes": sum(int(sz) for _r, sz in doc["adds"]),
+            })
+        schema = "staged_id string, files int, bytes long"
+    else:
+        raise ValueError(f"unknown metadata table {kind!r}")
+    return spark.createDataFrame(rows, schema)
+
+
 def stage_append(
     spark: SparkSession,
     df: DataFrame,

@@ -2543,3 +2543,47 @@ def test_write_audit_publish_lifecycle(spark, tmp_path):
     assert snapshot_read(spark, root).count() == n0 + 20
     for rel in ab["removed_files"]:
         assert not os.path.exists(os.path.join(root, rel))
+
+
+def test_metadata_tables(spark, tmp_path):
+    """The table's bookkeeping as DataFrames: files (with seq,
+    partition values, bounds), history (with ops), partitions,
+    pending deletes, tags, staged batches — all driver-side."""
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        create_tag,
+        merge_on_read,
+        metadata_table,
+        read_manifest,
+        stage_append,
+    )
+
+    root = str(tmp_path / "t")
+    docs = _clustered_docs(spark, root)
+    create_tag(spark, root, "t0")
+    merge_on_read(
+        spark, root,
+        docs.limit(10).withColumn("n_chars", F.lit(-1).cast("long")),
+        "doc_id",
+    )
+    sid = stage_append(spark, docs.limit(3), root)
+
+    man = read_manifest(spark, root)
+    files = metadata_table(spark, root, "files")
+    assert files.count() == len(man["files"])
+    assert files.filter(F.col("seq") == 2).count() >= 1  # MoR adds
+    r0 = files.filter(F.col("bounds").isNotNull()).first()
+    assert "doc_id" in r0["bounds"]
+
+    hist = metadata_table(spark, root, "history")
+    ops = [r["op"] for r in hist.orderBy("generation").collect()]
+    assert ops == ["init", "merge-mor"]
+
+    assert metadata_table(spark, root, "partitions").count() >= 1
+    dels = metadata_table(spark, root, "deletes")
+    assert dels.count() == 1 and dels.first()["key"] == "doc_id"
+    tags = metadata_table(spark, root, "tags")
+    assert tags.collect()[0].asDict() == {"tag": "t0", "generation": 1}
+    st = metadata_table(spark, root, "staged")
+    assert st.first()["staged_id"] == sid and st.first()["files"] >= 1
