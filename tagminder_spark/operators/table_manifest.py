@@ -1427,6 +1427,17 @@ def stage_append(
     import uuid
 
     fs, base = table_fs(spark, root, force_hadoop)
+    # contract check up front, not at publish: a staged batch whose
+    # columns don't cover the table's would only fail AFTER the audit
+    try:
+        existing = snapshot_read(spark, root, force_hadoop=force_hadoop)
+        missing = [c for c in existing.columns if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"staged batch lacks table columns: {missing}"
+            )
+    except FileNotFoundError:
+        pass  # fresh table — the batch defines the schema
     stage = fs.join(base, f".__wap_stage_{uuid.uuid4().hex[:8]}__")
     writer = df.write.mode("overwrite")
     if partition_col:
