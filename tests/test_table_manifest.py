@@ -2587,3 +2587,48 @@ def test_metadata_tables(spark, tmp_path):
     assert tags.collect()[0].asDict() == {"tag": "t0", "generation": 1}
     st = metadata_table(spark, root, "staged")
     assert st.first()["staged_id"] == sid and st.first()["files"] >= 1
+
+
+def test_merge_on_read_lost_cas_surfaces(spark, tmp_path):
+    """A MoR merge whose commit CAS loses (a concurrent writer took
+    the generation) SURFACES the conflict instead of retrying blindly
+    — a merge logically replaces rows, so the caller must re-plan
+    against the fresh snapshot (same posture as the CoW merge)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    import tagminder_spark.operators.table_manifest as tm
+
+    root = str(tmp_path / "t")
+    docs = _clustered_docs(spark, root)
+    upd = docs.limit(10).withColumn("n_chars", F.lit(-1).cast("long"))
+
+    real_commit = tm.commit_delta
+    interloped = {"done": False}
+
+    def racing_commit(spark_, root_, adds, removes=None, *, parent=None,
+                      **kw):
+        if not interloped["done"]:
+            interloped["done"] = True
+            real_commit(spark_, root_, [], parent=parent)  # interloper
+        return real_commit(spark_, root_, adds, removes, parent=parent,
+                           **kw)
+
+    tm.commit_delta, orig = racing_commit, tm.commit_delta
+    try:
+        with _pytest.raises(FileExistsError):
+            tm.merge_on_read(spark, root, upd, "doc_id")
+    finally:
+        tm.commit_delta = orig
+    # the table is untouched (the interloper's empty delta aside) and a
+    # re-planned merge against the fresh snapshot succeeds
+    r = tm.merge_on_read(spark, root, upd, "doc_id")
+    assert r["data_files_rewritten"] == 0
+    got = {
+        row["doc_id"]: row["n_chars"]
+        for row in tm.snapshot_read(spark, root).collect()
+    }
+    upd_ids = {r_["doc_id"] for r_ in upd.collect()}
+    for row in docs.collect():
+        want = -1 if row["doc_id"] in upd_ids else row["n_chars"]
+        assert got[row["doc_id"]] == want
