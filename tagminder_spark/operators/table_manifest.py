@@ -1744,6 +1744,61 @@ def table_changes(
     return out
 
 
+def sync_changes(
+    spark: SparkSession,
+    root: str,
+    cursor_path: str,
+    *,
+    force_hadoop: bool = False,
+) -> tuple[DataFrame, "int | None", callable]:
+    """Incremental-consumer harness over :func:`table_changes`: read
+    the cursor (the last generation this consumer processed), return
+    ``(feed, to_gen, ack)`` where ``feed`` is the change feed since the
+    cursor and ``ack()`` advances the cursor to ``to_gen`` — called by
+    the consumer ONLY after it has durably applied the feed, so a crash
+    between read and ack replays the same changes (at-least-once, the
+    standard CDC consumer contract).  ``to_gen`` is None (and the feed
+    empty) when there is nothing new.  First run (no cursor file)
+    starts from the oldest retained generation — the consumer sees the
+    table's current rows as inserts via the commits that created them
+    only if those commits are retained; otherwise bootstrap with a full
+    :func:`snapshot_read` and write the cursor at that generation."""
+    fs, _base = table_fs(spark, root, force_hadoop)
+    gens = list_generations(spark, root, force_hadoop=force_hadoop)
+    if not gens:
+        raise FileNotFoundError(f"no manifest under {root!r}")
+    cur_fs, cur_local = table_fs(spark, cursor_path, force_hadoop)
+    if cur_fs.exists(cur_local):
+        from_gen = int(json.loads(cur_fs.read_bytes(cur_local))["gen"])
+    else:
+        from_gen = gens[0]
+    to_gen = gens[-1]
+    if to_gen <= from_gen:
+        empty = table_changes(
+            spark, root, to_gen, to_gen, force_hadoop=force_hadoop
+        )
+        return empty, None, lambda: None
+
+    feed = table_changes(
+        spark, root, from_gen, to_gen, force_hadoop=force_hadoop
+    )
+
+    def ack() -> None:
+        payload = json.dumps({"gen": to_gen}).encode()
+        # overwrite-by-replace: the cursor is the consumer's own state,
+        # single-writer by contract
+        parent = posixpath.dirname(cur_local)
+        if parent and not cur_fs.exists(parent):
+            cur_fs.mkdirs(parent)
+        tmp = cur_local + ".tmp"
+        cur_fs.delete(tmp, ignore_errors=True)
+        cur_fs.write_new(tmp, payload)
+        cur_fs.delete(cur_local, ignore_errors=True)
+        cur_fs.rename(tmp, cur_local)
+
+    return feed, to_gen, ack
+
+
 def generation_as_of(
     spark: SparkSession | None,
     root: str,

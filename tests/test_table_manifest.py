@@ -2632,3 +2632,47 @@ def test_merge_on_read_lost_cas_surfaces(spark, tmp_path):
     for row in docs.collect():
         want = -1 if row["doc_id"] in upd_ids else row["n_chars"]
         assert got[row["doc_id"]] == want
+
+
+def test_sync_changes_incremental_consumer(spark, tmp_path):
+    """The CDC consumer harness: first sync sees the changes since the
+    oldest retained generation, ack advances the cursor, a re-read
+    BEFORE ack replays the same feed (at-least-once), and after ack
+    only new commits appear."""
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        append_files,
+        merge_on_read,
+        sync_changes,
+    )
+
+    root = str(tmp_path / "t")
+    cursor = str(tmp_path / "consumer" / "cursor.json")
+    docs = _clustered_docs(spark, root)  # gen 1
+
+    appended = docs.limit(5).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "lang", "n_chars"
+    )
+    append_files(spark, appended, root, partition_col=None)  # gen 2
+
+    feed, to_gen, ack = sync_changes(spark, root, cursor)
+    assert to_gen == 2
+    assert feed.count() == 5  # gen-2 inserts only (gen 1 is the base)
+    # crash before ack: replay is identical
+    feed2, to2, _ = sync_changes(spark, root, cursor)
+    assert to2 == 2 and feed2.count() == 5
+    ack()
+
+    # nothing new -> empty feed, no-op ack
+    feed3, to3, ack3 = sync_changes(spark, root, cursor)
+    assert to3 is None and feed3.count() == 0
+    ack3()
+
+    upd = docs.limit(7).withColumn("n_chars", F.lit(-1).cast("long"))
+    merge_on_read(spark, root, upd, "doc_id")  # gen 3
+    feed4, to4, ack4 = sync_changes(spark, root, cursor)
+    assert to4 == 3
+    assert feed4.filter(F.col("_change_type") == "insert").count() == 7
+    assert feed4.filter(F.col("_change_type") == "delete").count() == 7
+    ack4()
