@@ -423,17 +423,91 @@ def _coerce_pv(pv: str, val):
     return None
 
 
-def _cond_excludes(cond, fstats: dict, pvals: dict) -> bool:
+#: hidden-partitioning transforms (Iceberg's bucket/truncate): the
+#: PARTITION column is a derived function of a source column, and a
+#: predicate on the SOURCE prunes through the function.  Both halves —
+#: the Spark write-side expression and the driver-side literal twin —
+#: must agree bit-for-bit, which is why bucket uses crc32 (zlib.crc32
+#: == Spark's crc32 on the same UTF-8 bytes) over the value's string
+#: form, not Spark's internal Murmur hash (not reproducible in python).
+
+def partition_transform_column(kind: str, col: str, arg: int):
+    """(Column expression, derived column name) for a hidden-partition
+    transform: ``bucket`` → ``crc32(string(col)) % arg``; ``truncate``
+    → the first ``arg`` characters of ``string(col)``."""
+    if kind == "bucket":
+        # NOTE: the derived name must not start with "_" or "." — those
+        # are hidden-path prefixes every Hadoop lister (and this
+        # module's own) skips, which would make the partition dirs
+        # invisible to init_manifest
+        expr = F.pmod(F.crc32(F.col(col).cast("string")), F.lit(arg))
+        return expr, f"{col}_bucket_{arg}"
+    if kind == "truncate":
+        expr = F.substring(F.col(col).cast("string"), 1, arg)
+        return expr, f"{col}_trunc_{arg}"
+    raise ValueError(f"unknown partition transform {kind!r}")
+
+
+def transform_value(kind: str, value, arg: int):
+    """Driver-side twin of :func:`partition_transform_column` for a
+    literal — what pruning compares against the partition-path value.
+    Integer and string sources only (their ``cast("string")`` form is
+    reproducible; floats are not)."""
+    import zlib
+
+    s = str(value)
+    if kind == "bucket":
+        return zlib.crc32(s.encode("utf-8")) % arg
+    if kind == "truncate":
+        return s[:arg]
+    raise ValueError(f"unknown partition transform {kind!r}")
+
+
+def _transform_excludes(
+    cond, pvals: dict, transforms: dict
+) -> bool:
+    """Can a hidden-partition transform PROVE exclusion for this
+    conjunct?  Only equality-shaped ops map through a hash bucket
+    (= / in); truncate additionally supports prefix."""
+    col, op, val = cond
+    for pcol, (kind, src, arg) in transforms.items():
+        if src != col or pcol not in pvals:
+            continue
+        pv = pvals[pcol]
+        if op in ("=", "=="):
+            if str(transform_value(kind, val, arg)) != pv:
+                return True
+        elif op == "in":
+            if val and all(
+                str(transform_value(kind, v, arg)) != pv for v in val
+            ):
+                return True
+        elif op == "prefix" and kind == "truncate":
+            p = str(val)
+            if len(p) >= arg:
+                if pv != p[:arg]:
+                    return True
+            elif not pv.startswith(p):
+                return True
+    return False
+
+
+def _cond_excludes(
+    cond, fstats: dict, pvals: dict, transforms: dict | None = None
+) -> bool:
     """True iff this conjunct PROVES the file holds no matching row.
     An ``("or", [conj_list, ...])`` conjunct excludes only when EVERY
     disjunct is itself excluded (some condition within each disjunct
     proves impossibility)."""
     if _is_or(cond):
         return all(
-            any(_cond_excludes(c, fstats, pvals) for c in disj)
+            any(_cond_excludes(c, fstats, pvals, transforms)
+                for c in disj)
             for disj in cond[1]
         )
     col, op, val = cond
+    if transforms and _transform_excludes(cond, pvals, transforms):
+        return True
     rng = fstats.get(col)
     if rng is None and col in pvals:
         pv = _coerce_pv(pvals[col], val)
@@ -451,6 +525,7 @@ def _cond_excludes(cond, fstats: dict, pvals: dict) -> bool:
 def prune_manifest(
     manifest: dict,
     where: list[tuple],
+    transforms: dict | None = None,
 ) -> dict:
     """Driver-side data skipping over a resolved manifest: drop every
     file whose stats PROVE no row can match ``where``.
@@ -476,6 +551,11 @@ def prune_manifest(
     callers still apply the predicate to the rows
     (``snapshot_read(where=...)`` does).
 
+    A third bound source when ``transforms`` is given (from
+    :func:`list_transforms` — hidden partitioning): a predicate on a
+    transform's SOURCE column prunes through the derived partition
+    value (= / in for bucket; = / in / prefix for truncate).
+
     Returns ``{"files": kept_entries, "skipped": n, "scanned": n}``.
     Pure python over the manifest — zero IO, exactly what a 100 TB
     selective read needs before Spark plans 800k files."""
@@ -487,7 +567,10 @@ def prune_manifest(
         rel = entry[0]
         fstats = stats.get(rel, {})
         pvals = _partition_values(rel)
-        if any(_cond_excludes(cond, fstats, pvals) for cond in where):
+        if any(
+            _cond_excludes(cond, fstats, pvals, transforms)
+            for cond in where
+        ):
             skipped += 1
         else:
             kept.append(entry)
@@ -1063,7 +1146,10 @@ def snapshot_read(
     fs, base = table_fs(spark, root, force_hadoop)
     entries = man["files"]
     if where:
-        pruned = prune_manifest(man, where)
+        pruned = prune_manifest(
+            man, where,
+            list_transforms(spark, root, force_hadoop=force_hadoop),
+        )
         if pruned["files"]:
             entries = pruned["files"]
         elif entries:
@@ -1101,7 +1187,10 @@ def snapshot_scan_plan(
             "scanned": len(man["files"]),
             "delete_files": len(man["deletes"]),
         }
-    plan = prune_manifest(man, where)
+    plan = prune_manifest(
+        man, where,
+        list_transforms(spark, root, force_hadoop=force_hadoop),
+    )
     plan["delete_files"] = len(man["deletes"])
     return plan
 
@@ -1287,7 +1376,10 @@ def snapshot_read_merged(
     fs, base = table_fs(spark, root, force_hadoop)
     entries = man["files"]
     if where:
-        pruned = prune_manifest(man, where)
+        pruned = prune_manifest(
+            man, where,
+            list_transforms(spark, root, force_hadoop=force_hadoop),
+        )
         if pruned["files"]:
             entries = pruned["files"]
         elif entries:
@@ -1306,6 +1398,55 @@ def snapshot_read_merged(
             return df.filter(F.lit(False))
         df = df.filter(_where_to_column(where))
     return df
+
+
+def register_transform(
+    spark: SparkSession | None,
+    root: str,
+    kind: str,
+    col: str,
+    arg: int,
+    *,
+    force_hadoop: bool = False,
+) -> str:
+    """Declare a HIDDEN-PARTITIONING transform on the table: the
+    derived column named by :func:`partition_transform_column` is a
+    function of ``col``, so :func:`snapshot_read` prunes predicates on
+    ``col`` THROUGH the transform — Iceberg's headline feature (the
+    user never filters on the bucket number; the engine maps
+    ``doc_id = k`` to the one bucket directory that can hold it).
+    Immutable once registered (CAS file beside the manifests); returns
+    the derived column name to ``partitionBy`` when writing."""
+    _expr, pcol = partition_transform_column(kind, col, arg)
+    fs, base = table_fs(spark, root, force_hadoop)
+    mdir = _manifest_dir(fs, base)
+    fs.mkdirs(mdir)
+    doc = {"pcol": pcol, "kind": kind, "col": col, "arg": int(arg)}
+    fs.write_new(
+        fs.join(mdir, f"transform_{pcol}.json"),
+        json.dumps(doc, separators=(",", ":")).encode(),
+    )
+    return pcol
+
+
+def list_transforms(
+    spark: SparkSession | None,
+    root: str,
+    *,
+    force_hadoop: bool = False,
+) -> dict[str, tuple]:
+    """``{derived column: (kind, source column, arg)}`` for every
+    registered hidden-partitioning transform."""
+    fs, base = table_fs(spark, root, force_hadoop)
+    mdir = _manifest_dir(fs, base)
+    out: dict[str, tuple] = {}
+    if not fs.exists(mdir):
+        return out
+    for name in fs.listdir(mdir):
+        if name.startswith("transform_") and name.endswith(".json"):
+            doc = json.loads(fs.read_bytes(fs.join(mdir, name)))
+            out[doc["pcol"]] = (doc["kind"], doc["col"], int(doc["arg"]))
+    return out
 
 
 def metadata_table(

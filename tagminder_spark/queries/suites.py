@@ -464,6 +464,11 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
         "cur_wap_publish": (
             ["doc_id"], [("lang", "str"), ("n_chars", "num")],
         ),
+        # round 10: hidden partitioning — bucket(doc_id) partitions,
+        # predicates on doc_id prune through the transform
+        "cur_hidden_partitioning": (
+            ["doc_id"], [("lang", "str"), ("n_chars", "num")],
+        ),
         "cur_manifest_isolation": (["doc_id"], [("lang", "str")]),
         # round 9: manifest-level data skipping (per-file min/max stats
         # + driver-side file pruning in snapshot_read(where=...))

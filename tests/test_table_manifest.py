@@ -2676,3 +2676,84 @@ def test_sync_changes_incremental_consumer(spark, tmp_path):
     assert feed4.filter(F.col("_change_type") == "insert").count() == 7
     assert feed4.filter(F.col("_change_type") == "delete").count() == 7
     ack4()
+
+
+def test_hidden_partitioning_prunes_through_transform(spark, tmp_path):
+    """Iceberg-style hidden partitioning: the table partitions on
+    bucket(doc_id) but the user's predicate is on doc_id — pruning
+    maps = / in through the registered transform to the one bucket
+    per value, and the read stays value-exact.  A truncate transform
+    on a string column prunes prefix predicates the same way."""
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        init_manifest,
+        partition_transform_column,
+        register_transform,
+        snapshot_read,
+        snapshot_scan_plan,
+    )
+    from tagminder_spark.session import load_table
+
+    root = str(tmp_path / "t")
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    expr, pcol = partition_transform_column("bucket", "doc_id", 8)
+    (
+        docs.withColumn(pcol, expr)
+        .write.mode("append").partitionBy(pcol).parquet(root)
+    )
+    init_manifest(spark, root)
+    assert register_transform(spark, root, "bucket", "doc_id", 8) == pcol
+
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    target = ids[3]
+    plan = snapshot_scan_plan(
+        spark, root, where=[("doc_id", "=", target)]
+    )
+    assert 0 < len(plan["files"]) < plan["scanned"]
+    # only the one bucket's directory survives
+    from tagminder_spark.operators.table_manifest import transform_value
+
+    want_bucket = transform_value("bucket", target, 8)
+    assert all(
+        rel.startswith(f"{pcol}={want_bucket}/")
+        for rel, _ in plan["files"]
+    )
+    got = snapshot_read(
+        spark, root, where=[("doc_id", "=", target)]
+    ).select("doc_id", "n_chars").collect()
+    assert len(got) == 1 and got[0]["doc_id"] == target
+
+    # IN maps each member through the transform
+    some = [ids[0], ids[7], ids[19]]
+    plan_in = snapshot_scan_plan(
+        spark, root, where=[("doc_id", "in", some)]
+    )
+    assert 0 < len(plan_in["files"]) < plan_in["scanned"]
+    got_in = snapshot_read(
+        spark, root, where=[("doc_id", "in", some)]
+    )
+    assert sorted(r["doc_id"] for r in got_in.collect()) == sorted(some)
+
+    # truncate transform on a string column + prefix predicate
+    root2 = str(tmp_path / "t2")
+    docs2 = docs.withColumn(
+        "k", F.concat(F.col("lang"), F.lit(":"),
+                      F.col("doc_id").cast("string"))
+    )
+    e2, pcol2 = partition_transform_column("truncate", "k", 2)
+    docs2.withColumn(pcol2, e2).write.mode("append").partitionBy(
+        pcol2
+    ).parquet(root2)
+    init_manifest(spark, root2)
+    register_transform(spark, root2, "truncate", "k", 2)
+    lang0 = docs.select("lang").distinct().orderBy("lang").first()["lang"]
+    prefix = f"{lang0}:"
+    plan2 = snapshot_scan_plan(
+        spark, root2, where=[("k", "prefix", prefix)]
+    )
+    assert 0 < len(plan2["files"]) < plan2["scanned"]
+    got2 = snapshot_read(spark, root2, where=[("k", "prefix", prefix)])
+    assert got2.count() == docs.filter(F.col("lang") == lang0).count()
