@@ -2757,3 +2757,27 @@ def test_hidden_partitioning_prunes_through_transform(spark, tmp_path):
     assert 0 < len(plan2["files"]) < plan2["scanned"]
     got2 = snapshot_read(spark, root2, where=[("k", "prefix", prefix)])
     assert got2.count() == docs.filter(F.col("lang") == lang0).count()
+
+
+def test_distributed_footer_stats_match_serial(spark, tmp_path):
+    """The executor-parallel footer pass (bootstrap-scale
+    init_manifest) produces byte-identical stats to the driver-side
+    pass."""
+    import posixpath
+
+    from tagminder_spark.operators.compaction import list_data_files
+    from tagminder_spark.operators.table_manifest import (
+        collect_file_stats,
+    )
+
+    root = str(tmp_path / "t")
+    _clustered_docs(spark, root, n_files=12)
+    rels = [
+        posixpath.relpath(p.replace("\\", "/"), root)
+        for p, _ in list_data_files(spark, root)
+    ]
+    serial = collect_file_stats(root, rels, ("doc_id", "lang"))
+    dist = collect_file_stats(
+        root, rels, ("doc_id", "lang"), spark=spark, distributed=True
+    )
+    assert serial == dist and len(dist) == len(rels)
