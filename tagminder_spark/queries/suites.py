@@ -277,6 +277,13 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
             [("start_ms", "num"), ("end_ms", "num"), ("n_bytes", "num"),
              ("sample_sum", "num")],
         ),
+        # round 10: REAL GIF decode (palette + variable-width LZW +
+        # interlace) — channel sums + a position-weighted checksum
+        "mm_real_gif_features": (
+            ["media_id"],
+            [("width", "num"), ("height", "num"), ("sum_r", "num"),
+             ("sum_g", "num"), ("sum_b", "num"), ("wsum_r", "num")],
+        ),
         # round 10: REAL FLAC decode (pure python+numpy: Rice/LPC/
         # escape subframes, CRC-8/16, PCM MD5) — lossless, so the WAV
         # gate's integer oracle replays it exactly

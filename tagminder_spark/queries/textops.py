@@ -880,6 +880,126 @@ def mm_real_flac_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the REAL GIF decode path, oracle-gated (round 10): palettized
+# analytic pixels through genuine LZW (interlaced for odd docs), with
+# a POSITION-WEIGHTED checksum — plain channel sums are permutation-
+# invariant, so a broken interlace row reorder would slip through
+# them; the weighted sum pins every pixel to its (x, y).
+_MM_GIF_SQL = """
+WITH d AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h,
+         (doc_id * 131) % 256 AS base
+  FROM documents
+), grid AS (
+  SELECT d.doc_id, d.w, d.h, d.base, x.generate_series AS x,
+         y.generate_series AS y,
+         ((x.generate_series * 7 + y.generate_series * 13 + d.base)
+          % 64) * 4 AS r
+  FROM d, generate_series(0, 16) AS x, generate_series(0, 13) AS y
+  WHERE x.generate_series < d.w AND y.generate_series < d.h
+)
+SELECT doc_id AS media_id,
+       CAST(MAX(w) AS INT) AS width,
+       CAST(MAX(h) AS INT) AS height,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(255 - r) AS BIGINT) AS sum_g,
+       CAST(SUM(r // 2) AS BIGINT) AS sum_b,
+       CAST(SUM(r * (x + w * y)) AS BIGINT) AS wsum_r
+FROM grid GROUP BY doc_id
+"""
+
+
+@q("mm_real_gif_features", _MM_GIF_SQL)
+def mm_real_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode, value-checked: each document synthesizes a
+    genuine GIF89a (palette built from the analytic pixel formula,
+    real variable-width LZW, INTERLACED for odd doc_ids) and the
+    generic image path (``_decode_image_real`` dispatching on the GIF
+    magic) reconstructs the pixels.  DuckDB replays the formula — the
+    per-channel sums catch any palette/LZW error and the
+    position-weighted ``wsum_r`` catches a row-order (interlace)
+    error that permutation-invariant sums cannot."""
+    from collections.abc import Iterator as _It
+
+    import numpy as np
+    import pandas as pd
+
+    from tagminder_spark.sources.gif import encode_gif
+    from tagminder_spark.sources.multimodal import (
+        MEDIA_SCHEMA,
+        _decode_image_real,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def synth(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for r_ in pdf.itertuples():
+                did = int(r_.media_id)
+                w = 4 + did % 13
+                h = 3 + did % 11
+                base = (did * 131) % 256
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                red = (((x * 7 + y * 13 + base) % 64) * 4).astype(
+                    np.uint8
+                ) + np.zeros((h, w), np.uint8)
+                img = np.stack(
+                    [red, 255 - red, red // 2], axis=-1
+                ).astype(np.uint8)
+                rows.append(
+                    {
+                        "media_id": did,
+                        "kind": "image",
+                        "content": encode_gif(
+                            img, interlace=bool(did % 2)
+                        ),
+                        "meta": None,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "content", "meta"]
+            )
+
+    media = d.mapInPandas(synth, MEDIA_SCHEMA)
+
+    def feats(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            out = []
+            for r_ in pdf.itertuples():
+                w, h, rgb = _decode_image_real(bytes(r_.content))
+                pos = (
+                    np.arange(w)[None, :] + w * np.arange(h)[:, None]
+                ).astype(np.int64)
+                out.append(
+                    {
+                        "media_id": r_.media_id,
+                        "width": int(w),
+                        "height": int(h),
+                        "sum_r": int(rgb[:, :, 0].astype(np.int64).sum()),
+                        "sum_g": int(rgb[:, :, 1].astype(np.int64).sum()),
+                        "sum_b": int(rgb[:, :, 2].astype(np.int64).sum()),
+                        "wsum_r": int(
+                            (rgb[:, :, 0].astype(np.int64) * pos).sum()
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "width", "height", "sum_r",
+                         "sum_g", "sum_b", "wsum_r"],
+            )
+
+    return media.mapInPandas(
+        feats,
+        "media_id long, width int, height int, sum_r long, sum_g long,"
+        " sum_b long, wsum_r long",
+    )
+
+
 # the REAL MP4 sample-table path, oracle-gated (round 10): each doc
 # muxes a spec-valid MP4 (multi-chunk stsc, per-sample stsz, stss sync
 # marks) whose sample payloads are an md5 formula; frame-sampling

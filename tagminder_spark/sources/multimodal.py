@@ -321,6 +321,10 @@ def _decode_image_real(content: bytes):
             return decode_jpeg(content)
         except ValueError:
             pass  # progressive/arithmetic/12-bit → Pillow seam
+    if content.startswith((b"GIF87a", b"GIF89a")):
+        from tagminder_spark.sources.gif import decode_gif
+
+        return decode_gif(content)
     if content.startswith(b"BM"):
         try:
             return decode_bmp(content)

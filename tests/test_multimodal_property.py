@@ -4,6 +4,8 @@ synth→decode over arbitrary durations/rates.  Pure kernels — no Spark.
 """
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -412,3 +414,66 @@ def test_mp4_audio_track_m4a_shape():
     assert [extract_sample(b, e) for e in table] == payloads
     with _pytest.raises(ValueError):
         mp4_sample_table(b)  # no video track
+
+
+# ---------------------------------------------------------------------------
+# GIF (sources/gif.py) — lossless on palette indices, bit-exact
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    n_colors=st.integers(2, 256),
+    interlace=st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_gif_roundtrip_property(seed, w, h, n_colors, interlace):
+    from tagminder_spark.sources.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(seed)
+    pal = np.unique(
+        rng.integers(0, 256, (n_colors, 3)).astype(np.uint8), axis=0
+    )
+    img = pal[rng.integers(0, pal.shape[0], (h, w))]
+    got_w, got_h, got = decode_gif(encode_gif(img, interlace=interlace))
+    assert (got_w, got_h) == (w, h)
+    assert np.array_equal(got, img)
+
+
+def test_gif_lzw_dict_overflow_and_limits():
+    import pytest as _pytest
+
+    from tagminder_spark.sources.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(11)
+    # large noisy image -> LZW dictionary overflows 4096 and resets
+    noise = rng.integers(0, 16, (640, 200)).astype(np.uint8)
+    img = np.stack([noise * 16] * 3, axis=-1)
+    _, _, got = decode_gif(encode_gif(img))
+    assert np.array_equal(got, img)
+    # >256 unique colors rejected at encode
+    grad = np.arange(512, dtype=np.int64) % 300
+    too_many = np.stack(
+        [grad % 256, grad // 2, grad % 97], axis=-1
+    ).astype(np.uint8).reshape(16, 32, 3)
+    if np.unique(too_many.reshape(-1, 3), axis=0).shape[0] > 256:
+        with _pytest.raises(ValueError):
+            encode_gif(too_many)
+    # garbage / truncation rejected
+    with _pytest.raises(ValueError):
+        decode_gif(b"not a gif")
+    good = encode_gif(img[:8, :8])
+    with _pytest.raises((ValueError, IndexError, struct.error)):
+        decode_gif(good[: len(good) // 2])
+
+
+def test_gif_routes_through_generic_image_decode():
+    from tagminder_spark.sources.gif import encode_gif
+    from tagminder_spark.sources.multimodal import _decode_image_real
+
+    img = np.zeros((6, 9, 3), np.uint8)
+    img[:, :, 0] = 200
+    w, h, rgb = _decode_image_real(encode_gif(img))
+    assert (w, h) == (9, 6)
+    assert np.array_equal(rgb, img)
