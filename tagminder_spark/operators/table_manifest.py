@@ -513,9 +513,16 @@ def transform_value(kind: str, value, arg: int):
     """Driver-side twin of :func:`partition_transform_column` for a
     literal — what pruning compares against the partition-path value.
     Integer and string sources only (their ``cast("string")`` form is
-    reproducible; floats are not)."""
+    reproducible: python ``str(True)`` is ``'True'`` but Spark casts to
+    ``'true'``, and float formatting differs too, so any other literal
+    type raises rather than silently mis-pruning)."""
     import zlib
 
+    if isinstance(value, bool) or not isinstance(value, (int, str)):
+        raise TypeError(
+            f"partition transform literals must be int or str, "
+            f"got {type(value).__name__}"
+        )
     s = str(value)
     if kind == "bucket":
         return zlib.crc32(s.encode("utf-8")) % arg
@@ -530,16 +537,22 @@ def _transform_excludes(
     """Can a hidden-partition transform PROVE exclusion for this
     conjunct?  Only equality-shaped ops map through a hash bucket
     (= / in); truncate additionally supports prefix."""
+    def _tv_ok(v) -> bool:
+        # transform_value raises on literal types whose str() form
+        # diverges from Spark's cast("string") (bool, float, ...) —
+        # those conjuncts simply cannot prune through the transform
+        return isinstance(v, (int, str)) and not isinstance(v, bool)
+
     col, op, val = cond
     for pcol, (kind, src, arg) in transforms.items():
         if src != col or pcol not in pvals:
             continue
         pv = pvals[pcol]
         if op in ("=", "=="):
-            if str(transform_value(kind, val, arg)) != pv:
+            if _tv_ok(val) and str(transform_value(kind, val, arg)) != pv:
                 return True
         elif op == "in":
-            if val and all(
+            if val and all(_tv_ok(v) for v in val) and all(
                 str(transform_value(kind, v, arg)) != pv for v in val
             ):
                 return True
@@ -1647,6 +1660,12 @@ def stage_append(
             )
     except FileNotFoundError:
         pass  # fresh table — the batch defines the schema
+    except ValueError as e:
+        # initialized-but-empty table: snapshot_read raises "lists no
+        # files" — there is no column contract to check yet, staging
+        # must still work (the batch may be the table's first data)
+        if "lists no files" not in str(e):
+            raise
     stage = fs.join(base, f".__wap_stage_{uuid.uuid4().hex[:8]}__")
     writer = df.write.mode("overwrite")
     if partition_col:
@@ -2027,14 +2046,18 @@ def generation_as_of(
     for g in gens:
         raw = _read_raw(spark, root, g, force_hadoop=force_hadoop)
         committed = raw.get("ts")
+        from_manifest = committed is not None
         if committed is None:
             committed = fs.file_mtime(
                 fs.join(_manifest_dir(fs, base), _gen_name(g))
             )
         if committed <= ts:
             best = g
-        else:
-            break  # generations commit in time order
+        elif from_manifest:
+            break  # manifest ts fields commit in time order — but a
+            # legacy gen's mtime fallback can be non-monotone (copy /
+            # rsync disturbs it), so only the authoritative field may
+            # terminate the ascending scan early
     if best is None:
         raise ValueError(
             f"no generation of {root!r} committed at or before {ts}"
@@ -2459,13 +2482,15 @@ def merge_into_manifest(
     if missing:
         raise ValueError(f"updates lack table columns: {missing}")
 
-    # persist only when a containment probe will actually consume
-    # ``updates`` a second time — a table with no key bounds takes the
-    # blind full-rewrite path and reads updates exactly once
-    persisted = False
-    if file_granular and _key_bound_split(man, key)[1]:
-        updates = updates.persist()
-        persisted = True
+    # every merge path consumes ``updates`` at least twice — the
+    # granular path three times (containment probe + anti-join +
+    # union), the blind full-rewrite path twice (anti-join at the
+    # survivors step + union in the same plan, which would recompute
+    # the update lineage) — so persist unconditionally; the only
+    # single-consumption case (pure insert, zero touched files) pays a
+    # one-batch cache it would have needed the probe to discover anyway
+    updates = updates.persist()
+    persisted = True
     try:
         if file_granular:
             touched, untouched = _cow_touched_files(spark, man, key, updates)

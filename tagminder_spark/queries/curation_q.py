@@ -1186,6 +1186,11 @@ def t_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "append"
         ).parquet(src)
         _time.sleep(0.15)
+    # the file stream orders batches by mtime — the upsert file must
+    # sort strictly AFTER every initial slice (a coarse-mtime
+    # filesystem could otherwise reorder it into or before an initial
+    # batch, breaking the within-batch-unique-keys contract flakily)
+    _time.sleep(0.15)
     (
         docs.filter(F.col("doc_id") % 5 == 0)
         .withColumn("n_chars", F.lit(-1).cast("long"))

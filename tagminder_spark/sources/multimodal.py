@@ -562,8 +562,14 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             for r in pdf.itertuples():
                 content = bytes(getattr(r, "content", None) or b"")
                 try:
+                    # resolve the WHOLE sample plan (table + every
+                    # extracted sample) before emitting anything: a
+                    # truncated mdat raising mid-loop must fall back to
+                    # the fake path ATOMICALLY, never leave earlier
+                    # ticks' real rows mixed with fake frame_idx rows
                     table = mp4_sample_table(content)
                     dur = table[-1][2] + 1 if table else 0
+                    real_rows = []
                     i = 0
                     t = 0
                     while t < dur and i < 100:
@@ -571,7 +577,7 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                         j = max(
                             k for k, s in enumerate(table) if s[2] <= t
                         )
-                        rows.append(
+                        real_rows.append(
                             {
                                 "media_id": r.media_id,
                                 "frame_idx": i,
@@ -582,6 +588,7 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                         )
                         i += 1
                         t += every_ms
+                    rows.extend(real_rows)
                     continue
                 except ValueError:
                     pass  # not MP4 (or malformed) → deterministic fake

@@ -477,3 +477,56 @@ def test_gif_routes_through_generic_image_decode():
     w, h, rgb = _decode_image_real(encode_gif(img))
     assert (w, h) == (9, 6)
     assert np.array_equal(rgb, img)
+
+
+def test_sample_video_frames_truncated_mdat_falls_back_atomically(spark):
+    """A truncated mdat whose sample table points past the stream end
+    raises mid-extraction — the fallback must be ATOMIC: all rows for
+    that media come from the fake path, never a mix of real
+    early-tick rows and fake frame_idx duplicates."""
+    import hashlib
+    import struct
+
+    import pytest as _pytest
+
+    from tagminder_spark.sources.mp4 import make_mp4
+    from tagminder_spark.sources.multimodal import sample_video_frames
+
+    from tagminder_spark.sources.mp4 import (
+        extract_sample,
+        mp4_sample_table,
+    )
+
+    payloads = [hashlib.md5(f"t{i}".encode()).digest() for i in range(6)]
+    mp4 = make_mp4(payloads, fps=10, timescale=1000)  # 100ms deltas
+    # doctor sample 4's stsz entry (all six are 16) to a huge size: the
+    # sample TABLE still parses, ticks 0 and 200 extract fine, and the
+    # raise happens MID-LOOP at tick 400 — the exact ADVICE scenario
+    sizes = struct.pack(">I", 16) * 6
+    at = mp4.index(sizes)
+    doctored = (
+        mp4[: at + 16] + struct.pack(">I", 1 << 24) + mp4[at + 20:]
+    )
+    table = mp4_sample_table(doctored)  # parses: failure is per-sample
+    assert extract_sample(doctored, table[0]) == payloads[0]
+    with _pytest.raises(ValueError):
+        extract_sample(doctored, table[4])
+    rows = [
+        (7, "video", bytearray(doctored),
+         ("video/mp4", None, None, 900)),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, content binary, "
+              "meta struct<mime:string,width:int,height:int,"
+              "duration_ms:long>"
+    )
+    got = sorted(
+        (r["frame_idx"], bytes(r["frame_png"]))
+        for r in sample_video_frames(media, every_ms=200).collect()
+    )
+    # fake path: duration 900 -> 4 pseudo-frames, md5(media_id:i) each;
+    # no duplicate frame_idx, no real payload bytes anywhere
+    assert [i for i, _ in got] == [0, 1, 2, 3]
+    for i, png in got:
+        assert png == hashlib.md5(f"7:{i}".encode()).digest()
+        assert png not in payloads

@@ -2781,3 +2781,125 @@ def test_distributed_footer_stats_match_serial(spark, tmp_path):
         root, rels, ("doc_id", "lang"), spark=spark, distributed=True
     )
     assert serial == dist and len(dist) == len(rels)
+
+
+# ---------------------------------------------------------------------------
+# round 11: ADVICE hardening
+
+
+def test_transform_value_rejects_divergent_literal_types():
+    """python str(True) is 'True' but Spark cast("string") gives 'true'
+    — a bool (or float) literal must raise in transform_value and fall
+    through to NO exclusion in the prune path, never silently
+    mis-prune."""
+    from tagminder_spark.operators.table_manifest import (
+        _transform_excludes,
+        transform_value,
+    )
+
+    for bad in (True, False, 1.5, None, b"x"):
+        with pytest.raises(TypeError):
+            transform_value("bucket", bad, 16)
+    # int and str still work
+    assert isinstance(transform_value("bucket", 7, 16), int)
+    assert transform_value("truncate", "abcdef", 3) == "abc"
+
+    transforms = {"flag_bucket_16": ("bucket", "flag", 16)}
+    pvals = {"flag_bucket_16": "3"}
+    # a bool literal cannot prove exclusion (conservative keep)
+    assert not _transform_excludes(("flag", "=", True), pvals, transforms)
+    assert not _transform_excludes(
+        ("flag", "in", [True, False]), pvals, transforms
+    )
+    # an int literal on the same transform still prunes
+    assert _transform_excludes(("flag", "=", 4), pvals, transforms)
+
+
+def test_generation_as_of_nonmonotone_legacy_mtime(spark, tmp_path):
+    """Legacy manifests (no ts field) resolve by file mtime; a
+    copy/rsync-disturbed NON-monotone mtime must not terminate the
+    ascending scan early — the newest qualifying generation wins."""
+    import json
+    import os
+
+    from tagminder_spark.operators.table_manifest import (
+        _fold_cache_clear,
+        generation_as_of,
+    )
+
+    root = str(tmp_path / "t")
+    mdir = os.path.join(root, "_manifest")
+    os.makedirs(mdir)
+    # three legacy full snapshots WITHOUT the ts field
+    for g in (1, 2, 3):
+        with open(os.path.join(mdir, f"v{g:010d}.json"), "w") as f:
+            json.dump({"generation": g, "parent": g - 1,
+                       "files": [[f"f{g}.parquet", 10]]}, f)
+    _fold_cache_clear()
+    now = 1_700_000_000.0
+    # rsync-disturbed: gen 2's mtime is NEWER than gen 3's
+    os.utime(os.path.join(mdir, "v0000000001.json"), (now, now - 300))
+    os.utime(os.path.join(mdir, "v0000000002.json"), (now, now - 100))
+    os.utime(os.path.join(mdir, "v0000000003.json"), (now, now - 200))
+    # as-of now-150: gens 1 and 3 qualify by mtime; the early-break on
+    # gen 2 (mtime now-100 > ts) used to hide gen 3 entirely
+    assert generation_as_of(spark, root, now - 150) == 3
+
+
+def test_stage_append_into_empty_initialized_table(spark, tmp_path):
+    """An initialized table whose manifest lists zero files must accept
+    a staged batch (the batch may be the table's first data)."""
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        commit_manifest,
+        list_staged,
+        publish_staged,
+        snapshot_read,
+        stage_append,
+    )
+    from tagminder_spark.session import load_table
+
+    root = str(tmp_path / "t")
+    commit_manifest(spark, root, [], parent=0, op="init")
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    sid = stage_append(spark, docs, root)
+    assert sid in list_staged(spark, root)
+    publish_staged(spark, root, sid)
+    assert snapshot_read(spark, root).count() == docs.count()
+
+
+def test_merge_cow_always_persists_updates(spark, tmp_path, monkeypatch):
+    """The blind full-rewrite path consumes ``updates`` twice in one
+    plan (anti-join + union); the merge must persist it on EVERY path,
+    not only when the containment probe runs."""
+    import pyspark.sql
+
+    from tagminder_spark.operators.table_manifest import (
+        init_manifest,
+        merge_into_manifest,
+        snapshot_read,
+    )
+    from tagminder_spark.session import load_table
+
+    root = str(tmp_path / "t")
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    docs.write.mode("append").parquet(root)
+    init_manifest(spark, root)  # NO stats_cols -> blind path
+
+    cls = type(docs)  # the concrete DataFrame class instances carry
+    calls = []
+    orig = cls.persist
+
+    def spy(self, *a, **kw):
+        calls.append(True)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(cls, "persist", spy)
+    from pyspark.sql import functions as F
+
+    updates = docs.limit(20).withColumn("lang", F.lit("zz"))
+    merge_into_manifest(spark, root, updates, "doc_id")
+    assert calls, "updates were not persisted on the blind path"
+    back = snapshot_read(spark, root)
+    assert back.count() == docs.count()
