@@ -2376,8 +2376,8 @@ def test_snapshot_read_fast_path_and_mor_plan_shape(spark, tmp_path):
 def test_table_changes_cdc_feed(spark, tmp_path):
     """Change feed: appends and MoR merges emit per-commit
     insert/delete rows; layout commits (compaction/materialize) are
-    skipped; a CoW merge in range raises (it does not record which
-    rows changed)."""
+    skipped; a CoW merge in range feeds through its CDC change files
+    (round 11); a legacy pre-CDC merge-cow commit raises."""
     import pytest as _pytest
     from pyspark.sql import functions as F
 
@@ -2425,14 +2425,39 @@ def test_table_changes_cdc_feed(spark, tmp_path):
     # be a no-op; either way the feed result is unchanged:
     assert table_changes(spark, root, 1).count() == len(rows)
 
-    # CoW merge breaks the feed across its commit — surfaced, not wrong
-    merge_into_manifest(spark, root, upd, "doc_id")
+    # CoW merge now FEEDS through its CDC change files (VERDICT r10 #1)
+    rep = merge_into_manifest(spark, root, upd, "doc_id")
+    assert rep["change_files"] >= 1
     hist = table_history(spark, root)
+    cow_gen = hist[-1]["generation"]
     assert hist[-1]["op"] == "merge-cow"
+    rows2 = table_changes(spark, root, 1).collect()
+    cow_ins = {(r["doc_id"], r["n_chars"]) for r in rows2
+               if r["_change_type"] == "insert"
+               and r["_commit_gen"] == cow_gen}
+    cow_del = {r["doc_id"] for r in rows2
+               if r["_change_type"] == "delete"
+               and r["_commit_gen"] == cow_gen}
+    assert cow_ins == {(i, -1) for i in upd_ids}
+    assert cow_del == upd_ids
+    # pre-CoW feed rows are unchanged by the new commit
+    assert len(rows2) == len(rows) + 2 * len(upd_ids)
+    # a feed STARTING at the CoW commit is empty
+    assert table_changes(spark, root, cow_gen).count() == 0
+
+    # legacy pre-CDC merge-cow commit (no change files) still raises
+    from tagminder_spark.operators.table_manifest import (
+        commit_manifest,
+        read_manifest,
+    )
+
+    man = read_manifest(spark, root)
+    commit_manifest(
+        spark, root, [(p, sz) for p, sz in man["files"]],
+        stats=man["stats"], op="merge-cow",
+    )
     with _pytest.raises(ValueError, match="merge-cow"):
         table_changes(spark, root, 1)
-    # ...but a feed STARTING at the CoW commit still works
-    assert table_changes(spark, root, hist[-1]["generation"]).count() == 0
 
 
 def test_snapshot_tags_pin_retention(spark, tmp_path):
@@ -2903,3 +2928,166 @@ def test_merge_cow_always_persists_updates(spark, tmp_path, monkeypatch):
     assert calls, "updates were not persisted on the blind path"
     back = snapshot_read(spark, root)
     assert back.count() == docs.count()
+
+
+# ---------------------------------------------------------------------------
+# round 11: CDC across copy-on-write merges + bounded feed plans
+
+
+def test_sync_changes_across_cow_commit(spark, tmp_path):
+    """The incremental consumer stays alive across a copy-on-write
+    MERGE: applying the feed (delete keys, then insert rows, per
+    commit order) to its local replica reproduces the table exactly."""
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        append_files,
+        merge_into_manifest,
+        snapshot_read,
+        sync_changes,
+    )
+
+    root = str(tmp_path / "t")
+    cursor = str(tmp_path / "cursor.json")
+    docs = _clustered_docs(spark, root)  # gen 1
+
+    # consumer bootstraps from the init commit's retained feed window:
+    # first sync sees nothing (from_gen == oldest == current)
+    feed, to_gen, ack = sync_changes(spark, root, cursor)
+    assert to_gen is None and feed.count() == 0
+
+    append_files(
+        spark,
+        docs.limit(7).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "lang",
+            "n_chars",
+        ),
+        root, partition_col=None,
+    )  # gen 2
+    upd = docs.limit(30).withColumn("n_chars", F.lit(-9).cast("long"))
+    rep = merge_into_manifest(spark, root, upd, "doc_id")  # gen 3 (CoW)
+    assert rep["change_files"] >= 1
+
+    feed, to_gen, ack = sync_changes(spark, root, cursor)
+    assert to_gen == 3
+    # replica = gen-1 table, then replay the feed per commit
+    replica = {
+        r["doc_id"]: (r["lang"], r["n_chars"])
+        for r in snapshot_read(spark, root, 1).collect()
+    }
+    rows = sorted(
+        feed.collect(),
+        key=lambda r: (r["_commit_gen"],
+                       0 if r["_change_type"] == "delete" else 1),
+    )
+    for r in rows:
+        if r["_change_type"] == "delete":
+            replica.pop(r["doc_id"], None)
+        else:
+            replica[r["doc_id"]] = (r["lang"], r["n_chars"])
+    ack()
+    table_now = {
+        r["doc_id"]: (r["lang"], r["n_chars"])
+        for r in snapshot_read(spark, root).collect()
+    }
+    assert replica == table_now
+    # cursor advanced: next sync is empty
+    feed2, to2, _ = sync_changes(spark, root, cursor)
+    assert to2 is None and feed2.count() == 0
+
+
+def test_expire_reclaims_cow_change_files(spark, tmp_path):
+    """CDC change files live exactly as long as their generation's
+    manifest: protected while the commit is retained, reclaimed with
+    it."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        _read_raw,
+        append_files,
+        checkpoint_manifest,
+        expire_snapshots,
+        merge_into_manifest,
+        table_changes,
+    )
+
+    root = str(tmp_path / "t")
+    docs = _clustered_docs(spark, root)  # gen 1
+    upd = docs.limit(12).withColumn("n_chars", F.lit(-3).cast("long"))
+    merge_into_manifest(spark, root, upd, "doc_id")  # gen 2 (CoW + CDC)
+    raw = _read_raw(spark, root, 2)
+    change_rels = [rel for rel, _ in raw["changes"]]
+    assert change_rels and all(
+        os.path.exists(os.path.join(root, rel)) for rel in change_rels
+    )
+
+    # retained: expiry with keep_last=2 keeps gens 1+2 — files survive
+    expire_snapshots(spark, root, keep_last=2)
+    assert all(
+        os.path.exists(os.path.join(root, rel)) for rel in change_rels
+    )
+    assert table_changes(spark, root, 1).count() > 0
+
+    # push the CoW commit out of retention
+    append_files(spark, docs.limit(3), root, partition_col=None)  # gen 3
+    checkpoint_manifest(spark, root)  # gen 4 (full)
+    rep = expire_snapshots(spark, root, keep_last=1)
+    assert 2 in rep["removed_generations"]
+    assert all(
+        not os.path.exists(os.path.join(root, rel))
+        for rel in change_rels
+    )
+    for rel in change_rels:
+        assert rel in rep["removed_files"]
+
+
+def test_table_changes_plan_depth_bounded(spark, tmp_path):
+    """A 200-commit feed plans a BOUNDED number of parquet scans (one
+    per partition spec + one per delete-key group), not one per commit
+    — and stays value-identical to the per-commit semantics."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tagminder_spark.operators.table_manifest import (
+        commit_delta,
+        commit_manifest,
+        table_changes,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    # gen 1: one-file init (full snapshot)
+    t0 = pa.table({"doc_id": pa.array([0], pa.int64()),
+                   "val": pa.array(["seed"], pa.string())})
+    pq.write_table(t0, os.path.join(root, "seed.parquet"))
+    commit_manifest(
+        spark, root,
+        [("seed.parquet", os.path.getsize(os.path.join(root, "seed.parquet")))],
+        parent=0, op="init",
+    )
+    # 200 append commits, one tiny uniquely-named file each
+    n_commits = 200
+    for g in range(n_commits):
+        name = f"add_{g:04d}.parquet"
+        t = pa.table({"doc_id": pa.array([g + 1], pa.int64()),
+                      "val": pa.array([f"v{g}"], pa.string())})
+        pq.write_table(t, os.path.join(root, name))
+        commit_delta(
+            spark, root,
+            [(name, os.path.getsize(os.path.join(root, name)))],
+            op="append",
+        )
+    feed = table_changes(spark, root, 1)
+    plan = feed._jdf.queryExecution().optimizedPlan().toString()
+    n_scans = plan.count("Relation")
+    assert n_scans <= 4, f"feed plan has {n_scans} scans for 200 commits"
+    rows = feed.collect()
+    assert len(rows) == n_commits
+    assert {(r["doc_id"], r["val"], r["_commit_gen"], r["_change_type"])
+            for r in rows} == {
+        (g + 1, f"v{g}", g + 2, "insert") for g in range(n_commits)
+    }
