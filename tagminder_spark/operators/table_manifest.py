@@ -492,10 +492,33 @@ def _coerce_pv(pv: str, val):
 #: == Spark's crc32 on the same UTF-8 bytes) over the value's string
 #: form, not Spark's internal Murmur hash (not reproducible in python).
 
+#: transforms that are MONOTONE nondecreasing functions of their
+#: source (Iceberg's order-preserving transforms): a RANGE predicate
+#: on the source maps through them — ``src >= v ⟹ T(src) >= T(v)``,
+#: so a partition whose derived value is ``< T(v)`` provably holds no
+#: matching row.  ``bucket`` is deliberately absent (a hash preserves
+#: nothing but equality).
+_MONOTONE_INT_KINDS = ("year", "month", "day", "hour", "truncate_int")
+
+
 def partition_transform_column(kind: str, col: str, arg: int):
     """(Column expression, derived column name) for a hidden-partition
-    transform: ``bucket`` → ``crc32(string(col)) % arg``; ``truncate``
-    → the first ``arg`` characters of ``string(col)``."""
+    transform:
+
+    - ``bucket`` → ``crc32(string(col)) % arg``;
+    - ``truncate`` → the first ``arg`` characters of ``string(col)``;
+    - ``truncate_int`` → ``col`` floored to a multiple of ``arg``
+      (Iceberg's integer truncate: ``v - (v mod W)``, floor semantics
+      for negatives);
+    - ``year`` / ``month`` / ``day`` / ``hour`` → Iceberg's temporal
+      transforms over a timestamp/date/ISO-string source (``arg``
+      ignored): calendar year; months-from-epoch; days-from-epoch;
+      hours-from-epoch.  day/hour derive from epoch SECONDS (timezone-
+      free); year/month from the UTC calendar date — the engine
+      session pins ``spark.sql.session.timeZone=UTC``
+      (session.py:48), which is what makes the driver-side literal
+      twin (:func:`transform_value`) bit-identical.
+    """
     if kind == "bucket":
         # NOTE: the derived name must not start with "_" or "." — those
         # are hidden-path prefixes every Hadoop lister (and this
@@ -506,23 +529,92 @@ def partition_transform_column(kind: str, col: str, arg: int):
     if kind == "truncate":
         expr = F.substring(F.col(col).cast("string"), 1, arg)
         return expr, f"{col}_trunc_{arg}"
+    if kind == "truncate_int":
+        expr = (F.col(col) - F.pmod(F.col(col), F.lit(arg))).cast("long")
+        return expr, f"{col}_trunci_{arg}"
+    if kind == "year":
+        expr = F.year(F.col(col).cast("date"))
+        return expr, f"{col}_year"
+    if kind == "month":
+        d = F.col(col).cast("date")
+        expr = (F.year(d) - F.lit(1970)) * F.lit(12) + F.month(d) - F.lit(1)
+        return expr, f"{col}_month"
+    if kind == "day":
+        expr = F.datediff(
+            F.col(col).cast("date"), F.to_date(F.lit("1970-01-01"))
+        )
+        return expr, f"{col}_day"
+    if kind == "hour":
+        # epoch-second arithmetic (cast ts→long is TZ-free); floor
+        # division via pmod so pre-epoch hours round toward -inf —
+        # `div` would truncate toward zero
+        c = F.col(col).cast("timestamp").cast("long")
+        expr = ((c - F.pmod(c, F.lit(3600))) / F.lit(3600)).cast("int")
+        return expr, f"{col}_hour"
     raise ValueError(f"unknown partition transform {kind!r}")
+
+
+def _literal_utc_datetime(value):
+    """A predicate literal coerced to a naive-UTC datetime for the
+    temporal transforms — str (ISO date or datetime), datetime.date,
+    datetime.datetime (naive = UTC; aware converted).  Raises TypeError
+    for anything else (a silently mis-parsed literal would mis-prune)."""
+    import datetime as _dt
+
+    if isinstance(value, _dt.datetime):
+        if value.tzinfo is not None:
+            return value.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return value
+    if isinstance(value, _dt.date):
+        return _dt.datetime(value.year, value.month, value.day)
+    if isinstance(value, str):
+        try:
+            return _dt.datetime.fromisoformat(value)
+        except ValueError as e:
+            raise TypeError(f"unparseable temporal literal {value!r}") from e
+    raise TypeError(
+        f"temporal transform literals must be str/date/datetime, "
+        f"got {type(value).__name__}"
+    )
 
 
 def transform_value(kind: str, value, arg: int):
     """Driver-side twin of :func:`partition_transform_column` for a
     literal — what pruning compares against the partition-path value.
-    Integer and string sources only (their ``cast("string")`` form is
-    reproducible: python ``str(True)`` is ``'True'`` but Spark casts to
-    ``'true'``, and float formatting differs too, so any other literal
-    type raises rather than silently mis-pruning)."""
+
+    ``bucket``/``truncate`` take integer and string sources only (their
+    ``cast("string")`` form is reproducible: python ``str(True)`` is
+    ``'True'`` but Spark casts to ``'true'``, and float formatting
+    differs too, so any other literal type raises rather than silently
+    mis-pruning).  ``truncate_int`` takes ints.  The temporal kinds
+    take str/date/datetime literals, interpreted as UTC — matching the
+    engine session's pinned UTC timezone on the write side."""
+    import datetime as _dt
     import zlib
 
+    if kind in _MONOTONE_INT_KINDS and kind != "truncate_int":
+        dt = _literal_utc_datetime(value)
+        if kind == "year":
+            return dt.year
+        if kind == "month":
+            return (dt.year - 1970) * 12 + dt.month - 1
+        if kind == "day":
+            return (dt.date() - _dt.date(1970, 1, 1)).days
+        # floor, not int(): Spark's ts→long cast floors (floorDiv of
+        # micros), and pre-epoch fractional seconds must round down
+        epoch = math.floor(
+            dt.replace(tzinfo=_dt.timezone.utc).timestamp()
+        )
+        return epoch // 3600  # hour; floor division matches pmod
     if isinstance(value, bool) or not isinstance(value, (int, str)):
         raise TypeError(
             f"partition transform literals must be int or str, "
             f"got {type(value).__name__}"
         )
+    if kind == "truncate_int":
+        if not isinstance(value, int):
+            raise TypeError("truncate_int literals must be int")
+        return value - (value % arg)
     s = str(value)
     if kind == "bucket":
         return zlib.crc32(s.encode("utf-8")) % arg
@@ -531,12 +623,43 @@ def transform_value(kind: str, value, arg: int):
     raise ValueError(f"unknown partition transform {kind!r}")
 
 
+def _monotone_transform_excl(op, pv, tv) -> bool:
+    """Exclusion through a MONOTONE nondecreasing transform T, given
+    this partition's derived value ``pv`` and the transformed literal
+    ``tv = T(v)`` (both already the same comparable kind):
+
+    - ``src = v`` needs ``T(src) = tv`` — excluded iff ``pv != tv``;
+    - ``src >= v`` (or ``>``) implies ``T(src) >= tv`` — excluded iff
+      ``pv < tv`` (strict ``>`` cannot do better: T collapses a whole
+      bucket onto tv, and some ``src > v`` may still map to tv);
+    - ``src <= v`` (or ``<``) implies ``T(src) <= tv`` — excluded iff
+      ``pv > tv``;
+    - ``between (a, b)`` — excluded iff ``pv < T(a)`` or ``pv > T(b)``.
+    """
+    if op in ("=", "=="):
+        return pv != tv
+    if op in (">", ">="):
+        return pv < tv
+    if op in ("<", "<="):
+        return pv > tv
+    if op == "between":
+        ta, tb = tv
+        return pv < ta or pv > tb
+    return False
+
+
 def _transform_excludes(
     cond, pvals: dict, transforms: dict
 ) -> bool:
     """Can a hidden-partition transform PROVE exclusion for this
-    conjunct?  Only equality-shaped ops map through a hash bucket
-    (= / in); truncate additionally supports prefix."""
+    conjunct?  ``bucket`` maps only equality-shaped ops (= / in) — a
+    hash preserves nothing else; the MONOTONE transforms (``truncate``
+    on strings, ``truncate_int``, ``year``/``month``/``day``/``hour``)
+    additionally map RANGE predicates (< <= > >= between) through
+    :func:`_monotone_transform_excl`, and ``truncate`` keeps its
+    ``prefix`` special case.  A literal whose type the transform
+    cannot reproduce bit-exactly (bool through bucket, an unparseable
+    temporal string, ...) falls through to NO exclusion."""
     def _tv_ok(v) -> bool:
         # transform_value raises on literal types whose str() form
         # diverges from Spark's cast("string") (bool, float, ...) —
@@ -548,21 +671,77 @@ def _transform_excludes(
         if src != col or pcol not in pvals:
             continue
         pv = pvals[pcol]
-        if op in ("=", "=="):
-            if _tv_ok(val) and str(transform_value(kind, val, arg)) != pv:
-                return True
-        elif op == "in":
-            if val and all(_tv_ok(v) for v in val) and all(
-                str(transform_value(kind, v, arg)) != pv for v in val
-            ):
-                return True
-        elif op == "prefix" and kind == "truncate":
-            p = str(val)
-            if len(p) >= arg:
-                if pv != p[:arg]:
+        if kind == "bucket":
+            if op in ("=", "=="):
+                if _tv_ok(val) and str(
+                    transform_value(kind, val, arg)
+                ) != pv:
                     return True
-            elif not pv.startswith(p):
-                return True
+            elif op == "in":
+                if val and all(_tv_ok(v) for v in val) and all(
+                    str(transform_value(kind, v, arg)) != pv for v in val
+                ):
+                    return True
+            continue
+        if kind == "truncate":
+            if op == "prefix":
+                p = str(val)
+                if len(p) >= arg:
+                    if pv != p[:arg]:
+                        return True
+                elif not pv.startswith(p):
+                    return True
+                continue
+            # string-monotone: compare the raw partition string
+            try:
+                if op == "in":
+                    if val and all(
+                        _tv_ok(v)
+                        and transform_value(kind, v, arg) != pv
+                        for v in val
+                    ):
+                        return True
+                elif op == "between":
+                    a, b = val
+                    if _tv_ok(a) and _tv_ok(b) and _monotone_transform_excl(
+                        op, pv,
+                        (transform_value(kind, a, arg),
+                         transform_value(kind, b, arg)),
+                    ):
+                        return True
+                elif _tv_ok(val) and _monotone_transform_excl(
+                    op, pv, transform_value(kind, val, arg)
+                ):
+                    return True
+            except TypeError:
+                pass
+            continue
+        if kind in _MONOTONE_INT_KINDS:
+            try:
+                pv_int = int(pv)
+            except ValueError:
+                continue
+            try:
+                if op == "in":
+                    if val and all(
+                        transform_value(kind, v, arg) != pv_int
+                        for v in val
+                    ):
+                        return True
+                elif op == "between":
+                    a, b = val
+                    if _monotone_transform_excl(
+                        op, pv_int,
+                        (transform_value(kind, a, arg),
+                         transform_value(kind, b, arg)),
+                    ):
+                        return True
+                elif _monotone_transform_excl(
+                    op, pv_int, transform_value(kind, val, arg)
+                ):
+                    return True
+            except TypeError:
+                pass
     return False
 
 

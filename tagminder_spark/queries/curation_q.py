@@ -957,6 +957,77 @@ def cur_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TEMPORAL_PART_SQL = """
+WITH b AS (SELECT CAST(min(ts) AS DATE) + INTERVAL 4 DAY AS lo,
+                  CAST(min(ts) AS DATE) + INTERVAL 10 DAY AS hi
+           FROM events)
+SELECT event_id, event_type, CAST(value AS DOUBLE) AS value
+FROM events, b
+WHERE ts >= b.lo AND ts < b.hi
+"""
+
+
+@q("cur_temporal_partitioning", _TEMPORAL_PART_SQL)
+def cur_temporal_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal hidden partitioning gate (round 11, VERDICT r10 #2):
+    the events table partitions on ``day(ts)`` (days-from-epoch, the
+    Iceberg temporal transform; driver literal twin bit-identical to
+    the write-side expression) but the QUERY issues a plain RANGE
+    predicate on ``ts`` itself — mapped through the transform by
+    monotonicity (``src >= v ⟹ day(src) >= day(v)``), which is the
+    missing half of hidden partitioning: a time-range scan over a
+    time-partitioned 100 TB corpus plans only the qualifying day
+    directories.  The gate raises unless the scan plan pruned a strict
+    subset of files, and the oracle pins the pruned read value-exact —
+    pruning is an optimization, never a filter."""
+    import datetime as _dt
+    import tempfile
+
+    from tagminder_spark.operators.table_manifest import (
+        init_manifest,
+        partition_transform_column,
+        register_transform,
+        snapshot_read,
+        snapshot_scan_plan,
+    )
+
+    base = tempfile.mkdtemp(prefix="tm_temporalpart_")
+    root = f"{base}/t"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type",
+        F.col("value").cast("double").alias("value"),
+    )
+    expr, pcol = partition_transform_column("day", "ts", 0)
+    (
+        ev.withColumn(pcol, expr)
+        .write.mode("append").partitionBy(pcol).parquet(root)
+    )
+    init_manifest(spark, root)
+    register_transform(spark, root, "day", "ts", 0)
+
+    min_ts = ev.agg(F.min("ts").alias("m")).first()["m"]
+    lo = _dt.datetime.combine(
+        min_ts.date() + _dt.timedelta(days=4), _dt.time()
+    )
+    hi = lo + _dt.timedelta(days=6)
+    where = [
+        ("ts", ">=", lo.strftime("%Y-%m-%d %H:%M:%S")),
+        ("ts", "<", hi.strftime("%Y-%m-%d %H:%M:%S")),
+    ]
+    plan = snapshot_scan_plan(spark, root, where=where)
+    if not (0 < len(plan["files"]) < plan["scanned"]):
+        raise AssertionError(
+            f"temporal transform pruned nothing: kept "
+            f"{len(plan['files'])} of {plan['scanned']}"
+        )
+    back = snapshot_read(spark, root, where=where)
+    return back.select(
+        "event_id",
+        F.col("event_type").cast("string").alias("event_type"),
+        "value",
+    )
+
+
 _WAP_SQL = """
 SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM documents
 UNION ALL

@@ -482,6 +482,11 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
         "cur_hidden_partitioning": (
             ["doc_id"], [("lang", "str"), ("n_chars", "num")],
         ),
+        # round 11: temporal hidden partitioning — day(ts) partitions,
+        # RANGE predicates on ts prune through the monotone transform
+        "cur_temporal_partitioning": (
+            ["event_id"], [("event_type", "str"), ("value", "num")],
+        ),
         "cur_manifest_isolation": (["doc_id"], [("lang", "str")]),
         # round 9: manifest-level data skipping (per-file min/max stats
         # + driver-side file pruning in snapshot_read(where=...))
