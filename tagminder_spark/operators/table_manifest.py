@@ -1281,6 +1281,8 @@ def commit_delta(
     seqs: dict[str, int] | None = None,
     delete_adds: list[tuple[str, int, str]] | None = None,
     delete_removes: list[str] | None = None,
+    changes: list[tuple[str, int]] | None = None,
+    change_key: str | None = None,
     op: str | None = None,
     force_hadoop: bool = False,
 ) -> int:
@@ -1291,7 +1293,9 @@ def commit_delta(
     adds only (keeping the commit O(|batch|)); readers fold them with
     the chain.  ``seqs``/``delete_adds``/``delete_removes`` carry this
     delta's merge-on-read changes (:func:`merge_on_read` /
-    :func:`materialize_deletes`) — also O(|change|)."""
+    :func:`materialize_deletes`) — also O(|change|).
+    ``changes``/``change_key`` attach CDC provenance exactly as in
+    :func:`commit_manifest`."""
     fs, base = table_fs(spark, root, force_hadoop)
     if parent is None:
         gens = list_generations(spark, root, force_hadoop=force_hadoop)
@@ -1328,6 +1332,10 @@ def commit_delta(
         )
     if delete_removes:
         doc["delete_removes"] = sorted(delete_removes)
+    if changes:
+        doc["changes"] = sorted([rel, int(sz)] for rel, sz in changes)
+        if change_key is not None:
+            doc["change_key"] = change_key
     payload = json.dumps(doc, separators=(",", ":")).encode()
     fs.write_new(fs.join(mdir, _gen_name(gen)), payload)
     return gen
@@ -1422,6 +1430,30 @@ def _delete_mask_groups(
     return groups
 
 
+#: the sentinel "key column" marking a POSITIONAL delete file (schema
+#: ``file string, pos long`` — data-file basename + row ordinal),
+#: Iceberg's positional deletes next to the equality ones.  Not a
+#: legal column name, so it can never collide with an equality key.
+_POS_DELETE_KEY = "#pos"
+
+#: helper column names for positional identity (attached from the
+#: parquet ``_metadata`` struct, never persisted)
+_POS_FILE_COL = "__pos_file"
+_POS_IDX_COL = "__pos_idx"
+
+
+def _with_positions(df: DataFrame) -> DataFrame:
+    """Attach each row's physical identity — data-file BASENAME (part
+    files are UUID-named, so basenames identify files table-wide) and
+    row ordinal — from Spark's parquet ``_metadata`` struct."""
+    return df.withColumns({
+        _POS_FILE_COL: F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -1
+        ),
+        _POS_IDX_COL: F.col("_metadata.row_index"),
+    })
+
+
 def _read_entries_with_deletes(
     spark: SparkSession,
     fs,
@@ -1430,18 +1462,26 @@ def _read_entries_with_deletes(
     man: dict,
     *,
     merge_schema: bool = False,
+    with_positions: bool = False,
 ) -> DataFrame:
     """Plan ``entries`` as an explicit file list with the manifest's
-    equality-delete files APPLIED (Iceberg merge-on-read, read side)
-    and partition-spec EVOLUTION resolved: files are grouped by
+    delete files APPLIED (Iceberg merge-on-read, read side) and
+    partition-spec EVOLUTION resolved: files are grouped by
     (partition spec, applicable-delete mask); each group is one
     parquet scan — so Spark's directory-partition inference always
-    sees a consistent scheme — anti-joined against the union of its
-    applicable delete-key files (small by the MoR premise: it is the
-    update batch, so every anti-join is a broadcast hash join; no
-    shuffle is added to the data side).  Groups union by name; a
-    partition column one spec lacks reads as NULL there, exactly
-    Iceberg's null-for-absent-spec-field semantics."""
+    sees a consistent scheme — with EQUALITY deletes anti-joined on
+    their key column and POSITIONAL deletes (``#pos`` entries: data-
+    file basename + row ordinal, from :func:`delete_where`)
+    anti-joined on the row's physical identity via the parquet
+    ``_metadata`` struct.  Every delete-side input is small by the MoR
+    premise (it is the update/delete batch), so every anti-join is a
+    broadcast hash join; no shuffle is added to the data side.  Groups
+    union by name; a partition column one spec lacks reads as NULL
+    there, exactly Iceberg's null-for-absent-spec-field semantics.
+
+    ``with_positions=True`` keeps the physical-identity helper columns
+    (:data:`_POS_FILE_COL`, :data:`_POS_IDX_COL`) in the output — what
+    :func:`delete_where` uses to turn a predicate into positions."""
     if not entries:
         raise ValueError("no data files to plan")
     deletes = man.get("deletes") or []
@@ -1451,17 +1491,36 @@ def _read_entries_with_deletes(
         reader = spark.read.option("basePath", base)
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
-        return reader.parquet(*[fs.join(base, rel) for rel, _ in ents])
+        df = reader.parquet(*[fs.join(base, rel) for rel, _ in ents])
+        return _with_positions(df) if with_positions else df
 
     if len(groups) == 1 and not deletes:
         return _plain(entries)
     parts: list[DataFrame] = []
     for spec, mask in sorted(groups):
-        df_g = _plain(groups[(spec, mask)])
         applicable = [d for d, hit in zip(deletes, mask) if hit]
+        pos_rels = [rel for rel, _seq, k in applicable
+                    if k == _POS_DELETE_KEY]
+        need_pos = with_positions or bool(pos_rels)
+        df_g = _plain(groups[(spec, mask)])
+        if need_pos and not with_positions:
+            df_g = _with_positions(df_g)
+        if pos_rels:
+            pdf = spark.read.parquet(
+                *[fs.join(base, r) for r in pos_rels]
+            )
+            df_g = df_g.join(
+                F.broadcast(pdf),
+                (df_g[_POS_FILE_COL] == pdf["file"])
+                & (df_g[_POS_IDX_COL] == pdf["pos"]),
+                "left_anti",
+            )
+        if need_pos and not with_positions:
+            df_g = df_g.drop(_POS_FILE_COL, _POS_IDX_COL)
         by_key: dict[str, list[str]] = {}
         for rel, _seq, keycol in applicable:
-            by_key.setdefault(keycol, []).append(rel)
+            if keycol != _POS_DELETE_KEY:
+                by_key.setdefault(keycol, []).append(rel)
         for keycol in sorted(by_key):
             kdf = spark.read.parquet(
                 *[fs.join(base, r) for r in by_key[keycol]]
@@ -2191,6 +2250,9 @@ def table_changes(
       copy-on-write merge even though its data files mix update rows
       with carried survivors (VERDICT r10 #1; Delta CDF's change
       files);
+    - ``delete-pos`` (:func:`delete_where`): its change files carry
+      the FULL PREIMAGE of every deleted row — replayed as
+      ``_change_type="delete"`` rows with all columns set;
     - ``init`` / ``checkpoint`` / ``compact`` / ``materialize``: no
       logical rows changed — skipped entirely (their file rewrites are
       layout, not data);
@@ -2228,6 +2290,7 @@ def table_changes(
 
     ins_specs: list[tuple[str, int]] = []  # (rel, gen)
     del_specs: dict[tuple[str, bool], list[tuple[str, int]]] = {}
+    preimg_specs: list[tuple[str, int]] = []  # full-preimage deletes
     for g in range(from_gen + 1, to_gen + 1):
         raw = _read_raw(spark, root, g, force_hadoop=force_hadoop)
         op = raw.get("op")
@@ -2241,6 +2304,12 @@ def table_changes(
                 # equality-delete shape MoR commits store pre-distinct)
                 del_specs.setdefault((key, True), []).append((rel, g))
             continue
+        if op == "delete-pos" and raw.get("changes"):
+            # positional deletes feed their full row PREIMAGES (the
+            # predicate scan had the rows, so the change files carry
+            # more than the equality feed's key+NULLs shape)
+            preimg_specs.extend((rel, g) for rel, _sz in raw["changes"])
+            continue
         if op not in ("append", "merge-mor"):
             raise ValueError(
                 f"generation {g} ({op or 'untagged'}) does not record "
@@ -2251,7 +2320,7 @@ def table_changes(
             del_specs.setdefault((keycol, False), []).append((rel, g))
 
     b2g: dict[str, int] = {}
-    for rel, g in ins_specs + [
+    for rel, g in ins_specs + preimg_specs + [
         s for specs in del_specs.values() for s in specs
     ]:
         b = posixpath.basename(rel)
@@ -2301,6 +2370,14 @@ def table_changes(
             "_commit_gen",
         )
         parts.append(row.withColumn("_change_type", F.lit("delete")))
+    if preimg_specs:
+        pre = (
+            spark.read.option("basePath", base)
+            .parquet(*[fs.join(base, rel) for rel, _g in preimg_specs])
+            .withColumn("_commit_gen", _gen_col())
+            .select(*cols, "_commit_gen")
+        )
+        parts.append(pre.withColumn("_change_type", F.lit("delete")))
     if not parts:
         return (
             anchor.withColumn("_change_type", F.lit("insert"))
@@ -3047,6 +3124,102 @@ def merge_on_read(
     }
 
 
+def delete_where(
+    spark: SparkSession,
+    root: str,
+    where: list[tuple],
+    *,
+    force_hadoop: bool = False,
+) -> dict:
+    """Row-level DELETE by predicate as Iceberg **positional deletes**
+    (round 11, VERDICT r10 #8): matching rows are recorded as
+    ``(data-file basename, row ordinal)`` pairs in a delete file under
+    ``_deletes/`` — **no data file is read beyond the pruned predicate
+    scan, none is rewritten** — so quality-filter deletes (no key
+    column required) get merge-on-read economics instead of forcing a
+    copy-on-write rewrite.  Readers (:func:`snapshot_read`) apply the
+    delete as a broadcast anti-join on the row's physical identity
+    (parquet ``_metadata`` file + row_index — stable for a given file);
+    :func:`materialize_deletes` folds it back in on the maintenance
+    cadence, rewriting ONLY the files the delete file actually names.
+
+    The commit also records CDC change files carrying the full
+    PREIMAGE of every deleted row (richer than the equality feed's
+    key+NULLs shape — the predicate scan already has the rows), so
+    :func:`table_changes` replays the delete exactly.
+
+    ``where`` is the same conjunction grammar as ``snapshot_read`` —
+    manifest pruning narrows the scan to the files that can match.
+    Like every row-replacing commit, a lost commit CAS surfaces
+    (``FileExistsError``); the caller re-plans against the fresh
+    snapshot."""
+    import uuid
+
+    fs, base = table_fs(spark, root, force_hadoop)
+    man = read_manifest(spark, root, force_hadoop=force_hadoop)
+    _validate_where(where)
+    gen = man["generation"] + 1
+    pruned = prune_manifest(
+        man, where,
+        list_transforms(spark, root, force_hadoop=force_hadoop),
+    )
+    if not pruned["files"]:
+        return {"generation": man["generation"], "rows_deleted": 0,
+                "delete_files": 0, "data_files_rewritten": 0,
+                "files_scanned": 0}
+    df = _read_entries_with_deletes(
+        spark, fs, base, pruned["files"], man, with_positions=True
+    )
+    matched = df.filter(_where_to_column(where)).persist()
+    try:
+        n = matched.count()
+        if n == 0:
+            return {"generation": man["generation"], "rows_deleted": 0,
+                    "delete_files": 0, "data_files_rewritten": 0,
+                    "files_scanned": len(pruned["files"])}
+        dstage = fs.join(base, f".__pos_del_stage_{uuid.uuid4().hex[:8]}__")
+        (
+            matched.select(
+                F.col(_POS_FILE_COL).alias("file"),
+                F.col(_POS_IDX_COL).cast("long").alias("pos"),
+            )
+            .coalesce(1).write.mode("overwrite").parquet(dstage)
+        )
+        del_entries: list[tuple[str, int]] = []
+        try:
+            ddir = fs.join(base, "_deletes")
+            if not fs.exists(ddir):
+                fs.mkdirs(ddir)
+            for p, sz in list_data_files(spark, dstage):
+                rel = f"_deletes/pos_{uuid.uuid4().hex[:12]}.parquet"
+                fs.rename(p, fs.join(base, rel))
+                del_entries.append((rel, sz))
+        finally:
+            fs.delete(dstage, ignore_errors=True)
+        preimg = [c for c in df.columns
+                  if c not in (_POS_FILE_COL, _POS_IDX_COL)]
+        changes = _write_change_files(
+            spark, fs, base, matched.select(*preimg)
+        )
+    finally:
+        matched.unpersist()
+    commit_delta(
+        spark, root, [], parent=man["generation"],
+        delete_adds=[
+            (rel, gen, _POS_DELETE_KEY) for rel, _ in del_entries
+        ],
+        changes=changes, op="delete-pos", force_hadoop=force_hadoop,
+    )
+    return {
+        "generation": gen,
+        "rows_deleted": int(n),
+        "delete_files": len(del_entries),
+        "data_files_rewritten": 0,
+        "files_scanned": len(pruned["files"]),
+        "pending_deletes": len(man["deletes"]) + len(del_entries),
+    }
+
+
 def materialize_deletes(
     spark: SparkSession,
     root: str,
@@ -3090,9 +3263,27 @@ def materialize_deletes(
         if not any(d[1] > seqs.get(rel, 0) for d in deletes)
     ]
     # bounds-prune the candidates per delete key column: reuse the CoW
-    # containment probe with the delete keys standing in for updates
-    keycols = sorted({d[2] for d in deletes})
+    # containment probe with the delete keys standing in for updates.
+    # POSITIONAL deletes are even better than bounds — they NAME their
+    # data files, so the touched set is exactly the named files still
+    # present (distinct-file collect bounded by |files|).
     touched_rels: set[str] = set()
+    pos_deletes = [d for d in deletes if d[2] == _POS_DELETE_KEY]
+    if pos_deletes:
+        named = {
+            r["file"]
+            for r in spark.read.parquet(
+                *[fs.join(base, d[0]) for d in pos_deletes]
+            ).select("file").distinct().collect()
+        }
+        for rel, _sz in candidates:
+            if posixpath.basename(rel) in named and any(
+                d[1] > seqs.get(rel, 0) for d in pos_deletes
+            ):
+                touched_rels.add(rel)
+    keycols = sorted(
+        {d[2] for d in deletes if d[2] != _POS_DELETE_KEY}
+    )
     for keycol in keycols:
         subset = [
             e for e in candidates

@@ -957,6 +957,89 @@ def cur_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_POS_DELETE_SQL = """
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+WHERE doc_id > (SELECT min(doc_id) + (max(doc_id) - min(doc_id)) // 10
+                FROM documents)
+"""
+
+
+@q("cur_positional_delete", _POS_DELETE_SQL)
+def cur_positional_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-delete gate (round 11, VERDICT r10 #8): a predicate
+    DELETE with **no key column** lands as (data-file, row-ordinal)
+    pairs — Iceberg's positional deletes — so quality-filter deletes
+    get merge-on-read economics instead of forcing a copy-on-write
+    rewrite.  The gate raises unless (a) the delete rewrote ZERO data
+    files and carried every pre-delete manifest entry verbatim, (b)
+    the manifest prune narrowed the predicate scan to a strict subset
+    of files, and (c) ``materialize_deletes`` then folds the delete in
+    FILE-GRANULARLY (only the files the delete file names are
+    rewritten) with the delete list emptied.  The oracle pins both the
+    MoR read and the post-materialization read value-exact.  At
+    100 TB: a low-quality-slice delete costs O(deleted rows) write IO
+    at commit time and O(named files) at maintenance time — never
+    O(table)."""
+    import tempfile
+
+    from tagminder_spark.operators.table_manifest import (
+        delete_where,
+        init_manifest,
+        materialize_deletes,
+        read_manifest,
+        snapshot_read,
+    )
+
+    base = tempfile.mkdtemp(prefix="tm_posdelete_")
+    root = f"{base}/t"
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    (
+        docs.repartitionByRange(8, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("append").parquet(root)
+    )
+    init_manifest(spark, root, stats_cols=("doc_id",))
+    man1 = read_manifest(spark, root)
+
+    bounds = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).first()
+    cut = bounds["lo"] + (bounds["hi"] - bounds["lo"]) // 10
+    rep = delete_where(spark, root, [("doc_id", "<=", cut)])
+    if rep["data_files_rewritten"] != 0 or rep["delete_files"] < 1:
+        raise AssertionError(f"positional delete rewrote data: {rep}")
+    if not (0 < rep["files_scanned"] < len(man1["files"])):
+        raise AssertionError(
+            f"predicate scan was not pruned: {rep} vs "
+            f"{len(man1['files'])} files"
+        )
+    man2 = read_manifest(spark, root)
+    if sorted(map(tuple, man2["files"])) != sorted(
+        map(tuple, man1["files"])
+    ):
+        raise AssertionError("positional delete disturbed data files")
+
+    mor_rows = snapshot_read(spark, root).count()
+    mat = materialize_deletes(spark, root)
+    if mat["delete_files_dropped"] < 1 or read_manifest(
+        spark, root
+    )["deletes"]:
+        raise AssertionError(f"materialization left deletes: {mat}")
+    if not (mat["files_untouched"] > mat["files_rewritten"] > 0):
+        raise AssertionError(
+            f"materialization was not file-granular: {mat}"
+        )
+    back = snapshot_read(spark, root)
+    if back.count() != mor_rows:
+        raise AssertionError("materialization changed the row count")
+    return back.select(
+        "doc_id", F.col("lang").cast("string").alias("lang"), "n_chars"
+    )
+
+
 _NULL_SKIP_SQL = """
 WITH d AS (SELECT doc_id, lang,
                   CASE WHEN lang = 'en'

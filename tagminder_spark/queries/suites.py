@@ -492,6 +492,11 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
         "cur_null_skipping": (
             ["doc_id"], [("lang", "str"), ("extra", "str")],
         ),
+        # round 11: positional deletes — predicate DELETE as
+        # (file, row-ordinal) pairs, zero rewrites, granular fold-in
+        "cur_positional_delete": (
+            ["doc_id"], [("lang", "str"), ("n_chars", "num")],
+        ),
         "cur_manifest_isolation": (["doc_id"], [("lang", "str")]),
         # round 9: manifest-level data skipping (per-file min/max stats
         # + driver-side file pruning in snapshot_read(where=...))

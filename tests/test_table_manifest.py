@@ -3353,3 +3353,159 @@ def test_null_partition_dir_prunes_and_reads(spark, tmp_path):
     # equality on the partition column skips the null dir too
     got_en = snapshot_read(spark, root, where=[("grp", "=", "en")]).count()
     assert got_en == docs.filter(F.col("grp") == "en").count()
+
+
+# ---------------------------------------------------------------------------
+# round 11: positional deletes (delete_where)
+
+
+def test_delete_where_positional_no_rewrite(spark, tmp_path):
+    """Predicate DELETE lands as (file, row-ordinal) pairs: zero data
+    files rewritten, read-side anti-join on physical identity, pinned
+    pre-delete reader intact — and unlike an equality delete, a LATER
+    append of the same key values is NOT hidden."""
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        append_files,
+        delete_where,
+        read_manifest,
+        snapshot_read,
+    )
+
+    root = str(tmp_path / "t")
+    docs = _clustered_docs(spark, root)  # gen 1, doc_id bounds
+    man1 = read_manifest(spark, root)
+    pinned = snapshot_read(spark, root, 1)
+
+    bounds = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).first()
+    cut = bounds["lo"] + (bounds["hi"] - bounds["lo"]) // 10
+    where = [("doc_id", "<=", cut)]
+    rep = delete_where(spark, root, where)
+    want_deleted = docs.filter(F.col("doc_id") <= cut).count()
+    assert rep["rows_deleted"] == want_deleted
+    assert rep["data_files_rewritten"] == 0
+    assert rep["delete_files"] >= 1
+    # pruning narrowed the predicate scan to a strict subset
+    assert rep["files_scanned"] < len(man1["files"])
+    # every pre-delete data file carried verbatim
+    man2 = read_manifest(spark, root)
+    assert {tuple(e) for e in man2["files"]} == {
+        tuple(e) for e in man1["files"]
+    }
+    assert man2["deletes"] and all(
+        k == "#pos" for _r, _s, k in man2["deletes"]
+    )
+
+    got = sorted(
+        r["doc_id"] for r in snapshot_read(spark, root).collect()
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in docs.filter(F.col("doc_id") > cut).collect()
+    )
+    assert got == want
+    assert pinned.count() == docs.count()  # pinned reader intact
+
+    # re-append a deleted key: positional deletes never hide it
+    back_row = docs.filter(F.col("doc_id") <= cut).limit(3)
+    append_files(spark, back_row, root, partition_col=None)
+    now = snapshot_read(spark, root)
+    assert now.count() == len(want) + 3
+    assert now.filter(F.col("doc_id") <= cut).count() == 3
+
+    # empty-match predicate: no commit
+    gen_before = read_manifest(spark, root)["generation"]
+    rep0 = delete_where(
+        spark, root, [("doc_id", ">", bounds["hi"] + 10_000_000)]
+    )
+    assert rep0["rows_deleted"] == 0
+    assert read_manifest(spark, root)["generation"] == gen_before
+
+
+def test_materialize_positional_deletes_file_granular(spark, tmp_path):
+    """Materialization rewrites ONLY the files the positional delete
+    file names (exactly known — better than bounds), empties the
+    delete list, and the read-back stays exact."""
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        delete_where,
+        materialize_deletes,
+        read_manifest,
+        snapshot_read,
+    )
+
+    root = str(tmp_path / "t")
+    docs = _clustered_docs(spark, root)
+    bounds = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).first()
+    cut = bounds["lo"] + (bounds["hi"] - bounds["lo"]) // 10
+    delete_where(spark, root, [("doc_id", "<=", cut)])
+    pre = snapshot_read(spark, root).count()
+
+    mat = materialize_deletes(spark, root)
+    assert mat["delete_files_dropped"] >= 1
+    assert mat["files_untouched"] > mat["files_rewritten"] > 0
+    assert not read_manifest(spark, root)["deletes"]
+    back = snapshot_read(spark, root)
+    assert back.count() == pre
+    assert back.filter(F.col("doc_id") <= cut).count() == 0
+
+
+def test_delete_where_feeds_full_preimages(spark, tmp_path):
+    """The delete-pos commit's CDC change files carry full row
+    preimages; table_changes replays them as delete rows with every
+    column set — and sync across mixed equality + positional commits
+    reproduces the table."""
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        delete_where,
+        merge_on_read,
+        snapshot_read,
+        table_changes,
+    )
+
+    root = str(tmp_path / "t")
+    docs = _clustered_docs(spark, root)
+    bounds = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).first()
+    cut = bounds["lo"] + (bounds["hi"] - bounds["lo"]) // 10
+    upd = (
+        docs.filter(F.col("doc_id") > cut).limit(10)
+        .withColumn("n_chars", F.lit(-5).cast("long"))
+    )
+    merge_on_read(spark, root, upd, "doc_id")      # gen 2 (equality)
+    delete_where(spark, root, [("doc_id", "<=", cut)])  # gen 3 (pos)
+
+    feed = table_changes(spark, root, 1).collect()
+    pos_dels = [r for r in feed
+                if r["_change_type"] == "delete" and r["_commit_gen"] == 3]
+    want = {
+        (r["doc_id"], r["lang"], r["n_chars"])
+        for r in docs.filter(F.col("doc_id") <= cut).collect()
+    }
+    assert {(r["doc_id"], r["lang"], r["n_chars"]) for r in pos_dels} == want
+    assert all(r["lang"] is not None for r in pos_dels)  # preimages
+
+    # equality deletes in the same feed still key+NULL shaped
+    eq_dels = [r for r in feed
+               if r["_change_type"] == "delete" and r["_commit_gen"] == 2]
+    assert eq_dels and all(r["lang"] is None for r in eq_dels)
+
+    # mixed pending deletes read exactly
+    got = {
+        (r["doc_id"], r["n_chars"])
+        for r in snapshot_read(spark, root).collect()
+    }
+    want_tbl = {
+        (r["doc_id"], -5 if r["doc_id"] in
+         {x["doc_id"] for x in upd.collect()} else r["n_chars"])
+        for r in docs.filter(F.col("doc_id") > cut).collect()
+    }
+    assert got == want_tbl
