@@ -3509,3 +3509,105 @@ def test_delete_where_feeds_full_preimages(spark, tmp_path):
         for r in docs.filter(F.col("doc_id") > cut).collect()
     }
     assert got == want_tbl
+
+
+# ---------------------------------------------------------------------------
+# round 11: vectorized prune — bit-identical to the scalar reference
+
+
+def test_vectorized_prune_matches_scalar_reference():
+    """The numpy prune path must keep EXACTLY the files the per-file
+    scalar loop keeps, across every op, bound kind, null-count shape,
+    partition-value fallback, transform, and OR nesting — randomized
+    manifests, seeded."""
+    import random
+
+    from tagminder_spark.operators.table_manifest import (
+        _pack_cache_clear,
+        _prune_vectorized,
+        prune_manifest,
+    )
+    import tagminder_spark.operators.table_manifest as tm
+
+    rng = random.Random(1107)
+    langs = ["en", "de", "fr", "__HIVE_DEFAULT_PARTITION__"]
+
+    def mk_manifest(n):
+        files, stats = [], {}
+        for i in range(n):
+            lang = rng.choice(langs)
+            rel = f"lang={lang}/part-{i:05d}-{rng.random():.12f}.parquet"
+            files.append([rel, 100 + i])
+            shape = rng.randrange(6)
+            if shape == 0:
+                continue  # no stats entry
+            ent = {}
+            if shape in (1, 2):  # numeric bounds (maybe + nulls)
+                a = rng.randrange(0, 900)
+                b = a + rng.randrange(0, 100)
+                ent["doc_id"] = (
+                    [a, b] if shape == 1
+                    else [a, b, rng.randrange(0, 5), 10]
+                )
+            elif shape == 3:  # all-null entry
+                ent["doc_id"] = [None, None, 10, 10]
+            elif shape == 4:  # string bounds
+                lo = rng.choice(["alpha", "beta", "kappa", "zeta"])
+                ent["path"] = [lo, lo + "zz", rng.randrange(0, 3), 7]
+            else:  # both columns
+                a = rng.randrange(0, 900)
+                ent["doc_id"] = [a, a + 50, 0, 10]
+                ent["path"] = ["m", "q"]
+            stats[rel] = ent
+        return {"files": files, "stats": stats, "generation": 1}
+
+    transforms = {"lang_bucket_8": ("bucket", "lang", 8)}
+    wheres = [
+        [("doc_id", "=", 450)],
+        [("doc_id", "!=", 450)],
+        [("doc_id", "<", 200)],
+        [("doc_id", ">=", 850)],
+        [("doc_id", "between", (100, 120))],
+        [("doc_id", "in", [5, 500, 950])],
+        [("doc_id", "in", [])],
+        [("doc_id", "in", [5, "x"])],
+        [("doc_id", "is_null", None)],
+        [("doc_id", "is_not_null", None)],
+        [("path", "prefix", "ka")],
+        [("path", ">=", "n")],
+        [("path", "=", 7)],          # misaligned kinds
+        [("lang", "=", "en")],
+        [("lang", "is_not_null", None)],
+        [("lang", "is_null", None)],
+        [("missing_col", "=", 1)],
+        [("doc_id", "<", 300), ("path", "prefix", "b")],
+        [("or", [[("doc_id", "<", 100)], [("doc_id", ">", 800)]])],
+        [("or", [
+            [("doc_id", "<", 100), ("path", ">=", "x")],
+            [("lang", "=", "de")],
+        ])],
+    ]
+    for trial in range(6):
+        man = mk_manifest(rng.choice([50, 300, 1000]))
+        for where in wheres:
+            for tf in (None, transforms):
+                _pack_cache_clear()
+                scalar = prune_manifest(dict(man), where, tf)
+                vec = _prune_vectorized(dict(man), where, tf)
+                assert vec["files"] == scalar["files"], (
+                    f"trial={trial} where={where} tf={tf is not None}: "
+                    f"kept {len(vec['files'])} vs {len(scalar['files'])}"
+                )
+                assert vec["skipped"] == scalar["skipped"]
+    # the dispatcher itself: above threshold the vector path runs and
+    # equals the scalar loop forced via a tiny threshold window
+    big = mk_manifest(5000)
+    for where in wheres:
+        got = prune_manifest(dict(big), where, transforms)
+        old = tm._VECTOR_PRUNE_THRESHOLD
+        tm._VECTOR_PRUNE_THRESHOLD = 10**9
+        try:
+            ref = prune_manifest(dict(big), where, transforms)
+        finally:
+            tm._VECTOR_PRUNE_THRESHOLD = old
+        assert got["files"] == ref["files"]

@@ -56,8 +56,78 @@ def _bench(fn, reps: int = 5) -> float:
     return best
 
 
+def _calibration() -> dict:
+    """Same md5 yardstick bench.py embeds — host speed varies
+    boot-to-boot, so prune timings must be read against it."""
+    import hashlib
+
+    blob = b"x" * (1 << 20)
+    t0 = time.perf_counter()
+    for _ in range(64):
+        hashlib.md5(blob).hexdigest()
+    return {"md5_64mib_sec": round(time.perf_counter() - t0, 4)}
+
+
+def prune_probe(results: dict) -> None:
+    """Driver-side prune cost vs file count (VERDICT r10 #5): the
+    vectorized path's cold (first read of a generation: numpy packing
+    + evaluation) and warm (packed arrays cached per immutable
+    generation — the recurring selective-read cost) timings, plus the
+    per-file scalar reference, results asserted identical."""
+    import random
+
+    from tagminder_spark.operators.table_manifest import (
+        _pack_cache_clear,
+        prune_manifest,
+    )
+    import tagminder_spark.operators.table_manifest as tm
+
+    rng = random.Random(11)
+    for n in (10_000, 100_000, 800_000):
+        files, stats = [], {}
+        for i in range(n):
+            lang = ("en", "de", "fr", "es")[i % 4]
+            rel = f"lang={lang}/part-{i:07d}.parquet"
+            files.append([rel, 1 << 20])
+            a = rng.randrange(0, 10_000_000)
+            stats[rel] = {"doc_id": [a, a + 5000, 0, 2000]}
+        files.sort()
+        stats = dict(sorted(stats.items()))
+        man = {"files": files, "stats": stats, "generation": 1,
+               "cache_key": ("probe", n, 0.0)}
+        where = [("doc_id", "<=", 200_000)]
+        _pack_cache_clear()
+        t0 = time.perf_counter()
+        r_cold = prune_manifest(man, where)
+        cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        r_warm = prune_manifest(man, where)
+        warm = time.perf_counter() - t0
+        old = tm._VECTOR_PRUNE_THRESHOLD
+        tm._VECTOR_PRUNE_THRESHOLD = 10 ** 12
+        try:
+            t0 = time.perf_counter()
+            r_ref = prune_manifest(man, where)
+            scalar = time.perf_counter() - t0
+        finally:
+            tm._VECTOR_PRUNE_THRESHOLD = old
+        assert r_cold["files"] == r_warm["files"] == r_ref["files"]
+        row = {
+            "probe": "prune_manifest",
+            "files": n,
+            "scalar_sec": round(scalar, 4),
+            "vector_cold_sec": round(cold, 4),
+            "vector_warm_sec": round(warm, 4),
+            "kept": len(r_cold["files"]),
+        }
+        results["probes"].append(row)
+        print(json.dumps(row), flush=True)
+
+
 def main(out_path: str | None = None) -> dict:
-    results: dict = {"probes": []}
+    results: dict = {"probes": [], "calibration": _calibration()}
+    print(json.dumps({"calibration": results["calibration"]}), flush=True)
+    prune_probe(results)
 
     # 1) append-commit cost vs table size (batch fixed at 50 files)
     for table_files in (1_000, 10_000, 100_000):
