@@ -298,6 +298,14 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
             ["media_id", "chunk_idx"],
             [("start_ms", "num"), ("end_ms", "num"), ("chunk_b64", "str")],
         ),
+        # round 11: REAL MP3 stream layer — VBR frame walk, side info,
+        # scalefactors recovered through the bit reservoir
+        "mm_real_mp3_frames": (
+            ["media_id", "frame", "granule", "channel"],
+            [("offset", "num"), ("frame_len", "num"), ("ts_ms", "num"),
+             ("main_data_begin", "num"), ("global_gain", "num"),
+             ("scalefac_sum", "num"), ("scalefac_wsum", "num")],
+        ),
         "mm_video_frames": (
             ["media_id", "frame_idx"], [("frame_b64", "str")],
         ),
