@@ -1508,6 +1508,7 @@ def commit_manifest(
     deletes: list[tuple[str, int, str]] | None = None,
     changes: list[tuple[str, int]] | None = None,
     change_key: str | None = None,
+    deleted_changes: list[tuple[str, int]] | None = None,
     op: str | None = None,
     force_hadoop: bool = False,
 ) -> int:
@@ -1569,9 +1570,16 @@ def commit_manifest(
         doc["deletes"] = sorted(
             [rel, int(seq), keycol] for rel, seq, keycol in deletes
         )
-    if changes:
+    if changes is not None:
+        # an explicit empty list records "CDC on, zero inserts" — the
+        # feed must distinguish that from a legacy commit without CDC
         doc["changes"] = sorted([rel, int(sz)] for rel, sz in changes)
-        doc["change_key"] = change_key
+        if change_key is not None:
+            doc["change_key"] = change_key
+    if deleted_changes is not None:
+        doc["deleted_changes"] = sorted(
+            [rel, int(sz)] for rel, sz in deleted_changes
+        )
     payload = json.dumps(doc, separators=(",", ":")).encode()
     fs.write_new(fs.join(mdir, _gen_name(gen)), payload)
     return gen
@@ -2560,13 +2568,17 @@ def table_changes(
     - ``delete-pos`` (:func:`delete_where`): its change files carry
       the FULL PREIMAGE of every deleted row — replayed as
       ``_change_type="delete"`` rows with all columns set;
+    - ``rollback`` (:func:`rollback` with ``record_changes``): its
+      file-granular delta change files — rows of dropped files as
+      full-preimage deletes, rows of restored files as inserts;
     - ``init`` / ``checkpoint`` / ``compact`` / ``materialize``: no
       logical rows changed — skipped entirely (their file rewrites are
       layout, not data);
-    - ``rollback`` (or a legacy commit without an ``op`` tag, or a
-      pre-CDC ``merge-cow`` without change files): the commit does not
-      record which rows changed — raises ValueError, exactly Delta's
-      posture when CDC is not enabled for a write.
+    - a legacy commit without an ``op`` tag, a pre-CDC ``merge-cow``,
+      or a rollback whose delta could not be recorded (shared files
+      under different delete state): the commit does not record which
+      rows changed — raises ValueError, exactly Delta's posture when
+      CDC is not enabled for a write.
 
     Changes are PER COMMIT, not netted: a key inserted at gen N and
     superseded at gen N+1 appears as insert, then delete+insert —
@@ -2616,6 +2628,18 @@ def table_changes(
             # predicate scan had the rows, so the change files carry
             # more than the equality feed's key+NULLs shape)
             preimg_specs.extend((rel, g) for rel, _sz in raw["changes"])
+            continue
+        if op == "rollback" and (
+            "changes" in raw or "deleted_changes" in raw
+        ):
+            # file-granular rollback delta: rows of files dropped by
+            # the rollback as full-preimage deletes, rows of files
+            # restored by it as inserts (an empty recorded list is a
+            # no-op rollback — still a valid CDC commit)
+            ins_specs.extend((rel, g) for rel, _sz in raw.get("changes", []))
+            preimg_specs.extend(
+                (rel, g) for rel, _sz in raw.get("deleted_changes", [])
+            )
             continue
         if op not in ("append", "merge-mor"):
             raise ValueError(
@@ -2813,6 +2837,7 @@ def rollback(
     root: str,
     to_gen: int,
     *,
+    record_changes: bool = True,
     force_hadoop: bool = False,
 ) -> int:
     """Roll the table back to ``to_gen`` by committing a NEW generation
@@ -2820,13 +2845,61 @@ def rollback(
     and nothing is deleted (Iceberg's rollback semantics: an old
     snapshot becomes current again; readers pinned to anything keep
     working; ``expire_snapshots`` reclaims as usual).  Requires
-    ``to_gen`` to still be retained."""
+    ``to_gen`` to still be retained.
+
+    CDC (round 11): when ``record_changes`` and ``spark`` are given,
+    the commit records its logical row delta as change files so
+    :func:`table_changes` feeds ACROSS the rollback — at file
+    granularity: rows of files only in the CURRENT snapshot become
+    full-preimage deletes, rows of files only in the TARGET snapshot
+    become inserts; shared files contribute nothing (same immutable
+    bytes).  That equivalence needs the shared files' effective rows
+    to match under both snapshots, so when the two manifests disagree
+    on delete/sequence state for shared files, CDC is skipped and the
+    feed keeps its documented raise across this commit — never a
+    wrong delta."""
     man = read_manifest(spark, root, to_gen, force_hadoop=force_hadoop)
+    changes = deleted = None
+    if record_changes and spark is not None:
+        cur = read_manifest(spark, root, force_hadoop=force_hadoop)
+        cur_rels = {rel for rel, _ in cur["files"]}
+        tgt_rels = {rel for rel, _ in man["files"]}
+        shared = cur_rels & tgt_rels
+        same_state = (
+            cur["deletes"] == man["deletes"]
+            and all(
+                cur["seqs"].get(r, 0) == man["seqs"].get(r, 0)
+                for r in shared
+            )
+        )
+        if same_state:
+            fs, base = table_fs(spark, root, force_hadoop)
+            removed = [e for e in cur["files"] if e[0] not in tgt_rels]
+            added = [e for e in man["files"] if e[0] not in cur_rels]
+            deleted = (
+                _write_change_files(
+                    spark, fs, base,
+                    _read_entries_with_deletes(
+                        spark, fs, base, removed, cur
+                    ),
+                )
+                if removed else []
+            )
+            changes = (
+                _write_change_files(
+                    spark, fs, base,
+                    _read_entries_with_deletes(
+                        spark, fs, base, added, man
+                    ),
+                )
+                if added else []
+            )
     return commit_manifest(
         spark, root,
         [(p, sz) for p, sz in man["files"]],
         stats=man["stats"],
         seqs=man["seqs"] or None, deletes=man["deletes"] or None,
+        changes=changes, deleted_changes=deleted,
         op="rollback", force_hadoop=force_hadoop,
     )
 
@@ -3716,6 +3789,7 @@ def expire_snapshots(
         # generation's feed must stay replayable
         raw = _read_raw(spark, root, g, force_hadoop=force_hadoop)
         live.update(rel for rel, _ in raw.get("changes", []))
+        live.update(rel for rel, _ in raw.get("deleted_changes", []))
     # a staged (write-audit-publish) batch is referenced by its staged
     # doc, not by any generation — its files must survive until the
     # batch is published or abandoned, however long the audit takes
@@ -3731,6 +3805,7 @@ def expire_snapshots(
         retired += [rel for rel, _seq, _k in man["deletes"]]
         raw = _read_raw(spark, root, g, force_hadoop=force_hadoop)
         retired += [rel for rel, _ in raw.get("changes", [])]
+        retired += [rel for rel, _ in raw.get("deleted_changes", [])]
         for rel in retired:
             if rel not in live:
                 p = fs.join(base, rel)

@@ -957,6 +957,61 @@ def cur_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CDC_ROLLBACK_SQL = """
+SELECT 'insert' AS _change_type, CAST(2 AS INT) AS _commit_gen,
+       doc_id + 10000000 AS doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+UNION ALL
+SELECT 'delete', CAST(3 AS INT), doc_id + 10000000, lang,
+       CAST(n_chars AS BIGINT)
+FROM documents
+"""
+
+
+@q("cur_cdc_rollback", _CDC_ROLLBACK_SQL)
+def cur_cdc_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed ACROSS a rollback (round 11 — completes the CDC
+    surface: every row-changing commit shape now feeds): append a
+    shifted batch (gen 2), roll back to gen 1 (gen 3) — the rollback
+    records its file-granular delta as change files (dropped files'
+    rows as FULL-PREIMAGE deletes; restored files' rows would be
+    inserts), and ``table_changes(from_gen=1)`` replays insert-then-
+    delete for every appended row.  The oracle pins both halves with
+    full column values — richer than the equality feed's key+NULLs —
+    so a feed that nets the pair away, loses preimages, or
+    mis-attributes the commit fails the hash."""
+    import tempfile
+
+    from tagminder_spark.operators.table_manifest import (
+        append_files,
+        init_manifest,
+        rollback,
+        table_changes,
+    )
+
+    base = tempfile.mkdtemp(prefix="tm_cdcrollback_")
+    root = f"{base}/t"
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    docs.repartitionByRange(8, "doc_id").write.mode("append").parquet(root)
+    init_manifest(spark, root)
+    appended = docs.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "lang", "n_chars"
+    )
+    append_files(spark, appended, root, partition_col=None)
+    rollback(spark, root, 1)
+
+    feed = table_changes(spark, root, 1)
+    return feed.select(
+        "_change_type",
+        F.col("_commit_gen").cast("int").alias("_commit_gen"),
+        "doc_id",
+        F.col("lang").cast("string").alias("lang"),
+        "n_chars",
+    )
+
+
 _POS_DELETE_SQL = """
 SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
 FROM documents

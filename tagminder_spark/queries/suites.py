@@ -475,6 +475,12 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
             ["doc_id", "_change_type", "_commit_gen"],
             [("lang", "str"), ("n_chars", "num")],
         ),
+        # round 11: the feed survives a rollback — file-granular delta
+        # with full-preimage deletes for the dropped files
+        "cur_cdc_rollback": (
+            ["doc_id", "_change_type", "_commit_gen"],
+            [("lang", "str"), ("n_chars", "num")],
+        ),
         # round 10: snapshot tags — tagged generation survives expiry,
         # reads back row-exact through the tag
         "cur_snapshot_tags": (

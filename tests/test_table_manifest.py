@@ -3611,3 +3611,84 @@ def test_vectorized_prune_matches_scalar_reference():
         finally:
             tm._VECTOR_PRUNE_THRESHOLD = old
         assert got["files"] == ref["files"]
+
+
+# ---------------------------------------------------------------------------
+# round 11: CDC across rollback
+
+
+def test_rollback_records_cdc_and_feeds(spark, tmp_path):
+    """Rollback commits its file-granular row delta as change files:
+    dropped files' rows feed as full-preimage deletes, restored files'
+    rows as inserts — and a consumer replay across append→rollback
+    lands exactly on the rolled-back table."""
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        _read_raw,
+        append_files,
+        rollback,
+        snapshot_read,
+        table_changes,
+    )
+
+    root = str(tmp_path / "t")
+    docs = _clustered_docs(spark, root)  # gen 1
+    appended = docs.limit(9).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "lang", "n_chars"
+    )
+    append_files(spark, appended, root, partition_col=None)  # gen 2
+    rollback(spark, root, 1)  # gen 3 — drops the appended files
+    raw = _read_raw(spark, root, 3)
+    assert raw.get("deleted_changes"), "rollback recorded no delta"
+    assert raw.get("changes") == []  # nothing restored
+
+    feed = table_changes(spark, root, 1).collect()
+    app_rows = {
+        (r["doc_id"], r["lang"], r["n_chars"])
+        for r in appended.collect()
+    }
+    ins2 = {(r["doc_id"], r["lang"], r["n_chars"]) for r in feed
+            if r["_change_type"] == "insert" and r["_commit_gen"] == 2}
+    del3 = {(r["doc_id"], r["lang"], r["n_chars"]) for r in feed
+            if r["_change_type"] == "delete" and r["_commit_gen"] == 3}
+    assert ins2 == app_rows and del3 == app_rows
+    # full preimages, not key+NULLs
+    assert all(
+        r["lang"] is not None for r in feed
+        if r["_change_type"] == "delete"
+    )
+
+    # roll FORWARD again (back to gen 2's file list): restored files
+    # feed as inserts
+    rollback(spark, root, 2)  # gen 4
+    feed2 = table_changes(spark, root, 3).collect()
+    ins4 = {(r["doc_id"], r["lang"], r["n_chars"]) for r in feed2
+            if r["_change_type"] == "insert" and r["_commit_gen"] == 4}
+    assert ins4 == app_rows
+    assert snapshot_read(spark, root).count() == docs.count() + 9
+
+
+def test_rollback_cdc_skipped_on_divergent_delete_state(spark, tmp_path):
+    """When shared files sit under different delete state in the two
+    snapshots, the file-granular delta is not row-correct — rollback
+    skips CDC and the feed keeps its documented raise."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        _read_raw,
+        merge_on_read,
+        rollback,
+        table_changes,
+    )
+
+    root = str(tmp_path / "t")
+    docs = _clustered_docs(spark, root)  # gen 1
+    upd = docs.limit(15).withColumn("n_chars", F.lit(-2).cast("long"))
+    merge_on_read(spark, root, upd, "doc_id")  # gen 2: pending deletes
+    rollback(spark, root, 1)  # gen 3: shared files, divergent deletes
+    raw = _read_raw(spark, root, 3)
+    assert "changes" not in raw and "deleted_changes" not in raw
+    with _pytest.raises(ValueError, match="rollback"):
+        table_changes(spark, root, 1)
