@@ -298,6 +298,13 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
             ["media_id", "chunk_idx"],
             [("start_ms", "num"), ("end_ms", "num"), ("chunk_b64", "str")],
         ),
+        # round 11: REAL 16-bit Adam7-interlaced PNG — seven re-woven
+        # passes, high-byte 16->8 reduction, closed-form pixel oracle
+        "mm_real_png16_features": (
+            ["media_id"],
+            [("width", "num"), ("height", "num"), ("sum_r", "num"),
+             ("sum_g", "num"), ("sum_b", "num")],
+        ),
         # round 11: REAL MP3 stream layer — VBR frame walk, side info,
         # scalefactors recovered through the bit reservoir
         "mm_real_mp3_frames": (

@@ -1484,3 +1484,108 @@ def mm_real_mp3_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         " main_data_begin int, global_gain int,"
         " scalefac_sum long, scalefac_wsum long",
     )
+
+
+# 16-bit Adam7-interlaced PNG (round 11): the two PNG variants that
+# previously fell to the Pillow seam, decoded for real — seven
+# independently filtered passes re-woven through the interlace grid,
+# big-endian 16-bit samples reduced to their high byte (the spec's
+# 16->8).  The oracle replays the pixel formula and the high-byte
+# reduction; a pass mis-weave or a byte-order slip changes a sum.
+_MM_PNG16_SQL = """
+WITH d AS (
+  SELECT doc_id, 9 + doc_id % 12 AS w, 6 + doc_id % 10 AS h
+  FROM documents
+), grid AS (
+  SELECT d.doc_id, d.w, d.h, x.generate_series AS x, y.generate_series AS y
+  FROM d, generate_series(0, 20) AS x, generate_series(0, 15) AS y
+  WHERE x.generate_series < d.w AND y.generate_series < d.h
+)
+SELECT doc_id AS media_id,
+       CAST(MAX(w) AS INT) AS width,
+       CAST(MAX(h) AS INT) AS height,
+       CAST(SUM(((x * 9973 + y * 131 + doc_id * 257) % 65536) // 256)
+            AS BIGINT) AS sum_r,
+       CAST(SUM(((x * 257 + y * 7919 + doc_id * 101) % 65536) // 256)
+            AS BIGINT) AS sum_g,
+       CAST(SUM(((x * y * 31 + doc_id * 11) % 65536) // 256)
+            AS BIGINT) AS sum_b
+FROM grid GROUP BY doc_id
+"""
+
+
+@q("mm_real_png16_features", _MM_PNG16_SQL)
+def mm_real_png16_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 16-bit Adam7-interlaced PNG decode, value-checked: each
+    document synthesizes a VALID interlaced 16-bit RGB PNG (seven
+    Adam7 passes, each independently zlib-deflated scanlines with the
+    filter type cycling across the concatenated pass rows), the
+    stdlib-zlib decoder re-weaves the passes and reduces 16-bit
+    samples to their high byte, and the featurizer's channel means
+    convert to exact integer sums the oracle replays in closed form.
+    Closes the round-10 codec-seam item for PNG: both remaining
+    variants (16-bit depth, interlacing) are algorithmic — filters +
+    grid arithmetic — so unlike MP3's tabulated spec constants they
+    CAN be re-derived exactly."""
+    from collections.abc import Iterator as _It
+
+    import numpy as np
+    import pandas as pd
+
+    from tagminder_spark.sources.multimodal import (
+        MEDIA_SCHEMA,
+        decode_and_featurize_images,
+        encode_png,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def synth(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                did = int(r.media_id)
+                w, h = 9 + did % 12, 6 + did % 10
+                y, x = np.mgrid[0:h, 0:w]
+                arr = np.stack(
+                    [
+                        (x * 9973 + y * 131 + did * 257) % 65536,
+                        (x * 257 + y * 7919 + did * 101) % 65536,
+                        (x * y * 31 + did * 11) % 65536,
+                    ],
+                    axis=-1,
+                ).astype(np.uint16)
+                rows.append(
+                    {
+                        "media_id": did,
+                        "kind": "image",
+                        "content": encode_png(
+                            arr, filters="cycle", depth=16,
+                            interlace=True,
+                        ),
+                        "meta": None,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "content", "meta"]
+            )
+
+    media = d.mapInPandas(synth, MEDIA_SCHEMA)
+    feats = decode_and_featurize_images(media, dim=9)
+    px = F.col("width") * F.col("height")
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.round(F.element_at("feature", 1) * 255 * px)
+        .cast("long")
+        .alias("sum_r"),
+        F.round(F.element_at("feature", 5) * 255 * px)
+        .cast("long")
+        .alias("sum_g"),
+        F.round(F.element_at("feature", 9) * 255 * px)
+        .cast("long")
+        .alias("sum_b"),
+    )

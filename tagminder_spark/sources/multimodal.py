@@ -123,7 +123,107 @@ def decode_bmp(content: bytes):
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def encode_png(arr, *, filters=None) -> bytes:
+#: Adam7 interlace grid: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_filter_rows(rows, bpp: int, row_filter) -> bytearray:
+    """Filter raw scanline BYTES (shape (h, stride) int-like) per the
+    PNG spec — the ``left`` reference is ``bpp`` bytes back, which is
+    what makes the same code exact for 8- and 16-bit samples.
+    ``row_filter(k)`` picks the filter type for the k-th written
+    scanline."""
+    import numpy as np
+
+    h, stride = rows.shape
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        cur = rows[y].astype(np.int32)
+        left = np.zeros_like(cur)
+        left[bpp:] = cur[:-bpp]
+        f = row_filter(y)
+        if f == 0:
+            enc = cur
+        elif f == 1:  # Sub
+            enc = cur - left
+        elif f == 2:  # Up
+            enc = cur - prev
+        elif f == 3:  # Average
+            enc = cur - ((left + prev) >> 1)
+        elif f == 4:  # Paeth
+            upleft = np.zeros_like(prev)
+            upleft[bpp:] = prev[:-bpp]
+            p = left + prev - upleft
+            pa = np.abs(p - left)
+            pb = np.abs(p - prev)
+            pc = np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left,
+                np.where(pb <= pc, prev, upleft),
+            )
+            enc = cur - pred
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out += bytes([f]) + (enc & 0xFF).astype(np.uint8).tobytes()
+        prev = cur
+    return out
+
+
+def _png_unfilter_rows(raw, h: int, stride: int, bpp: int, offset: int):
+    """Invert :func:`_png_filter_rows` over ``h`` scanlines starting
+    at byte ``offset`` of the decompressed stream; returns
+    (uint8 array (h, stride), next offset)."""
+    import numpy as np
+
+    if len(raw) < offset + h * (stride + 1):
+        raise ValueError("PNG pixel data truncated")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        row_off = offset + y * (stride + 1)
+        ftype = raw[row_off]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=row_off + 1
+        ).astype(np.int32)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:
+            # Sub/Average/Paeth need the previous PIXEL — sequential
+            # per scanline (the PNG spec's data dependency, not a perf
+            # choice; rows are short and this runs inside mapInPandas)
+            cur = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                if ftype == 1:  # Sub
+                    val = line[i] + a
+                elif ftype == 3:  # Average
+                    val = line[i] + ((a + b) >> 1)
+                elif ftype == 4:  # Paeth
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a if pa <= pb and pa <= pc
+                        else (b if pb <= pc else c)
+                    )
+                    val = line[i] + pred
+                else:
+                    raise ValueError(f"bad PNG filter {ftype}")
+                cur[i] = val & 0xFF
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out, offset + h * (stride + 1)
+
+
+def encode_png(arr, *, filters=None, depth: int = 8,
+               interlace: bool = False) -> bytes:
     """REAL PNG encoder, pure stdlib zlib — pairs with
     :func:`decode_png` for round-trips and lets the oracle gates
     exercise the decoder's whole envelope:
@@ -131,22 +231,31 @@ def encode_png(arr, *, filters=None) -> bytes:
     - ``arr`` shape picks the color type: HxW or HxWx1 → grayscale (0),
       HxWx2 → gray+alpha (4), HxWx3 → RGB (2), HxWx4 → RGBA (6);
     - ``filters``: None → all rows filter 0 (the round-8 behavior),
-      ``"cycle"`` → row ``y`` uses filter ``y % 5``, or a per-row
-      sequence of filter types 0-4.  Filtering is computed from the RAW
-      current/previous rows (the spec's definition), vectorized per
-      row."""
+      ``"cycle"`` → the k-th written scanline uses filter ``k % 5``,
+      or a per-scanline sequence of filter types 0-4;
+    - ``depth``: 8 or 16 (big-endian samples; filtering runs on BYTES
+      with the ``bpp``-byte left reference, per spec);
+    - ``interlace``: Adam7 — seven independently filtered passes in
+      grid order (``filters`` indexes the concatenated scanline
+      sequence)."""
     import struct
     import zlib
 
     import numpy as np
 
-    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if depth not in (8, 16):
+        raise ValueError(f"unsupported depth {depth}")
+    a = np.ascontiguousarray(
+        arr, dtype=np.uint8 if depth == 8 else ">u2"
+    )
     if a.ndim == 2:
         a = a[:, :, None]
     h, w, channels = a.shape
     color = {1: 0, 2: 4, 3: 2, 4: 6}.get(channels)
     if color is None:
         raise ValueError(f"unsupported channel count {channels}")
+    sample_bytes = depth // 8
+    bpp = channels * sample_bytes
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -154,45 +263,41 @@ def encode_png(arr, *, filters=None) -> bytes:
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    def row_filter(y: int) -> int:
-        if filters is None:
-            return 0
-        if filters == "cycle":
-            return y % 5
-        return int(filters[y])
+    def make_row_filter(base: int):
+        # index by the global written-scanline counter so interlaced
+        # passes keep cycling deterministically
+        def rf(y: int) -> int:
+            if filters is None:
+                return 0
+            if filters == "cycle":
+                return (base + y) % 5
+            return int(filters[base + y])
+
+        return rf
 
     raw = bytearray()
-    prev = np.zeros((w, channels), dtype=np.int32)
-    for y in range(h):
-        cur = a[y].astype(np.int32)
-        left = np.zeros_like(cur)
-        left[1:] = cur[:-1]
-        f = row_filter(y)
-        if f == 0:
-            out = cur
-        elif f == 1:  # Sub
-            out = cur - left
-        elif f == 2:  # Up
-            out = cur - prev
-        elif f == 3:  # Average
-            out = cur - ((left + prev) >> 1)
-        elif f == 4:  # Paeth
-            upleft = np.zeros_like(prev)
-            upleft[1:] = prev[:-1]
-            p = left + prev - upleft
-            pa = np.abs(p - left)
-            pb = np.abs(p - prev)
-            pc = np.abs(p - upleft)
-            pred = np.where(
-                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+    written = 0
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = a[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            rows = np.ascontiguousarray(sub).view(np.uint8).reshape(
+                sub.shape[0], sub.shape[1] * bpp
             )
-            out = cur - pred
-        else:
-            raise ValueError(f"bad PNG filter {f}")
-        raw += bytes([f]) + (out & 0xFF).astype(np.uint8).tobytes()
-        prev = cur
+            raw += _png_filter_rows(
+                rows.astype(np.int32), bpp, make_row_filter(written)
+            )
+            written += sub.shape[0]
+    else:
+        rows = a.view(np.uint8).reshape(h, w * bpp)
+        raw += _png_filter_rows(
+            rows.astype(np.int32), bpp, make_row_filter(0)
+        )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color, 0, 0, 1 if interlace else 0
+    )
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
@@ -201,12 +306,17 @@ def encode_png(arr, *, filters=None) -> bytes:
     )
 
 
-def decode_png(content: bytes):
+def decode_png(content: bytes, *, raw_samples: bool = False):
     """REAL PNG decode — stdlib ``zlib`` + ``struct`` only: critical
-    chunks, all five scanline filters, 8-bit gray / RGB / palette /
-    gray+alpha / RGBA, non-interlaced.  Returns (width, height,
-    HxWx3 uint8 RGB).  Raises ValueError for PNG variants outside that
-    envelope (16-bit, interlaced) — those fall to the Pillow seam."""
+    chunks, all five scanline filters, gray / RGB / palette /
+    gray+alpha / RGBA at 8- AND (round 11) 16-bit depth, non-
+    interlaced AND Adam7-interlaced (seven independently filtered
+    passes re-woven through the interlace grid).  Returns (width,
+    height, HxWx3 uint8 RGB) — 16-bit samples take their high byte,
+    the spec's 16→8 reduction.  ``raw_samples=True`` instead returns
+    (width, height, HxWxC array at native depth) for exactness tests.
+    Raises ValueError for variants outside that envelope (sub-8-bit
+    depths) — those fall to the Pillow seam."""
     import struct
     import zlib
 
@@ -239,53 +349,50 @@ def decode_png(content: bytes):
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
-        raise ValueError("unsupported PNG (need 8-bit non-interlaced)")
+    if depth not in (8, 16) or comp != 0 or filt != 0 \
+            or interlace not in (0, 1):
+        raise ValueError("unsupported PNG (need 8/16-bit, comp 0)")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise ValueError(f"unsupported PNG color type {color}")
+    if color == 3 and depth == 16:
+        raise ValueError("16-bit palette PNG is illegal")
+    sample_bytes = depth // 8
+    bpp = channels * sample_bytes
     raw = zlib.decompress(bytes(idat))
-    stride = w * channels
-    if len(raw) < h * (stride + 1):
-        raise ValueError("PNG pixel data truncated")
 
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
-    for y in range(h):
-        row_off = y * (stride + 1)
-        ftype = raw[row_off]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=row_off + 1
-        ).astype(np.int32)
-        if ftype == 0:  # None
-            cur = line
-        elif ftype == 2:  # Up
-            cur = (line + prev) & 0xFF
+    if interlace == 0:
+        rows, _off = _png_unfilter_rows(raw, h, w * bpp, bpp, 0)
+        if depth == 8:
+            px = rows.reshape(h, w, channels)
         else:
-            # Sub/Average/Paeth need the previous PIXEL — sequential
-            # per scanline (the PNG spec's data dependency, not a perf
-            # choice; rows are short and this runs inside mapInPandas)
-            cur = np.zeros(stride, dtype=np.int32)
-            for i in range(stride):
-                a = cur[i - channels] if i >= channels else 0
-                b = prev[i]
-                if ftype == 1:  # Sub
-                    val = line[i] + a
-                elif ftype == 3:  # Average
-                    val = line[i] + ((a + b) >> 1)
-                elif ftype == 4:  # Paeth
-                    c = prev[i - channels] if i >= channels else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                    val = line[i] + pred
-                else:
-                    raise ValueError(f"bad PNG filter {ftype}")
-                cur[i] = val & 0xFF
-        out[y] = cur.astype(np.uint8)
-        prev = cur
+            px = (
+                rows.reshape(h, w, channels, 2).astype(np.uint16)
+            )
+            px = (px[..., 0] << 8) | px[..., 1]
+    else:
+        px = np.zeros(
+            (h, w, channels),
+            dtype=np.uint8 if depth == 8 else np.uint16,
+        )
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rows, off = _png_unfilter_rows(raw, ph, pw * bpp, bpp, off)
+            if depth == 8:
+                sub = rows.reshape(ph, pw, channels)
+            else:
+                s16 = rows.reshape(ph, pw, channels, 2).astype(np.uint16)
+                sub = (s16[..., 0] << 8) | s16[..., 1]
+            px[y0::dy, x0::dx] = sub
 
-    px = out.reshape(h, w, channels)
+    if raw_samples:
+        return w, h, np.ascontiguousarray(px)
+    if depth == 16:
+        px = (px >> 8).astype(np.uint8)  # spec 16->8: high byte
     if color == 2:
         rgb = px
     elif color == 6:
@@ -303,17 +410,17 @@ def decode_png(content: bytes):
 
 def _decode_image_real(content: bytes):
     """Decode to (width, height, HxWx3 uint8 RGB).  PPM, 24-bit BMP,
-    8-bit non-interlaced PNG and baseline JPEG decode for real with
-    stdlib+numpy alone; every other format needs Pillow and raises
-    NotImplementedError in this container (the documented codec seam —
-    sources/multimodal.py module docstring)."""
+    PNG (8/16-bit, plain or Adam7-interlaced — round 11) and baseline
+    JPEG decode for real with stdlib+numpy alone; every other format
+    needs Pillow and raises NotImplementedError in this container (the
+    documented codec seam — sources/multimodal.py module docstring)."""
     if content.startswith(b"P6"):
         return decode_ppm(content)
     if content.startswith(_PNG_SIG):
         try:
             return decode_png(content)
         except ValueError:
-            pass  # 16-bit/interlaced → Pillow seam
+            pass  # sub-8-bit depths → Pillow seam
     if content.startswith(b"\xff\xd8"):
         from tagminder_spark.sources.jpeg import decode_jpeg
 

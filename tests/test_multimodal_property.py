@@ -530,3 +530,40 @@ def test_sample_video_frames_truncated_mdat_falls_back_atomically(spark):
     for i, png in got:
         assert png == hashlib.md5(f"7:{i}".encode()).digest()
         assert png not in payloads
+
+
+@given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    depth=st.sampled_from([8, 16]),
+    interlace=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_16bit_interlace_roundtrip_property(
+    h, w, ch, depth, interlace, seed
+):
+    """Round 11: 16-bit depth and Adam7 interlace roundtrip
+    bit-exact through encode_png/decode_png (raw_samples), including
+    degenerate sizes where several Adam7 passes are empty."""
+    from tagminder_spark.sources.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 1 << depth, size=(h, w, ch)).astype(
+        np.uint16 if depth == 16 else np.uint8
+    )
+    b = encode_png(a, filters="cycle", depth=depth, interlace=interlace)
+    W, H, px = decode_png(b, raw_samples=True)
+    assert (W, H) == (w, h)
+    assert np.array_equal(px, a)
+    # 8-bit view: 16-bit samples reduce to the high byte
+    _w2, _h2, rgb = decode_png(b)
+    want = (a >> 8).astype(np.uint8) if depth == 16 else a
+    if ch == 3:
+        assert np.array_equal(rgb, want)
+    elif ch == 4:
+        assert np.array_equal(rgb, want[:, :, :3])
+    elif ch in (1, 2):
+        assert np.array_equal(rgb[:, :, 0], want[:, :, 0])
+        assert np.array_equal(rgb[:, :, 1], want[:, :, 0])
