@@ -121,6 +121,15 @@ EXTRA = [
     # in-query)
     "mm_real_flac_chunks",
     "mm_real_mp4_frames",
+    # round 11: the CDC + delete family — feed across a file-granular
+    # CoW merge, and a predicate DELETE as positional delete files
+    # (zero rewrites) followed by file-granular materialization; both
+    # include all their disk IO
+    "cur_cdc_cow",
+    "cur_positional_delete",
+    # round 11: MP3 stream-layer decode (frame walk + side info +
+    # reservoir-resolved scalefactors over per-doc synthesized streams)
+    "mm_real_mp3_frames",
 ]
 
 

@@ -298,6 +298,13 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
             ["media_id", "chunk_idx"],
             [("start_ms", "num"), ("end_ms", "num"), ("chunk_b64", "str")],
         ),
+        # round 11: REAL progressive JPEG (SOF2) — six-scan successive
+        # approximation, bit-exact on the baseline gate's fixed points
+        "mm_real_jpeg_prog_features": (
+            ["media_id"],
+            [("width", "num"), ("height", "num"), ("sum_all", "num"),
+             ("sum_col0", "num"), ("sum_col1", "num")],
+        ),
         # round 11: REAL 16-bit Adam7-interlaced PNG — seven re-woven
         # passes, high-byte 16->8 reduction, closed-form pixel oracle
         "mm_real_png16_features": (

@@ -1589,3 +1589,123 @@ def mm_real_png16_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_b"),
     )
+
+
+# Progressive JPEG (round 11): the SOF2 half of the JPEG seam, closed —
+# same analytic fixed-point oracle as the baseline gate, but the
+# fixtures now ride a six-scan progressive script (DC first interleaved
+# -> per-component AC first with EOB runs -> DC refinement bits ->
+# per-component AC refinement with interleaved correction bits), so a
+# successive-approximation slip anywhere changes a pixel sum.
+_MM_JPEG_PROG_SQL = """
+WITH d AS (
+  SELECT doc_id, 8 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h
+  FROM documents
+), blocks AS (
+  SELECT d.doc_id, d.w, d.h,
+         bx.generate_series AS bx, by.generate_series AS by,
+         2 * ((d.doc_id * 37 + bx.generate_series * 11
+               + by.generate_series * 23) % 100) + 28 AS v
+  FROM d, generate_series(0, 2) AS bx, generate_series(0, 1) AS by
+  WHERE bx.generate_series < d.w // 8 AND by.generate_series < d.h // 8
+)
+SELECT doc_id AS media_id,
+       CAST(MAX(w) AS INT) AS width,
+       CAST(MAX(h) AS INT) AS height,
+       CAST(SUM(64 * v) AS BIGINT) AS sum_all,
+       CAST(SUM(8 * (v + 2)) AS BIGINT) AS sum_col0,
+       CAST(SUM(8 * (v - 2)) AS BIGINT) AS sum_col1
+FROM blocks GROUP BY doc_id
+"""
+
+
+@q("mm_real_jpeg_prog_features", _MM_JPEG_PROG_SQL)
+def mm_real_jpeg_prog_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive-JPEG decode (round 11 — SOF2 closed; it is
+    ALGORITHMIC, the Huffman tables ride in the file, so unlike MP3's
+    tabulated constants it can be re-derived exactly): the baseline
+    gate's fixed-point fixtures encoded through the six-scan
+    progressive script — spectral selection + successive approximation
+    (DC/AC first + refinement scans, EOB runs spanning blocks,
+    refinement correction bits interleaved exactly where the decoder's
+    walk reads them).  Successive approximation is exact at the
+    coefficient level, so the oracle's analytic pixel sums (whole
+    image + the x%8 in {0,1} column families pinning the cosine
+    pattern's signs) must match bit-for-bit; gray and neutral-chroma
+    RGB legs alternate by doc parity as in the baseline gate."""
+    from collections.abc import Iterator as _It
+
+    import numpy as np
+    import pandas as pd
+
+    from tagminder_spark.sources.jpeg import decode_jpeg, encode_jpeg
+    from tagminder_spark.sources.multimodal import MEDIA_SCHEMA
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    sign = np.array([1, -1, -1, 1, 1, -1, -1, 1], dtype=np.int32)
+
+    def synth(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                did = int(r.media_id)
+                w, h = 8 * (1 + did % 3), 8 * (1 + did % 2)
+                img = np.zeros((h, w), dtype=np.int32)
+                for by in range(h // 8):
+                    for bx in range(w // 8):
+                        v = 2 * ((did * 37 + bx * 11 + by * 23) % 100) + 28
+                        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                            v + 2 * np.tile(sign, (8, 1))
+                        )
+                a = img.astype(np.uint8)
+                if did % 2:  # RGB leg, neutral chroma
+                    a = np.repeat(a[:, :, None], 3, axis=2)
+                rows.append(
+                    {
+                        "media_id": did,
+                        "kind": "image",
+                        "content": encode_jpeg(
+                            a, quant=16, progressive=True
+                        ),
+                        "meta": None,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "content", "meta"]
+            )
+
+    def featurize(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                w, h, rgb = decode_jpeg(bytes(r.content))
+                ok = np.array_equal(rgb[:, :, 0], rgb[:, :, 1]) and (
+                    np.array_equal(rgb[:, :, 1], rgb[:, :, 2])
+                )
+                ch = rgb[:, :, 0].astype(np.int64)
+                out.append(
+                    {
+                        "media_id": r.media_id,
+                        "width": int(w),
+                        "height": int(h),
+                        "sum_all": int(ch.sum()) if ok else -1,
+                        "sum_col0": int(ch[:, 0::8].sum()) if ok else -1,
+                        "sum_col1": int(ch[:, 1::8].sum()) if ok else -1,
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "width", "height",
+                    "sum_all", "sum_col0", "sum_col1",
+                ],
+            )
+
+    media = d.mapInPandas(synth, MEDIA_SCHEMA)
+    return media.mapInPandas(
+        featurize,
+        "media_id long, width int, height int,"
+        " sum_all long, sum_col0 long, sum_col1 long",
+    )

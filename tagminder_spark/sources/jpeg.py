@@ -1,14 +1,18 @@
-"""Baseline-JPEG codec, pure python + numpy — the compressed-image seam
-closed without Pillow (round 10, VERDICT r9 #6; the PNG precedent is
+"""JPEG codec, pure python + numpy — the compressed-image seam closed
+without Pillow (round 10, VERDICT r9 #6; the PNG precedent is
 ``sources/multimodal.py: decode_png``).
 
-Decoder envelope (``decode_jpeg``): baseline sequential DCT (SOF0),
-8-bit, 1 or 3 components, sampling factors 1 or 2 per axis (4:4:4 /
-4:2:2 / 4:2:0), arbitrary DHT Huffman tables, restart intervals (DRI /
-RSTn), byte-stuffing — i.e. the overwhelming majority of real-world
-JPEGs.  Progressive (SOF2), arithmetic coding, 12-bit and lossless
-variants raise ``ValueError`` and fall through to the Pillow seam in
-``_decode_image_real``.
+Decoder envelope (``decode_jpeg``): baseline sequential DCT (SOF0) AND
+(round 11) progressive DCT (SOF2 — spectral selection + successive
+approximation: DC/AC first and refinement scans, EOB runs, refinement
+correction bits), 8-bit, 1 or 3 components, sampling factors 1 or 2
+per axis (4:4:4 / 4:2:2 / 4:2:0), arbitrary DHT Huffman tables,
+restart intervals (DRI / RSTn), byte-stuffing — i.e. effectively all
+real-world JPEGs.  Arithmetic coding, 12-bit and lossless variants
+raise ``ValueError`` and fall through to the Pillow seam in
+``_decode_image_real``.  Progressive is ALGORITHMIC (the Huffman
+tables ride in the file), so unlike MP3's tabulated spec constants it
+can be — and is — re-derived exactly.
 
 Encoder (``encode_jpeg``): the fixture half — gray or RGB (written
 4:4:4), real 2-D DCT + quantization + canonical Huffman coding.  The
@@ -163,9 +167,15 @@ def _huff_decode(reader: _BitReader, table: dict) -> int:
 
 
 def decode_jpeg(content: bytes):
-    """REAL baseline-JPEG decode — pure python + numpy.  Returns
-    (width, height, HxWx3 uint8 RGB).  Raises ValueError for anything
-    outside the baseline envelope (progressive, arithmetic, 12-bit)."""
+    """REAL JPEG decode — pure python + numpy: baseline sequential
+    (SOF0) AND (round 11) progressive (SOF2: spectral selection +
+    successive approximation, DC/AC first and refinement scans, EOB
+    runs, per-scan restart intervals).  Both modes share one
+    coefficient-store pipeline: every SOS accumulates quantized
+    coefficients; reconstruction (dequantize + IDCT + upsample +
+    color convert) runs once at EOI.  Returns (width, height, HxWx3
+    uint8 RGB).  Raises ValueError for arithmetic coding, 12-bit and
+    lossless variants."""
     import numpy as np
 
     if len(content) < 4 or content[:2] != b"\xff\xd8":
@@ -174,9 +184,11 @@ def decode_jpeg(content: bytes):
     qtables: dict[int, "np.ndarray"] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> table
     frame = None
+    store = None  # per frame component: np (blocks_y, blocks_x, 64) zigzag
     restart_interval = 0
+    scans_seen = 0
 
-    while pos + 4 <= len(content):
+    while pos + 2 <= len(content):
         if content[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
         marker = content[pos + 1]
@@ -185,7 +197,11 @@ def decode_jpeg(content: bytes):
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # parameterless
+        if pos + 2 > len(content):
+            raise ValueError("truncated JPEG segment header")
         (seglen,) = struct.unpack_from(">H", content, pos)
+        if pos + seglen > len(content):
+            raise ValueError("truncated JPEG segment")
         seg = content[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT (may hold several tables)
             off = 0
@@ -207,7 +223,7 @@ def decode_jpeg(content: bytes):
                 vals = seg[off + 17 : off + 17 + n]
                 huff[(tc, th)] = _build_huffman(bits, vals)
                 off += 17 + n
-        elif marker == 0xC0:  # SOF0: baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
@@ -217,10 +233,27 @@ def decode_jpeg(content: bytes):
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            if not all(
+                c["h"] in (1, 2) and c["v"] in (1, 2) for c in comps
+            ):
+                raise ValueError("sampling factors beyond 2 unsupported")
+            frame = {"w": w, "h": h, "comps": comps,
+                     "progressive": marker == 0xC2}
+            max_h = max(c["h"] for c in comps)
+            max_v = max(c["v"] for c in comps)
+            frame["max_h"], frame["max_v"] = max_h, max_v
+            frame["mcus_x"] = -(-w // (8 * max_h))
+            frame["mcus_y"] = -(-h // (8 * max_v))
+            store = [
+                np.zeros(
+                    (frame["mcus_y"] * c["v"], frame["mcus_x"] * c["h"], 64),
+                    dtype=np.int32,
+                )
+                for c in comps
+            ]
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline JPEG (progressive/arith/…)")
+            raise ValueError("non-baseline JPEG (arith/12-bit/lossless)")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS — entropy data follows the header
@@ -230,92 +263,231 @@ def decode_jpeg(content: bytes):
             scan = []
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i : 3 + 2 * i]
-                comp = next(c for c in frame["comps"] if c["id"] == cs)
-                scan.append((comp, tt >> 4, tt & 0x0F))
-            data_start = pos + seglen
-            return _decode_scan(
-                content, data_start, frame, scan, qtables, huff,
-                restart_interval,
+                ci = next(
+                    j for j, c in enumerate(frame["comps"])
+                    if c["id"] == cs
+                )
+                scan.append((ci, tt >> 4, tt & 0x0F))
+            ss, se, a = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = a >> 4, a & 0x0F
+            pos = _decode_scan_coefs(
+                content, pos + seglen, frame, scan, (ss, se, ah, al),
+                huff, restart_interval, store,
             )
+            scans_seen += 1
+            # re-sync: entropy data ends at the next real marker
+            while pos + 1 < len(content) and not (
+                content[pos] == 0xFF and content[pos + 1] != 0x00
+            ):
+                pos += 1
+            continue
         pos += seglen
-    raise ValueError("JPEG has no scan")
+    if frame is None or not scans_seen:
+        raise ValueError("JPEG has no scan")
+    return _reconstruct(frame, store, qtables)
 
 
-def _decode_scan(content, pos, frame, scan, qtables, huff, restart_interval):
+def _decode_scan_coefs(
+    content, pos, frame, scan, band, huff, restart_interval, store
+):
+    """Decode ONE scan's entropy data into the frame coefficient store
+    (zigzag order).  Handles baseline full-band scans and all four
+    progressive scan kinds (DC/AC x first/refinement), interleaved
+    (ns>1, MCU order over the frame grid) and non-interleaved (ns=1,
+    raster order over the component's own unpadded block grid), with
+    restart intervals resetting predictors and the EOB run.  Returns
+    the byte position after the consumed entropy data."""
+    ss, se, ah, al = band
+    reader = _BitReader(content, pos)
+    state = {"eobrun": 0}
+    preds = [0] * len(scan)
+
+    def tables(idx):
+        ci, tdc, tac = scan[idx]
+        dc_tbl = huff.get((0, tdc))
+        ac_tbl = huff.get((1, tac))
+        if ss == 0 and ah == 0 and dc_tbl is None:
+            raise ValueError("JPEG scan references missing DC table")
+        if se > 0 and ac_tbl is None:
+            raise ValueError("JPEG scan references missing AC table")
+        return dc_tbl, ac_tbl
+
+    def restart(unit_count):
+        if restart_interval and unit_count and (
+            unit_count % restart_interval == 0
+        ):
+            if not reader.at_restart_marker():
+                raise ValueError("missing JPEG restart marker")
+            reader.skip_restart_marker()
+            state["eobrun"] = 0
+            for i in range(len(preds)):
+                preds[i] = 0
+
+    if len(scan) == 1:
+        ci, _tdc, _tac = scan[0]
+        comp = frame["comps"][ci]
+        dc_tbl, ac_tbl = tables(0)
+        # non-interleaved: the component's OWN (unpadded) block grid
+        cw = -(-frame["w"] * comp["h"] // frame["max_h"])
+        ch = -(-frame["h"] * comp["v"] // frame["max_v"])
+        bw = -(-cw // 8)
+        bh = -(-ch // 8)
+        for u in range(bh * bw):
+            restart(u)
+            by, bx = divmod(u, bw)
+            _decode_block(
+                reader, store[ci][by, bx], ss, se, ah, al,
+                dc_tbl, ac_tbl, preds, 0, state,
+            )
+        return reader.pos
+
+    for my in range(frame["mcus_y"]):
+        for mx in range(frame["mcus_x"]):
+            restart(my * frame["mcus_x"] + mx)
+            for si, (ci, _tdc, _tac) in enumerate(scan):
+                comp = frame["comps"][ci]
+                dc_tbl, ac_tbl = tables(si)
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        _decode_block(
+                            reader,
+                            store[ci][my * comp["v"] + by,
+                                      mx * comp["h"] + bx],
+                            ss, se, ah, al, dc_tbl, ac_tbl, preds, si,
+                            state,
+                        )
+    return reader.pos
+
+
+def _decode_block(
+    reader, zz, ss, se, ah, al, dc_tbl, ac_tbl, preds, si, state
+):
+    """Decode one block's contribution for the current scan into its
+    zigzag coefficient row ``zz`` (length-64 int32 view)."""
+    if ss == 0:
+        if ah == 0:  # DC first (baseline DC is this with al=0)
+            s = _huff_decode(reader, dc_tbl)
+            preds[si] += _receive_extend(reader, s)
+            zz[0] = preds[si] << al
+        else:  # DC refinement: one bit
+            if reader.read_bit():
+                zz[0] |= 1 << al
+        k = 1
+        if se == 0:
+            return
+    else:
+        k = ss
+
+    if ah == 0:  # AC first scans (baseline AC is this with al=0)
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        while k <= se:
+            rs = _huff_decode(reader, ac_tbl)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL: 16 zeros
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.read_bits(r)
+                state["eobrun"] = eobrun
+                break  # EOB for this block
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC index overflow")
+            zz[k] = _receive_extend(reader, s) << al
+            k += 1
+        return
+
+    # AC refinement scan (T.81 G.1.2.3)
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def correct(idx) -> None:
+        if reader.read_bit() and (zz[idx] & p1) == 0:
+            zz[idx] += p1 if zz[idx] >= 0 else m1
+
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _huff_decode(reader, ac_tbl)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    # EOBRUN counts blocks INCLUDING this one — the
+                    # post-loop corrector below must still read this
+                    # block's tail correction bits before decrementing
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    state["eobrun"] = eobrun
+                    break
+                # r == 15: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "invalid symbol in AC refinement scan"
+                    )
+                newval = p1 if reader.read_bit() else m1
+            # advance past r zero-history coefficients, correcting
+            # already-significant ones along the way
+            while k <= se:
+                if zz[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        if newval:
+                            zz[k] = newval
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+            else:
+                if newval:
+                    raise ValueError(
+                        "JPEG refinement ran past the band"
+                    )
+    if state["eobrun"] > 0:
+        while k <= se:
+            if zz[k] != 0:
+                correct(k)
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _reconstruct(frame, store, qtables):
+    """Dequantize + batched IDCT + upsample + crop + color-convert —
+    shared by the baseline and progressive paths."""
     import numpy as np
 
     w, h = frame["w"], frame["h"]
-    comps = [s[0] for s in scan]
-    max_h = max(c["h"] for c in comps)
-    max_v = max(c["v"] for c in comps)
-    if not all(c["h"] in (1, 2) and c["v"] in (1, 2) for c in comps):
-        raise ValueError("sampling factors beyond 2 unsupported")
-    mcus_x = -(-w // (8 * max_h))
-    mcus_y = -(-h // (8 * max_v))
     C = _dct_matrix()
-
-    planes = []
-    for c in comps:
-        planes.append(
-            np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.int32)
-        )
-
-    reader = _BitReader(content, pos)
-    pred = [0] * len(comps)
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and (
-                mcu_count % restart_interval == 0
-            ):
-                if not reader.at_restart_marker():
-                    raise ValueError("missing JPEG restart marker")
-                reader.skip_restart_marker()
-                pred = [0] * len(comps)
-            for ci, (comp, tdc, tac) in enumerate(scan):
-                dc_tbl = huff.get((0, tdc))
-                ac_tbl = huff.get((1, tac))
-                q = qtables.get(comp["tq"])
-                if dc_tbl is None or ac_tbl is None or q is None:
-                    raise ValueError("JPEG scan references missing table")
-                for by in range(comp["v"]):
-                    for bx in range(comp["h"]):
-                        coef = np.zeros((8, 8), dtype=np.int32)
-                        s = _huff_decode(reader, dc_tbl)
-                        pred[ci] += _receive_extend(reader, s)
-                        coef[0, 0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _huff_decode(reader, ac_tbl)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:  # ZRL: 16 zeros
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG AC index overflow")
-                            rr, cc = _ZIGZAG[k]
-                            coef[rr, cc] = _receive_extend(reader, s)
-                            k += 1
-                        block = C.T @ (coef * q).astype(np.float64) @ C
-                        py = (my * comp["v"] + by) * 8
-                        px = (mx * comp["h"] + bx) * 8
-                        planes[ci][py : py + 8, px : px + 8] = np.round(
-                            block
-                        ).astype(np.int32) + 128
-            mcu_count += 1
-
-    # upsample each plane to full MCU-grid resolution, crop to (h, w)
     full = []
-    for ci, comp in enumerate(comps):
-        p = planes[ci]
-        if comp["h"] != max_h:
-            p = np.repeat(p, max_h // comp["h"], axis=1)
-        if comp["v"] != max_v:
-            p = np.repeat(p, max_v // comp["v"], axis=0)
-        full.append(p[:h, :w])
+    for ci, comp in enumerate(frame["comps"]):
+        q = qtables.get(comp["tq"])
+        if q is None:
+            raise ValueError("JPEG frame references missing DQT")
+        qzz = np.array(
+            [q[r, c] for r, c in _ZIGZAG], dtype=np.int64
+        )
+        zz = store[ci].astype(np.int64) * qzz  # (by, bx, 64)
+        by, bx = zz.shape[0], zz.shape[1]
+        mat = np.zeros((by, bx, 8, 8), dtype=np.float64)
+        for i, (r, c) in enumerate(_ZIGZAG):
+            mat[:, :, r, c] = zz[:, :, i]
+        blocks = np.einsum("ij,abjk,kl->abil", C.T, mat, C)
+        plane = (
+            np.round(blocks.transpose(0, 2, 1, 3)
+                     .reshape(by * 8, bx * 8))
+            .astype(np.int32) + 128
+        )
+        if comp["h"] != frame["max_h"]:
+            plane = np.repeat(plane, frame["max_h"] // comp["h"], axis=1)
+        if comp["v"] != frame["max_v"]:
+            plane = np.repeat(plane, frame["max_v"] // comp["v"], axis=0)
+        full.append(plane[:h, :w])
     if len(full) == 1:
         y = np.clip(full[0], 0, 255).astype(np.uint8)
         return w, h, np.repeat(y[:, :, None], 3, axis=2)
@@ -385,13 +557,154 @@ def _canonical_table(symbols: set) -> tuple[list[int], bytes, dict]:
     return bits, bytes(vals), enc
 
 
-def encode_jpeg(arr, quant: int = 16) -> bytes:
-    """Baseline-JPEG encoder for gray (HxW / HxWx1) or RGB (HxWx3)
+class _SymCollector:
+    """Dry-run sink for scan encoders: records Huffman symbols only."""
+
+    def __init__(self, syms: set):
+        self.syms = syms
+
+    def sym(self, rs: int) -> None:
+        self.syms.add(rs)
+
+    def bits(self, _v: int, _n: int) -> None:
+        pass
+
+
+class _SymWriter:
+    """Writing sink: Huffman-codes symbols, passes raw bits through."""
+
+    def __init__(self, writer: "_BitWriter", enc: dict):
+        self.w = writer
+        self.enc = enc
+
+    def sym(self, rs: int) -> None:
+        code, ln = self.enc[rs]
+        self.w.write(code, ln)
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.w.write(v, n)
+
+
+def _flush_eobrun(out, eobrun: int, pending: list) -> None:
+    """Emit one EOBRUN symbol covering ``eobrun`` blocks plus the
+    accumulated refinement correction bits (T.81 G.1.2.2/G.1.2.3 —
+    a single symbol covers any run < 32768)."""
+    if eobrun <= 0:
+        return
+    if eobrun >= 1 << 15:
+        raise ValueError("EOB run too long for one symbol")
+    e = eobrun.bit_length() - 1
+    out.sym(e << 4)
+    out.bits(eobrun - (1 << e), e)
+    for b in pending:
+        out.bits(b, 1)
+
+
+def _ac_first_scan(out, blocks_zz, al: int) -> None:
+    """Encode one component's AC FIRST scan (Ss=1..63, Ah=0): the
+    point-transformed values sign*(|v| >> al) with run-length/size
+    symbols and EOB-run coding across blocks."""
+    eobrun = 0
+    for zzv in blocks_zz:
+        tv = [
+            (1 if v > 0 else -1) * (abs(v) >> al) for v in zzv
+        ]
+        nz = [k for k in range(1, 64) if tv[k] != 0]
+        if not nz:
+            eobrun += 1
+            continue
+        _flush_eobrun(out, eobrun, [])
+        eobrun = 0
+        run = 0
+        for k in range(1, 64):
+            t = tv[k]
+            if t == 0:
+                run += 1
+                continue
+            while run > 15:
+                out.sym(0xF0)  # ZRL
+                run -= 16
+            s = _size_cat(t)
+            out.sym((run << 4) | s)
+            out.bits(_mag_bits(t, s), s)
+            run = 0
+        if run:
+            eobrun += 1
+    _flush_eobrun(out, eobrun, [])
+
+
+def _ac_refine_scan(out, blocks_zz, al: int) -> None:
+    """Encode one component's AC REFINEMENT scan (Ss=1..63, Ah=al+1,
+    Al=al): newly-significant coefficients as (zero-history-run, 1) +
+    sign, with the correction bits of already-significant coefficients
+    interleaved exactly where the decoder's walk reads them, and
+    EOB-run blocks' corrections appended after the EOBRUN symbol."""
+    eobrun = 0
+    eob_pending: list = []
+    for zzv in blocks_zz:
+        # classify band positions by this scan's view
+        newly = [k for k in range(1, 64) if abs(zzv[k]) >> al == 1]
+        i = 1
+
+        def corr_bits(lo: int, hi: int) -> list:
+            return [
+                (abs(zzv[k]) >> al) & 1
+                for k in range(lo, hi)
+                if abs(zzv[k]) >> al > 1
+            ]
+
+        for p in newly:
+            # zero-history positions strictly before p since i
+            while True:
+                zs = [
+                    k for k in range(i, p)
+                    if abs(zzv[k]) >> al == 0
+                ]
+                if len(zs) <= 15:
+                    break
+                # ZRL consumes exactly 16 zero-history positions;
+                # corrections cover positions before the 16th
+                _flush_eobrun(out, eobrun, eob_pending)
+                eobrun = 0
+                eob_pending = []
+                out.sym(0xF0)
+                for b in corr_bits(i, zs[15] + 1):
+                    out.bits(b, 1)
+                i = zs[15] + 1
+            r = len(zs)
+            _flush_eobrun(out, eobrun, eob_pending)
+            eobrun = 0
+            eob_pending = []
+            out.sym((r << 4) | 1)
+            out.bits(1 if zzv[p] > 0 else 0, 1)
+            for b in corr_bits(i, p):
+                out.bits(b, 1)
+            i = p + 1
+        if i <= 63:
+            # tail (or whole symbol-less block) joins the EOB region
+            eobrun += 1
+            eob_pending.extend(corr_bits(i, 64))
+    _flush_eobrun(out, eobrun, eob_pending)
+
+
+def encode_jpeg(arr, quant: int = 16, *, progressive: bool = False) -> bytes:
+    """JPEG encoder for gray (HxW / HxWx1) or RGB (HxWx3)
     uint8 arrays — real DCT, flat quantization table (``quant`` at
     every frequency), canonical Huffman tables built from the emitted
     symbols, 4:4:4, no subsampling.  RGB converts via the JFIF YCbCr
     formulas; to get the decoder's output byte-exact, feed gray input
-    or RGB with R=G=B (neutral chroma encodes to exactly 128)."""
+    or RGB with R=G=B (neutral chroma encodes to exactly 128).
+
+    ``progressive=True`` (round 11) writes SOF2 with a six-scan script
+    exercising the whole progressive surface — DC first (Al=1,
+    interleaved) → per-component AC first (Ss=1..63, Al=1, EOB runs) →
+    DC refinement (raw bits) → per-component AC refinement (newly-
+    significant + interleaved correction bits).  Successive
+    approximation is EXACT at the coefficient level (magnitude shift +
+    one correction bit reconstructs every value), so progressive
+    encode→decode is bit-identical to the baseline pipeline on the
+    same quantized coefficients."""
     import numpy as np
 
     a = np.asarray(arr, dtype=np.uint8)
@@ -432,6 +745,9 @@ def encode_jpeg(arr, quant: int = 16) -> bytes:
                 blocks[ci].append(
                     np.round(coef / q).astype(np.int32)
                 )
+
+    if progressive:
+        return _assemble_progressive(blocks, h, w, q)
 
     # first pass: collect the DC/AC symbols actually emitted
     dc_syms: set = set()
@@ -516,4 +832,99 @@ def encode_jpeg(arr, quant: int = 16) -> bytes:
     out += seg(0xDA, sos)
     out += writer.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _assemble_progressive(blocks, h: int, w: int, q) -> bytes:
+    """Assemble the SOF2 stream for :func:`encode_jpeg`'s progressive
+    mode: one shared DC and one shared AC Huffman table built from a
+    dry run of every scan, then the six-scan script (DC first
+    interleaved → AC first per component → DC refinement → AC
+    refinement per component), each scan its own SOS + entropy
+    segment."""
+    ncomp = len(blocks)
+    zzb = [
+        [[int(c[r, cc]) for r, cc in _ZIGZAG] for c in bl]
+        for bl in blocks
+    ]
+    nb = len(zzb[0])
+
+    dc_syms: set = set()
+    ac_syms: set = set()
+    preds = [0] * ncomp
+    for i in range(nb):
+        for ci in range(ncomp):
+            t = zzb[ci][i][0] >> 1
+            dc_syms.add(_size_cat(t - preds[ci]))
+            preds[ci] = t
+    for ci in range(ncomp):
+        _ac_first_scan(_SymCollector(ac_syms), zzb[ci], 1)
+        _ac_refine_scan(_SymCollector(ac_syms), zzb[ci], 0)
+    if not ac_syms:
+        ac_syms.add(0x00)
+    dc_bits, dc_vals, dc_enc = _canonical_table(dc_syms)
+    ac_bits, ac_vals, ac_enc = _canonical_table(ac_syms)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    def sos(comp_ids, ss: int, se: int, ah: int, al: int) -> bytes:
+        p = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            p += bytes([cid, 0x00])  # DC table 0, AC table 0
+        return seg(0xDA, p + bytes([ss, se, (ah << 4) | al]))
+
+    zz_q = bytes(int(q[r, c]) for r, c in _ZIGZAG)
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + zz_q)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, 0x11, 0])
+    out += seg(0xC2, sof)  # SOF2: progressive
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + dc_vals)
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + ac_vals)
+    all_ids = list(range(1, ncomp + 1))
+
+    # scan 1: DC first, interleaved, Al=1
+    out += sos(all_ids, 0, 0, 0, 1)
+    bw = _BitWriter()
+    o = _SymWriter(bw, dc_enc)
+    preds = [0] * ncomp
+    for i in range(nb):
+        for ci in range(ncomp):
+            t = zzb[ci][i][0] >> 1
+            diff = t - preds[ci]
+            preds[ci] = t
+            s = _size_cat(diff)
+            o.sym(s)
+            o.bits(_mag_bits(diff, s), s)
+    bw.flush()
+    out += bw.out
+
+    # scans 2..: AC first per component, Al=1
+    for ci in range(ncomp):
+        out += sos([ci + 1], 1, 63, 0, 1)
+        bw = _BitWriter()
+        _ac_first_scan(_SymWriter(bw, ac_enc), zzb[ci], 1)
+        bw.flush()
+        out += bw.out
+
+    # DC refinement: one raw bit per block, interleaved
+    out += sos(all_ids, 0, 0, 1, 0)
+    bw = _BitWriter()
+    for i in range(nb):
+        for ci in range(ncomp):
+            bw.write(zzb[ci][i][0] & 1, 1)
+    bw.flush()
+    out += bw.out
+
+    # AC refinement per component, Ah=1 -> Al=0
+    for ci in range(ncomp):
+        out += sos([ci + 1], 1, 63, 1, 0)
+        bw = _BitWriter()
+        _ac_refine_scan(_SymWriter(bw, ac_enc), zzb[ci], 0)
+        bw.flush()
+        out += bw.out
+
+    out += b"\xff\xd9"
     return bytes(out)

@@ -2,17 +2,23 @@
 
 The column contract and Spark-side plumbing (schemas, Arrow batching,
 partitioning) are real and tested.  Decoding is REAL for the formats
-stdlib+numpy can parse — binary PPM, uncompressed 24-bit BMP, 8-bit
-PNG (:func:`decode_png`, hand-rolled filters over stdlib zlib) and
-baseline JPEG (:mod:`tagminder_spark.sources.jpeg`) images; RIFF/WAVE
-PCM (:func:`decode_wav`, stdlib ``wave``) and FLAC
+stdlib+numpy can parse — binary PPM, uncompressed 24-bit BMP, PNG at
+8/16-bit plain or Adam7-interlaced (:func:`decode_png`, hand-rolled
+filters over stdlib zlib), baseline AND progressive JPEG
+(:mod:`tagminder_spark.sources.jpeg`), GIF
+(:mod:`tagminder_spark.sources.gif`) images; RIFF/WAVE PCM
+(:func:`decode_wav`, stdlib ``wave``) and FLAC
 (:mod:`tagminder_spark.sources.flac`, pure python+numpy, CRC/MD5
-verified) audio — with genuine pixel/sample-accurate featurize, resize
-and chunking paths.  The remaining compressed formats (progressive
-JPEG, MP3/Opus, MP4…) still need Pillow/ffmpeg, absent in this
-container: those import-tries raise ``NotImplementedError`` from the
-real path and fall back to a deterministic fake so the distributed
-machinery is exercised end-to-end regardless of codec availability.
+verified) audio; MP3's full stream layer
+(:mod:`tagminder_spark.sources.mp3` — frame plan, side info,
+reservoir) — with genuine pixel/sample-accurate featurize, resize and
+chunking paths.  The remaining variants (arithmetic/12-bit JPEG,
+sub-8-bit PNG, MP3 spectral/Opus decode, MP4 codec payloads) need
+either Pillow/ffmpeg or spec-tabulated constants absent in this
+container: those paths raise ``NotImplementedError``/``ValueError``
+from the real path and fall back to a deterministic fake so the
+distributed machinery is exercised end-to-end regardless of codec
+availability.
 
 Design for 100 TB of media:
 - content stays a ``binary`` column read lazily (binaryFile source or
@@ -427,7 +433,7 @@ def _decode_image_real(content: bytes):
         try:
             return decode_jpeg(content)
         except ValueError:
-            pass  # progressive/arithmetic/12-bit → Pillow seam
+            pass  # arithmetic/12-bit/lossless → Pillow seam
     if content.startswith((b"GIF87a", b"GIF89a")):
         from tagminder_spark.sources.gif import decode_gif
 

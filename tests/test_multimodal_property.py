@@ -567,3 +567,58 @@ def test_png_16bit_interlace_roundtrip_property(
     elif ch in (1, 2):
         assert np.array_equal(rgb[:, :, 0], want[:, :, 0])
         assert np.array_equal(rgb[:, :, 1], want[:, :, 0])
+
+
+# ---------------------------------------------------------------------------
+# round 11: progressive JPEG (SOF2)
+
+
+@settings(max_examples=30, deadline=None)
+@given(images(), st.sampled_from([1, 16]))
+def test_jpeg_progressive_equals_baseline_property(src, quant):
+    """Progressive encode→decode is BIT-identical to the baseline
+    pipeline on the same input: successive approximation (magnitude
+    shift + one correction bit) reconstructs every quantized
+    coefficient exactly, so the two mode's reconstructions cannot
+    differ by even one pixel."""
+    from tagminder_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    b = decode_jpeg(encode_jpeg(src, quant=quant))
+    p = decode_jpeg(encode_jpeg(src, quant=quant, progressive=True))
+    assert b[:2] == p[:2]
+    assert np.array_equal(b[2], p[2])
+
+
+@settings(max_examples=20, deadline=None)
+@given(jpeg_fixed_point_images(), st.booleans())
+def test_jpeg_progressive_fixed_point_exact(src, as_rgb):
+    """The codec fixed points stay bit-exact through the six-scan
+    progressive script (DC first/refine + AC first/refine with EOB
+    runs and correction bits)."""
+    from tagminder_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    inp = np.repeat(src[:, :, None], 3, axis=2) if as_rgb else src
+    w, h, got = decode_jpeg(
+        encode_jpeg(inp, quant=16, progressive=True)
+    )
+    assert (w, h) == (src.shape[1], src.shape[0])
+    for c in range(3):
+        assert np.array_equal(got[:, :, c], src), f"channel {c}"
+
+
+def test_jpeg_progressive_truncation_and_dispatch():
+    import pytest as _pytest
+
+    from tagminder_spark.sources.jpeg import decode_jpeg, encode_jpeg
+    from tagminder_spark.sources.multimodal import _decode_image_real
+
+    img = np.full((16, 24), 90, dtype=np.uint8)
+    enc = encode_jpeg(img, quant=16, progressive=True)
+    assert enc[:2] == b"\xff\xd8"
+    # SOF2 marker present
+    assert b"\xff\xc2" in enc
+    with _pytest.raises(ValueError):
+        decode_jpeg(enc[: len(enc) * 2 // 3])
+    w, h, rgb = _decode_image_real(enc)
+    assert (w, h) == (24, 16)
+    assert np.array_equal(rgb[:, :, 0], img)
