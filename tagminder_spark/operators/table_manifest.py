@@ -2615,15 +2615,17 @@ def table_changes(
         op = raw.get("op")
         if op in _ROW_PRESERVING_OPS:
             continue
-        if op == "merge-cow" and raw.get("changes"):
-            key = raw["change_key"]
+        if op == "merge-cow" and "changes" in raw:
+            # key PRESENCE marks a CDC commit — an empty list is a
+            # zero-row merge, still a valid (empty) feed contribution
+            key = raw.get("change_key")
             for rel, _sz in raw["changes"]:
                 ins_specs.append((rel, g))
                 # change-file keys need a per-commit DISTINCT (the
                 # equality-delete shape MoR commits store pre-distinct)
                 del_specs.setdefault((key, True), []).append((rel, g))
             continue
-        if op == "delete-pos" and raw.get("changes"):
+        if op == "delete-pos" and "changes" in raw:
             # positional deletes feed their full row PREIMAGES (the
             # predicate scan had the rows, so the change files carry
             # more than the equality feed's key+NULLs shape)

@@ -3692,3 +3692,22 @@ def test_rollback_cdc_skipped_on_divergent_delete_state(spark, tmp_path):
     assert "changes" not in raw and "deleted_changes" not in raw
     with _pytest.raises(ValueError, match="rollback"):
         table_changes(spark, root, 1)
+
+
+def test_zero_row_cow_merge_keeps_feed_alive(spark, tmp_path):
+    """A CoW merge whose update set is EMPTY still records a (empty)
+    CDC commit — the feed across it is valid and contributes nothing,
+    rather than raising."""
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        merge_into_manifest,
+        table_changes,
+    )
+
+    root = str(tmp_path / "t")
+    docs = _clustered_docs(spark, root)  # gen 1
+    empty = docs.filter(F.lit(False))
+    merge_into_manifest(spark, root, empty, "doc_id")  # gen 2
+    feed = table_changes(spark, root, 1)
+    assert feed.count() == 0
