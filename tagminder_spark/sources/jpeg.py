@@ -532,6 +532,12 @@ class _BitWriter:
         while self.nacc:
             self.write(1, 1)  # pad with 1-bits per the spec
 
+    def restart_marker(self, n: int) -> None:
+        """Byte-align, then emit RSTn — markers sit OUTSIDE the
+        entropy coding (no byte stuffing)."""
+        self.flush()
+        self.out += bytes([0xFF, 0xD0 + (n & 7)])
+
 
 def _size_cat(v: int) -> int:
     return int(v).bit_length() if v >= 0 else int(-v).bit_length()
@@ -569,6 +575,9 @@ class _SymCollector:
     def bits(self, _v: int, _n: int) -> None:
         pass
 
+    def marker(self, _n: int) -> None:
+        pass
+
 
 class _SymWriter:
     """Writing sink: Huffman-codes symbols, passes raw bits through."""
@@ -584,6 +593,9 @@ class _SymWriter:
     def bits(self, v: int, n: int) -> None:
         if n:
             self.w.write(v, n)
+
+    def marker(self, n: int) -> None:
+        self.w.restart_marker(n)
 
 
 def _flush_eobrun(out, eobrun: int, pending: list) -> None:
@@ -601,12 +613,18 @@ def _flush_eobrun(out, eobrun: int, pending: list) -> None:
         out.bits(b, 1)
 
 
-def _ac_first_scan(out, blocks_zz, al: int) -> None:
+def _ac_first_scan(out, blocks_zz, al: int, restart_every: int = 0) -> None:
     """Encode one component's AC FIRST scan (Ss=1..63, Ah=0): the
     point-transformed values sign*(|v| >> al) with run-length/size
-    symbols and EOB-run coding across blocks."""
+    symbols and EOB-run coding across blocks.  ``restart_every``
+    flushes the EOB run and emits RSTn at each interval boundary (an
+    EOB run may not cross a restart)."""
     eobrun = 0
-    for zzv in blocks_zz:
+    for bi, zzv in enumerate(blocks_zz):
+        if restart_every and bi and bi % restart_every == 0:
+            _flush_eobrun(out, eobrun, [])
+            eobrun = 0
+            out.marker((bi // restart_every - 1) % 8)
         tv = [
             (1 if v > 0 else -1) * (abs(v) >> al) for v in zzv
         ]
@@ -634,7 +652,7 @@ def _ac_first_scan(out, blocks_zz, al: int) -> None:
     _flush_eobrun(out, eobrun, [])
 
 
-def _ac_refine_scan(out, blocks_zz, al: int) -> None:
+def _ac_refine_scan(out, blocks_zz, al: int, restart_every: int = 0) -> None:
     """Encode one component's AC REFINEMENT scan (Ss=1..63, Ah=al+1,
     Al=al): newly-significant coefficients as (zero-history-run, 1) +
     sign, with the correction bits of already-significant coefficients
@@ -642,7 +660,12 @@ def _ac_refine_scan(out, blocks_zz, al: int) -> None:
     EOB-run blocks' corrections appended after the EOBRUN symbol."""
     eobrun = 0
     eob_pending: list = []
-    for zzv in blocks_zz:
+    for bi, zzv in enumerate(blocks_zz):
+        if restart_every and bi and bi % restart_every == 0:
+            _flush_eobrun(out, eobrun, eob_pending)
+            eobrun = 0
+            eob_pending = []
+            out.marker((bi // restart_every - 1) % 8)
         # classify band positions by this scan's view
         newly = [k for k in range(1, 64) if abs(zzv[k]) >> al == 1]
         i = 1
@@ -688,7 +711,8 @@ def _ac_refine_scan(out, blocks_zz, al: int) -> None:
     _flush_eobrun(out, eobrun, eob_pending)
 
 
-def encode_jpeg(arr, quant: int = 16, *, progressive: bool = False) -> bytes:
+def encode_jpeg(arr, quant: int = 16, *, progressive: bool = False,
+                restart_interval: int = 0) -> bytes:
     """JPEG encoder for gray (HxW / HxWx1) or RGB (HxWx3)
     uint8 arrays — real DCT, flat quantization table (``quant`` at
     every frequency), canonical Huffman tables built from the emitted
@@ -747,7 +771,9 @@ def encode_jpeg(arr, quant: int = 16, *, progressive: bool = False) -> bytes:
                 )
 
     if progressive:
-        return _assemble_progressive(blocks, h, w, q)
+        return _assemble_progressive(
+            blocks, h, w, q, restart_interval=restart_interval
+        )
 
     # first pass: collect the DC/AC symbols actually emitted
     dc_syms: set = set()
@@ -755,7 +781,9 @@ def encode_jpeg(arr, quant: int = 16, *, progressive: bool = False) -> bytes:
 
     def _symbols(block_list):
         pred = 0
-        for coef in block_list:
+        for bi, coef in enumerate(block_list):
+            if restart_interval and bi and bi % restart_interval == 0:
+                pred = 0
             diff = int(coef[0, 0]) - pred
             pred = int(coef[0, 0])
             dc_syms.add(_size_cat(diff))
@@ -783,6 +811,9 @@ def encode_jpeg(arr, quant: int = 16, *, progressive: bool = False) -> bytes:
     writer = _BitWriter()
     preds = [0] * len(planes)
     for i in range(bh * bw):
+        if restart_interval and i and i % restart_interval == 0:
+            writer.restart_marker((i // restart_interval - 1) % 8)
+            preds = [0] * len(planes)
         for ci in range(len(planes)):
             coef = blocks[ci][i]
             diff = int(coef[0, 0]) - preds[ci]
@@ -825,6 +856,8 @@ def encode_jpeg(arr, quant: int = 16, *, progressive: bool = False) -> bytes:
     out += seg(0xC0, sof)
     out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + dc_vals)  # DC id 0
     out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + ac_vals)  # AC id 0
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for cid in range(1, ncomp + 1):
         sos += bytes([cid, 0x00])  # DC table 0, AC table 0
@@ -835,7 +868,8 @@ def encode_jpeg(arr, quant: int = 16, *, progressive: bool = False) -> bytes:
     return bytes(out)
 
 
-def _assemble_progressive(blocks, h: int, w: int, q) -> bytes:
+def _assemble_progressive(blocks, h: int, w: int, q,
+                          restart_interval: int = 0) -> bytes:
     """Assemble the SOF2 stream for :func:`encode_jpeg`'s progressive
     mode: one shared DC and one shared AC Huffman table built from a
     dry run of every scan, then the six-scan script (DC first
@@ -853,13 +887,17 @@ def _assemble_progressive(blocks, h: int, w: int, q) -> bytes:
     ac_syms: set = set()
     preds = [0] * ncomp
     for i in range(nb):
+        if restart_interval and i and i % restart_interval == 0:
+            preds = [0] * ncomp
         for ci in range(ncomp):
             t = zzb[ci][i][0] >> 1
             dc_syms.add(_size_cat(t - preds[ci]))
             preds[ci] = t
     for ci in range(ncomp):
-        _ac_first_scan(_SymCollector(ac_syms), zzb[ci], 1)
-        _ac_refine_scan(_SymCollector(ac_syms), zzb[ci], 0)
+        _ac_first_scan(_SymCollector(ac_syms), zzb[ci], 1,
+                       restart_every=restart_interval)
+        _ac_refine_scan(_SymCollector(ac_syms), zzb[ci], 0,
+                        restart_every=restart_interval)
     if not ac_syms:
         ac_syms.add(0x00)
     dc_bits, dc_vals, dc_enc = _canonical_table(dc_syms)
@@ -883,6 +921,8 @@ def _assemble_progressive(blocks, h: int, w: int, q) -> bytes:
     out += seg(0xC2, sof)  # SOF2: progressive
     out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + dc_vals)
     out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + ac_vals)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     all_ids = list(range(1, ncomp + 1))
 
     # scan 1: DC first, interleaved, Al=1
@@ -891,6 +931,9 @@ def _assemble_progressive(blocks, h: int, w: int, q) -> bytes:
     o = _SymWriter(bw, dc_enc)
     preds = [0] * ncomp
     for i in range(nb):
+        if restart_interval and i and i % restart_interval == 0:
+            bw.restart_marker((i // restart_interval - 1) % 8)
+            preds = [0] * ncomp
         for ci in range(ncomp):
             t = zzb[ci][i][0] >> 1
             diff = t - preds[ci]
@@ -905,7 +948,8 @@ def _assemble_progressive(blocks, h: int, w: int, q) -> bytes:
     for ci in range(ncomp):
         out += sos([ci + 1], 1, 63, 0, 1)
         bw = _BitWriter()
-        _ac_first_scan(_SymWriter(bw, ac_enc), zzb[ci], 1)
+        _ac_first_scan(_SymWriter(bw, ac_enc), zzb[ci], 1,
+                       restart_every=restart_interval)
         bw.flush()
         out += bw.out
 
@@ -913,6 +957,8 @@ def _assemble_progressive(blocks, h: int, w: int, q) -> bytes:
     out += sos(all_ids, 0, 0, 1, 0)
     bw = _BitWriter()
     for i in range(nb):
+        if restart_interval and i and i % restart_interval == 0:
+            bw.restart_marker((i // restart_interval - 1) % 8)
         for ci in range(ncomp):
             bw.write(zzb[ci][i][0] & 1, 1)
     bw.flush()
@@ -922,7 +968,8 @@ def _assemble_progressive(blocks, h: int, w: int, q) -> bytes:
     for ci in range(ncomp):
         out += sos([ci + 1], 1, 63, 1, 0)
         bw = _BitWriter()
-        _ac_refine_scan(_SymWriter(bw, ac_enc), zzb[ci], 0)
+        _ac_refine_scan(_SymWriter(bw, ac_enc), zzb[ci], 0,
+                        restart_every=restart_interval)
         bw.flush()
         out += bw.out
 

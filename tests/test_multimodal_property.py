@@ -622,3 +622,26 @@ def test_jpeg_progressive_truncation_and_dispatch():
     w, h, rgb = _decode_image_real(enc)
     assert (w, h) == (24, 16)
     assert np.array_equal(rgb[:, :, 0], img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    images(),
+    st.sampled_from([1, 2, 3, 5]),
+    st.booleans(),
+)
+def test_jpeg_restart_intervals_exact(src, ri, progressive):
+    """DRI/RSTn round-trips bit-exactly in BOTH modes: predictors and
+    EOB runs reset at every interval boundary (an EOB run may not
+    cross a restart — the encoder flushes it), markers sit outside
+    the entropy coding, and the reconstruction equals the
+    no-restart reference."""
+    from tagminder_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    ref = decode_jpeg(encode_jpeg(src, quant=1))
+    got = decode_jpeg(
+        encode_jpeg(src, quant=1, progressive=progressive,
+                    restart_interval=ri)
+    )
+    assert ref[:2] == got[:2]
+    assert np.array_equal(ref[2], got[2])
