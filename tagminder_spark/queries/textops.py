@@ -1361,23 +1361,28 @@ fr AS (
          (doc_id + fr + g.generate_series + c.generate_series) % 16
            AS scomp,
          (doc_id * 5 + fr * 7 + g.generate_series * 11
-          + c.generate_series * 13) % 256 AS gg
+          + c.generate_series * 13) % 256 AS gg,
+         CASE WHEN (doc_id + fr) % 3 = 2 THEN 1 ELSE 0 END AS short_blk
   FROM fo, generate_series(0, 1) AS g, generate_series(0, 1) AS c
 ), sl AS (
   SELECT sc.*,
          ([0,0,0,0,3,1,1,1,2,2,2,3,3,3,4,4])[scomp + 1] AS s1,
-         ([0,1,2,3,0,1,2,3,1,2,3,1,2,3,2,3])[scomp + 1] AS s2
+         ([0,1,2,3,0,1,2,3,1,2,3,1,2,3,2,3])[scomp + 1] AS s2,
+         CASE WHEN short_blk = 1 THEN 36 ELSE 21 END AS nbands,
+         CASE WHEN short_blk = 1 THEN 18 ELSE 11 END AS cut1
   FROM sc
 ), vals AS (
   SELECT sl.*, b.generate_series AS band,
-         CASE WHEN (CASE WHEN b.generate_series < 11 THEN s1 ELSE s2 END) = 0
+         CASE WHEN (CASE WHEN b.generate_series < cut1
+                    THEN s1 ELSE s2 END) = 0
               THEN 0
               ELSE (doc_id * 3 + fr * 5 + gr * 7 + ch * 11
                     + b.generate_series)
-                   % (1 << (CASE WHEN b.generate_series < 11
+                   % (1 << (CASE WHEN b.generate_series < cut1
                             THEN s1 ELSE s2 END))
          END AS v
-  FROM sl, generate_series(0, 20) AS b
+  FROM sl, generate_series(0, 35) AS b
+  WHERE b.generate_series < nbands
 )
 SELECT doc_id AS media_id,
        CAST(fr AS INT) AS frame,
@@ -1428,6 +1433,8 @@ def mm_real_mp3_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 nfr = 4 + did % 4
                 frames = []
                 for fr in range(nfr):
+                    short = (did + fr) % 3 == 2
+                    nbands, cut1 = (36, 18) if short else (21, 11)
                     grs = []
                     for gr in range(2):
                         chs = []
@@ -1437,20 +1444,27 @@ def mm_real_mp3_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                             sfs = [
                                 (did * 3 + fr * 5 + gr * 7 + ch * 11
                                  + band)
-                                % (1 << (s1 if band < 11 else s2))
-                                if (s1 if band < 11 else s2) else 0
-                                for band in range(21)
+                                % (1 << (s1 if band < cut1 else s2))
+                                if (s1 if band < cut1 else s2) else 0
+                                for band in range(nbands)
                             ]
-                            chs.append({
+                            g = {
                                 "scalefac_compress": scomp,
                                 "global_gain": (
                                     did * 5 + fr * 7 + gr * 11 + ch * 13
                                 ) % 256,
-                                "table_select": [0, 0, 0],
-                                "region0_count": 0,
-                                "region1_count": 0,
                                 "scalefacs": sfs,
-                            })
+                            }
+                            if short:
+                                g["block_type"] = 2
+                                g["mixed_block_flag"] = 0
+                                g["table_select"] = [0, 0]
+                                g["subblock_gain"] = [0, 0, 0]
+                            else:
+                                g["table_select"] = [0, 0, 0]
+                                g["region0_count"] = 0
+                                g["region1_count"] = 0
+                            chs.append(g)
                         grs.append(chs)
                     frames.append({
                         "bitrate": bitrates[(did + fr) % 4],
