@@ -1746,7 +1746,7 @@ def _delete_mask_groups(
 
 
 #: the sentinel "key column" marking a POSITIONAL delete file (schema
-#: ``file string, pos long`` — data-file basename + row ordinal),
+#: ``file string, pos long`` — data-file REL PATH + row ordinal),
 #: Iceberg's positional deletes next to the equality ones.  Not a
 #: legal column name, so it can never collide with an equality key.
 _POS_DELETE_KEY = "#pos"
@@ -1756,14 +1756,45 @@ _POS_DELETE_KEY = "#pos"
 _POS_FILE_COL = "__pos_file"
 _POS_IDX_COL = "__pos_idx"
 
+#: {base: Spark file_path URI prefix} — probed once per table
+_FILEPATH_PREFIX_CACHE: dict = {}
 
-def _with_positions(df: DataFrame) -> DataFrame:
-    """Attach each row's physical identity — data-file BASENAME (part
-    files are UUID-named, so basenames identify files table-wide) and
-    row ordinal — from Spark's parquet ``_metadata`` struct."""
+
+def _filepath_prefix(spark: SparkSession, fs, base: str, rel: str) -> str:
+    """The URI prefix Spark's ``_metadata.file_path`` puts before a
+    file's table-relative path — probed with ONE tiny scan of a known
+    file and cached per base.  Positional identity must key on the REL
+    PATH, not the basename: a dynamic-partition write reuses the same
+    part file name across partition directories (one task, one job
+    UUID, many ``lang=…`` dirs), so basenames are NOT table-unique."""
+    p = _FILEPATH_PREFIX_CACHE.get(base)
+    if p is not None:
+        return p
+    row = (
+        spark.read.parquet(fs.join(base, rel))
+        .select(F.col("_metadata.file_path").alias("p"))
+        .first()
+    )
+    uri = row["p"]
+    if not uri.endswith(rel):
+        raise ValueError(
+            f"cannot derive file-path prefix: {uri!r} does not end "
+            f"with {rel!r} (URI-escaped partition values?)"
+        )
+    p = uri[: -len(rel)]
+    if len(_FILEPATH_PREFIX_CACHE) > 64:
+        _FILEPATH_PREFIX_CACHE.clear()
+    _FILEPATH_PREFIX_CACHE[base] = p
+    return p
+
+
+def _with_positions(df: DataFrame, prefix: str) -> DataFrame:
+    """Attach each row's physical identity — data-file path RELATIVE
+    to the table base (``prefix`` stripped from the parquet
+    ``_metadata.file_path`` URI) and row ordinal."""
     return df.withColumns({
-        _POS_FILE_COL: F.element_at(
-            F.split(F.col("_metadata.file_path"), "/"), -1
+        _POS_FILE_COL: F.col("_metadata.file_path").substr(
+            F.lit(len(prefix) + 1), F.lit(1 << 30)
         ),
         _POS_IDX_COL: F.col("_metadata.row_index"),
     })
@@ -1801,13 +1832,18 @@ def _read_entries_with_deletes(
         raise ValueError("no data files to plan")
     deletes = man.get("deletes") or []
     groups = _delete_mask_groups(entries, man.get("seqs") or {}, deletes)
+    has_pos = any(k == _POS_DELETE_KEY for _r, _s, k in deletes)
+    prefix = (
+        _filepath_prefix(spark, fs, base, entries[0][0])
+        if (with_positions or has_pos) else None
+    )
 
     def _plain(ents: list) -> DataFrame:
         reader = spark.read.option("basePath", base)
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
         df = reader.parquet(*[fs.join(base, rel) for rel, _ in ents])
-        return _with_positions(df) if with_positions else df
+        return _with_positions(df, prefix) if with_positions else df
 
     if len(groups) == 1 and not deletes:
         return _plain(entries)
@@ -1819,7 +1855,7 @@ def _read_entries_with_deletes(
         need_pos = with_positions or bool(pos_rels)
         df_g = _plain(groups[(spec, mask)])
         if need_pos and not with_positions:
-            df_g = _with_positions(df_g)
+            df_g = _with_positions(df_g, prefix)
         if pos_rels:
             pdf = spark.read.parquet(
                 *[fs.join(base, r) for r in pos_rels]
@@ -3515,7 +3551,7 @@ def delete_where(
 ) -> dict:
     """Row-level DELETE by predicate as Iceberg **positional deletes**
     (round 11, VERDICT r10 #8): matching rows are recorded as
-    ``(data-file basename, row ordinal)`` pairs in a delete file under
+    ``(table-relative file path, row ordinal)`` pairs in a delete file under
     ``_deletes/`` — **no data file is read beyond the pruned predicate
     scan, none is rewritten** — so quality-filter deletes (no key
     column required) get merge-on-read economics instead of forcing a
@@ -3647,8 +3683,9 @@ def materialize_deletes(
     # bounds-prune the candidates per delete key column: reuse the CoW
     # containment probe with the delete keys standing in for updates.
     # POSITIONAL deletes are even better than bounds — they NAME their
-    # data files, so the touched set is exactly the named files still
-    # present (distinct-file collect bounded by |files|).
+    # data files (by table-relative path), so the touched set is
+    # exactly the named files still present (distinct-file collect
+    # bounded by |files|).
     touched_rels: set[str] = set()
     pos_deletes = [d for d in deletes if d[2] == _POS_DELETE_KEY]
     if pos_deletes:
@@ -3659,7 +3696,7 @@ def materialize_deletes(
             ).select("file").distinct().collect()
         }
         for rel, _sz in candidates:
-            if posixpath.basename(rel) in named and any(
+            if rel in named and any(
                 d[1] > seqs.get(rel, 0) for d in pos_deletes
             ):
                 touched_rels.add(rel)

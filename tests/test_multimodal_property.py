@@ -645,3 +645,44 @@ def test_jpeg_restart_intervals_exact(src, ri, progressive):
     )
     assert ref[:2] == got[:2]
     assert np.array_equal(ref[2], got[2])
+
+
+def test_jpeg_progressive_sparse_spectra_directed():
+    """Directed AC-refinement edges: >15 zero-history runs forcing ZRL
+    symbols WITH mid-span correction bits, newly-significant at the
+    band edge (k=63), and a bare high-frequency coefficient — each
+    crafted in the coefficient domain so the exact path is known."""
+    from tagminder_spark.sources import jpeg as J
+
+    C = J._dct_matrix()
+
+    def img_from_zz(zzvals, quant=16):
+        coef = np.zeros((8, 8))
+        for k, v in zzvals.items():
+            r, c = J._ZIGZAG[k]
+            coef[r, c] = v * quant
+        f = C.T @ coef @ C
+        return np.clip(np.round(f + 128), 0, 255).astype(np.uint8)
+
+    cases = [
+        {2: 3, 30: 2, 40: 1, 63: 1},   # ZRL spans + corrections
+        {1: 1, 20: -1, 21: 3, 60: -1},
+        {5: -3, 6: 2, 25: 1, 26: 1, 27: -1, 63: -3},
+        {63: 1},                        # lone band-edge newly-significant
+        {1: -1},
+    ]
+    for zz in cases:
+        img = img_from_zz(zz)
+        # the pattern must survive quantization exactly (fixed point)
+        f = img.astype(float) - 128.0
+        q = np.round((C @ f @ C.T) / 16).astype(int)
+        got = {k: int(q[J._ZIGZAG[k]]) for k in range(64)
+               if q[J._ZIGZAG[k]] != 0}
+        assert got == zz, got
+        base = J.decode_jpeg(J.encode_jpeg(img, quant=16))
+        for ri in (0, 1):
+            prog = J.decode_jpeg(
+                J.encode_jpeg(img, quant=16, progressive=True,
+                              restart_interval=ri)
+            )
+            assert np.array_equal(base[2], prog[2]), (zz, ri)
