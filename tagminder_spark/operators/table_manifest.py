@@ -1817,7 +1817,7 @@ def _read_entries_with_deletes(
     parquet scan — so Spark's directory-partition inference always
     sees a consistent scheme — with EQUALITY deletes anti-joined on
     their key column and POSITIONAL deletes (``#pos`` entries: data-
-    file basename + row ordinal, from :func:`delete_where`)
+    file rel path + row ordinal, from :func:`delete_where`)
     anti-joined on the row's physical identity via the parquet
     ``_metadata`` struct.  Every delete-side input is small by the MoR
     premise (it is the update/delete batch), so every anti-join is a
@@ -2628,7 +2628,9 @@ def table_changes(
     window are read in one scan per partition spec, and all delete-key
     files in one scan per (key column, source kind), with each row's
     ``_commit_gen`` attached via a basename→generation literal map
-    (Spark part files are UUID-named, so basenames are unique) — a
+    (job UUIDs make basenames unique ACROSS commits; within one
+    commit a dynamic-partition write can repeat a basename across
+    partition dirs, but those map to the same generation) — a
     200-commit sync plans ~3 scans instead of a 200-branch union."""
     fs, base = table_fs(spark, root, force_hadoop)
     if to_gen is None:
@@ -2694,6 +2696,9 @@ def table_changes(
     ]:
         b = posixpath.basename(rel)
         if b2g.setdefault(b, g) != g:
+            # same basename in two different generations cannot be
+            # attributed — impossible for Spark-written parts (distinct
+            # job UUIDs) but a hand-built table could do it: loud > wrong
             raise ValueError(
                 f"basename collision across commits: {b!r}"
             )

@@ -3793,3 +3793,47 @@ def test_vectorized_prune_temporal_transforms_equal():
         prune_manifest(dict(man), wheres[0], tf)["files"]
     ) < len(files)
     assert transform_value("day", "2023-12-15", 0) in range(19700, 19760)
+
+
+def test_table_changes_partitioned_append_same_basenames(spark, tmp_path):
+    """A dynamic-partition append reuses one part basename across its
+    lang dirs WITHIN the commit — the feed's basename->generation map
+    must attribute all of them to that one generation (and never
+    confuse the full-path scans)."""
+    import posixpath as pp
+
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        _read_raw,
+        append_files,
+        init_manifest,
+        table_changes,
+    )
+    from tagminder_spark.session import load_table
+
+    root = str(tmp_path / "t")
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    docs.write.mode("append").parquet(root)
+    init_manifest(spark, root)
+    batch = docs.limit(60).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "lang", "n_chars"
+    ).coalesce(1)  # one task -> one basename repeated across lang dirs
+    append_files(spark, batch, root, partition_col="lang")  # gen 2
+    raw = _read_raw(spark, root, 2)
+    basenames = [pp.basename(rel) for rel, _ in raw["adds"]]
+    assert len(set(basenames)) < len(basenames), (
+        "fixture did not produce repeated basenames"
+    )
+    feed = table_changes(spark, root, 1)
+    got = {
+        (r["doc_id"], r["lang"], r["n_chars"], r["_commit_gen"])
+        for r in feed.collect()
+    }
+    want = {
+        (r["doc_id"], r["lang"], r["n_chars"], 2)
+        for r in batch.collect()
+    }
+    assert got == want
