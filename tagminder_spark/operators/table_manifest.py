@@ -3891,3 +3891,60 @@ def expire_snapshots(
         "removed_generations": removed_manifests,
         "retained_generations": sorted(retained),
     }
+
+
+def optimize_table(
+    spark: SparkSession,
+    root: str,
+    partition_col: str,
+    *,
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+    min_files: int = 8,
+    small_ratio: float = 0.5,
+    order_col: str = "doc_id",
+    zorder_cols: tuple[str, ...] | None = None,
+    stats_cols: tuple[str, ...] | None = None,
+    keep_last: int = 2,
+    remove_unreferenced: bool = False,
+    force_hadoop: bool = False,
+) -> dict:
+    """The maintenance pass a scheduler runs on cadence — the four
+    steps every manifest table needs, in dependency order, one call
+    (Iceberg's ``rewrite_data_files`` + ``rewrite_position_delete_files``
+    + ``expireSnapshots`` rolled into the engine's shapes):
+
+    1. :func:`materialize_deletes` — fold pending equality/positional
+       delete files back into data files (file-granular), so reads
+       return to plain scans and compaction sees final rows;
+    2. :func:`compact_with_replan` — bin-pack fragmented partitions
+       (replan-on-lost-CAS, converges beside concurrent appenders);
+    3. :func:`checkpoint_manifest` — collapse the delta chain so
+       reader folds and expiry retention stay bounded;
+    4. :func:`expire_snapshots` — reclaim retired files/manifests past
+       the retention window (tags always pinned).
+
+    Each step is itself a snapshot-safe commit; a crash between steps
+    leaves a consistent table that the next run finishes.  Returns the
+    per-step reports under their names."""
+    report: dict = {}
+    report["materialize"] = materialize_deletes(
+        spark, root,
+        partition_col=partition_col, stats_cols=stats_cols,
+        force_hadoop=force_hadoop,
+    )
+    report["compact"] = compact_with_replan(
+        spark, root, partition_col,
+        target_bytes=target_bytes, min_files=min_files,
+        small_ratio=small_ratio, order_col=order_col,
+        zorder_cols=zorder_cols, stats_cols=stats_cols,
+        force_hadoop=force_hadoop,
+    )
+    report["checkpoint"] = checkpoint_manifest(
+        spark, root, force_hadoop=force_hadoop
+    )
+    report["expire"] = expire_snapshots(
+        spark, root, keep_last=keep_last,
+        remove_unreferenced=remove_unreferenced,
+        force_hadoop=force_hadoop,
+    )
+    return report

@@ -3837,3 +3837,61 @@ def test_table_changes_partitioned_append_same_basenames(spark, tmp_path):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_optimize_table_full_maintenance_pass(spark, tmp_path):
+    """One scheduler call: pending deletes materialized, fragmented
+    partitions bin-packed, chain checkpointed, old snapshots expired —
+    the table reads back exactly and the directory is reclaimed."""
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        delete_where,
+        merge_on_read,
+        optimize_table,
+        read_manifest,
+        snapshot_read,
+    )
+    from tagminder_spark.session import load_table
+
+    root = str(tmp_path / "t")
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    # fragmented: en in 16 shards
+    en = docs.filter(F.col("lang") == "en").repartition(16)
+    rest = docs.filter(F.col("lang") != "en").coalesce(1)
+    en.write.mode("append").partitionBy("lang").parquet(root)
+    rest.write.mode("append").partitionBy("lang").parquet(root)
+    from tagminder_spark.operators.table_manifest import init_manifest
+
+    init_manifest(spark, root, stats_cols=("doc_id",))
+    upd = docs.limit(25).withColumn("n_chars", F.lit(-1).cast("long"))
+    merge_on_read(spark, root, upd, "doc_id", partition_col="lang")
+    bounds = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).first()
+    hi_cut = bounds["hi"] - (bounds["hi"] - bounds["lo"]) // 10
+    delete_where(spark, root, [("doc_id", ">", hi_cut)])
+
+    rep = optimize_table(
+        spark, root, "lang", target_bytes=4 << 20, min_files=4,
+        stats_cols=("doc_id",), keep_last=1,
+        remove_unreferenced=True,
+    )
+    assert rep["materialize"]["delete_files_dropped"] >= 2
+    assert rep["compact"]["rewritten"] > 0
+    assert rep["expire"]["removed_generations"]
+    man = read_manifest(spark, root)
+    assert not man["deletes"]
+
+    got = {
+        (r["doc_id"], r["n_chars"])
+        for r in snapshot_read(spark, root).collect()
+    }
+    upd_ids = {r["doc_id"] for r in upd.collect()}
+    want = {
+        (r["doc_id"], -1 if r["doc_id"] in upd_ids else r["n_chars"])
+        for r in docs.filter(F.col("doc_id") <= hi_cut).collect()
+    }
+    assert got == want

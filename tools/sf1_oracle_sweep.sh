@@ -18,6 +18,13 @@ QUERIES=(
   d_lsh_roundtrip cur_artifact_roundtrip s3_tag_parse_real
   t_chunk_windows cur_compact_shards cur_zorder_compact cur_selective_compact t_stream_maintain
   cur_manifest_isolation t_stream_manifest mm_real_image_features
+  cur_manifest_skipping pl_chain_manifest cur_merge_cow cur_merge_mor
+  cur_time_travel t_stream_upsert cur_table_changes cur_snapshot_tags
+  cur_wap_publish cur_hidden_partitioning mm_real_flac_chunks
+  mm_real_mp4_frames mm_real_gif_features mm_real_jpeg_features
+  cur_cdc_cow cur_cdc_rollback cur_positional_delete cur_null_skipping
+  cur_temporal_partitioning mm_real_mp3_frames mm_real_png16_features
+  mm_real_jpeg_prog_features
 )
 # d_embedding_lsh_scaled is excluded BY DESIGN: its oracle is pinned to
 # the n=500 derivation; at sf1 the default path derives wider bands (the
