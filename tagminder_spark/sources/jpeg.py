@@ -613,12 +613,14 @@ def _flush_eobrun(out, eobrun: int, pending: list) -> None:
         out.bits(b, 1)
 
 
-def _ac_first_scan(out, blocks_zz, al: int, restart_every: int = 0) -> None:
-    """Encode one component's AC FIRST scan (Ss=1..63, Ah=0): the
-    point-transformed values sign*(|v| >> al) with run-length/size
-    symbols and EOB-run coding across blocks.  ``restart_every``
-    flushes the EOB run and emits RSTn at each interval boundary (an
-    EOB run may not cross a restart)."""
+def _ac_first_scan(out, blocks_zz, al: int, restart_every: int = 0,
+                   band: tuple = (1, 63)) -> None:
+    """Encode one component's AC FIRST scan over ``band`` (Ss..Se,
+    Ah=0): the point-transformed values sign*(|v| >> al) with
+    run-length/size symbols and EOB-run coding across blocks.
+    ``restart_every`` flushes the EOB run and emits RSTn at each
+    interval boundary (an EOB run may not cross a restart)."""
+    ss, se = band
     eobrun = 0
     for bi, zzv in enumerate(blocks_zz):
         if restart_every and bi and bi % restart_every == 0:
@@ -628,14 +630,14 @@ def _ac_first_scan(out, blocks_zz, al: int, restart_every: int = 0) -> None:
         tv = [
             (1 if v > 0 else -1) * (abs(v) >> al) for v in zzv
         ]
-        nz = [k for k in range(1, 64) if tv[k] != 0]
+        nz = [k for k in range(ss, se + 1) if tv[k] != 0]
         if not nz:
             eobrun += 1
             continue
         _flush_eobrun(out, eobrun, [])
         eobrun = 0
         run = 0
-        for k in range(1, 64):
+        for k in range(ss, se + 1):
             t = tv[k]
             if t == 0:
                 run += 1
@@ -652,12 +654,17 @@ def _ac_first_scan(out, blocks_zz, al: int, restart_every: int = 0) -> None:
     _flush_eobrun(out, eobrun, [])
 
 
-def _ac_refine_scan(out, blocks_zz, al: int, restart_every: int = 0) -> None:
-    """Encode one component's AC REFINEMENT scan (Ss=1..63, Ah=al+1,
-    Al=al): newly-significant coefficients as (zero-history-run, 1) +
-    sign, with the correction bits of already-significant coefficients
-    interleaved exactly where the decoder's walk reads them, and
-    EOB-run blocks' corrections appended after the EOBRUN symbol."""
+def _ac_refine_scan(out, blocks_zz, al: int, restart_every: int = 0,
+                    band: tuple = (1, 63)) -> None:
+    """Encode one component's AC REFINEMENT scan over ``band``
+    (Ss..Se, Ah=al+1, Al=al): newly-significant coefficients as
+    (zero-history-run, 1) + sign, with the correction bits of
+    already-significant coefficients interleaved exactly where the
+    decoder's walk reads them, and EOB-run blocks' corrections
+    appended after the EOBRUN symbol.  Generic over the approximation
+    level: "significant" means |v| >> al > 1 (some prior scan placed
+    it), "newly" means |v| >> al == 1."""
+    ss, se = band
     eobrun = 0
     eob_pending: list = []
     for bi, zzv in enumerate(blocks_zz):
@@ -667,8 +674,8 @@ def _ac_refine_scan(out, blocks_zz, al: int, restart_every: int = 0) -> None:
             eob_pending = []
             out.marker((bi // restart_every - 1) % 8)
         # classify band positions by this scan's view
-        newly = [k for k in range(1, 64) if abs(zzv[k]) >> al == 1]
-        i = 1
+        newly = [k for k in range(ss, se + 1) if abs(zzv[k]) >> al == 1]
+        i = ss
 
         def corr_bits(lo: int, hi: int) -> list:
             return [
@@ -704,15 +711,18 @@ def _ac_refine_scan(out, blocks_zz, al: int, restart_every: int = 0) -> None:
             for b in corr_bits(i, p):
                 out.bits(b, 1)
             i = p + 1
-        if i <= 63:
+        if i <= se:
             # tail (or whole symbol-less block) joins the EOB region
             eobrun += 1
-            eob_pending.extend(corr_bits(i, 64))
+            eob_pending.extend(corr_bits(i, se + 1))
     _flush_eobrun(out, eobrun, eob_pending)
 
 
 def encode_jpeg(arr, quant: int = 16, *, progressive: bool = False,
-                restart_interval: int = 0) -> bytes:
+                restart_interval: int = 0,
+                ac_bands: tuple = ((1, 63),),
+                ac_levels: int = 1,
+                dc_levels: int = 1) -> bytes:
     """JPEG encoder for gray (HxW / HxWx1) or RGB (HxWx3)
     uint8 arrays — real DCT, flat quantization table (``quant`` at
     every frequency), canonical Huffman tables built from the emitted
@@ -772,7 +782,8 @@ def encode_jpeg(arr, quant: int = 16, *, progressive: bool = False,
 
     if progressive:
         return _assemble_progressive(
-            blocks, h, w, q, restart_interval=restart_interval
+            blocks, h, w, q, restart_interval=restart_interval,
+            ac_bands=ac_bands, ac_levels=ac_levels, dc_levels=dc_levels,
         )
 
     # first pass: collect the DC/AC symbols actually emitted
@@ -869,13 +880,19 @@ def encode_jpeg(arr, quant: int = 16, *, progressive: bool = False,
 
 
 def _assemble_progressive(blocks, h: int, w: int, q,
-                          restart_interval: int = 0) -> bytes:
+                          restart_interval: int = 0,
+                          ac_bands: tuple = ((1, 63),),
+                          ac_levels: int = 1,
+                          dc_levels: int = 1) -> bytes:
     """Assemble the SOF2 stream for :func:`encode_jpeg`'s progressive
     mode: one shared DC and one shared AC Huffman table built from a
-    dry run of every scan, then the six-scan script (DC first
-    interleaved → AC first per component → DC refinement → AC
-    refinement per component), each scan its own SOS + entropy
-    segment."""
+    dry run of every scan, then the scan script — DC first interleaved
+    at Al=``dc_levels`` → per-component AC first per ``ac_bands`` band
+    at Al=``ac_levels`` → DC refinements down to Al=0 → per-component
+    AC refinements per band down to Al=0 — each scan its own SOS +
+    entropy segment.  The default script is the round-11 six-scan
+    shape; ``ac_bands=((1,5),(6,63)), ac_levels=2`` reproduces the
+    banded, deeper-approximation scripts real encoders emit."""
     ncomp = len(blocks)
     zzb = [
         [[int(c[r, cc]) for r, cc in _ZIGZAG] for c in bl]
@@ -890,14 +907,17 @@ def _assemble_progressive(blocks, h: int, w: int, q,
         if restart_interval and i and i % restart_interval == 0:
             preds = [0] * ncomp
         for ci in range(ncomp):
-            t = zzb[ci][i][0] >> 1
+            t = zzb[ci][i][0] >> dc_levels
             dc_syms.add(_size_cat(t - preds[ci]))
             preds[ci] = t
     for ci in range(ncomp):
-        _ac_first_scan(_SymCollector(ac_syms), zzb[ci], 1,
-                       restart_every=restart_interval)
-        _ac_refine_scan(_SymCollector(ac_syms), zzb[ci], 0,
-                        restart_every=restart_interval)
+        for band in ac_bands:
+            _ac_first_scan(_SymCollector(ac_syms), zzb[ci], ac_levels,
+                           restart_every=restart_interval, band=band)
+            for al in range(ac_levels - 1, -1, -1):
+                _ac_refine_scan(_SymCollector(ac_syms), zzb[ci], al,
+                                restart_every=restart_interval,
+                                band=band)
     if not ac_syms:
         ac_syms.add(0x00)
     dc_bits, dc_vals, dc_enc = _canonical_table(dc_syms)
@@ -925,8 +945,8 @@ def _assemble_progressive(blocks, h: int, w: int, q,
         out += seg(0xDD, struct.pack(">H", restart_interval))
     all_ids = list(range(1, ncomp + 1))
 
-    # scan 1: DC first, interleaved, Al=1
-    out += sos(all_ids, 0, 0, 0, 1)
+    # DC first, interleaved, Al=dc_levels
+    out += sos(all_ids, 0, 0, 0, dc_levels)
     bw = _BitWriter()
     o = _SymWriter(bw, dc_enc)
     preds = [0] * ncomp
@@ -935,7 +955,7 @@ def _assemble_progressive(blocks, h: int, w: int, q,
             bw.restart_marker((i // restart_interval - 1) % 8)
             preds = [0] * ncomp
         for ci in range(ncomp):
-            t = zzb[ci][i][0] >> 1
+            t = zzb[ci][i][0] >> dc_levels
             diff = t - preds[ci]
             preds[ci] = t
             s = _size_cat(diff)
@@ -944,34 +964,40 @@ def _assemble_progressive(blocks, h: int, w: int, q,
     bw.flush()
     out += bw.out
 
-    # scans 2..: AC first per component, Al=1
+    # AC first per component per band, Al=ac_levels
     for ci in range(ncomp):
-        out += sos([ci + 1], 1, 63, 0, 1)
+        for ss_, se_ in ac_bands:
+            out += sos([ci + 1], ss_, se_, 0, ac_levels)
+            bw = _BitWriter()
+            _ac_first_scan(_SymWriter(bw, ac_enc), zzb[ci], ac_levels,
+                           restart_every=restart_interval,
+                           band=(ss_, se_))
+            bw.flush()
+            out += bw.out
+
+    # DC refinements: one raw bit per block per level, interleaved
+    for al in range(dc_levels - 1, -1, -1):
+        out += sos(all_ids, 0, 0, al + 1, al)
         bw = _BitWriter()
-        _ac_first_scan(_SymWriter(bw, ac_enc), zzb[ci], 1,
-                       restart_every=restart_interval)
+        for i in range(nb):
+            if restart_interval and i and i % restart_interval == 0:
+                bw.restart_marker((i // restart_interval - 1) % 8)
+            for ci in range(ncomp):
+                bw.write((zzb[ci][i][0] >> al) & 1, 1)
         bw.flush()
         out += bw.out
 
-    # DC refinement: one raw bit per block, interleaved
-    out += sos(all_ids, 0, 0, 1, 0)
-    bw = _BitWriter()
-    for i in range(nb):
-        if restart_interval and i and i % restart_interval == 0:
-            bw.restart_marker((i // restart_interval - 1) % 8)
+    # AC refinements per component per band, Ah=al+1 -> Al=al
+    for al in range(ac_levels - 1, -1, -1):
         for ci in range(ncomp):
-            bw.write(zzb[ci][i][0] & 1, 1)
-    bw.flush()
-    out += bw.out
-
-    # AC refinement per component, Ah=1 -> Al=0
-    for ci in range(ncomp):
-        out += sos([ci + 1], 1, 63, 1, 0)
-        bw = _BitWriter()
-        _ac_refine_scan(_SymWriter(bw, ac_enc), zzb[ci], 0,
-                        restart_every=restart_interval)
-        bw.flush()
-        out += bw.out
+            for ss_, se_ in ac_bands:
+                out += sos([ci + 1], ss_, se_, al + 1, al)
+                bw = _BitWriter()
+                _ac_refine_scan(_SymWriter(bw, ac_enc), zzb[ci], al,
+                                restart_every=restart_interval,
+                                band=(ss_, se_))
+                bw.flush()
+                out += bw.out
 
     out += b"\xff\xd9"
     return bytes(out)

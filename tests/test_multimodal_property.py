@@ -686,3 +686,32 @@ def test_jpeg_progressive_sparse_spectra_directed():
                               restart_interval=ri)
             )
             assert np.array_equal(base[2], prog[2]), (zz, ri)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    images(),
+    st.sampled_from([((1, 63),), ((1, 5), (6, 63)),
+                     ((1, 5), (6, 20), (21, 63))]),
+    st.integers(1, 3),
+    st.integers(1, 2),
+    st.sampled_from([0, 3]),
+)
+def test_jpeg_progressive_deep_scripts_exact(
+    src, ac_bands, ac_levels, dc_levels, ri
+):
+    """Real-encoder-shaped scripts: banded spectral selection and
+    multi-level successive approximation (libjpeg's default
+    progressive script is the (1,5)/(6,63) Al=2 shape).  Any band
+    split x approximation depth x restart interval must reconstruct
+    bit-identically to baseline — the decoder never saw OUR script, it
+    just follows the SOS headers."""
+    from tagminder_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    ref = decode_jpeg(encode_jpeg(src, quant=1))
+    got = decode_jpeg(
+        encode_jpeg(src, quant=1, progressive=True,
+                    restart_interval=ri, ac_bands=ac_bands,
+                    ac_levels=ac_levels, dc_levels=dc_levels)
+    )
+    assert np.array_equal(ref[2], got[2])
