@@ -1760,22 +1760,36 @@ _POS_IDX_COL = "__pos_idx"
 _FILEPATH_PREFIX_CACHE: dict = {}
 
 
-def _filepath_prefix(spark: SparkSession, fs, base: str, rel: str) -> str:
+def _filepath_prefix(
+    spark: SparkSession, fs, base: str, rels
+) -> str:
     """The URI prefix Spark's ``_metadata.file_path`` puts before a
-    file's table-relative path — probed with ONE tiny scan of a known
-    file and cached per base.  Positional identity must key on the REL
-    PATH, not the basename: a dynamic-partition write reuses the same
-    part file name across partition directories (one task, one job
-    UUID, many ``lang=…`` dirs), so basenames are NOT table-unique."""
+    file's table-relative path — probed with a tiny scan of a known
+    file (skipping zero-row files) and cached per base.  Positional
+    identity must key on the REL PATH, not the basename: a
+    dynamic-partition write reuses the same part file name across
+    partition directories (one task, one job UUID, many ``lang=…``
+    dirs), so basenames are NOT table-unique."""
     p = _FILEPATH_PREFIX_CACHE.get(base)
     if p is not None:
         return p
-    row = (
-        spark.read.parquet(fs.join(base, rel))
-        .select(F.col("_metadata.file_path").alias("p"))
-        .first()
-    )
-    uri = row["p"]
+    if isinstance(rels, str):
+        rels = [rels]
+    uri = rel = None
+    for rel in rels:
+        row = (
+            spark.read.parquet(fs.join(base, rel))
+            .select(F.col("_metadata.file_path").alias("p"))
+            .first()
+        )
+        if row is not None:
+            uri = row["p"]
+            break
+    if uri is None:
+        raise ValueError(
+            f"cannot derive file-path prefix under {base!r}: every "
+            "probed file is empty"
+        )
     if not uri.endswith(rel):
         raise ValueError(
             f"cannot derive file-path prefix: {uri!r} does not end "
@@ -1834,7 +1848,9 @@ def _read_entries_with_deletes(
     groups = _delete_mask_groups(entries, man.get("seqs") or {}, deletes)
     has_pos = any(k == _POS_DELETE_KEY for _r, _s, k in deletes)
     prefix = (
-        _filepath_prefix(spark, fs, base, entries[0][0])
+        _filepath_prefix(
+            spark, fs, base, [rel for rel, _ in entries[:16]]
+        )
         if (with_positions or has_pos) else None
     )
 
@@ -1926,8 +1942,12 @@ def snapshot_read(
             man, where,
             list_transforms(spark, root, force_hadoop=force_hadoop),
         )
-        if pruned["files"]:
-            entries = pruned["files"]
+        kept = _bloom_prune(
+            spark, root, pruned["files"], where,
+            force_hadoop=force_hadoop,
+        )
+        if kept:
+            entries = kept
         elif entries:
             # all-pruned: Spark still needs >=1 file for the schema, but
             # ONE arbitrary file suffices — the residual filter already
@@ -1967,6 +1987,14 @@ def snapshot_scan_plan(
         man, where,
         list_transforms(spark, root, force_hadoop=force_hadoop),
     )
+    if spark is not None:
+        kept = _bloom_prune(
+            spark, root, plan["files"], where,
+            force_hadoop=force_hadoop,
+        )
+        plan["bloom_skipped"] = len(plan["files"]) - len(kept)
+        plan["skipped"] += plan["bloom_skipped"]
+        plan["files"] = kept
     plan["delete_files"] = len(man["deletes"])
     return plan
 
@@ -3948,3 +3976,224 @@ def optimize_table(
         force_hadoop=force_hadoop,
     )
     return report
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter file indexes (round 11): point-lookup skipping on
+# UNCLUSTERED columns — min/max bounds only prune when the layout
+# clusters the column; a per-file Bloom filter prunes `=`/`IN` lookups
+# on any layout (parquet's footer bloom filters / Delta's BF index, as
+# manifest sidecars).  Build cost is one distributed pass over the
+# indexed files; the sidecar is a parquet file beside the manifests;
+# lookups load it once per (table, column, generation) driver-side and
+# cache.  Files added AFTER the index was built simply have no entry
+# and are kept (conservative) — re-index on the maintenance cadence.
+
+_BLOOM_CACHE: dict = {}
+_BLOOM_CACHE_MAX = 16
+
+
+def _bloom_params(n: int, fpp: float) -> tuple[int, int]:
+    """(m bits, k hashes) for ``n`` distinct values at ``fpp``."""
+    n = max(n, 1)
+    m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = (m + 7) // 8 * 8  # whole bytes
+    k = max(1, round(m / n * math.log(2)))
+    return m, min(k, 16)
+
+
+def _bloom_hashes(value, m: int, k: int) -> list[int]:
+    """Bit positions for ``value`` — md5 double hashing
+    (Kirsch-Mitzenmacher), over the value's ``str()`` form (int and
+    str values only, the same reproducibility envelope as the
+    partition transforms)."""
+    import hashlib
+
+    d = hashlib.md5(str(value).encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:16], "big") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def build_bloom_index(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    *,
+    fpp: float = 0.01,
+    gen: int | None = None,
+    force_hadoop: bool = False,
+) -> dict:
+    """Build a per-file Bloom index over ``col`` for the (pinned)
+    snapshot and commit it as a parquet SIDECAR
+    (``_manifest/bloom_<col>_<gen>.parquet`` + a CAS json doc): one
+    distributed pass — each file's distinct values hash into its own
+    filter inside ``applyInPandas`` grouped by physical file, so
+    nothing is collected to the driver and the build is O(rows
+    scanned) with per-file output rows.  ``col`` must be int- or
+    string-typed (the ``str()`` reproducibility envelope).  Lookup
+    integration: ``snapshot_read(where=[(col, "=", v)])`` /
+    ``snapshot_scan_plan`` consult the index automatically after the
+    stats prune.  At 100 TB this is the point-lookup path on columns
+    the layout does NOT cluster — min/max bounds span everything
+    there, a Bloom filter does not."""
+    import base64
+
+    fs, base = table_fs(spark, root, force_hadoop)
+    man = read_manifest(spark, root, gen, force_hadoop=force_hadoop)
+    gen = man["generation"]
+    entries = man["files"]
+    prefix = _filepath_prefix(
+        spark, fs, base, [rel for rel, _ in entries[:16]]
+    )
+    df = (
+        spark.read.option("basePath", base)
+        .parquet(*[fs.join(base, rel) for rel, _ in entries])
+        .select(
+            F.col(col).cast("string").alias("__v"),
+            F.col("_metadata.file_path").substr(
+                F.lit(len(prefix) + 1), F.lit(1 << 30)
+            ).alias("__rel"),
+        )
+    )
+
+    def build(pdf):
+        import hashlib
+
+        import pandas as pd
+
+        rel = pdf["__rel"].iloc[0]
+        vals = pdf["__v"].dropna().unique()
+        m, k = _bloom_params(len(vals), fpp)
+        bits = bytearray(m // 8)
+        for v in vals:
+            d = hashlib.md5(str(v).encode("utf-8")).digest()
+            h1 = int.from_bytes(d[:8], "big")
+            h2 = int.from_bytes(d[8:16], "big") | 1
+            for i in range(k):
+                p = (h1 + i * h2) % m
+                bits[p >> 3] |= 1 << (p & 7)
+        return pd.DataFrame(
+            [{"rel": rel, "bloom": bytes(bits), "n": len(vals),
+              "m": m, "k": k}]
+        )
+
+    side = df.groupBy("__rel").applyInPandas(
+        build, "rel string, bloom binary, n long, m int, k int"
+    )
+    sidecar_rel = f"{MANIFEST_DIR}/bloom_{col}_{gen}.parquet"
+    sidecar = fs.join(base, sidecar_rel)
+    side.coalesce(1).write.mode("overwrite").parquet(sidecar)
+    doc = {"col": col, "generation": gen, "fpp": fpp,
+           "sidecar": sidecar_rel}
+    fs.write_new(
+        fs.join(_manifest_dir(fs, base), f"bloomdoc_{col}_{gen}.json"),
+        json.dumps(doc, separators=(",", ":")).encode(),
+    )
+    n_files = side.count()
+    return {"col": col, "generation": gen, "files_indexed": n_files,
+            "sidecar": sidecar_rel}
+
+
+def list_bloom_indexes(
+    spark: SparkSession | None,
+    root: str,
+    *,
+    force_hadoop: bool = False,
+) -> list[dict]:
+    """Every committed Bloom index doc on the table."""
+    fs, base = table_fs(spark, root, force_hadoop)
+    mdir = _manifest_dir(fs, base)
+    out = []
+    if not fs.exists(mdir):
+        return out
+    for name in fs.listdir(mdir):
+        if name.startswith("bloomdoc_") and name.endswith(".json"):
+            out.append(json.loads(fs.read_bytes(fs.join(mdir, name))))
+    return out
+
+
+def _load_bloom(
+    spark: SparkSession, root: str, doc: dict, *, force_hadoop: bool
+) -> dict:
+    """{rel: (bloom bytes, m, k)} for one index doc — driver-cached
+    per (base, col, generation): the sidecar is immutable."""
+    fs, base = table_fs(spark, root, force_hadoop)
+    key = (str(base), doc["col"], doc["generation"])
+    hit = _BLOOM_CACHE.get(key)
+    if hit is not None:
+        return hit
+    rows = spark.read.parquet(
+        fs.join(base, doc["sidecar"])
+    ).collect()
+    out = {
+        r["rel"]: (bytes(r["bloom"]), int(r["m"]), int(r["k"]))
+        for r in rows
+    }
+    if len(_BLOOM_CACHE) >= _BLOOM_CACHE_MAX:
+        _BLOOM_CACHE.pop(next(iter(_BLOOM_CACHE)))
+    _BLOOM_CACHE[key] = out
+    return out
+
+
+def _bloom_might_contain(entry: tuple, value) -> bool:
+    blm, m, k = entry
+    for p in _bloom_hashes(value, m, k):
+        if not (blm[p >> 3] >> (p & 7)) & 1:
+            return False
+    return True
+
+
+def _bloom_prune(
+    spark: SparkSession,
+    root: str,
+    entries: list,
+    where: list,
+    *,
+    force_hadoop: bool = False,
+) -> list:
+    """Drop entries whose Bloom filters prove every ``=``/``in``
+    literal absent for some conjunct.  OR conjuncts and other ops are
+    untouched; files without an index entry are kept; a Bloom
+    positive only means "might contain" (the residual filter still
+    applies) — false positives cost IO, never correctness."""
+    docs = list_bloom_indexes(spark, root, force_hadoop=force_hadoop)
+    if not docs:
+        return entries
+    by_col: dict[str, dict] = {}
+    for doc in docs:  # newest generation per column wins
+        cur = by_col.get(doc["col"])
+        if cur is None or doc["generation"] > cur["generation"]:
+            by_col[doc["col"]] = doc
+    conjuncts = [
+        c for c in where
+        if not _is_or(c) and c[1] in ("=", "==", "in")
+        and c[0] in by_col
+    ]
+    if not conjuncts:
+        return entries
+    blooms = {
+        col: _load_bloom(spark, root, by_col[col],
+                         force_hadoop=force_hadoop)
+        for col in {c[0] for c in conjuncts}
+    }
+    kept = []
+    for rel, sz in entries:
+        drop = False
+        for col, op, val in conjuncts:
+            e = blooms[col].get(rel)
+            if e is None:
+                continue  # file added after the index — keep
+            vals = list(val) if op == "in" else [val]
+            if not vals:
+                continue  # empty IN handled by the stats prune
+            if all(
+                isinstance(v, (int, str)) and not isinstance(v, bool)
+                and not _bloom_might_contain(e, v)
+                for v in vals
+            ):
+                drop = True
+                break
+        if not drop:
+            kept.append([rel, sz])
+    return kept

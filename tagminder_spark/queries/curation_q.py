@@ -957,6 +957,75 @@ def cur_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_SKIP_SQL = """
+WITH b AS (SELECT min(doc_id) + (max(doc_id) - min(doc_id)) // 2 AS mid
+           FROM documents),
+sel AS (SELECT doc_id FROM documents, b
+        WHERE doc_id >= b.mid ORDER BY doc_id LIMIT 3)
+SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM sel)
+"""
+
+
+@q("cur_bloom_skipping", _BLOOM_SKIP_SQL)
+def cur_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-index gate (round 11 — the point-lookup half of data
+    skipping): the corpus is written round-robin UNCLUSTERED, so every
+    file's min/max spans the whole doc_id domain and a mid-domain
+    ``IN`` lookup prunes NOTHING by stats (asserted: zero skipped
+    before indexing).  ``build_bloom_index`` then commits a per-file
+    Bloom sidecar (one distributed ``applyInPandas`` pass, md5 double
+    hashing over the reproducible string form), and the SAME lookup
+    plans a strict subset — the gate raises unless stats skipped zero
+    AND the bloom skipped most files.  The oracle pins the pruned read
+    value-exact; a bloom false positive costs IO, never rows.  At
+    100 TB this is the secondary-index path: key lookups on columns
+    the layout does not cluster (the alib ``uuid`` shape) without
+    re-sorting the table."""
+    import tempfile
+
+    from tagminder_spark.operators.table_manifest import (
+        build_bloom_index,
+        init_manifest,
+        snapshot_read,
+        snapshot_scan_plan,
+    )
+
+    base = tempfile.mkdtemp(prefix="tm_bloomskip_")
+    root = f"{base}/t"
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    docs.repartition(12).write.mode("append").parquet(root)
+    init_manifest(spark, root, stats_cols=("doc_id",))
+
+    b = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).first()
+    mid = b["lo"] + (b["hi"] - b["lo"]) // 2
+    ids = [
+        r["doc_id"]
+        for r in docs.filter(F.col("doc_id") >= mid)
+        .orderBy("doc_id").limit(3).collect()
+    ]
+    where = [("doc_id", "in", ids)]
+    plan0 = snapshot_scan_plan(spark, root, where=where)
+    if plan0["skipped"] != 0:
+        raise AssertionError(
+            f"layout unexpectedly prunable by stats: {plan0['skipped']}"
+        )
+    build_bloom_index(spark, root, "doc_id", fpp=0.001)
+    plan1 = snapshot_scan_plan(spark, root, where=where)
+    if not (plan1["bloom_skipped"] > 0
+            and len(plan1["files"]) < plan0["scanned"]):
+        raise AssertionError(f"bloom index pruned nothing: {plan1}")
+    back = snapshot_read(spark, root, where=where)
+    return back.select(
+        "doc_id", F.col("lang").cast("string").alias("lang"), "n_chars"
+    )
+
+
 _CDC_ROLLBACK_SQL = """
 SELECT 'insert' AS _change_type, CAST(2 AS INT) AS _commit_gen,
        doc_id + 10000000 AS doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars

@@ -520,6 +520,11 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
         "cur_null_skipping": (
             ["doc_id"], [("lang", "str"), ("extra", "str")],
         ),
+        # round 11: bloom-filter file index — point lookups prune on
+        # UNCLUSTERED layouts where min/max stats cannot
+        "cur_bloom_skipping": (
+            ["doc_id"], [("lang", "str"), ("n_chars", "num")],
+        ),
         # round 11: positional deletes — predicate DELETE as
         # (file, row-ordinal) pairs, zero rewrites, granular fold-in
         "cur_positional_delete": (

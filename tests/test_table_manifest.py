@@ -3895,3 +3895,118 @@ def test_optimize_table_full_maintenance_pass(spark, tmp_path):
         for r in docs.filter(F.col("doc_id") <= hi_cut).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round 11: Bloom-filter file indexes
+
+
+def test_bloom_index_point_lookup_unclustered(spark, tmp_path):
+    """On a layout that does NOT cluster the key, min/max stats cannot
+    prune a point lookup (every file spans the domain) — the Bloom
+    index can: strictly fewer files planned, value-exact, false
+    positives only ever cost IO."""
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        build_bloom_index,
+        init_manifest,
+        list_bloom_indexes,
+        snapshot_read,
+        snapshot_scan_plan,
+    )
+    from tagminder_spark.session import load_table
+
+    root = str(tmp_path / "t")
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang"
+    )
+    # round-robin scatter so every file spans the whole doc_id domain
+    docs.repartition(12).write.mode("append").parquet(root)
+    init_manifest(spark, root, stats_cols=("doc_id",))
+
+    # mid-domain ids: every round-robin file's [lo, hi] spans them,
+    # so min/max stats cannot prune the lookup at all
+    b = docs.agg(F.min("doc_id").alias("lo"),
+                 F.max("doc_id").alias("hi")).first()
+    mid = b["lo"] + (b["hi"] - b["lo"]) // 2
+    ids = [
+        r["doc_id"]
+        for r in docs.filter(F.col("doc_id") >= mid)
+        .orderBy("doc_id").limit(3).collect()
+    ]
+    where = [("doc_id", "in", ids)]
+    # stats alone prune nothing on this layout
+    plan0 = snapshot_scan_plan(spark, root, where=where)
+    assert plan0["bloom_skipped"] == 0 and plan0["skipped"] == 0
+
+    rep = build_bloom_index(spark, root, "doc_id", fpp=0.001)
+    assert rep["files_indexed"] >= 8
+    assert list_bloom_indexes(spark, root)[0]["col"] == "doc_id"
+    plan1 = snapshot_scan_plan(spark, root, where=where)
+    assert plan1["bloom_skipped"] > 0
+    assert len(plan1["files"]) < plan0["scanned"]
+
+    got = sorted(
+        (r["doc_id"], r["lang"])
+        for r in snapshot_read(spark, root, where=where).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["lang"])
+        for r in docs.filter(F.col("doc_id").isin(ids)).collect()
+    )
+    assert got == want
+
+    # zero-match lookup: bloom prunes everything, read stays exact-empty
+    assert snapshot_read(
+        spark, root, where=[("doc_id", "=", 987_654_321)]
+    ).count() == 0
+
+
+def test_bloom_index_survives_appends_conservatively(spark, tmp_path):
+    """Files added AFTER the index have no entry and are always kept;
+    a string-keyed index prunes too; non-reproducible literals (float/
+    bool) never consult the bloom."""
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        append_files,
+        build_bloom_index,
+        init_manifest,
+        snapshot_read,
+        snapshot_scan_plan,
+    )
+    from tagminder_spark.session import load_table
+
+    root = str(tmp_path / "t")
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang",
+        F.concat(F.lit("k"), F.col("doc_id").cast("string")).alias("key"),
+    )
+    docs.repartition(8).write.mode("append").parquet(root)
+    init_manifest(spark, root)
+    build_bloom_index(spark, root, "key")
+
+    new = docs.limit(5).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "lang",
+        F.concat(F.lit("new"), F.col("doc_id").cast("string")).alias("key"),
+    )
+    append_files(spark, new, root, partition_col=None)
+
+    # a lookup for a NEW key: indexed files pruned, new files kept
+    newkey = new.first()["key"]
+    plan = snapshot_scan_plan(spark, root, where=[("key", "=", newkey)])
+    assert plan["bloom_skipped"] > 0
+    got = snapshot_read(
+        spark, root, where=[("key", "=", newkey)]
+    ).count()
+    assert got == 1
+    # an OLD key still resolves
+    oldkey = docs.first()["key"]
+    assert snapshot_read(
+        spark, root, where=[("key", "=", oldkey)]
+    ).count() == 1
+    # float literal: bloom not consulted (kept), result exact
+    assert snapshot_read(
+        spark, root, where=[("doc_id", "=", 1.5)]
+    ).count() == 0
