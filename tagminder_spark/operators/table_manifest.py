@@ -3914,6 +3914,19 @@ def expire_snapshots(
         if g not in retained and g not in needed:
             fs.delete(fs.join(mdir, _gen_name(g)))
             removed_manifests.append(g)
+    # Bloom sidecars stay valid across generations (file-keyed over
+    # immutable files), so retention keeps ONLY the newest index per
+    # column and reclaims superseded ones
+    newest: dict[str, int] = {}
+    for doc in list_bloom_indexes(spark, root, force_hadoop=force_hadoop):
+        if doc["generation"] > newest.get(doc["col"], -1):
+            newest[doc["col"]] = doc["generation"]
+    for doc in list_bloom_indexes(spark, root, force_hadoop=force_hadoop):
+        if doc["generation"] < newest[doc["col"]]:
+            fs.delete(fs.join(base, doc["sidecar"]), ignore_errors=True)
+            fs.delete(fs.join(
+                mdir, f"bloomdoc_{doc['col']}_{doc['generation']}.json"
+            ))
     return {
         "removed_files": sorted(set(removed_files)),
         "removed_generations": removed_manifests,

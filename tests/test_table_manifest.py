@@ -4010,3 +4010,49 @@ def test_bloom_index_survives_appends_conservatively(spark, tmp_path):
     assert snapshot_read(
         spark, root, where=[("doc_id", "=", 1.5)]
     ).count() == 0
+
+
+def test_bloom_reindex_retention(spark, tmp_path):
+    """Rebuilding the index supersedes the old one (newest generation
+    wins) and expire_snapshots reclaims the superseded sidecar while
+    the live one keeps pruning."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        append_files,
+        build_bloom_index,
+        expire_snapshots,
+        init_manifest,
+        list_bloom_indexes,
+        snapshot_scan_plan,
+    )
+    from tagminder_spark.session import load_table
+
+    root = str(tmp_path / "t")
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    docs.repartition(8).write.mode("append").parquet(root)
+    init_manifest(spark, root)
+    rep1 = build_bloom_index(spark, root, "doc_id")
+    append_files(
+        spark,
+        docs.limit(7).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "lang"
+        ),
+        root, partition_col=None,
+    )
+    rep2 = build_bloom_index(spark, root, "doc_id")
+    assert rep2["generation"] > rep1["generation"]
+    assert len(list_bloom_indexes(spark, root)) == 2
+    expire_snapshots(spark, root, keep_last=2)
+    docs_left = list_bloom_indexes(spark, root)
+    assert [d["generation"] for d in docs_left] == [rep2["generation"]]
+    assert not os.path.exists(os.path.join(root, rep1["sidecar"]))
+    assert os.path.exists(os.path.join(root, rep2["sidecar"]))
+    # the survivor still prunes — incl. the post-reindex files
+    newid = 10_000_000 + docs.first()["doc_id"]
+    plan = snapshot_scan_plan(
+        spark, root, where=[("doc_id", "=", newid)]
+    )
+    assert plan["bloom_skipped"] > 0
