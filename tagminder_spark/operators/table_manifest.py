@@ -3614,12 +3614,15 @@ def delete_where(
         man, where,
         list_transforms(spark, root, force_hadoop=force_hadoop),
     )
-    if not pruned["files"]:
+    scan_files = _bloom_prune(
+        spark, root, pruned["files"], where, force_hadoop=force_hadoop
+    )
+    if not scan_files:
         return {"generation": man["generation"], "rows_deleted": 0,
                 "delete_files": 0, "data_files_rewritten": 0,
                 "files_scanned": 0}
     df = _read_entries_with_deletes(
-        spark, fs, base, pruned["files"], man, with_positions=True
+        spark, fs, base, scan_files, man, with_positions=True
     )
     matched = df.filter(_where_to_column(where)).persist()
     try:
@@ -3627,7 +3630,7 @@ def delete_where(
         if n == 0:
             return {"generation": man["generation"], "rows_deleted": 0,
                     "delete_files": 0, "data_files_rewritten": 0,
-                    "files_scanned": len(pruned["files"])}
+                    "files_scanned": len(scan_files)}
         dstage = fs.join(base, f".__pos_del_stage_{uuid.uuid4().hex[:8]}__")
         (
             matched.select(
@@ -3666,7 +3669,7 @@ def delete_where(
         "rows_deleted": int(n),
         "delete_files": len(del_entries),
         "data_files_rewritten": 0,
-        "files_scanned": len(pruned["files"]),
+        "files_scanned": len(scan_files),
         "pending_deletes": len(man["deletes"]) + len(del_entries),
     }
 
