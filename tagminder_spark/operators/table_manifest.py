@@ -4042,19 +4042,22 @@ def build_bloom_index(
 ) -> dict:
     """Build a per-file Bloom index over ``col`` for the (pinned)
     snapshot and commit it as a parquet SIDECAR
-    (``_manifest/bloom_<col>_<gen>.parquet`` + a CAS json doc): one
-    distributed pass — each file's distinct values hash into its own
-    filter inside ``applyInPandas`` grouped by physical file, so
-    nothing is collected to the driver and the build is O(rows
-    scanned) with per-file output rows.  ``col`` must be int- or
-    string-typed (the ``str()`` reproducibility envelope).  Lookup
-    integration: ``snapshot_read(where=[(col, "=", v)])`` /
-    ``snapshot_scan_plan`` consult the index automatically after the
-    stats prune.  At 100 TB this is the point-lookup path on columns
-    the layout does NOT cluster — min/max bounds span everything
-    there, a Bloom filter does not."""
-    import base64
+    (``_manifest/bloom_<col>_<gen>.parquet`` + a CAS json doc).
 
+    Scale shape (the part that matters at 100 TB): the COLUMN is never
+    shuffled.  A first map-side-combined count picks one (m, k) sizing
+    from the p90 per-file row count (uniform m makes partial filters
+    OR-mergeable; row count upper-bounds distinct count, so the filter
+    only ever gets conservatively large); then ``mapInPandas`` hashes
+    each Arrow batch into PARTIAL per-file bitmaps in place, and only
+    those bitmaps (m/8 bytes per file-partition, not rows) shuffle to
+    the per-file OR-merge.  ``col`` must be int- or string-typed (the
+    ``str()`` reproducibility envelope).  Lookup integration:
+    ``snapshot_read(where=[(col, "=", v)])`` / ``snapshot_scan_plan``
+    / ``delete_where`` consult the index automatically after the stats
+    prune.  This is the point-lookup path on columns the layout does
+    NOT cluster — min/max bounds span everything there, a Bloom filter
+    does not."""
     fs, base = table_fs(spark, root, force_hadoop)
     man = read_manifest(spark, root, gen, force_hadoop=force_hadoop)
     gen = man["generation"]
@@ -4072,30 +4075,50 @@ def build_bloom_index(
             ).alias("__rel"),
         )
     )
+    # sizing pass: map-side partial counts, tiny shuffle of counters
+    counts = df.groupBy("__rel").count()
+    n90 = counts.approxQuantile("count", [0.9], 0.05)[0]
+    m, k = _bloom_params(int(n90), fpp)
 
-    def build(pdf):
+    def partial(batches):
         import hashlib
 
         import pandas as pd
 
-        rel = pdf["__rel"].iloc[0]
-        vals = pdf["__v"].dropna().unique()
-        m, k = _bloom_params(len(vals), fpp)
-        bits = bytearray(m // 8)
-        for v in vals:
-            d = hashlib.md5(str(v).encode("utf-8")).digest()
-            h1 = int.from_bytes(d[:8], "big")
-            h2 = int.from_bytes(d[8:16], "big") | 1
-            for i in range(k):
-                p = (h1 + i * h2) % m
-                bits[p >> 3] |= 1 << (p & 7)
-        return pd.DataFrame(
-            [{"rel": rel, "bloom": bytes(bits), "n": len(vals),
-              "m": m, "k": k}]
+        acc: dict[str, bytearray] = {}
+        for pdf in batches:
+            for rel, grp in pdf.groupby("__rel"):
+                bits = acc.get(rel)
+                if bits is None:
+                    bits = acc[rel] = bytearray(m // 8)
+                for v in grp["__v"].dropna().unique():
+                    d = hashlib.md5(str(v).encode("utf-8")).digest()
+                    h1 = int.from_bytes(d[:8], "big")
+                    h2 = int.from_bytes(d[8:16], "big") | 1
+                    for i in range(k):
+                        p = (h1 + i * h2) % m
+                        bits[p >> 3] |= 1 << (p & 7)
+        yield pd.DataFrame(
+            [{"rel": r, "bloom": bytes(b)} for r, b in acc.items()],
+            columns=["rel", "bloom"],
         )
 
-    side = df.groupBy("__rel").applyInPandas(
-        build, "rel string, bloom binary, n long, m int, k int"
+    def merge(pdf):
+        import numpy as np
+        import pandas as pd
+
+        agg = np.zeros(m // 8, dtype=np.uint8)
+        for b in pdf["bloom"]:
+            agg |= np.frombuffer(b, dtype=np.uint8)
+        return pd.DataFrame(
+            [{"rel": pdf["rel"].iloc[0], "bloom": agg.tobytes(),
+              "n": 0, "m": m, "k": k}]
+        )
+
+    side = (
+        df.mapInPandas(partial, "rel string, bloom binary")
+        .groupBy("rel")
+        .applyInPandas(merge, "rel string, bloom binary, n long, m int, k int")
     )
     sidecar_rel = f"{MANIFEST_DIR}/bloom_{col}_{gen}.parquet"
     sidecar = fs.join(base, sidecar_rel)
@@ -4106,9 +4129,9 @@ def build_bloom_index(
         fs.join(_manifest_dir(fs, base), f"bloomdoc_{col}_{gen}.json"),
         json.dumps(doc, separators=(",", ":")).encode(),
     )
-    n_files = side.count()
+    n_files = spark.read.parquet(sidecar).count()
     return {"col": col, "generation": gen, "files_indexed": n_files,
-            "sidecar": sidecar_rel}
+            "sidecar": sidecar_rel, "m_bits": m, "k_hashes": k}
 
 
 def list_bloom_indexes(
