@@ -130,6 +130,9 @@ EXTRA = [
     # round 11: MP3 stream-layer decode (frame walk + side info +
     # reservoir-resolved scalefactors over per-doc synthesized streams)
     "mm_real_mp3_frames",
+    # round 11 (second session): bloom-index build + point lookup on an
+    # unclustered layout (stats prune zero by construction)
+    "cur_bloom_skipping",
 ]
 
 
