@@ -4056,3 +4056,299 @@ def test_bloom_reindex_retention(spark, tmp_path):
         spark, root, where=[("doc_id", "=", newid)]
     )
     assert plan["bloom_skipped"] > 0
+
+
+# ---------------------------------------------------------------------------
+# round 12: scale-safe Bloom reads (VERDICT r11 #1/#7, ADVICE kind rules)
+
+
+def test_bloom_vectorized_bits_match_scalar_reference():
+    """``_bloom_set_bits`` (the numpy build path) is bit-identical to
+    the scalar ``_bloom_hashes`` reference across filter sizes, hash
+    counts, and value kinds — the mod-distribution rewrite is exact,
+    not approximate (VERDICT r11 #7)."""
+    import numpy as np
+
+    from tagminder_spark.operators.table_manifest import (
+        _bloom_hashes,
+        _bloom_set_bits,
+    )
+
+    for m, k in ((64, 1), (1024, 7), (99840, 16), (1 << 20, 5)):
+        vals = [
+            str(i * 2654435761 % 1000003) for i in range(500)
+        ] + list(range(-250, 250)) + ["", "naïve-ünïcode", "0", "05"]
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        _bloom_set_bits(bits, vals, m, k)
+        ref = bytearray(m // 8)
+        for v in vals:
+            for p in _bloom_hashes(v, m, k):
+                ref[p >> 3] |= 1 << (p & 7)
+        assert bytes(bits) == bytes(ref), (m, k)
+
+
+def test_bloom_build_rejects_nonreproducible_column(spark, tmp_path):
+    """Building on a double/timestamp column raises instead of
+    committing an index whose hashed cast-to-string forms ('5.0') can
+    never match a lookup literal's str() ('5') — which would silently
+    empty every ``=`` / ``in`` result (ADVICE r11)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        build_bloom_index,
+        init_manifest,
+        list_bloom_indexes,
+    )
+    from tagminder_spark.session import load_table
+
+    root = str(tmp_path / "t")
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id",
+        (F.col("doc_id") * 1.5).alias("score"),
+        F.current_timestamp().alias("ts"),
+    )
+    docs.repartition(4).write.mode("append").parquet(root)
+    init_manifest(spark, root)
+    with pytest.raises(TypeError, match="int- and string-typed"):
+        build_bloom_index(spark, root, "score")
+    with pytest.raises(TypeError, match="int- and string-typed"):
+        build_bloom_index(spark, root, "ts")
+    assert list_bloom_indexes(spark, root) == []  # nothing committed
+
+
+def test_bloom_kind_mismatch_never_consults_index(spark, tmp_path):
+    """An int literal on a STRING-indexed column must not bloom-prune:
+    Spark coerces ``key = 5`` numerically, so a row '05' matches even
+    though only '05' (never '5') was hashed — the index proves nothing
+    about the coerced comparison (ADVICE r11, the _aligned posture)."""
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        build_bloom_index,
+        init_manifest,
+        snapshot_read,
+        snapshot_scan_plan,
+    )
+
+    root = str(tmp_path / "t")
+    rows = [(i, f"{i:02d}") for i in range(1, 97)]  # '01'..'96'
+    df = spark.createDataFrame(rows, "doc_id int, key string")
+    df.repartition(8).write.mode("append").parquet(root)
+    init_manifest(spark, root)
+    rep = build_bloom_index(spark, root, "key")
+    assert rep["kind"] == "string"
+
+    # int literal: kind mismatch — the bloom must keep every file...
+    plan = snapshot_scan_plan(spark, root, where=[("key", "=", 5)])
+    assert plan["bloom_skipped"] == 0
+    # ...and Spark's numeric coercion still finds the '05' row
+    assert snapshot_read(
+        spark, root, where=[("key", "=", 5)]
+    ).count() == 1
+    # the matching STRING literal does consult the index and stays exact
+    plan_s = snapshot_scan_plan(spark, root, where=[("key", "=", "05")])
+    assert plan_s["bloom_skipped"] > 0
+    assert snapshot_read(
+        spark, root, where=[("key", "=", "05")]
+    ).count() == 1
+
+
+def test_bloom_prune_driver_bytes_bounded_by_candidates(
+    spark, tmp_path, monkeypatch
+):
+    """The read path never collects the whole sidecar (VERDICT r11 #1):
+    after a stats-narrowed lookup the byte-bounded cache holds ONLY the
+    candidate rels' bitmaps; forcing the distributed fallback (budget
+    0) yields the identical kept set with zero new driver bitmaps."""
+    from pyspark.sql import functions as F
+
+    import tagminder_spark.operators.table_manifest as tm
+    from tagminder_spark.operators.table_manifest import (
+        build_bloom_index,
+        init_manifest,
+        read_manifest,
+        snapshot_scan_plan,
+    )
+    from tagminder_spark.session import load_table
+
+    root = str(tmp_path / "t")
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    # range layout: stats prune narrows a point lookup to ~1 candidate
+    (
+        docs.repartitionByRange(12, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("append").parquet(root)
+    )
+    init_manifest(spark, root, stats_cols=("doc_id",))
+    build_bloom_index(spark, root, "doc_id")
+    n_files = len(read_manifest(spark, root)["files"])
+    assert n_files >= 8
+
+    target = docs.agg(F.max("doc_id").alias("hi")).first()["hi"]
+    monkeypatch.setattr(tm, "_BLOOM_CACHE", type(tm._BLOOM_CACHE)())
+    monkeypatch.setattr(tm, "_BLOOM_CACHE_BYTES", 0)
+    plan = snapshot_scan_plan(
+        spark, root, where=[("doc_id", "=", int(target))]
+    )
+    cached_rels = {k[3] for k in tm._BLOOM_CACHE}
+    # bounded by the stats-prune survivors, NOT the table
+    assert len(cached_rels) < n_files
+    assert len(cached_rels) == plan["scanned"] - plan["skipped"]
+
+    # distributed fallback: identical kept set, no driver bitmaps
+    monkeypatch.setattr(tm, "_BLOOM_CACHE", type(tm._BLOOM_CACHE)())
+    monkeypatch.setattr(tm, "_BLOOM_CACHE_BYTES", 0)
+    monkeypatch.setattr(tm, "_BLOOM_DRIVER_LOAD_MAX", 0)
+    plan2 = snapshot_scan_plan(
+        spark, root, where=[("doc_id", "=", int(target))]
+    )
+    assert sorted(plan2["files"]) == sorted(plan["files"])
+    assert len(tm._BLOOM_CACHE) == 0
+
+
+def test_bloom_cache_evicts_by_bytes(spark, tmp_path, monkeypatch):
+    """The driver cache is bounded by BYTES: inserting past the budget
+    evicts oldest entries instead of growing without bound."""
+    import tagminder_spark.operators.table_manifest as tm
+
+    monkeypatch.setattr(tm, "_BLOOM_CACHE", type(tm._BLOOM_CACHE)())
+    monkeypatch.setattr(tm, "_BLOOM_CACHE_BYTES", 0)
+    monkeypatch.setattr(tm, "_BLOOM_CACHE_MAX_BYTES", 4096)
+    for i in range(100):
+        tm._bloom_cache_put(("b", "c", 1, f"rel{i}"), (b"\x00" * 128, 1024, 3))
+    assert tm._BLOOM_CACHE_BYTES <= 4096
+    assert 0 < len(tm._BLOOM_CACHE) < 100
+    # newest survives, oldest evicted
+    assert ("b", "c", 1, "rel99") in tm._BLOOM_CACHE
+    assert ("b", "c", 1, "rel0") not in tm._BLOOM_CACHE
+
+
+def test_cdc_attribution_broadcast_join_above_threshold(
+    spark, tmp_path, monkeypatch
+):
+    """Large CDC windows: the basename→generation map must not inline
+    one literal per file into the plan (VERDICT r11 #4).  Forcing the
+    broadcast-join path yields a value-identical feed, and a synthetic
+    100k-basename map produces a bounded plan."""
+    from pyspark.sql import functions as F
+
+    import tagminder_spark.operators.table_manifest as tm
+    from tagminder_spark.operators.table_manifest import (
+        append_files,
+        init_manifest,
+        table_changes,
+    )
+    from tagminder_spark.session import load_table
+
+    root = str(tmp_path / "t")
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    docs.limit(40).repartition(4).write.mode("append").parquet(root)
+    init_manifest(spark, root)
+    append_files(
+        spark,
+        docs.filter(F.col("doc_id") % 7 == 0).limit(25)
+        .select((F.col("doc_id") + 5_000_000).alias("doc_id"), "lang"),
+        root, partition_col=None,
+    )
+
+    def feed_rows():
+        return sorted(
+            (r["doc_id"], r["_change_type"], r["_commit_gen"])
+            for r in table_changes(spark, root, 1, 2).collect()
+        )
+
+    want = feed_rows()  # literal-map path (small window)
+    monkeypatch.setattr(tm, "_CDC_GEN_MAP_MAX", 0)
+    assert feed_rows() == want  # broadcast-join path, value-identical
+
+    # plan size bounded at a synthetic 100k-file window
+    big_b2g = {f"part-{i:08d}.parquet": 1 + i % 50 for i in range(100_000)}
+    small = spark.read.parquet(root)
+    plan = tm._attach_commit_gen(
+        spark, small, big_b2g
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan) < 200_000  # literal create_map would be ~5 MB
+    assert "create_map" not in plan
+
+
+def test_float_pruning_nan_aware_foreign_writer(spark, tmp_path):
+    """NaN guard (VERDICT r11 #5): pyarrow writes NaN-IGNORING float
+    min/max, but Spark orders NaN greater than everything, so a NaN
+    row MATCHES ``col > v`` — pruning on the foreign bounds would
+    wrongly skip the file.  Foreign float bounds must be dropped
+    (file kept, result exact); Spark-written files keep pruning."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        init_manifest,
+        read_manifest,
+        snapshot_read,
+        snapshot_scan_plan,
+    )
+
+    root = tmp_path / "t"
+    root.mkdir()
+    # foreign (parquet-cpp-arrow) file: values [1.0, 2.0, NaN] —
+    # pyarrow's footer bounds say [1.0, 2.0]
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "score": pa.array([1.0, 2.0, math.nan], pa.float64())}),
+        str(root / "foreign-00000.parquet"),
+    )
+    meta = pq.read_metadata(str(root / "foreign-00000.parquet"))
+    st = meta.row_group(0).column(1).statistics
+    assert st.has_min_max and st.max == 2.0  # the hazard is real
+    init_manifest(spark, str(root), stats_cols=("score", "doc_id"))
+
+    man = read_manifest(spark, str(root))
+    stats = man["stats"]["foreign-00000.parquet"]
+    assert "score" not in stats or stats["score"][:2] == [None, None]
+    assert "doc_id" in stats and stats["doc_id"][:2] == [1, 3]  # ints kept
+
+    # col > 5: only the NaN row matches — the MANIFEST must keep the
+    # file (before this fix it pruned on the foreign [1.0, 2.0] bounds)
+    plan = snapshot_scan_plan(spark, str(root), where=[("score", ">", 5.0)])
+    assert plan["skipped"] == 0
+    # Spark's OWN parquet row-group pushdown shares the hazard on
+    # foreign footers (probe-verified: filter returns [] with pushdown,
+    # [NaN] without) — that's scan-level Spark semantics our layer
+    # can't and shouldn't rewrite.  With pushdown off, the kept file
+    # yields the NaN row — proving the manifest didn't prune it.
+    spark.conf.set("spark.sql.parquet.filterPushdown", "false")
+    try:
+        got = snapshot_read(
+            spark, str(root), where=[("score", ">", 5.0)]
+        ).collect()
+    finally:
+        spark.conf.set("spark.sql.parquet.filterPushdown", "true")
+    assert len(got) == 1 and math.isnan(got[0]["score"])
+
+
+def test_float_pruning_still_active_for_spark_written(spark, tmp_path):
+    """Spark's parquet-mr drops float min/max when NaN is present, so
+    bounds-present ⇒ NaN-absent: float pruning stays live for
+    Spark-written files."""
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        init_manifest,
+        snapshot_scan_plan,
+    )
+
+    root = str(tmp_path / "t")
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id").cast("double") / 10.0).alias("score"),
+    )
+    (
+        df.repartitionByRange(8, "score").sortWithinPartitions("score")
+        .write.mode("append").parquet(root)
+    )
+    init_manifest(spark, root, stats_cols=("score",))
+    plan = snapshot_scan_plan(spark, root, where=[("score", ">", 90.0)])
+    assert plan["skipped"] > 0
