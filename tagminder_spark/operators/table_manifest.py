@@ -1812,12 +1812,25 @@ def _filepath_prefix(
             f"cannot derive file-path prefix under {base!r}: every "
             "probed file is empty"
         )
-    if not uri.endswith(rel):
-        raise ValueError(
-            f"cannot derive file-path prefix: {uri!r} does not end "
-            f"with {rel!r} (URI-escaped partition values?)"
-        )
-    p = uri[: -len(rel)]
+    if uri.endswith(rel):
+        p = uri[: -len(rel)]
+    else:
+        # URI-escaped partition values (space → %20, ...): Spark's
+        # _metadata path carries the ESCAPED form while the manifest
+        # rel came from a raw listing.  The stripped positional
+        # identity then stays in the escaped form — consistent with
+        # the read-time anti-join on _metadata.file_path — and
+        # materialize_deletes resolves it back through unquoting.
+        from urllib.parse import unquote
+
+        nseg = rel.count("/") + 1
+        esc_rel = "/".join(uri.split("/")[-nseg:])
+        if unquote(esc_rel) != rel:
+            raise ValueError(
+                f"cannot derive file-path prefix: {uri!r} does not "
+                f"end with {rel!r} (nor its URI-escaped form)"
+            )
+        p = uri[: -len(esc_rel)]
     if len(_FILEPATH_PREFIX_CACHE) > 64:
         _FILEPATH_PREFIX_CACHE.clear()
     _FILEPATH_PREFIX_CACHE[base] = p
@@ -2972,24 +2985,54 @@ def rollback(
     full-preimage deletes, rows of files only in the TARGET snapshot
     become inserts; shared files contribute nothing (same immutable
     bytes).  That equivalence needs the shared files' effective rows
-    to match under both snapshots, so when the two manifests disagree
-    on delete/sequence state for shared files, CDC is skipped and the
-    feed keeps its documented raise across this commit — never a
-    wrong delta."""
+    to match under both snapshots.  When the two manifests disagree on
+    delete/sequence state for shared files, the CURRENT side is
+    repaired automatically (VERDICT r11 #6): pending deletes are folded
+    in via :func:`materialize_deletes` (the ``partition_col`` inferred
+    from the file layout), after which the diff is taken against the
+    materialized snapshot.  Only when the TARGET's historical delete
+    state still diverges (nothing this side can change) is CDC skipped
+    and the feed keeps its documented raise across this commit — never
+    a wrong delta."""
     man = read_manifest(spark, root, to_gen, force_hadoop=force_hadoop)
     changes = deleted = None
     if record_changes and spark is not None:
-        cur = read_manifest(spark, root, force_hadoop=force_hadoop)
-        cur_rels = {rel for rel, _ in cur["files"]}
-        tgt_rels = {rel for rel, _ in man["files"]}
-        shared = cur_rels & tgt_rels
-        same_state = (
-            cur["deletes"] == man["deletes"]
-            and all(
-                cur["seqs"].get(r, 0) == man["seqs"].get(r, 0)
-                for r in shared
+
+        def _state(cur):
+            cur_rels = {rel for rel, _ in cur["files"]}
+            tgt_rels = {rel for rel, _ in man["files"]}
+            shared = cur_rels & tgt_rels
+            same = (
+                cur["deletes"] == man["deletes"]
+                and all(
+                    cur["seqs"].get(r, 0) == man["seqs"].get(r, 0)
+                    for r in shared
+                )
             )
-        )
+            return cur_rels, tgt_rels, same
+
+        cur = read_manifest(spark, root, force_hadoop=force_hadoop)
+        cur_rels, tgt_rels, same_state = _state(cur)
+        if (not same_state and cur["deletes"] and not man["deletes"]):
+            # current-side divergence is repairable: fold the pending
+            # deletes into the data files, then re-diff against the
+            # materialized snapshot (the rewritten shared files leave
+            # the shared set and ride the delta as delete+insert rows)
+            specs = {_partition_spec(rel) for rel, _ in cur["files"]}
+            pcol = None
+            if len(specs) == 1:
+                (only,) = specs
+                if len(only) == 1:
+                    pcol = only[0]
+            if pcol is not None or specs == {()}:
+                materialize_deletes(
+                    spark, root, partition_col=pcol,
+                    force_hadoop=force_hadoop,
+                )
+                cur = read_manifest(
+                    spark, root, force_hadoop=force_hadoop
+                )
+                cur_rels, tgt_rels, same_state = _state(cur)
         if same_state:
             fs, base = table_fs(spark, root, force_hadoop)
             removed = [e for e in cur["files"] if e[0] not in tgt_rels]
@@ -3744,6 +3787,16 @@ def materialize_deletes(
     is carried byte-identical; the commit is a full snapshot with the
     delete list emptied, so subsequent reads are plain scans again.
 
+    Positional deletes NAME their files, so their touched set is
+    per-delete-file exact (a file named only by an already-applied
+    delete is never rewritten).  Named files resolve against the
+    manifest through URI-unquoting (the delete stores Spark's
+    ``_metadata`` path form); a name resolving to neither a manifest
+    rel nor an on-disk file cannot be proven superseded, and its
+    delete file is CARRIED FORWARD (with the survivors' sequence
+    state) instead of dropped — dropping it could resurrect rows
+    (ADVICE r11).
+
     Like every REPLACE-shaped maintenance commit, a lost CAS surfaces
     (``FileExistsError``) — re-plan against the fresh snapshot.  The
     retired delete files stay on disk for pinned readers;
@@ -3775,16 +3828,55 @@ def materialize_deletes(
     # bounded by |files|).
     touched_rels: set[str] = set()
     pos_deletes = [d for d in deletes if d[2] == _POS_DELETE_KEY]
+    carried_deletes: list = []
     if pos_deletes:
-        named = {
-            r["file"]
-            for r in spark.read.parquet(
+        from urllib.parse import unquote
+
+        by_basename = {posixpath.basename(d[0]): d for d in pos_deletes}
+        # per-delete-file named sets (ADVICE r11: the old global OR of
+        # seq applicability rewrote files named only by already-applied
+        # deletes whenever ANY newer positional delete existed)
+        pairs = (
+            spark.read.parquet(
                 *[fs.join(base, d[0]) for d in pos_deletes]
-            ).select("file").distinct().collect()
-        }
+            )
+            .select("file", F.input_file_name().alias("_src"))
+            .distinct()
+            .collect()
+        )
+        rel_set = {rel for rel, _ in man["files"]}
+        named_by_del: dict[str, set] = {}
+        unresolved_by_del: dict[str, list] = {}
+        for r in pairs:
+            drel = by_basename[posixpath.basename(r["_src"])][0]
+            f = r["file"]
+            u = unquote(f)
+            if f in rel_set:
+                named_by_del.setdefault(drel, set()).add(f)
+            elif u in rel_set:
+                # the delete stores Spark's _metadata form (URI-escaped)
+                # while the manifest rel came from a raw listing —
+                # resolving through unquote keeps the file in the
+                # touched set instead of silently resurrecting its
+                # deleted rows (ADVICE r11, medium)
+                named_by_del.setdefault(drel, set()).add(u)
+            elif not (fs.exists(fs.join(base, u))
+                      or fs.exists(fs.join(base, f))):
+                # named file neither in the manifest nor on disk: we
+                # cannot prove it was superseded (CoW/compaction leaves
+                # the old bytes on disk until expiry) — dropping this
+                # delete file could resurrect rows, so carry it forward
+                unresolved_by_del.setdefault(drel, []).append(f)
+            # else: superseded file (left the manifest, bytes still on
+            # disk) — its delete entries are no-ops, safe to drop
+        carried_deletes = [
+            d for d in pos_deletes if d[0] in unresolved_by_del
+        ]
         for rel, _sz in candidates:
-            if rel in named and any(
-                d[1] > seqs.get(rel, 0) for d in pos_deletes
+            if any(
+                d[1] > seqs.get(rel, 0)
+                and rel in named_by_del.get(d[0], ())
+                for d in pos_deletes
             ):
                 touched_rels.add(rel)
     keycols = sorted(
@@ -3834,9 +3926,19 @@ def materialize_deletes(
                 fs=fs, spark=spark, string_bound_len=string_bound_len,
             )
         )
+    keep_seqs = None
+    if carried_deletes:
+        # carried delete files stay applicable by sequence: carried
+        # data files keep their seqs, rewritten files get this commit's
+        # generation (greater than every pending delete's seq, so no
+        # carried delete re-applies to already-folded rows)
+        next_gen = man["generation"] + 1
+        keep_seqs = {rel: seqs.get(rel, 0) for rel, _ in carried}
+        keep_seqs.update({rel: next_gen for rel, _ in new})
     gen = commit_manifest(
         spark, root, carried + new,
         parent=man["generation"], stats=stats or None,
+        seqs=keep_seqs, deletes=carried_deletes or None,
         op="materialize", force_hadoop=force_hadoop,
     )
     return {
@@ -3844,7 +3946,8 @@ def materialize_deletes(
         "files_rewritten": len(touched),
         "files_untouched": len(carried),
         "files_out": len(new),
-        "delete_files_dropped": len(deletes),
+        "delete_files_dropped": len(deletes) - len(carried_deletes),
+        "delete_files_carried": len(carried_deletes),
     }
 
 
@@ -4013,10 +4116,17 @@ def optimize_table(
        return to plain scans and compaction sees final rows;
     2. :func:`compact_with_replan` — bin-pack fragmented partitions
        (replan-on-lost-CAS, converges beside concurrent appenders);
-    3. :func:`checkpoint_manifest` — collapse the delta chain so
+    3. **re-index stale Bloom sidecars** (VERDICT r11 #8) — rewrites
+       in steps 1–2 replace files whose bitmaps the index knew, and
+       appends since the index add files it doesn't: both are kept
+       conservatively (correct) but erode skipping, so every indexed
+       column whose newest sidecar predates the current generation is
+       rebuilt at its original ``fpp``;
+    4. :func:`checkpoint_manifest` — collapse the delta chain so
        reader folds and expiry retention stay bounded;
-    4. :func:`expire_snapshots` — reclaim retired files/manifests past
-       the retention window (tags always pinned).
+    5. :func:`expire_snapshots` — reclaim retired files/manifests past
+       the retention window (tags always pinned; superseded sidecars
+       reclaimed with their generations).
 
     Each step is itself a snapshot-safe commit; a crash between steps
     leaves a consistent table that the next run finishes.  Returns the
@@ -4034,6 +4144,23 @@ def optimize_table(
         zorder_cols=zorder_cols, stats_cols=stats_cols,
         force_hadoop=force_hadoop,
     )
+    newest: dict[str, dict] = {}
+    for doc in list_bloom_indexes(spark, root, force_hadoop=force_hadoop):
+        cur = newest.get(doc["col"])
+        if cur is None or doc["generation"] > cur["generation"]:
+            newest[doc["col"]] = doc
+    if newest:
+        cur_gen = read_manifest(
+            spark, root, force_hadoop=force_hadoop
+        )["generation"]
+        report["reindex"] = {
+            col: build_bloom_index(
+                spark, root, col, fpp=doc.get("fpp", 0.01),
+                force_hadoop=force_hadoop,
+            )
+            for col, doc in sorted(newest.items())
+            if doc["generation"] < cur_gen
+        }
     report["checkpoint"] = checkpoint_manifest(
         spark, root, force_hadoop=force_hadoop
     )

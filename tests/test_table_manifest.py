@@ -3669,17 +3669,24 @@ def test_rollback_records_cdc_and_feeds(spark, tmp_path):
     assert snapshot_read(spark, root).count() == docs.count() + 9
 
 
-def test_rollback_cdc_skipped_on_divergent_delete_state(spark, tmp_path):
-    """When shared files sit under different delete state in the two
-    snapshots, the file-granular delta is not row-correct — rollback
-    skips CDC and the feed keeps its documented raise."""
-    import pytest as _pytest
+def test_rollback_cdc_auto_materializes_divergent_delete_state(
+    spark, tmp_path
+):
+    """Rollback across divergent delete state (pending MoR deletes on
+    the current side only) no longer skips CDC: it auto-materializes
+    the pending deletes first (VERDICT r11 #6), and the recorded
+    file-granular delta REPLAYS to exactly the rolled-back snapshot."""
+    import itertools
+
     from pyspark.sql import functions as F
 
     from tagminder_spark.operators.table_manifest import (
         _read_raw,
+        list_generations,
         merge_on_read,
+        read_manifest,
         rollback,
+        snapshot_read,
         table_changes,
     )
 
@@ -3687,11 +3694,43 @@ def test_rollback_cdc_skipped_on_divergent_delete_state(spark, tmp_path):
     docs = _clustered_docs(spark, root)  # gen 1
     upd = docs.limit(15).withColumn("n_chars", F.lit(-2).cast("long"))
     merge_on_read(spark, root, upd, "doc_id")  # gen 2: pending deletes
-    rollback(spark, root, 1)  # gen 3: shared files, divergent deletes
-    raw = _read_raw(spark, root, 3)
-    assert "changes" not in raw and "deleted_changes" not in raw
-    with _pytest.raises(ValueError, match="rollback"):
-        table_changes(spark, root, 1)
+    final = rollback(spark, root, 1)
+    ops = [
+        _read_raw(spark, root, g).get("op")
+        for g in list_generations(spark, root)
+    ]
+    assert ops[-2:] == ["materialize", "rollback"]
+    raw = _read_raw(spark, root, final)
+    assert "changes" in raw or "deleted_changes" in raw
+    assert read_manifest(spark, root)["deletes"] == []
+
+    want = sorted(
+        (r["doc_id"], r["n_chars"])
+        for r in snapshot_read(spark, root, 1).collect()
+    )
+    got = sorted(
+        (r["doc_id"], r["n_chars"])
+        for r in snapshot_read(spark, root).collect()
+    )
+    assert got == want
+
+    # replay the feed commit-by-commit over the gen-1 state — deletes
+    # (key or full-preimage: both carry doc_id) then inserts — and
+    # land exactly back on gen 1
+    feed = table_changes(spark, root, 1).collect()
+    state = dict(want)
+    for _gen, rows in itertools.groupby(
+        sorted(feed, key=lambda r: (r["_commit_gen"], r["_change_type"])),
+        key=lambda r: r["_commit_gen"],
+    ):
+        rows = list(rows)
+        for r in rows:
+            if r["_change_type"] == "delete":
+                state.pop(r["doc_id"], None)
+        for r in rows:
+            if r["_change_type"] == "insert":
+                state[r["doc_id"]] = r["n_chars"]
+    assert sorted(state.items()) == want
 
 
 def test_zero_row_cow_merge_keeps_feed_alive(spark, tmp_path):
@@ -4352,3 +4391,222 @@ def test_float_pruning_still_active_for_spark_written(spark, tmp_path):
     init_manifest(spark, root, stats_cols=("score",))
     plan = snapshot_scan_plan(spark, root, where=[("score", ">", 90.0)])
     assert plan["skipped"] > 0
+
+
+def test_materialize_positional_deletes_uri_escaped_partition(
+    spark, tmp_path
+):
+    """Partition dirs needing URI escaping (space → %20 in Spark's
+    ``_metadata`` paths, raw in directory listings): materialize must
+    resolve the delete's escaped 'file' names to manifest rels via
+    unquoting — before the fix it rewrote NOTHING yet dropped the
+    delete files, resurrecting every deleted row (ADVICE r11 medium)."""
+    from tagminder_spark.operators.table_manifest import (
+        delete_where,
+        init_manifest,
+        materialize_deletes,
+        read_manifest,
+        snapshot_read,
+    )
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "e n" if i % 2 == 0 else "fr") for i in range(100)],
+        "doc_id int, lang string",
+    )
+    df.write.partitionBy("lang").parquet(root, mode="append")
+    init_manifest(spark, root)
+    assert any(
+        "lang=e n/" in rel
+        for rel, _ in read_manifest(spark, root)["files"]
+    )  # the hazard layout is actually present
+    rep = delete_where(spark, root, [("doc_id", "<", 50)])
+    assert rep["rows_deleted"] == 50
+    mat = materialize_deletes(spark, root, partition_col="lang")
+    assert mat["files_rewritten"] > 0
+    assert mat["delete_files_carried"] == 0
+    assert read_manifest(spark, root)["deletes"] == []
+    got = sorted(
+        r["doc_id"] for r in snapshot_read(spark, root).collect()
+    )
+    assert got == list(range(50, 100))
+
+
+def test_materialize_carries_unresolvable_delete_files(spark, tmp_path):
+    """A positional delete file naming a file that is neither in the
+    manifest nor on disk cannot be proven superseded — materialize
+    carries it forward (with sequence state) instead of dropping it,
+    and reads stay exact (ADVICE r11 medium)."""
+    from tagminder_spark.operators.table_manifest import (
+        _POS_DELETE_KEY,
+        commit_delta,
+        delete_where,
+        init_manifest,
+        materialize_deletes,
+        read_manifest,
+        snapshot_read,
+    )
+
+    root = str(tmp_path / "t")
+    docs = _clustered_docs(spark, root)  # gen 1
+    lo = docs.agg({"doc_id": "min"}).first()[0]
+    delete_where(spark, root, [("doc_id", "=", int(lo))])  # gen 2
+    # gen 3: a hand-committed delete file naming a ghost
+    import os
+
+    ghost_dir = os.path.join(root, "_deletes")
+    gstage = os.path.join(str(tmp_path), "gstage")
+    spark.createDataFrame(
+        [("ghost-file-that-never-existed.parquet", 0)],
+        "file string, pos long",
+    ).coalesce(1).write.mode("overwrite").parquet(gstage)
+    part = next(
+        f for f in os.listdir(gstage) if f.endswith(".parquet")
+    )
+    grel = "_deletes/pos_ghost000001.parquet"
+    os.rename(os.path.join(gstage, part), os.path.join(root, grel))
+    commit_delta(
+        spark, root, [], delete_adds=[(grel, 3, _POS_DELETE_KEY)],
+        op="delete-pos", changes=[],
+    )
+
+    before = sorted(
+        r["doc_id"] for r in snapshot_read(spark, root).collect()
+    )
+    mat = materialize_deletes(spark, root)
+    assert mat["delete_files_carried"] == 1
+    assert mat["delete_files_dropped"] == 1  # the real one folded
+    man = read_manifest(spark, root)
+    assert [d[0] for d in man["deletes"]] == [grel]
+    # rewritten files got a seq above the carried delete, so nothing
+    # re-applies; reads unchanged
+    after = sorted(
+        r["doc_id"] for r in snapshot_read(spark, root).collect()
+    )
+    assert after == before and int(lo) not in after
+    # a second materialize makes no further progress but stays stable
+    mat2 = materialize_deletes(spark, root)
+    assert mat2["files_rewritten"] == 0
+    assert mat2["delete_files_carried"] == 1
+    assert sorted(
+        r["doc_id"] for r in snapshot_read(spark, root).collect()
+    ) == before
+
+
+def test_materialize_per_file_seq_applicability(spark, tmp_path):
+    """ADVICE r11 (low): a file named ONLY by an already-applied
+    positional delete (delete seq <= file seq) is NOT rewritten just
+    because some newer positional delete (naming other files) exists."""
+    import os
+    import uuid as _uuid
+
+    from tagminder_spark.operators.table_manifest import (
+        _POS_DELETE_KEY,
+        commit_manifest,
+        delete_where,
+        init_manifest,
+        materialize_deletes,
+        read_manifest,
+        snapshot_read,
+    )
+
+    root = str(tmp_path / "t")
+    docs = _clustered_docs(spark, root, n_files=2)  # gen 1: f1, f2
+    man1 = read_manifest(spark, root)
+    rels = sorted(rel for rel, _ in man1["files"])
+    f1, f2 = rels[0], rels[1]
+    lo = docs.agg({"doc_id": "min"}).first()[0]
+    delete_where(spark, root, [("doc_id", "=", int(lo))])  # gen 2: D2→f1
+    man2 = read_manifest(spark, root)
+    d2 = man2["deletes"][0]
+    assert d2[1] == 2
+
+    # hand-write D3 naming f2 (first row), then commit gen 3 with
+    # f1 pinned at seq 2 — D2 (seq 2) is "already applied" to f1
+    stage = os.path.join(str(tmp_path), "dstage")
+    spark.createDataFrame(
+        [(f2, 0)], "file string, pos long"
+    ).coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    d3rel = f"_deletes/pos_{_uuid.uuid4().hex[:12]}.parquet"
+    os.rename(os.path.join(stage, part), os.path.join(root, d3rel))
+    commit_manifest(
+        spark, root, man2["files"],
+        stats=man2["stats"],
+        seqs={f1: 2},
+        deletes=[tuple(d2), (d3rel, 3, _POS_DELETE_KEY)],
+        op="append",
+    )
+
+    before = sorted(
+        r["doc_id"] for r in snapshot_read(spark, root).collect()
+    )
+    assert int(lo) in before  # D2 no longer applies to f1 (seq pinned)
+    mat = materialize_deletes(spark, root)
+    # ONLY f2 (named by the applicable D3) is rewritten; f1 — named
+    # solely by the applied D2 — is carried byte-identical
+    assert mat["files_rewritten"] == 1
+    assert f1 in {rel for rel, _ in read_manifest(spark, root)["files"]}
+    after = sorted(
+        r["doc_id"] for r in snapshot_read(spark, root).collect()
+    )
+    assert after == before
+
+
+def test_optimize_table_rebuilds_stale_bloom_indexes(spark, tmp_path):
+    """Compaction rewrites files the Bloom index knew and appends add
+    files it doesn't — both kept conservatively, eroding skipping.
+    optimize_table re-indexes stale sidecars so post-maintenance
+    lookups skip again (VERDICT r11 #8)."""
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        append_files,
+        build_bloom_index,
+        init_manifest,
+        list_bloom_indexes,
+        optimize_table,
+        read_manifest,
+        snapshot_read,
+        snapshot_scan_plan,
+    )
+    from tagminder_spark.session import load_table
+
+    root = str(tmp_path / "t")
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    # fragmented round-robin layout: stats can't prune, compaction will
+    docs.repartition(12).write.mode("append").partitionBy(
+        "lang"
+    ).parquet(root)
+    init_manifest(spark, root)
+    rep0 = build_bloom_index(spark, root, "doc_id")
+    append_files(
+        spark,
+        docs.limit(9).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "lang"
+        ),
+        root, partition_col="lang",
+    )
+    rep = optimize_table(spark, root, "lang", min_files=2)
+    assert rep["compact"]["rewritten"] > 0
+    assert "doc_id" in rep["reindex"]
+    assert rep["reindex"]["doc_id"]["generation"] > rep0["generation"]
+    # exactly one live index doc per column after expiry
+    docs_live = list_bloom_indexes(spark, root)
+    assert [d["col"] for d in docs_live] == ["doc_id"]
+    cur_gen = read_manifest(spark, root)["generation"]
+    assert docs_live[0]["generation"] >= rep["reindex"]["doc_id"]["generation"]
+
+    # post-maintenance lookups skip again — incl. post-index appends
+    newid = 10_000_000 + docs.first()["doc_id"]
+    plan = snapshot_scan_plan(spark, root, where=[("doc_id", "=", newid)])
+    assert plan["bloom_skipped"] > 0
+    assert snapshot_read(
+        spark, root, where=[("doc_id", "=", newid)]
+    ).count() == 1
+
+    # a second optimize with nothing stale skips the rebuild
+    rep2 = optimize_table(spark, root, "lang", min_files=2)
+    assert rep2.get("reindex", {}) == {} or all(
+        r["generation"] >= cur_gen for r in rep2["reindex"].values()
+    )
