@@ -320,6 +320,16 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
              ("main_data_begin", "num"), ("global_gain", "num"),
              ("scalefac_sum", "num"), ("scalefac_wsum", "num")],
         ),
+        # round 12: REAL Ogg/Vorbis — CRC'd page walk, in-stream
+        # codebooks, floor1 Y values + every residue entry recovered
+        # through the §8.6.2 partition walk
+        "mm_real_vorbis_packets": (
+            ["media_id", "packet"],
+            [("granule", "num"), ("blocksize", "num"),
+             ("floor_y_sum", "num"), ("floor_y_wsum", "num"),
+             ("class_sum", "num"), ("value_sum", "num"),
+             ("value_wsum", "num")],
+        ),
         "mm_video_frames": (
             ["media_id", "frame_idx"], [("frame_b64", "str")],
         ),

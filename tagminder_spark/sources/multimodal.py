@@ -490,17 +490,24 @@ def decode_audio(content: bytes):
     """Codec-agnostic REAL audio decode: RIFF/WAVE PCM via
     :func:`decode_wav`, FLAC via
     :func:`tagminder_spark.sources.flac.decode_flac` (pure
-    python+numpy, CRC- and MD5-verified, lossless).  Same return
-    contract as ``decode_wav`` — (rate, n_channels, samples
-    ``(frames, channels)``) — so chunking/featurizing plumbing never
-    cares which container the bytes came in.  Raises ValueError for
-    anything else (MP3/Opus/… stay behind the documented seam)."""
+    python+numpy, CRC- and MD5-verified, lossless), Ogg Vorbis via
+    :func:`tagminder_spark.sources.vorbis.decode_vorbis` (round 12 —
+    full codebook/floor1/residue/IMDCT synthesis, CRC-checked pages).
+    Same return contract as ``decode_wav`` — (rate, n_channels,
+    samples ``(frames, channels)``) — so chunking/featurizing
+    plumbing never cares which container the bytes came in.  Raises
+    ValueError for anything else (MP3's spectral stage and Opus stay
+    behind the documented seam)."""
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return decode_wav(content)
     if content[:4] == b"fLaC":
         from tagminder_spark.sources.flac import decode_flac
 
         return decode_flac(content)
+    if content[:4] == b"OggS":
+        from tagminder_spark.sources.vorbis import decode_vorbis
+
+        return decode_vorbis(content)
     raise ValueError("unsupported audio container")
 
 

@@ -1,0 +1,1396 @@
+"""REAL Ogg/Vorbis codec — pure python + numpy, spec-complete for the
+engine's decode envelope (round 12, VERDICT r11 #3).
+
+Why this exists: the reference ingests ``.ogg`` audio
+(``scripts/ingest/tags2db.py:108`` lists the extension;
+``audiotags/ogg.py`` already parses the CONTAINER for tags/duration).
+Unlike MP3 — whose Huffman tables and synthesis window are
+spec-tabulated DATA with no in-container copy (the round-11 seam
+argument) — Vorbis is fully re-derivable from the public Vorbis I
+specification (xiph.org, 2020 errata):
+
+- every codebook rides INSIDE the stream's setup header (§4.2.4);
+- codeword assignment is an algorithm (§3.2.1), not a table;
+- the floor-curve dB table is a closed formula
+  (``10^((i-255)·7/256)``, §7.2.3 — endpoint-checked in tests);
+- the window (§4.3.1) and MDCT (§6) are trigonometric definitions;
+- ``float32_unpack`` (§9.2.2) is arithmetic.
+
+So this module implements the whole stack with zero baked constants:
+
+1. **Ogg layer** (RFC 3533): page framing with the real CRC-32
+   (poly 0x04c11db7, unreflected, init/xorout 0 — generated, not
+   tabulated), lacing, packet spanning/continuation, BOS/EOS.
+2. **Bitpack layer** (§2): LSB-first reader/writer (Vorbis packs
+   opposite to FLAC's MSB-first).
+3. **Codebooks** (§3): ordered & sparse length lists, the §3.2.1
+   tree-filling codeword assignment, scalar + VQ (lookup types 1/2)
+   decode, and the exact ``float32_unpack``.
+4. **Headers** (§4.2): identification / comment / setup — parse AND
+   build (the encoder twin writes genuine setup headers; nothing is
+   replayed from a canned blob).
+5. **Floors** (§7): floor1 decode and curve synthesis with the spec's
+   integer ``low_neighbor``/``render_point``/``render_line`` math.
+6. **Residues** (§8): formats 0, 1 and 2 (format 2 via the §8.6.5
+   interleave reduction to format 1).
+7. **Synthesis** (§4.3): mode/window selection incl. long/short
+   transitions, inverse channel coupling (§4.3.5), floor × residue,
+   IMDCT (numpy, straight from the §6 definition), lapped
+   overlap-add, float → int16.
+8. **Encoder twin**: :func:`build_vorbis_stream` emits valid,
+   CRC-correct Ogg Vorbis streams from explicit integer payloads
+   (floor Y values + residue codebook entries) — the same
+   synthetic-twin shape as ``mp3.build_mp3_stream`` /
+   ``flac.encode_flac`` — so gates can value-check the decoder
+   against a DuckDB oracle that recomputes the payload arithmetic.
+
+Scale shape: decode is per-document and embarrassingly parallel
+inside ``mapInPandas`` (the same plan as the FLAC/JPEG/MP3 gates);
+the Ogg page layer is the split plan at 100 TB — pages are
+self-delimiting capture-pattern + CRC units, so a distributed
+chunker can resync mid-stream exactly like the MP3 frame walk.
+"""
+
+from __future__ import annotations
+
+import math
+
+__all__ = [
+    "ogg_crc",
+    "build_ogg_pages",
+    "ogg_packets",
+    "Codebook",
+    "build_vorbis_stream",
+    "parse_headers",
+    "vorbis_packet_report",
+    "decode_vorbis",
+]
+
+
+def _ilog(x: int) -> int:
+    """§9.2.1: position of the highest set bit; ilog(0)=0, ilog(1)=1."""
+    n = 0
+    while x > 0:
+        n += 1
+        x >>= 1
+    return n
+
+
+def float32_pack(x: float) -> int:
+    """§9.2.2 inverse — encode ``x`` into Vorbis' 32-bit float format
+    (sign, 10-bit exponent biased 788, 21-bit mantissa)."""
+    if x == 0:
+        return 0
+    sign = 0
+    if x < 0:
+        sign = 1 << 31
+        x = -x
+    exp = int(math.floor(math.log2(x)))
+    mant = int(round(x / 2.0 ** (exp - 20)))
+    if mant >= 1 << 21:
+        mant >>= 1
+        exp += 1
+    field = exp - 20 + 788
+    if not 0 <= field < 1 << 10:
+        raise ValueError(
+            f"magnitude 2**{exp} outside the Vorbis float32 exponent "
+            "envelope"
+        )
+    return sign | (field << 21) | mant
+
+
+def float32_unpack(w: int) -> float:
+    """§9.2.2: the setup-header float format → python float."""
+    mant = w & 0x1FFFFF
+    sign = w & 0x80000000
+    exp = (w & 0x7FE00000) >> 21
+    if sign:
+        mant = -mant
+    return float(mant) * 2.0 ** (exp - 788)
+
+
+class _BitsR:
+    """LSB-first bit reader (§2.1: 'the bitpacker ... begins at the
+    least significant bit')."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # absolute bit position
+
+    def read(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            p = self.pos + i
+            byte = p >> 3
+            if byte >= len(self.data):
+                raise EOFError("vorbis packet truncated")
+            v |= ((self.data[byte] >> (p & 7)) & 1) << i
+        self.pos += n
+        return v
+
+    def read1(self) -> int:
+        p = self.pos
+        byte = p >> 3
+        if byte >= len(self.data):
+            raise EOFError("vorbis packet truncated")
+        self.pos += 1
+        return (self.data[byte] >> (p & 7)) & 1
+
+    def remaining(self) -> int:
+        return len(self.data) * 8 - self.pos
+
+
+class _BitsW:
+    """LSB-first bit writer — the encoder twin's half of §2.1."""
+
+    __slots__ = ("buf", "bit")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.bit = 0
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n):
+            if self.bit == 0:
+                self.buf.append(0)
+            if (value >> i) & 1:
+                self.buf[-1] |= 1 << self.bit
+            self.bit = (self.bit + 1) & 7
+
+    def getvalue(self) -> bytes:
+        return bytes(self.buf)
+
+
+# ---------------------------------------------------------------------------
+# Ogg layer (RFC 3533)
+
+_OGG_POLY = 0x04C11DB7
+
+
+def _ogg_crc_table() -> list[int]:
+    tbl = []
+    for i in range(256):
+        r = i << 24
+        for _ in range(8):
+            r = ((r << 1) ^ _OGG_POLY) if r & 0x80000000 else (r << 1)
+            r &= 0xFFFFFFFF
+        tbl.append(r)
+    return tbl
+
+
+_CRC_TBL = _ogg_crc_table()
+
+
+def ogg_crc(data: bytes) -> int:
+    """The Ogg page CRC-32: polynomial 0x04c11db7, UNREFLECTED,
+    init 0, xorout 0 (RFC 3533 §6) — not zlib's CRC."""
+    r = 0
+    for b in data:
+        r = ((r << 8) & 0xFFFFFFFF) ^ _CRC_TBL[((r >> 24) & 0xFF) ^ b]
+    return r
+
+
+def _lacing(n: int) -> bytes:
+    """Lacing values for an ``n``-byte packet SEGMENT that terminates
+    on this page: 255s plus a final < 255 value (0 allowed)."""
+    out = bytearray(b"\xff" * (n // 255))
+    out.append(n % 255)
+    return bytes(out)
+
+
+def build_ogg_pages(
+    packets: list[bytes],
+    serial: int,
+    granules: list[int],
+    *,
+    max_payload: int = 255 * 200,
+    group_headers: int = 0,
+) -> bytes:
+    """Frame ``packets`` into a valid Ogg stream: real CRCs, BOS on
+    the first page, EOS on the last, continuation flags + 255-lacing
+    for packets spanning pages.  ``granules[i]`` is the granule
+    position recorded on the page where packet ``i`` ENDS (-1 → the
+    RFC's 'no packet ends here' is used only for forced spans).
+    ``group_headers`` > 0 packs that many leading packets onto one
+    page (the conventional layout: ID alone, then comment+setup)."""
+    pages: list[tuple[list[tuple[bytes, bool]], int]] = []
+    cur: list[tuple[bytes, bool]] = []  # (segment, terminates_packet)
+    cur_payload = 0
+    cur_granule = -1  # granule of the last packet ending on this page
+
+    def flush() -> None:
+        nonlocal cur, cur_payload, cur_granule
+        if cur:
+            pages.append((cur, cur_granule))
+            cur = []
+            cur_payload = 0
+            cur_granule = -1
+
+    for i, pkt in enumerate(packets):
+        is_header_group = group_headers and 0 < i < group_headers
+        if not is_header_group:
+            flush()
+        off = 0
+        while True:
+            room = max_payload - cur_payload
+            take = min(len(pkt) - off, room)
+            if take < len(pkt) - off:
+                # packet will continue: its lacing on this page is all
+                # 255s, so the segment must be 255-aligned — round down
+                # (start a fresh page if nothing aligned fits)
+                take = (take // 255) * 255
+                if take == 0:
+                    flush()
+                    continue
+            seg = pkt[off:off + take]
+            off += take
+            done = off >= len(pkt)
+            cur.append((seg, done))
+            cur_payload += take
+            if done:
+                cur_granule = granules[i]
+                break
+            flush()  # packet continues onto the next page
+        if not is_header_group and i < max(group_headers, 1):
+            flush()
+    flush()
+
+    out = bytearray()
+    continued = False
+    for pageno, (segs, granule) in enumerate(pages):
+        payload = bytearray()
+        lac = bytearray()
+        last_done = True
+        for seg, done in segs:
+            payload += seg
+            if done:
+                lac += _lacing(len(seg))
+            else:
+                # forced span: only full-255 lacing, no terminator
+                if len(seg) % 255:
+                    raise ValueError("spanning segment must be 255-padded")
+                lac += b"\xff" * (len(seg) // 255)
+            last_done = done
+        if len(lac) > 255:
+            raise ValueError("too many lacing values for one page")
+        htype = (0x01 if continued else 0) \
+            | (0x02 if pageno == 0 else 0) \
+            | (0x04 if pageno == len(pages) - 1 else 0)
+        g = granule if granule >= 0 else (1 << 64) - 1
+        head = (
+            b"OggS" + bytes([0, htype])
+            + g.to_bytes(8, "little")
+            + serial.to_bytes(4, "little")
+            + pageno.to_bytes(4, "little")
+            + b"\x00\x00\x00\x00"
+            + bytes([len(lac)]) + bytes(lac)
+        )
+        crc = ogg_crc(bytes(head) + bytes(payload))
+        page = bytearray(head + payload)
+        page[22:26] = crc.to_bytes(4, "little")
+        out += page
+        continued = not last_done
+    return bytes(out)
+
+
+def ogg_packets(data: bytes, *, verify_crc: bool = True):
+    """Reassemble the logical packet sequence from an Ogg stream —
+    yields ``(packet bytes, granule of the page it ends on, page_seq)``.
+    CRC-verifies every page (raise on corruption) and honors
+    continuation flags across page boundaries."""
+    pos = 0
+    pending = bytearray()
+    pending_open = False
+    while pos + 27 <= len(data):
+        if data[pos:pos + 4] != b"OggS":
+            raise ValueError(f"lost Ogg capture at byte {pos}")
+        nsegs = data[pos + 26]
+        hlen = 27 + nsegs
+        lac = data[pos + 27:pos + hlen]
+        body_len = sum(lac)
+        page = data[pos:pos + hlen + body_len]
+        if len(page) < hlen + body_len:
+            raise ValueError("truncated Ogg page")
+        if verify_crc:
+            stored = int.from_bytes(page[22:26], "little")
+            z = bytearray(page)
+            z[22:26] = b"\x00\x00\x00\x00"
+            if ogg_crc(bytes(z)) != stored:
+                raise ValueError(
+                    f"Ogg page CRC mismatch at byte {pos}"
+                )
+        htype = page[5]
+        granule = int.from_bytes(page[6:14], "little")
+        if granule == (1 << 64) - 1:
+            granule = -1
+        seq = int.from_bytes(page[18:22], "little")
+        if pending_open and not (htype & 0x01):
+            raise ValueError("expected continuation page")
+        if not pending_open and (htype & 0x01):
+            raise ValueError("unexpected continuation flag")
+        body = page[hlen:]
+        boff = 0
+        for i, lv in enumerate(lac):
+            pending += body[boff:boff + lv]
+            boff += lv
+            if lv < 255:
+                yield bytes(pending), granule, seq
+                pending = bytearray()
+                pending_open = False
+            else:
+                pending_open = True
+        pos += hlen + body_len
+    if pending_open:
+        raise ValueError("stream ends mid-packet")
+
+
+# ---------------------------------------------------------------------------
+# Codebooks (Vorbis I §3)
+
+
+def _assign_codewords(lengths) -> list:
+    """§3.2.1 codeword assignment: in ENTRY order, each used entry
+    takes the lowest-valued unused leaf at its length in the implicit
+    binary prefix tree (Huffman codewords are therefore fully implied
+    by the length list — nothing but lengths rides in the stream)."""
+    codes: list = [None] * len(lengths)
+    available = [0] * 33  # left-justified 32-bit free-subtree roots
+    first = True
+    for i, ln in enumerate(lengths):
+        if not ln:
+            continue
+        if ln > 32:
+            raise ValueError("codeword length > 32")
+        if first:
+            codes[i] = 0
+            for d in range(1, ln + 1):
+                available[d] = 1 << (32 - d)
+            first = False
+            continue
+        z = ln
+        while z > 0 and not available[z]:
+            z -= 1
+        if z == 0:
+            raise ValueError("overspecified codebook (tree overfull)")
+        res = available[z]
+        available[z] = 0
+        codes[i] = res >> (32 - ln)
+        for y in range(ln, z, -1):
+            available[y] = res | (1 << (32 - y))
+    return codes
+
+
+def _lookup1_values(entries: int, dims: int) -> int:
+    """§9.2.3: greatest v with v**dims <= entries."""
+    v = max(1, int(round(entries ** (1.0 / dims))))
+    while (v + 1) ** dims <= entries:
+        v += 1
+    while v ** dims > entries and v > 0:
+        v -= 1
+    return v
+
+
+class Codebook:
+    """One Vorbis codebook: Huffman scalar context + optional VQ
+    lookup — parsed from / written to the setup header bit-exactly.
+    ``lengths[i]`` is the codeword length of entry ``i`` (0/None =
+    unused, sparse books only)."""
+
+    def __init__(self, dims: int, lengths, *, lookup_type: int = 0,
+                 minimum: float = 0.0, delta: float = 1.0,
+                 value_bits: int = 1, sequence_p: int = 0,
+                 multiplicands=None):
+        self.dims = dims
+        self.lengths = list(lengths)
+        self.entries = len(self.lengths)
+        self.lookup_type = lookup_type
+        self.minimum = minimum
+        self.delta = delta
+        self.value_bits = value_bits
+        self.sequence_p = sequence_p
+        self.multiplicands = list(multiplicands or [])
+        self.codes = _assign_codewords(self.lengths)
+        self._dec = {
+            (ln, c): i
+            for i, (ln, c) in enumerate(zip(self.lengths, self.codes))
+            if ln
+        }
+        self._maxlen = max((ln for ln in self.lengths if ln), default=0)
+
+    # -- bitstream halves ---------------------------------------------------
+
+    @classmethod
+    def parse(cls, br: _BitsR) -> "Codebook":
+        if br.read(24) != 0x564342:
+            raise ValueError("bad codebook sync pattern")
+        dims = br.read(16)
+        entries = br.read(24)
+        lengths: list = []
+        if br.read1():  # ordered
+            cur_len = br.read(5) + 1
+            while len(lengths) < entries:
+                num = br.read(_ilog(entries - len(lengths)))
+                if len(lengths) + num > entries:
+                    raise ValueError("ordered codebook overrun")
+                lengths.extend([cur_len] * num)
+                cur_len += 1
+        else:
+            sparse = br.read1()
+            for _ in range(entries):
+                if sparse and not br.read1():
+                    lengths.append(0)
+                else:
+                    lengths.append(br.read(5) + 1)
+        lookup_type = br.read(4)
+        kw: dict = {}
+        if lookup_type in (1, 2):
+            kw["minimum"] = float32_unpack(br.read(32))
+            kw["delta"] = float32_unpack(br.read(32))
+            kw["value_bits"] = br.read(4) + 1
+            kw["sequence_p"] = br.read1()
+            n = _lookup1_values(entries, dims) if lookup_type == 1 \
+                else entries * dims
+            kw["multiplicands"] = [
+                br.read(kw["value_bits"]) for _ in range(n)
+            ]
+        elif lookup_type != 0:
+            raise ValueError(f"reserved lookup type {lookup_type}")
+        return cls(dims, lengths, lookup_type=lookup_type, **kw)
+
+    def write(self, bw: _BitsW) -> None:
+        bw.write(0x564342, 24)
+        bw.write(self.dims, 16)
+        bw.write(self.entries, 24)
+        bw.write(0, 1)  # not ordered
+        sparse = any(not ln for ln in self.lengths)
+        bw.write(1 if sparse else 0, 1)
+        for ln in self.lengths:
+            if sparse:
+                bw.write(1 if ln else 0, 1)
+                if ln:
+                    bw.write(ln - 1, 5)
+            else:
+                bw.write(ln - 1, 5)
+        bw.write(self.lookup_type, 4)
+        if self.lookup_type in (1, 2):
+            bw.write(float32_pack(self.minimum), 32)
+            bw.write(float32_pack(self.delta), 32)
+            bw.write(self.value_bits - 1, 4)
+            bw.write(self.sequence_p, 1)
+            for m in self.multiplicands:
+                bw.write(m, self.value_bits)
+
+    # -- decode / encode ----------------------------------------------------
+
+    def decode_scalar(self, br: _BitsR) -> int:
+        acc = 0
+        for ln in range(1, self._maxlen + 1):
+            acc = (acc << 1) | br.read1()
+            hit = self._dec.get((ln, acc))
+            if hit is not None:
+                return hit
+        raise ValueError("invalid codeword in packet")
+
+    def encode_scalar(self, bw: _BitsW, entry: int) -> None:
+        ln, code = self.lengths[entry], self.codes[entry]
+        if not ln:
+            raise ValueError(f"entry {entry} unused")
+        for b in range(ln - 1, -1, -1):
+            bw.write((code >> b) & 1, 1)
+
+    def vq_lookup(self, entry: int):
+        """§3.3: entry number → dims-vector of floats."""
+        out = [0.0] * self.dims
+        last = 0.0
+        if self.lookup_type == 1:
+            l1 = _lookup1_values(self.entries, self.dims)
+            div = 1
+            for j in range(self.dims):
+                off = (entry // div) % l1
+                out[j] = self.multiplicands[off] * self.delta \
+                    + self.minimum + last
+                if self.sequence_p:
+                    last = out[j]
+                div *= l1
+        elif self.lookup_type == 2:
+            for j in range(self.dims):
+                out[j] = self.multiplicands[entry * self.dims + j] \
+                    * self.delta + self.minimum + last
+                if self.sequence_p:
+                    last = out[j]
+        else:
+            raise ValueError("scalar codebook has no VQ values")
+        return out
+
+    def decode_vq(self, br: _BitsR):
+        return self.vq_lookup(self.decode_scalar(br))
+
+
+# ---------------------------------------------------------------------------
+# Headers (Vorbis I §4.2) — identification / comment / setup, both halves
+
+
+def build_id_header(channels: int, rate: int, *, blocksize0: int,
+                    blocksize1: int, bitrate_nominal: int = 0) -> bytes:
+    bw = _BitsW()
+    bw.write(1, 8)
+    for c in b"vorbis":
+        bw.write(c, 8)
+    bw.write(0, 32)          # vorbis_version
+    bw.write(channels, 8)
+    bw.write(rate, 32)
+    bw.write(0, 32)          # bitrate_maximum
+    bw.write(bitrate_nominal & 0xFFFFFFFF, 32)
+    bw.write(0, 32)          # bitrate_minimum
+    bw.write(_ilog(blocksize0) - 1, 4)
+    bw.write(_ilog(blocksize1) - 1, 4)
+    bw.write(1, 1)           # framing
+    return bw.getvalue()
+
+
+def _parse_id_header(pkt: bytes) -> dict:
+    if pkt[:7] != b"\x01vorbis":
+        raise ValueError("not a Vorbis identification header")
+    br = _BitsR(pkt[7:])
+    if br.read(32) != 0:
+        raise ValueError("unsupported vorbis_version")
+    out = {
+        "channels": br.read(8),
+        "rate": br.read(32),
+        "bitrate_max": br.read(32),
+        "bitrate_nominal": br.read(32),
+        "bitrate_min": br.read(32),
+    }
+    out["blocksize0"] = 1 << br.read(4)
+    out["blocksize1"] = 1 << br.read(4)
+    if not br.read1():
+        raise ValueError("missing framing bit in id header")
+    if not (64 <= out["blocksize0"] <= out["blocksize1"] <= 8192):
+        raise ValueError("illegal blocksizes")
+    return out
+
+
+def build_comment_header(vendor: str = "tagminder_spark vorbis twin",
+                         comments: dict | None = None) -> bytes:
+    bw = _BitsW()
+    bw.write(3, 8)
+    for c in b"vorbis":
+        bw.write(c, 8)
+    vb = vendor.encode("utf-8")
+    bw.write(len(vb), 32)
+    for c in vb:
+        bw.write(c, 8)
+    items = [
+        f"{k}={v}".encode("utf-8")
+        for k, v in (comments or {}).items()
+    ]
+    bw.write(len(items), 32)
+    for it in items:
+        bw.write(len(it), 32)
+        for c in it:
+            bw.write(c, 8)
+    bw.write(1, 1)
+    return bw.getvalue()
+
+
+def _write_floor1(bw: _BitsW, fl: dict) -> None:
+    bw.write(1, 16)
+    bw.write(fl["partitions"], 5)
+    for c in fl["class_list"]:
+        bw.write(c, 4)
+    for cls in fl["classes"]:
+        bw.write(cls["dims"] - 1, 3)
+        bw.write(cls["subclass_bits"], 2)
+        if cls["subclass_bits"]:
+            bw.write(cls["masterbook"], 8)
+        for b in cls["books"]:
+            bw.write(b + 1, 8)
+    bw.write(fl["multiplier"] - 1, 2)
+    bw.write(fl["rangebits"], 4)
+    # X[0]=0 and X[1]=2**rangebits are implicit on the wire
+    for x in fl["X"][2:]:
+        bw.write(x, fl["rangebits"])
+
+
+def _parse_floor(br: _BitsR) -> dict:
+    ftype = br.read(16)
+    if ftype != 1:
+        # floor0 (LSP) is spec-deprecated and unused by any encoder
+        # this engine emits or ingests; loud > silently wrong
+        raise ValueError(f"unsupported floor type {ftype}")
+    partitions = br.read(5)
+    class_list = [br.read(4) for _ in range(partitions)]
+    nclasses = (max(class_list) + 1) if class_list else 0
+    classes = []
+    for _ in range(nclasses):
+        dims = br.read(3) + 1
+        sub = br.read(2)
+        master = br.read(8) if sub else None
+        books = [br.read(8) - 1 for _ in range(1 << sub)]
+        classes.append({"dims": dims, "subclass_bits": sub,
+                        "masterbook": master, "books": books})
+    multiplier = br.read(2) + 1
+    rangebits = br.read(4)
+    x = [0, 1 << rangebits]
+    for p in range(partitions):
+        for _ in range(classes[class_list[p]]["dims"]):
+            x.append(br.read(rangebits))
+    if len(set(x)) != len(x):
+        raise ValueError("floor1 X values must be unique")
+    return {"type": 1, "partitions": partitions,
+            "class_list": class_list, "classes": classes,
+            "multiplier": multiplier, "rangebits": rangebits, "X": x}
+
+
+def _write_residue(bw: _BitsW, rs: dict) -> None:
+    bw.write(rs["type"], 16)
+    bw.write(rs["begin"], 24)
+    bw.write(rs["end"], 24)
+    bw.write(rs["partition_size"] - 1, 24)
+    bw.write(rs["classifications"] - 1, 6)
+    bw.write(rs["classbook"], 8)
+    for cas in rs["cascades"]:
+        bw.write(cas & 7, 3)
+        hi = cas >> 3
+        bw.write(1 if hi else 0, 1)
+        if hi:
+            bw.write(hi, 5)
+    for cls, cas in enumerate(rs["cascades"]):
+        for p in range(8):
+            if (cas >> p) & 1:
+                bw.write(rs["books"][cls][p], 8)
+
+
+def _parse_residue(br: _BitsR) -> dict:
+    rtype = br.read(16)
+    if rtype not in (0, 1, 2):
+        raise ValueError(f"reserved residue type {rtype}")
+    begin = br.read(24)
+    end = br.read(24)
+    psize = br.read(24) + 1
+    ncls = br.read(6) + 1
+    classbook = br.read(8)
+    cascades = []
+    for _ in range(ncls):
+        low = br.read(3)
+        hi = br.read(5) if br.read1() else 0
+        cascades.append((hi << 3) | low)
+    books = []
+    for cas in cascades:
+        books.append([br.read(8) if (cas >> p) & 1 else -1
+                      for p in range(8)])
+    return {"type": rtype, "begin": begin, "end": end,
+            "partition_size": psize, "classifications": ncls,
+            "classbook": classbook, "cascades": cascades,
+            "books": books}
+
+
+def _write_mapping(bw: _BitsW, mp: dict, channels: int) -> None:
+    bw.write(0, 16)
+    nsub = len(mp["submap_floor"])
+    if nsub > 1:
+        bw.write(1, 1)
+        bw.write(nsub - 1, 4)
+    else:
+        bw.write(0, 1)
+    steps = mp.get("coupling", [])
+    if steps:
+        bw.write(1, 1)
+        bw.write(len(steps) - 1, 8)
+        bits = _ilog(channels - 1)
+        for mag, ang in steps:
+            bw.write(mag, bits)
+            bw.write(ang, bits)
+    else:
+        bw.write(0, 1)
+    bw.write(0, 2)  # reserved
+    if nsub > 1:
+        for m in mp["mux"]:
+            bw.write(m, 4)
+    for s in range(nsub):
+        bw.write(0, 8)  # discarded time config
+        bw.write(mp["submap_floor"][s], 8)
+        bw.write(mp["submap_residue"][s], 8)
+
+
+def _parse_mapping(br: _BitsR, channels: int) -> dict:
+    if br.read(16) != 0:
+        raise ValueError("reserved mapping type")
+    nsub = (br.read(4) + 1) if br.read1() else 1
+    coupling = []
+    if br.read1():
+        steps = br.read(8) + 1
+        bits = _ilog(channels - 1)
+        for _ in range(steps):
+            mag = br.read(bits)
+            ang = br.read(bits)
+            if mag == ang or mag >= channels or ang >= channels:
+                raise ValueError("illegal coupling pair")
+            coupling.append((mag, ang))
+    if br.read(2) != 0:
+        raise ValueError("nonzero reserved mapping bits")
+    mux = [br.read(4) for _ in range(channels)] if nsub > 1 \
+        else [0] * channels
+    if any(m >= nsub for m in mux):
+        raise ValueError("mux points past submap count")
+    sf, sr = [], []
+    for _ in range(nsub):
+        br.read(8)  # time config placeholder
+        sf.append(br.read(8))
+        sr.append(br.read(8))
+    return {"coupling": coupling, "mux": mux,
+            "submap_floor": sf, "submap_residue": sr}
+
+
+def build_setup_header(setup: dict) -> bytes:
+    """Write the full §4.2.4 setup header from the structured model:
+    ``{"codebooks": [Codebook...], "floors": [...], "residues": [...],
+    "mappings": [...], "modes": [...], "channels": n}``."""
+    bw = _BitsW()
+    bw.write(5, 8)
+    for c in b"vorbis":
+        bw.write(c, 8)
+    bw.write(len(setup["codebooks"]) - 1, 8)
+    for cb in setup["codebooks"]:
+        cb.write(bw)
+    bw.write(0, 6)   # time_count - 1
+    bw.write(0, 16)  # the single placeholder time transform
+    bw.write(len(setup["floors"]) - 1, 6)
+    for fl in setup["floors"]:
+        _write_floor1(bw, fl)
+    bw.write(len(setup["residues"]) - 1, 6)
+    for rs in setup["residues"]:
+        _write_residue(bw, rs)
+    bw.write(len(setup["mappings"]) - 1, 6)
+    for mp in setup["mappings"]:
+        _write_mapping(bw, mp, setup["channels"])
+    bw.write(len(setup["modes"]) - 1, 6)
+    for md in setup["modes"]:
+        bw.write(md["blockflag"], 1)
+        bw.write(0, 16)  # windowtype
+        bw.write(0, 16)  # transformtype
+        bw.write(md["mapping"], 8)
+    bw.write(1, 1)  # framing
+    return bw.getvalue()
+
+
+def parse_setup_header(pkt: bytes, channels: int) -> dict:
+    if pkt[:7] != b"\x05vorbis":
+        raise ValueError("not a Vorbis setup header")
+    br = _BitsR(pkt[7:])
+    codebooks = [Codebook.parse(br) for _ in range(br.read(8) + 1)]
+    for _ in range(br.read(6) + 1):
+        if br.read(16) != 0:
+            raise ValueError("nonzero time transform")
+    floors = [_parse_floor(br) for _ in range(br.read(6) + 1)]
+    residues = [_parse_residue(br) for _ in range(br.read(6) + 1)]
+    mappings = [
+        _parse_mapping(br, channels) for _ in range(br.read(6) + 1)
+    ]
+    modes = []
+    for _ in range(br.read(6) + 1):
+        blockflag = br.read1()
+        if br.read(16) or br.read(16):
+            raise ValueError("reserved window/transform type")
+        modes.append({"blockflag": blockflag, "mapping": br.read(8)})
+    if not br.read1():
+        raise ValueError("missing setup framing bit")
+    return {"codebooks": codebooks, "floors": floors,
+            "residues": residues, "mappings": mappings,
+            "modes": modes, "channels": channels}
+
+
+def parse_headers(data: bytes):
+    """Ogg Vorbis stream → (id_info, comments, setup, audio_packets)
+    where ``audio_packets`` is the list of (packet, granule) after the
+    three headers."""
+    packets = list(ogg_packets(data))
+    if len(packets) < 3:
+        raise ValueError("missing Vorbis headers")
+    info = _parse_id_header(packets[0][0])
+    cpkt = packets[1][0]
+    if cpkt[:7] != b"\x03vorbis":
+        raise ValueError("missing comment header")
+    from tagminder_spark.sources.audiotags.flac import (
+        parse_vorbis_comment,
+    )
+
+    comments = parse_vorbis_comment(cpkt[7:])
+    setup = parse_setup_header(packets[2][0], info["channels"])
+    audio = [(p, g) for p, g, _ in packets[3:]]
+    return info, comments, setup, audio
+
+
+# ---------------------------------------------------------------------------
+# Floor1 (Vorbis I §7.2)
+
+#: §7.2.2: Y-value range per multiplier 1..4
+_FLOOR1_RANGE = (256, 128, 86, 64)
+
+
+def _inverse_db(i: int) -> float:
+    """§7.2.3's floor1_inverse_dB_table as the closed formula it
+    tabulates: ``10 ** ((i - 255) * 7 / 256)`` — endpoints 1.0649863e-07
+    and 1.0 (test-pinned against the spec's listed values)."""
+    return 10.0 ** ((i - 255) * 7.0 / 256.0)
+
+
+def _render_point(x0: int, y0: int, x1: int, y1: int, x: int) -> int:
+    """§9.2.6 integer line point."""
+    dy = y1 - y0
+    adx = x1 - x0
+    err = abs(dy) * (x - x0)
+    off = err // adx
+    return y0 - off if dy < 0 else y0 + off
+
+
+def _render_line(x0: int, y0: int, x1: int, y1: int, v, limit: int):
+    """§9.2.7 Bresenham-style integer line into ``v[x0:x1)``
+    (clamped at ``limit``)."""
+    dy = y1 - y0
+    adx = x1 - x0
+    ady = abs(dy)
+    base = -((-dy) // adx) if dy < 0 else dy // adx  # truncate to 0
+    ady -= abs(base) * adx
+    sy = base - 1 if dy < 0 else base + 1
+    y = y0
+    err = 0
+    if x0 < limit:
+        v[x0] = y
+    for x in range(x0 + 1, min(x1, limit)):
+        err += ady
+        if err >= adx:
+            err -= adx
+            y += sy
+        else:
+            y += base
+        v[x] = y
+
+
+def _low_neighbor(x: list, i: int) -> int:
+    """§9.2.4: index (< i) of the greatest X below X[i]."""
+    best = None
+    for j in range(i):
+        if x[j] < x[i] and (best is None or x[j] > x[best]):
+            best = j
+    return best
+
+
+def _high_neighbor(x: list, i: int) -> int:
+    """§9.2.5: index (< i) of the least X above X[i]."""
+    best = None
+    for j in range(i):
+        if x[j] > x[i] and (best is None or x[j] < x[best]):
+            best = j
+    return best
+
+
+def _floor1_decode(br: _BitsR, fl: dict, books: list):
+    """§7.2.2 packet-side decode → raw Y list, or None (channel
+    unused this frame)."""
+    if not br.read1():
+        return None
+    rng = _FLOOR1_RANGE[fl["multiplier"] - 1]
+    ybits = _ilog(rng - 1)
+    y = [br.read(ybits), br.read(ybits)]
+    for p in range(fl["partitions"]):
+        cls = fl["classes"][fl["class_list"][p]]
+        cbits = cls["subclass_bits"]
+        csub = (1 << cbits) - 1
+        cval = 0
+        if cbits:
+            cval = books[cls["masterbook"]].decode_scalar(br)
+        for _ in range(cls["dims"]):
+            book = cls["books"][cval & csub]
+            cval >>= cbits
+            y.append(books[book].decode_scalar(br) if book >= 0 else 0)
+    return y
+
+
+def _floor1_curve(fl: dict, y: list, half: int):
+    """§7.2.4 amplitude synthesis: raw Y → length-``half`` float
+    floor vector (via the inverse-dB formula)."""
+    rng = _FLOOR1_RANGE[fl["multiplier"] - 1]
+    xs = fl["X"]
+    nvals = len(xs)
+    final = [0] * nvals
+    step2 = [False] * nvals
+    final[0], final[1] = y[0], y[1]
+    step2[0] = step2[1] = True
+    for i in range(2, nvals):
+        lo = _low_neighbor(xs, i)
+        hi = _high_neighbor(xs, i)
+        pred = _render_point(xs[lo], final[lo], xs[hi], final[hi], xs[i])
+        val = y[i]
+        highroom = rng - pred
+        lowroom = pred
+        room = 2 * min(highroom, lowroom)
+        if val:
+            step2[lo] = step2[hi] = step2[i] = True
+            if val >= room:
+                if highroom > lowroom:
+                    final[i] = val - lowroom + pred
+                else:
+                    final[i] = pred - val + highroom - 1
+            elif val & 1:
+                final[i] = pred - ((val + 1) >> 1)
+            else:
+                final[i] = pred + (val >> 1)
+        else:
+            step2[i] = False
+            final[i] = pred
+        final[i] = max(0, min(rng - 1, final[i]))
+    # step 2: render the fit through the retained points, X-sorted
+    order = sorted(range(nvals), key=lambda i: xs[i])
+    mult = fl["multiplier"]
+    vec = [0] * half
+    lx, ly = 0, final[order[0]] * mult
+    hx = 0
+    hy = ly
+    for i in order[1:]:
+        if not step2[i]:
+            continue
+        hx, hy = xs[i], final[i] * mult
+        _render_line(lx, ly, hx, hy, vec, half)
+        lx, ly = hx, hy
+    if hx < half:
+        for x in range(hx, half):
+            vec[x] = hy
+    return [_inverse_db(v) for v in vec]
+
+
+# ---------------------------------------------------------------------------
+# Residues (Vorbis I §8.6)
+
+
+def _residue_decode(br: _BitsR, rs: dict, books: list, vectors,
+                    do_not_decode, half: int, trace=None):
+    """§8.6.2-8.6.5: decode one residue for the submap's channel
+    ``vectors`` (float lists, mutated in place).  Format 2 reduces to
+    format 1 over the channel-interleaved vector.  A premature end of
+    packet stops decode mid-way with everything so far kept (§4.3's
+    'end of packet is not an error' rule).  ``trace`` (optional list
+    per channel slot) records every decoded codebook ENTRY number —
+    the integer layer the oracle gate checks."""
+    fmt = rs["type"]
+
+    def scalar(book, j):
+        e = book.decode_scalar(br)
+        if trace is not None:
+            trace[j if fmt != 2 else 0].append(e)
+        return e
+
+    if fmt == 2:
+        if all(do_not_decode):
+            return
+        inter = [0.0] * (len(vectors) * half)
+        _residue_walk(scalar, rs, books, [inter], [False],
+                      len(inter), 1)
+        ch = len(vectors)
+        for j in range(ch):
+            vectors[j][:] = inter[j::ch]
+        return
+    _residue_walk(scalar, rs, books, vectors, do_not_decode, half, fmt)
+
+
+def _residue_walk(scalar, rs: dict, books: list, vectors,
+                  do_not_decode, vec_len: int, fmt: int):
+    """The §8.6.2 partition walk, shared by decode and the encoder
+    twin: ``scalar(book, ch_slot)`` supplies each codebook entry —
+    from the bitstream when decoding, from the caller's queues when
+    encoding (the twin writes the codeword as a side effect), so the
+    two directions can never drift apart."""
+    begin, end = rs["begin"], rs["end"]
+    begin, end = min(begin, vec_len), min(end, vec_len)
+    psize = rs["partition_size"]
+    ncls = rs["classifications"]
+    classbook = books[rs["classbook"]]
+    classwords = classbook.dims
+    n_to_read = end - begin
+    if n_to_read == 0:
+        return
+    parts = n_to_read // psize
+    nch = len(vectors)
+    classif = [[0] * (parts + classwords) for _ in range(nch)]
+    try:
+        for p in range(8):
+            pcount = 0
+            while pcount < parts:
+                if p == 0:
+                    for j in range(nch):
+                        if do_not_decode[j]:
+                            continue
+                        temp = scalar(classbook, j)
+                        for i in range(classwords - 1, -1, -1):
+                            classif[j][pcount + i] = temp % ncls
+                            temp //= ncls
+                i = 0
+                while i < classwords and pcount < parts:
+                    for j in range(nch):
+                        if do_not_decode[j]:
+                            continue
+                        vq = classif[j][pcount]
+                        book_idx = rs["books"][vq][p]
+                        if book_idx < 0:
+                            continue
+                        book = books[book_idx]
+                        off = begin + pcount * psize
+                        v = vectors[j]
+                        if fmt == 0:
+                            step = psize // book.dims
+                            for k in range(step):
+                                vals = book.vq_lookup(scalar(book, j))
+                                for li, val in enumerate(vals):
+                                    v[off + k + li * step] += val
+                        else:
+                            k = 0
+                            while k < psize:
+                                for val in book.vq_lookup(
+                                    scalar(book, j)
+                                ):
+                                    v[off + k] += val
+                                    k += 1
+                    i += 1
+                    pcount += 1
+    except EOFError:
+        pass  # §4.3: end-of-packet mid-residue renders what we have
+
+
+# ---------------------------------------------------------------------------
+# Synthesis (Vorbis I §4.3, §6)
+
+_IMDCT_CACHE: dict = {}
+
+
+def _imdct_matrix(n: int):
+    """§6 inverse MDCT as the literal definition:
+    ``y[j] = Σ_k X[k]·cos(π/(2n)·(2j+1+n/2)·(2k+1))`` — an (n, n/2)
+    cosine matrix, cached per block size (float64, ≤16 MB at 2048)."""
+    import numpy as np
+
+    m = _IMDCT_CACHE.get(n)
+    if m is None:
+        j = np.arange(n, dtype=np.float64)[:, None]
+        k = np.arange(n // 2, dtype=np.float64)[None, :]
+        m = np.cos(np.pi / (2 * n) * (2 * j + 1 + n / 2) * (2 * k + 1))
+        _IMDCT_CACHE[n] = m
+    return m
+
+
+def _window(n: int, prev_flag: int, next_flag: int, bs0: int,
+            blockflag: int):
+    """§4.3.1 window: full slopes for short blocks; a long block
+    lapping a short neighbor narrows that side's slope to bs0/2,
+    centered at the n/4 (left) / 3n/4 (right) quarter points."""
+    import numpy as np
+
+    w = np.zeros(n)
+    if blockflag and not prev_flag:
+        ls, le = n // 4 - bs0 // 4, n // 4 + bs0 // 4
+    else:
+        ls, le = 0, n // 2
+    if blockflag and not next_flag:
+        rs_, re = 3 * n // 4 - bs0 // 4, 3 * n // 4 + bs0 // 4
+    else:
+        rs_, re = n // 2, n
+    i = np.arange(le - ls, dtype=np.float64)
+    w[ls:le] = np.sin(
+        0.5 * np.pi * np.sin((i + 0.5) / (le - ls) * 0.5 * np.pi) ** 2
+    )
+    w[le:rs_] = 1.0
+    i = np.arange(re - rs_, dtype=np.float64)
+    w[rs_:re] = np.sin(
+        0.5 * np.pi
+        * np.sin((i + 0.5) / (re - rs_) * 0.5 * np.pi + 0.5 * np.pi) ** 2
+    )
+    return w
+
+
+def _decode_packet(info: dict, setup: dict, pkt: bytes, trace=None,
+                   *, synthesize: bool = True):
+    """One §4.3 audio packet → (windowed per-channel outputs (n,),
+    n).  ``trace`` (a dict) captures the packet's INTEGER layer:
+    mode, window flags, raw floor Y values, residue entry numbers.
+    ``synthesize=False`` stops after the integer layer (the report
+    path — no float stage runs)."""
+    import numpy as np
+
+    br = _BitsR(pkt)
+    if br.read1() != 0:
+        raise ValueError("not an audio packet")
+    mode_idx = br.read(_ilog(len(setup["modes"]) - 1))
+    mode = setup["modes"][mode_idx]
+    mapping = setup["mappings"][mode["mapping"]]
+    blockflag = mode["blockflag"]
+    n = info["blocksize1"] if blockflag else info["blocksize0"]
+    prev_flag = next_flag = 1
+    if blockflag:
+        prev_flag = br.read1()
+        next_flag = br.read1()
+    half = n // 2
+    ch = info["channels"]
+    books = setup["codebooks"]
+    floors_y = []
+    no_residue = []
+    for c in range(ch):
+        fl = setup["floors"][mapping["submap_floor"][mapping["mux"][c]]]
+        y = _floor1_decode(br, fl, books)
+        floors_y.append(y)
+        no_residue.append(y is None)
+    # §4.3.4: a coupled pair decodes if either side has a floor
+    for mag, ang in mapping["coupling"]:
+        if not (no_residue[mag] and no_residue[ang]):
+            no_residue[mag] = no_residue[ang] = False
+    residues = [[0.0] * half for _ in range(ch)]
+    res_trace = [[] for _ in range(ch)] if trace is not None else None
+    for s in range(len(mapping["submap_floor"])):
+        chans = [c for c in range(ch) if mapping["mux"][c] == s]
+        rs = setup["residues"][mapping["submap_residue"][s]]
+        _residue_decode(
+            br, rs, books,
+            [residues[c] for c in chans],
+            [no_residue[c] for c in chans], half,
+            [res_trace[c] for c in chans]
+            if res_trace is not None else None,
+        )
+    # §4.3.5 inverse coupling (square polar), reverse step order
+    for mag, ang in reversed(mapping["coupling"]):
+        M, A = residues[mag], residues[ang]
+        for i in range(half):
+            m, a = M[i], A[i]
+            if m > 0:
+                if a > 0:
+                    M[i], A[i] = m, m - a
+                else:
+                    M[i], A[i] = m + a, m
+            else:
+                if a > 0:
+                    M[i], A[i] = m, m + a
+                else:
+                    M[i], A[i] = m - a, m
+    outs = []
+    if synthesize:
+        w = _window(n, prev_flag, next_flag, info["blocksize0"],
+                    blockflag)
+        for c in range(ch):
+            if floors_y[c] is None:
+                outs.append(np.zeros(n))
+                continue
+            fl = setup["floors"][
+                mapping["submap_floor"][mapping["mux"][c]]
+            ]
+            curve = np.asarray(_floor1_curve(fl, floors_y[c], half))
+            spectrum = curve * np.asarray(residues[c])
+            outs.append((_imdct_matrix(n) @ spectrum) * w)
+    if trace is not None:
+        trace.update(
+            mode=mode_idx, n=n, prev_flag=prev_flag,
+            next_flag=next_flag, floor_y=floors_y,
+            res_entries=res_trace,
+        )
+    return outs, n
+
+
+def decode_vorbis(data: bytes, *, return_float: bool = False):
+    """Full Ogg Vorbis → PCM: (rate, channels, samples (frames, ch) —
+    int16 by default, float64 with ``return_float``).  Lapping: block
+    k's window center sits (n_{k-1}+n_k)/4 after block k-1's (the
+    §4.3.9 return rule — every slope pair then coincides, which the
+    perfect-reconstruction round-trip tests pin), output runs from
+    the first to the last center, tail-trimmed to the final page's
+    granule position."""
+    import numpy as np
+
+    info, _comments, setup, audio = parse_headers(data)
+    ch = info["channels"]
+    if not audio:
+        return info["rate"], ch, np.zeros((0, ch), dtype=np.int16)
+    blocks = [_decode_packet(info, setup, pkt) for pkt, _g in audio]
+    starts = [0]
+    for k in range(1, len(blocks)):
+        nprev, ncur = blocks[k - 1][1], blocks[k][1]
+        starts.append(starts[-1] + (3 * nprev - ncur) // 4)
+    # a long block after a short one starts BEFORE the short block's
+    # left edge (its leading window region is zero) — shift the
+    # timeline so every start is non-negative
+    shift = -min(starts)
+    starts = [s + shift for s in starts]
+    span = max(s + b[1] for s, b in zip(starts, blocks))
+    buf = np.zeros((ch, span))
+    for (outs, n), st in zip(blocks, starts):
+        for c in range(ch):
+            buf[c, st:st + n] += outs[c]
+    c0 = starts[0] + blocks[0][1] // 2
+    cl = starts[-1] + blocks[-1][1] // 2
+    pcm = buf[:, c0:cl].T
+    final_granule = audio[-1][1]
+    if 0 <= final_granule < pcm.shape[0]:
+        pcm = pcm[:final_granule]
+    if return_float:
+        return info["rate"], ch, pcm
+    out = np.clip(np.rint(pcm * 32767.0), -32768, 32767).astype(
+        np.int16
+    )
+    return info["rate"], ch, out
+
+
+def vorbis_packet_report(data: bytes) -> list[dict]:
+    """Integer-layer stream report, one dict per AUDIO packet: mode,
+    blocksize, window flags, granule, per-channel raw floor Y values
+    and residue codebook entry numbers — the Vorbis twin of
+    ``mp3.granule_report`` (everything here is bit-exact integers an
+    oracle can recompute; no float stage involved)."""
+    info, _comments, setup, audio = parse_headers(data)
+    out = []
+    for idx, (pkt, granule) in enumerate(audio):
+        tr: dict = {}
+        _decode_packet(info, setup, pkt, trace=tr, synthesize=False)
+        out.append({
+            "packet": idx,
+            "granule": granule,
+            "mode": tr["mode"],
+            "n": tr["n"],
+            "prev_flag": tr["prev_flag"],
+            "next_flag": tr["next_flag"],
+            "floor_y": tr["floor_y"],
+            "res_entries": tr["res_entries"],
+        })
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Encoder twin — genuine streams from explicit integer payloads
+
+def _floor1_encode(bw: _BitsW, fl: dict, books: list, y) -> None:
+    """Write one channel's §7.2.2 floor payload.  ``y`` is the raw
+    Y-value list (None → channel unused this frame).  Twin envelope:
+    classes with ``subclass_bits > 0`` would need the caller to pick
+    master-book class values; the twin keeps one book per class."""
+    if y is None:
+        bw.write(0, 1)
+        return
+    bw.write(1, 1)
+    rng = _FLOOR1_RANGE[fl["multiplier"] - 1]
+    ybits = _ilog(rng - 1)
+    bw.write(y[0], ybits)
+    bw.write(y[1], ybits)
+    off = 2
+    for p in range(fl["partitions"]):
+        cls = fl["classes"][fl["class_list"][p]]
+        if cls["subclass_bits"]:
+            raise NotImplementedError(
+                "twin envelope: floor classes carry one book "
+                "(subclass_bits == 0)"
+            )
+        book = books[cls["books"][0]]
+        for _ in range(cls["dims"]):
+            book.encode_scalar(bw, y[off])
+            off += 1
+
+
+def build_audio_packet(info: dict, setup: dict, spec: dict) -> bytes:
+    """One §4.3 audio packet from an explicit payload:
+    ``{"mode": i, "prev_flag": b, "next_flag": b,
+    "floor_y": [per-channel raw Y list | None],
+    "res_entries": [per-channel codebook entry queue]}``.
+    Residue entries are consumed by the SAME §8.6.2 walk the decoder
+    runs (:func:`_residue_walk`), so ordering can never drift."""
+    bw = _BitsW()
+    bw.write(0, 1)
+    bw.write(spec.get("mode", 0), _ilog(len(setup["modes"]) - 1))
+    mode = setup["modes"][spec.get("mode", 0)]
+    mapping = setup["mappings"][mode["mapping"]]
+    blockflag = mode["blockflag"]
+    n = info["blocksize1"] if blockflag else info["blocksize0"]
+    if blockflag:
+        bw.write(spec.get("prev_flag", 1), 1)
+        bw.write(spec.get("next_flag", 1), 1)
+    half = n // 2
+    ch = info["channels"]
+    books = setup["codebooks"]
+    floors_y = spec["floor_y"]
+    no_residue = []
+    for c in range(ch):
+        fl = setup["floors"][mapping["submap_floor"][mapping["mux"][c]]]
+        _floor1_encode(bw, fl, books, floors_y[c])
+        no_residue.append(floors_y[c] is None)
+    for mag, ang in mapping["coupling"]:
+        if not (no_residue[mag] and no_residue[ang]):
+            no_residue[mag] = no_residue[ang] = False
+    queues = [list(q) for q in spec["res_entries"]]
+    for s in range(len(mapping["submap_floor"])):
+        chans = [c for c in range(ch) if mapping["mux"][c] == s]
+        rs = setup["residues"][mapping["submap_residue"][s]]
+        dnd = [no_residue[c] for c in chans]
+        fmt = rs["type"]
+        if fmt == 2:
+            if all(dnd):
+                continue
+            qs = [queues[chans[0]]]
+            vecs = [[0.0] * (len(chans) * half)]
+            dnd_w, vlen, wfmt = [False], len(vecs[0]), 1
+        else:
+            qs = [queues[c] for c in chans]
+            vecs = [[0.0] * half for _ in chans]
+            dnd_w, vlen, wfmt = dnd, half, fmt
+
+        def scalar(book, j, _qs=qs):
+            e = _qs[j].pop(0)
+            book.encode_scalar(bw, e)
+            return e
+
+        _residue_walk(scalar, rs, books, vecs, dnd_w, vlen, wfmt)
+    leftover = [len(q) for q in queues]
+    if any(leftover):
+        raise ValueError(
+            f"residue entry queues not fully consumed: {leftover}"
+        )
+    return bw.getvalue()
+
+
+def build_vorbis_stream(
+    channels: int,
+    rate: int,
+    setup: dict,
+    packet_specs: list[dict],
+    *,
+    blocksize0: int = 256,
+    blocksize1: int = 2048,
+    comments: dict | None = None,
+    serial: int = 1,
+    max_payload: int = 255 * 200,
+    final_granule: int | None = None,
+) -> bytes:
+    """A complete, valid Ogg Vorbis stream (header triple + audio
+    packets) from explicit per-packet payloads — the encoder twin.
+    Granule positions follow §4.3.9: cumulative (n_prev + n_cur)/4
+    output samples per packet after the first."""
+    info = {"channels": channels, "rate": rate,
+            "blocksize0": blocksize0, "blocksize1": blocksize1}
+    setup = dict(setup)
+    setup["channels"] = channels
+    pkts = [
+        build_id_header(channels, rate, blocksize0=blocksize0,
+                        blocksize1=blocksize1),
+        build_comment_header(comments=comments),
+        build_setup_header(setup),
+    ]
+    sizes = []
+    for spec in packet_specs:
+        mode = setup["modes"][spec.get("mode", 0)]
+        sizes.append(blocksize1 if mode["blockflag"] else blocksize0)
+        pkts.append(build_audio_packet(info, setup, spec))
+    granules = [0, 0, 0]
+    acc = 0
+    for k, nk in enumerate(sizes):
+        if k:
+            acc += (sizes[k - 1] + nk) // 4
+        granules.append(acc)
+    if final_granule is not None and granules:
+        granules[-1] = final_granule
+    return build_ogg_pages(
+        pkts, serial, granules, max_payload=max_payload,
+        group_headers=3,
+    )
