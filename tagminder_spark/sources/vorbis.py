@@ -1263,11 +1263,16 @@ def vorbis_packet_report(data: bytes) -> list[dict]:
 # ---------------------------------------------------------------------------
 # Encoder twin — genuine streams from explicit integer payloads
 
-def _floor1_encode(bw: _BitsW, fl: dict, books: list, y) -> None:
+def _floor1_encode(bw: _BitsW, fl: dict, books: list, y,
+                   cvals=None) -> None:
     """Write one channel's §7.2.2 floor payload.  ``y`` is the raw
-    Y-value list (None → channel unused this frame).  Twin envelope:
-    classes with ``subclass_bits > 0`` would need the caller to pick
-    master-book class values; the twin keeps one book per class."""
+    Y-value list (None → channel unused this frame).  For classes
+    with ``subclass_bits > 0`` the caller supplies ``cvals`` — one
+    master-book entry per partition — and the writer derives the
+    SAME per-dimension sub-book selection the decoder will
+    (``cval & csub``, shifted), so the Y entries land in matching
+    books.  A Y value of 0 destined for a 'no book' (-1) slot is
+    written as nothing, exactly like decode reads nothing."""
     if y is None:
         bw.write(0, 1)
         return
@@ -1279,14 +1284,26 @@ def _floor1_encode(bw: _BitsW, fl: dict, books: list, y) -> None:
     off = 2
     for p in range(fl["partitions"]):
         cls = fl["classes"][fl["class_list"][p]]
-        if cls["subclass_bits"]:
-            raise NotImplementedError(
-                "twin envelope: floor classes carry one book "
-                "(subclass_bits == 0)"
-            )
-        book = books[cls["books"][0]]
+        cbits = cls["subclass_bits"]
+        csub = (1 << cbits) - 1
+        cval = 0
+        if cbits:
+            if cvals is None:
+                raise ValueError(
+                    "floor classes with subclasses need per-partition"
+                    " master entries (cvals)"
+                )
+            cval = cvals[p]
+            books[cls["masterbook"]].encode_scalar(bw, cval)
         for _ in range(cls["dims"]):
-            book.encode_scalar(bw, y[off])
+            book_idx = cls["books"][cval & csub]
+            cval >>= cbits
+            if book_idx >= 0:
+                books[book_idx].encode_scalar(bw, y[off])
+            elif y[off] != 0:
+                raise ValueError(
+                    "Y value for a no-book subclass slot must be 0"
+                )
             off += 1
 
 
@@ -1311,10 +1328,12 @@ def build_audio_packet(info: dict, setup: dict, spec: dict) -> bytes:
     ch = info["channels"]
     books = setup["codebooks"]
     floors_y = spec["floor_y"]
+    cvals = spec.get("floor_cvals")
     no_residue = []
     for c in range(ch):
         fl = setup["floors"][mapping["submap_floor"][mapping["mux"][c]]]
-        _floor1_encode(bw, fl, books, floors_y[c])
+        _floor1_encode(bw, fl, books, floors_y[c],
+                       cvals[c] if cvals else None)
         no_residue.append(floors_y[c] is None)
     for mag, ang in mapping["coupling"]:
         if not (no_residue[mag] and no_residue[ang]):

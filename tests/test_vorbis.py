@@ -387,3 +387,189 @@ def test_twin_integer_roundtrip_property(seed, npkt):
         want = _payload(seed + k)
         assert r["floor_y"] == want["floor_y"]
         assert r["res_entries"] == want["res_entries"]
+
+
+# ---------------------------------------------------------------------------
+# envelope-hardening: the decode paths beyond the gate's default twin
+
+
+def _setup_residue_fmt(fmt: int, cascades=None, books_pass1=False):
+    """Mono setup with a format-``fmt`` residue (non-interleaved
+    variants decode per channel) and optionally a second cascade
+    pass."""
+    books = [
+        Codebook(1, [6] * 64),
+        Codebook(2, [2] * 4),
+        Codebook(4, [4] * 16, lookup_type=1, minimum=0.0, delta=1.0,
+                 value_bits=1, multiplicands=[0, 1]),
+        Codebook(4, [4] * 16, lookup_type=1, minimum=-1.0, delta=1.0,
+                 value_bits=1, multiplicands=[0, 1]),
+    ]
+    cas = cascades or [1, 1]
+    bk = [[2, -1, -1, -1, -1, -1, -1, -1],
+          [3, -1, -1, -1, -1, -1, -1, -1]]
+    if books_pass1:
+        bk = [[2, 3, -1, -1, -1, -1, -1, -1],
+              [3, 2, -1, -1, -1, -1, -1, -1]]
+    return {
+        "channels": 1,
+        "codebooks": books,
+        "floors": [{
+            "type": 1, "partitions": 1, "class_list": [0],
+            "classes": [{"dims": 3, "subclass_bits": 0,
+                         "masterbook": None, "books": [0]}],
+            "multiplier": 4, "rangebits": 6, "X": [0, 64, 16, 32, 48],
+        }],
+        "residues": [{
+            "type": fmt, "begin": 0, "end": 128, "partition_size": 16,
+            "classifications": 2, "classbook": 1, "cascades": cas,
+            "books": bk,
+        }],
+        "mappings": [{"coupling": [], "mux": [0],
+                      "submap_floor": [0], "submap_residue": [0]}],
+        "modes": [{"blockflag": 0, "mapping": 0}],
+    }
+
+
+@pytest.mark.parametrize("fmt", [0, 1, 2])
+def test_residue_formats_all_round_trip(fmt):
+    setup = _setup_residue_fmt(fmt)
+    specs = [_payload(k) for k in range(3)]
+    stream = build_vorbis_stream(1, 8000, setup, specs,
+                                 blocksize0=256, blocksize1=256)
+    rep = vorbis_packet_report(stream)
+    for k, r in enumerate(rep):
+        want = _payload(k)
+        assert r["floor_y"] == want["floor_y"]
+        assert r["res_entries"] == want["res_entries"], fmt
+    rate, ch, pcm = decode_vorbis(stream)
+    assert pcm.shape == (256, 1) and np.abs(pcm).max() > 0
+
+
+def test_residue_multi_pass_cascade_round_trips():
+    """cascade 0b11: every partition decodes in pass 0 AND pass 1 —
+    the queue covers both passes in walk order (classwords only in
+    pass 0)."""
+    setup = _setup_residue_fmt(1, cascades=[3, 3], books_pass1=True)
+    q = []
+    for cw in range(4):              # pass 0: classwords + values
+        q.append(cw % 4)
+        q.extend([(cw * 8 + j) % 16 for j in range(8)])
+    q.extend([(5 + j) % 16 for j in range(32)])  # pass 1: values only
+    spec = {"mode": 0, "floor_y": [[1, 2, 3, 4, 5]],
+            "res_entries": [q]}
+    stream = build_vorbis_stream(1, 8000, setup, [spec],
+                                 blocksize0=256, blocksize1=256)
+    rep = vorbis_packet_report(stream)
+    assert rep[0]["res_entries"][0] == q
+    decode_vorbis(stream)
+
+
+def test_floor_subclass_books_round_trip():
+    """subclass_bits > 0: master-book entry selects per-dimension
+    sub-books; writer and reader must derive the same selection."""
+    books = [
+        Codebook(1, [3] * 8),             # 0: masterbook (3-bit cvals)
+        Codebook(1, [6] * 64),            # 1: sub-book A
+        Codebook(1, [6] * 64),            # 2: sub-book B
+        Codebook(2, [2] * 4),             # 3: classbook
+        Codebook(4, [4] * 16, lookup_type=1, minimum=0.0, delta=1.0,
+                 value_bits=1, multiplicands=[0, 1]),
+    ]
+    setup = {
+        "channels": 1,
+        "codebooks": books,
+        "floors": [{
+            "type": 1, "partitions": 1, "class_list": [0],
+            "classes": [{"dims": 3, "subclass_bits": 1,
+                         "masterbook": 0, "books": [1, 2]}],
+            "multiplier": 4, "rangebits": 6, "X": [0, 64, 16, 32, 48],
+        }],
+        "residues": [{
+            "type": 2, "begin": 0, "end": 128, "partition_size": 16,
+            "classifications": 2, "classbook": 3, "cascades": [1, 1],
+            "books": [[4, -1, -1, -1, -1, -1, -1, -1],
+                      [4, -1, -1, -1, -1, -1, -1, -1]],
+        }],
+        "mappings": [{"coupling": [], "mux": [0],
+                      "submap_floor": [0], "submap_residue": [0]}],
+        "modes": [{"blockflag": 0, "mapping": 0}],
+    }
+    for cval in range(8):
+        spec = {"mode": 0, "floor_y": [[9, 18, 27, 36, 45]],
+                "floor_cvals": [[cval]],
+                "res_entries": [[0] * 9 * 4]}
+        stream = build_vorbis_stream(1, 8000, setup, [spec],
+                                     blocksize0=256, blocksize1=256)
+        rep = vorbis_packet_report(stream)
+        assert rep[0]["floor_y"] == [[9, 18, 27, 36, 45]], cval
+    decode_vorbis(stream)
+
+
+def test_unused_floor_channel_is_silent():
+    """floor nonzero-bit 0: the channel decodes to silence and its
+    residue is skipped entirely (do-not-decode)."""
+    setup = _twin_setup()
+    spec = {"mode": 0, "floor_y": [None], "res_entries": [[]]}
+    stream = build_vorbis_stream(
+        1, 8000, setup, [spec, _payload(1), spec],
+        blocksize0=256, blocksize1=256)
+    rep = vorbis_packet_report(stream)
+    assert rep[0]["floor_y"] == [None]
+    assert rep[0]["res_entries"] == [[]]
+    assert rep[1]["floor_y"] == _payload(1)["floor_y"]
+    rate, ch, pcm = decode_vorbis(stream, return_float=True)
+    # 3 packets of 256 → (256+256)/4 × 2 = 256 output samples
+    assert pcm.shape == (256, 1)
+    assert np.isfinite(pcm).all()
+
+
+def test_ordered_codebook_parse():
+    """§3.2.1 ordered length list: lengths written as run counts per
+    ascending length."""
+    from tagminder_spark.sources.vorbis import _BitsR, _BitsW, _ilog
+
+    bw = _BitsW()
+    bw.write(0x564342, 24)
+    bw.write(1, 16)           # dims
+    entries = 6
+    bw.write(entries, 24)
+    bw.write(1, 1)            # ordered
+    bw.write(2 - 1, 5)        # current_length = 2
+    # 2 entries of len 2, then 4 of len 3 -> kraft complete
+    bw.write(2, _ilog(6))     # ilog(6-0)=3 bits
+    bw.write(4, _ilog(4))     # ilog(6-2)=3 bits
+    bw.write(0, 4)            # lookup type 0
+    cb = Codebook.parse(_BitsR(bw.getvalue()))
+    assert cb.lengths == [2, 2, 3, 3, 3, 3]
+    # and the codes are decodable
+    bw2 = _BitsW()
+    for e in [5, 0, 3]:
+        cb.encode_scalar(bw2, e)
+    br = _BitsR(bw2.getvalue())
+    assert [cb.decode_scalar(br) for _ in range(3)] == [5, 0, 3]
+
+
+def test_truncated_audio_packet_keeps_partial_residue():
+    """§4.3: end-of-packet mid-residue is not an error — the decode
+    keeps what it has."""
+    setup = _twin_setup()
+    stream = build_vorbis_stream(1, 8000, setup,
+                                 [_payload(0), _payload(1)],
+                                 blocksize0=256, blocksize1=256)
+    # truncate the LAST audio packet by rebuilding the final page
+    # with a shortened payload: simplest route — cut the stream and
+    # re-run through the ogg layer via packets
+    from tagminder_spark.sources.vorbis import build_ogg_pages, ogg_packets
+
+    pkts = [(p, g) for p, g, _ in ogg_packets(stream)]
+    cut = pkts[-1][0][:len(pkts[-1][0]) // 2]
+    stream2 = build_ogg_pages(
+        [p for p, _ in pkts[:-1]] + [cut], 1,
+        [g for _, g in pkts], group_headers=3)
+    rep = vorbis_packet_report(stream2)
+    assert len(rep) == 2
+    assert rep[0]["res_entries"] == _payload(0)["res_entries"]
+    # truncated packet: fewer entries than the full payload, no raise
+    assert len(rep[1]["res_entries"][0]) < 36
+    decode_vorbis(stream2)
