@@ -749,13 +749,14 @@ def chunk_audio(
     output row per (window_ms) chunk advanced by hop_ms, with the raw
     chunk bytes carried through Arrow.
 
-    REAL path (runs in this container): RIFF/WAVE PCM and FLAC decode
-    via :func:`decode_audio` (stdlib ``wave`` /
-    :mod:`~tagminder_spark.sources.flac`) and windows are
+    REAL path (runs in this container): RIFF/WAVE PCM, FLAC, and Ogg
+    Vorbis (round 12) decode via :func:`decode_audio` (stdlib
+    ``wave`` / :mod:`~tagminder_spark.sources.flac` /
+    :mod:`~tagminder_spark.sources.vorbis`) and windows are
     SAMPLE-ACCURATE — frame range [start_ms·rate/1000,
     ceil(end_ms·rate/1000)), chunk bytes = the raw PCM of exactly those
-    frames.  Remaining compressed formats (MP3/Opus/…) would need
-    soundfile/librosa and fall through to the fake. Fake path
+    frames.  The remaining compressed formats (MP3 spectral / Opus —
+    the documented table seams) fall through to the fake. Fake path
     (deterministic, oracle-replayable): duration_ms = len(content) *
     ``ms_per_byte`` and a chunk's bytes are the proportional byte range
     [start_ms/ms_per_byte, ceil(end_ms/ms_per_byte)) of the content —

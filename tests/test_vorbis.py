@@ -573,3 +573,32 @@ def test_truncated_audio_packet_keeps_partial_residue():
     # truncated packet: fewer entries than the full payload, no raise
     assert len(rep[1]["res_entries"][0]) < 36
     decode_vorbis(stream2)
+
+
+def test_chunk_audio_real_path_over_vorbis(spark):
+    """chunk_audio reaches the REAL decode path for Ogg Vorbis
+    content: duration from decoded frames (not the byte-proportional
+    fake), chunk bytes = the exact PCM frame ranges."""
+    import numpy as np
+
+    from tagminder_spark.sources.multimodal import chunk_audio
+
+    setup = _twin_setup()
+    stream = build_vorbis_stream(1, 8000, setup,
+                                 [_payload(k) for k in range(5)],
+                                 blocksize0=256, blocksize1=256)
+    rate, ch, pcm = decode_vorbis(stream)  # 512 frames @8k = 64 ms
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(stream))],
+        "media_id long, kind string, content binary",
+    )
+    rows = sorted(
+        chunk_audio(media, window_ms=40, hop_ms=30).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert [r["start_ms"] for r in rows] == [0, 30, 60]
+    got0 = np.frombuffer(bytes(rows[0]["chunk_bytes"]), dtype=np.int16)
+    want0 = pcm[: 40 * rate // 1000].ravel()
+    assert np.array_equal(got0, want0)
+    got2 = np.frombuffer(bytes(rows[2]["chunk_bytes"]), dtype=np.int16)
+    assert np.array_equal(got2, pcm[60 * rate // 1000:].ravel())
