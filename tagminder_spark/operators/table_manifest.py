@@ -4196,6 +4196,10 @@ _BLOOM_CACHE_MAX_BYTES = 64 << 20
 #: above this the membership test runs as a distributed job and only
 #: the dropped rel strings come back
 _BLOOM_DRIVER_LOAD_MAX = 32 << 20
+#: and a rel-count cap for the same switch — the selective read pushes
+#: `rel IN (misses)` into the sidecar, and a five-digit literal list
+#: is itself a plan-size burden even when the bytes fit
+_BLOOM_DRIVER_LOAD_MAX_RELS = 4096
 
 
 def _bloom_cache_put(key: tuple, entry) -> None:
@@ -4609,7 +4613,8 @@ def _bloom_prune(
         uncached = sum(
             1 for rel in rels if base_key + (rel,) not in _BLOOM_CACHE
         )
-        if uncached * (m // 8) > _BLOOM_DRIVER_LOAD_MAX:
+        if (uncached * (m // 8) > _BLOOM_DRIVER_LOAD_MAX
+                or uncached > _BLOOM_DRIVER_LOAD_MAX_RELS):
             dropped |= _bloom_drop_distributed(
                 spark, fs, base, doc, rels, tests
             )
