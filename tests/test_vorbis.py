@@ -602,3 +602,13 @@ def test_chunk_audio_real_path_over_vorbis(spark):
     assert np.array_equal(got0, want0)
     got2 = np.frombuffer(bytes(rows[2]["chunk_bytes"]), dtype=np.int16)
     assert np.array_equal(got2, pcm[60 * rate // 1000:].ravel())
+
+
+def test_headers_only_stream_decodes_to_empty_pcm():
+    setup = _twin_setup()
+    stream = build_vorbis_stream(1, 8000, setup, [],
+                                 blocksize0=256, blocksize1=256)
+    rate, ch, pcm = decode_vorbis(stream)
+    assert (rate, ch) == (8000, 1)
+    assert pcm.shape == (0, 1)
+    assert vorbis_packet_report(stream) == []
