@@ -330,6 +330,15 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
              ("class_sum", "num"), ("value_sum", "num"),
              ("value_wsum", "num")],
         ),
+        # round 12: REAL Opus stream layer — TOC arithmetic, all four
+        # frame-count codes, VBR lengths, padding chains, granules
+        "mm_real_opus_packets": (
+            ["media_id", "packet"],
+            [("config", "num"), ("mode", "str"), ("stereo", "num"),
+             ("nframes", "num"), ("samples", "num"),
+             ("frame_len_sum", "num"), ("padding", "num"),
+             ("granule", "num")],
+        ),
         "mm_video_frames": (
             ["media_id", "frame_idx"], [("frame_b64", "str")],
         ),
