@@ -325,7 +325,7 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
         # through the §8.6.2 partition walk
         "mm_real_vorbis_packets": (
             ["media_id", "packet"],
-            [("granule", "num"), ("blocksize", "num"),
+            [("mode", "num"), ("granule", "num"), ("blocksize", "num"),
              ("floor_y_sum", "num"), ("floor_y_wsum", "num"),
              ("class_sum", "num"), ("value_sum", "num"),
              ("value_wsum", "num")],

@@ -1741,9 +1741,22 @@ _MM_VORBIS_SQL = """
 WITH d AS (
   SELECT doc_id, 3 + doc_id % 3 AS npkt FROM documents
 ), pk AS (
-  SELECT doc_id, p.generate_series AS k
+  SELECT doc_id, p.generate_series AS k,
+         CASE WHEN (doc_id + p.generate_series) % 4 = 3
+              THEN 1 ELSE 0 END AS mode,
+         CASE WHEN (doc_id + p.generate_series) % 4 = 3
+              THEN 2048 ELSE 256 END AS bs
   FROM d, generate_series(0, 4) AS p
   WHERE p.generate_series < npkt
+), st AS (
+  SELECT doc_id, k, mode, bs,
+         COALESCE((LAG(bs) OVER (PARTITION BY doc_id ORDER BY k)
+                   + bs) // 4, 0) AS step
+  FROM pk
+), gr AS (
+  SELECT doc_id, k, mode, bs,
+         SUM(step) OVER (PARTITION BY doc_id ORDER BY k) AS granule
+  FROM st
 ), fy AS (
   SELECT doc_id, k,
          SUM((doc_id * 7 + k * 5 + i.generate_series * 3) % 64) AS ysum,
@@ -1769,14 +1782,16 @@ WITH d AS (
 )
 SELECT fy.doc_id AS media_id,
        CAST(fy.k AS INT) AS packet,
-       CAST(fy.k * 128 AS BIGINT) AS granule,
-       CAST(256 AS INT) AS blocksize,
+       CAST(gr.mode AS INT) AS mode,
+       CAST(gr.granule AS BIGINT) AS granule,
+       CAST(gr.bs AS INT) AS blocksize,
        CAST(fy.ysum AS BIGINT) AS floor_y_sum,
        CAST(fy.ywsum AS BIGINT) AS floor_y_wsum,
        CAST(cls.csum AS BIGINT) AS class_sum,
        CAST(vals.vsum AS BIGINT) AS value_sum,
        CAST(vals.vwsum AS BIGINT) AS value_wsum
 FROM fy
+JOIN gr ON gr.doc_id = fy.doc_id AND gr.k = fy.k
 JOIN cls ON cls.doc_id = fy.doc_id AND cls.k = fy.k
 JOIN vals ON vals.doc_id = fy.doc_id AND vals.k = fy.k
 """
@@ -1832,7 +1847,11 @@ def mm_real_vorbis_packets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mappings": [{"coupling": [], "mux": [0],
                           "submap_floor": [0],
                           "submap_residue": [0]}],
-            "modes": [{"blockflag": 0, "mapping": 0}],
+            # mode 1 = long blocks (2048): every (did+k)%4==3 packet
+            # exercises window transitions AND the (n_prev+n_cur)/4
+            # granule arithmetic the oracle replays as a window SUM
+            "modes": [{"blockflag": 0, "mapping": 0},
+                      {"blockflag": 1, "mapping": 0}],
         }
         for pdf in batches:
             rows = []
@@ -1850,11 +1869,15 @@ def mm_real_vorbis_packets(spark: SparkSession, sf_dir: str) -> DataFrame:
                             (did * 3 + k * 11 + cw * 8 + j) % 16
                             for j in range(8)
                         ])
-                    specs.append({"mode": 0, "floor_y": [fy],
-                                  "res_entries": [queue]})
+                    specs.append({
+                        "mode": 1 if (did + k) % 4 == 3 else 0,
+                        "floor_y": [fy],
+                        "res_entries": [queue],
+                    })
                 stream = build_vorbis_stream(
                     1, 8000, setup, specs,
-                    blocksize0=256, blocksize1=256, serial=did & 0xFFFF,
+                    blocksize0=256, blocksize1=2048,
+                    serial=did & 0xFFFF,
                 )
                 for rep in vorbis_packet_report(stream):
                     ents = rep["res_entries"][0]
@@ -1864,6 +1887,7 @@ def mm_real_vorbis_packets(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rows.append({
                         "media_id": did,
                         "packet": rep["packet"],
+                        "mode": rep["mode"],
                         "granule": rep["granule"],
                         "blocksize": rep["n"],
                         "floor_y_sum": sum(rep["floor_y"][0]),
@@ -1878,16 +1902,16 @@ def mm_real_vorbis_packets(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ),
                     })
             yield pd.DataFrame(rows, columns=[
-                "media_id", "packet", "granule", "blocksize",
+                "media_id", "packet", "mode", "granule", "blocksize",
                 "floor_y_sum", "floor_y_wsum", "class_sum",
                 "value_sum", "value_wsum",
             ])
 
     return d.mapInPandas(
         run,
-        "media_id long, packet int, granule long, blocksize int,"
-        " floor_y_sum long, floor_y_wsum long, class_sum long,"
-        " value_sum long, value_wsum long",
+        "media_id long, packet int, mode int, granule long,"
+        " blocksize int, floor_y_sum long, floor_y_wsum long,"
+        " class_sum long, value_sum long, value_wsum long",
     )
 
 
