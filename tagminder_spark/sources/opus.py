@@ -288,7 +288,22 @@ def opus_packet_report(data: bytes) -> list[dict]:
     sample count, padding, the page granule, and the cumulative
     output-sample position (granule accounting per RFC 7845 —
     pre-skip subtracted)."""
-    pkts = list(ogg_packets(data))
+    try:
+        pkts = list(ogg_packets(data))
+    except ValueError as e:
+        if "multiplexed" not in str(e):
+            raise
+        from tagminder_spark.sources.vorbis import ogg_logical_streams
+
+        cands = [
+            s for s, head in ogg_logical_streams(data).items()
+            if head.startswith(b"OpusHead")
+        ]
+        if not cands:
+            raise ValueError(
+                "no Opus logical stream in multiplexed file"
+            ) from e
+        pkts = list(ogg_packets(data, serial=cands[0]))
     if len(pkts) < 2 or pkts[0][0][:8] != b"OpusHead":
         raise ValueError("not an Ogg Opus stream")
     h = pkts[0][0]

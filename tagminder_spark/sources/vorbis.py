@@ -295,14 +295,45 @@ def build_ogg_pages(
     return bytes(out)
 
 
-def ogg_packets(data: bytes, *, verify_crc: bool = True):
+def ogg_logical_streams(data: bytes) -> dict:
+    """{serial: first packet's leading bytes (≤16)} from the BOS
+    pages — what a demuxer needs to PICK a logical stream out of a
+    multiplexed physical stream (an .ogv interleaves video + audio
+    serials; grouping by serial is what keeps their packets apart)."""
+    out: dict[int, bytes] = {}
+    pos = 0
+    while pos + 27 <= len(data):
+        if data[pos:pos + 4] != b"OggS":
+            break
+        nsegs = data[pos + 26]
+        hlen = 27 + nsegs
+        body_len = sum(data[pos + 27:pos + hlen])
+        if data[pos + 5] & 0x02:  # BOS
+            serial = int.from_bytes(data[pos + 14:pos + 18], "little")
+            out.setdefault(
+                serial, bytes(data[pos + hlen:pos + hlen + 16])
+            )
+        pos += hlen + body_len
+    return out
+
+
+def ogg_packets(data: bytes, *, verify_crc: bool = True,
+                serial: int | None = None):
     """Reassemble the logical packet sequence from an Ogg stream —
     yields ``(packet bytes, granule of the page it ends on, page_seq)``.
-    CRC-verifies every page (raise on corruption) and honors
-    continuation flags across page boundaries."""
+    CRC-verifies every page (raise on corruption), honors continuation
+    flags across page boundaries, and checks per-stream page-sequence
+    continuity (a CRC can't catch a cleanly MISSING page; the sequence
+    gap can).  ``serial`` selects one logical stream out of a
+    multiplexed file (pages of other serials are skipped); with
+    ``serial=None`` a second serial raises loudly instead of
+    interleaving two streams' packets (use
+    :func:`ogg_logical_streams` to pick)."""
     pos = 0
     pending = bytearray()
     pending_open = False
+    want = serial
+    expect_seq = None
     while pos + 27 <= len(data):
         if data[pos:pos + 4] != b"OggS":
             raise ValueError(f"lost Ogg capture at byte {pos}")
@@ -313,6 +344,17 @@ def ogg_packets(data: bytes, *, verify_crc: bool = True):
         page = data[pos:pos + hlen + body_len]
         if len(page) < hlen + body_len:
             raise ValueError("truncated Ogg page")
+        page_serial = int.from_bytes(page[14:18], "little")
+        if want is None:
+            want = page_serial
+        elif page_serial != want:
+            if serial is None:
+                raise ValueError(
+                    f"multiplexed Ogg stream (serials {want} and "
+                    f"{page_serial}) — pass serial= to demux"
+                )
+            pos += hlen + body_len
+            continue
         if verify_crc:
             stored = int.from_bytes(page[22:26], "little")
             z = bytearray(page)
@@ -326,13 +368,19 @@ def ogg_packets(data: bytes, *, verify_crc: bool = True):
         if granule == (1 << 64) - 1:
             granule = -1
         seq = int.from_bytes(page[18:22], "little")
+        if expect_seq is not None and seq != expect_seq:
+            raise ValueError(
+                f"Ogg page sequence gap: expected {expect_seq}, "
+                f"got {seq} (page lost?)"
+            )
+        expect_seq = seq + 1
         if pending_open and not (htype & 0x01):
             raise ValueError("expected continuation page")
         if not pending_open and (htype & 0x01):
             raise ValueError("unexpected continuation flag")
         body = page[hlen:]
         boff = 0
-        for i, lv in enumerate(lac):
+        for lv in lac:
             pending += body[boff:boff + lv]
             boff += lv
             if lv < 255:
@@ -805,8 +853,23 @@ def parse_setup_header(pkt: bytes, channels: int) -> dict:
 def parse_headers(data: bytes):
     """Ogg Vorbis stream → (id_info, comments, setup, audio_packets)
     where ``audio_packets`` is the list of (packet, granule) after the
-    three headers."""
-    packets = list(ogg_packets(data))
+    three headers.  A multiplexed physical stream (e.g. .ogv with
+    video + audio serials) is demuxed automatically: the logical
+    stream whose BOS packet starts ``\\x01vorbis`` is selected."""
+    try:
+        packets = list(ogg_packets(data))
+    except ValueError as e:
+        if "multiplexed" not in str(e):
+            raise
+        vs = [
+            s for s, head in ogg_logical_streams(data).items()
+            if head.startswith(b"\x01vorbis")
+        ]
+        if not vs:
+            raise ValueError(
+                "no Vorbis logical stream in multiplexed file"
+            ) from e
+        packets = list(ogg_packets(data, serial=vs[0]))
     if len(packets) < 3:
         raise ValueError("missing Vorbis headers")
     info = _parse_id_header(packets[0][0])

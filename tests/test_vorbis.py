@@ -612,3 +612,86 @@ def test_headers_only_stream_decodes_to_empty_pcm():
     assert (rate, ch) == (8000, 1)
     assert pcm.shape == (0, 1)
     assert vorbis_packet_report(stream) == []
+
+
+def _split_pages(stream: bytes) -> list:
+    pages = []
+    pos = 0
+    while pos + 27 <= len(stream):
+        nsegs = stream[pos + 26]
+        hlen = 27 + nsegs
+        blen = sum(stream[pos + 27:pos + hlen])
+        pages.append(stream[pos:pos + hlen + blen])
+        pos += hlen + blen
+    return pages
+
+
+def test_multiplexed_stream_demuxes_by_serial():
+    """Pages of two logical streams interleaved (the .ogv shape):
+    the default call raises loudly instead of interleaving packets;
+    parse_headers auto-selects the Vorbis serial; the report is
+    identical to the unmuxed stream's."""
+    from tagminder_spark.sources.vorbis import ogg_logical_streams
+
+    setup = _twin_setup()
+    vstream = build_vorbis_stream(1, 8000, setup,
+                                  [_payload(k) for k in range(3)],
+                                  blocksize0=256, blocksize1=256,
+                                  serial=111)
+    other = build_ogg_pages(
+        [b"\x80theora-ish-header", b"frameA", b"frameB", b"frameC"],
+        222, [0, 1, 2, 3])
+    vp, op = _split_pages(vstream), _split_pages(other)
+    muxed = bytearray()
+    for i in range(max(len(vp), len(op))):
+        if i < len(op):
+            muxed += op[i]
+        if i < len(vp):
+            muxed += vp[i]
+    muxed = bytes(muxed)
+
+    with pytest.raises(ValueError, match="multiplexed"):
+        list(ogg_packets(muxed))
+    streams = ogg_logical_streams(muxed)
+    assert streams[111].startswith(b"\x01vorbis")
+    assert streams[222].startswith(b"\x80theora")
+    # explicit serial: only that stream's packets
+    got = [p for p, _, _ in ogg_packets(muxed, serial=222)]
+    assert got == [b"\x80theora-ish-header", b"frameA", b"frameB",
+                   b"frameC"]
+    # parse_headers auto-demuxes to the Vorbis stream
+    rep = vorbis_packet_report(muxed)
+    assert [r["floor_y"] for r in rep] == [
+        _payload(k)["floor_y"] for k in range(3)
+    ]
+
+
+def test_opus_report_demuxes_too():
+    from tagminder_spark.sources.opus import (
+        build_opus_packet,
+        build_opus_stream,
+        opus_packet_report,
+    )
+
+    ostream = build_opus_stream(
+        [build_opus_packet(1, 0, [bytes(30)])], serial=7)
+    other = build_ogg_pages([b"\x01vorbis-decoy", b"x"], 9, [0, 1])
+    op_, dp = _split_pages(ostream), _split_pages(other)
+    muxed = dp[0] + op_[0] + b"".join(dp[1:]) + b"".join(op_[1:])
+    rep = opus_packet_report(muxed)
+    assert len(rep) == 1 and rep[0]["samples"] == 960
+
+
+def test_page_sequence_gap_detected():
+    """A cleanly missing page passes every CRC — only the sequence
+    counter catches it."""
+    setup = _twin_setup()
+    stream = build_vorbis_stream(1, 8000, setup,
+                                 [_payload(k) for k in range(4)],
+                                 blocksize0=256, blocksize1=256)
+    pages = _split_pages(stream)
+    assert len(pages) >= 5
+    # drop a MIDDLE whole page (not BOS/EOS)
+    clipped = b"".join(pages[:3] + pages[4:])
+    with pytest.raises(ValueError, match="sequence gap"):
+        list(ogg_packets(clipped))
