@@ -4315,14 +4315,26 @@ def optimize_table(
         cur_gen = read_manifest(
             spark, root, force_hadoop=force_hadoop
         )["generation"]
-        report["reindex"] = {
-            col: build_bloom_index(
-                spark, root, col, fpp=doc.get("fpp", 0.01),
-                force_hadoop=force_hadoop,
-            )
-            for col, doc in sorted(newest.items())
-            if doc["generation"] < cur_gen
-        }
+        reindex: dict = {}
+        for col, doc in sorted(newest.items()):
+            if doc["generation"] >= cur_gen:
+                continue
+            try:
+                # INCREMENTAL (VERDICT r12 #2): carry forward bitmaps
+                # of files the old sidecar already knows; hash only
+                # files added/rewritten since — O(changed) per pass,
+                # not O(table)
+                reindex[col] = build_bloom_index(
+                    spark, root, col, fpp=doc.get("fpp", 0.01),
+                    base_doc=doc, force_hadoop=force_hadoop,
+                )
+            except TypeError as exc:
+                # legacy doc on a non-indexable column type (pre-r12
+                # builds accepted e.g. floats): that index is already
+                # unusable for lookups — record the skip and keep the
+                # maintenance pass going (ADVICE r12)
+                reindex[col] = {"skipped": str(exc)}
+        report["reindex"] = reindex
     report["checkpoint"] = checkpoint_manifest(
         spark, root, force_hadoop=force_hadoop
     )
@@ -4483,7 +4495,9 @@ def build_bloom_index(
     *,
     fpp: float = 0.01,
     gen: int | None = None,
+    base_doc: dict | None = None,
     force_hadoop: bool = False,
+    _pin_mk: tuple | None = None,
 ) -> dict:
     """Build a per-file Bloom index over ``col`` for the (pinned)
     snapshot and commit it as a parquet SIDECAR
@@ -4502,7 +4516,20 @@ def build_bloom_index(
     / ``delete_where`` consult the index automatically after the stats
     prune.  This is the point-lookup path on columns the layout does
     NOT cluster — min/max bounds span everything there, a Bloom filter
-    does not."""
+    does not.
+
+    ``base_doc`` (a prior index's bloomdoc) makes the build
+    INCREMENTAL (VERDICT r12 #2): (m, k, fpp) pin from the doc, every
+    bitmap whose rel is still in the manifest carries forward from the
+    old sidecar unchanged (rels are uuid-named and never reused, so
+    same rel ⇒ same immutable bytes), and only files ABSENT from the
+    old sidecar — appends and compaction outputs since — are read and
+    hashed.  Maintenance cost drops from O(table) to O(changed files)
+    per pass; pinning (m, k) keeps partial filters OR-mergeable and
+    the merged sidecar bit-identical to a from-scratch build at the
+    same sizing.  A vanished old sidecar (expired) or a column whose
+    TYPE changed since falls back to a full build; ``_pin_mk`` forces
+    a sizing (tests pin it to prove merged == from-scratch)."""
     fs, base = table_fs(spark, root, force_hadoop)
     man = read_manifest(spark, root, gen, force_hadoop=force_hadoop)
     gen = man["generation"]
@@ -4510,55 +4537,102 @@ def build_bloom_index(
     prefix = _filepath_prefix(
         spark, fs, base, [rel for rel, _ in entries[:16]]
     )
-    raw = (
-        spark.read.option("basePath", base)
-        .parquet(*[fs.join(base, rel) for rel, _ in entries])
-    )
-    kind = _bloom_col_kind(raw.schema[col].dataType)
-    df = raw.select(
-        F.col(col).cast("string").alias("__v"),
-        F.col("_metadata.file_path").substr(
-            F.lit(len(prefix) + 1), F.lit(1 << 30)
-        ).alias("__rel"),
-    )
-    # sizing pass: map-side partial counts, tiny shuffle of counters
-    counts = df.groupBy("__rel").count()
-    n90 = counts.approxQuantile("count", [0.9], 0.05)[0]
-    m, k = _bloom_params(int(n90), fpp)
 
-    def partial(batches):
-        import numpy as np
-        import pandas as pd
+    carried = None
+    hash_ents = entries
+    if base_doc is not None and base_doc.get("col") == col:
+        old_path = fs.join(base, base_doc["sidecar"])
+        if fs.exists(old_path):
+            pm, pk = _bloom_doc_mk(spark, fs, base, base_doc)
+            old = spark.read.parquet(old_path)
+            cur_rels = spark.createDataFrame(
+                [(r,) for r, _ in entries], "rel string"
+            )
+            new_rels = {
+                r["rel"]
+                for r in cur_rels.join(
+                    old.select("rel"), "rel", "left_anti"
+                ).collect()  # O(changed files), never O(table)
+            }
+            hash_ents = [e for e in entries if e[0] in new_rels]
+            carried = old.join(cur_rels, "rel", "left_semi").select(
+                "rel", "bloom", "n", "m", "k"
+            )
+            fpp = base_doc.get("fpp", fpp)
+            _pin_mk = (pm, pk)
 
-        acc: dict[str, "np.ndarray"] = {}
-        for pdf in batches:
-            for rel, grp in pdf.groupby("__rel"):
-                bits = acc.get(rel)
-                if bits is None:
-                    bits = acc[rel] = np.zeros(m // 8, dtype=np.uint8)
-                _bloom_set_bits(bits, grp["__v"].dropna().unique(), m, k)
-        yield pd.DataFrame(
-            [{"rel": r, "bloom": b.tobytes()} for r, b in acc.items()],
-            columns=["rel", "bloom"],
+    side = None
+    kind = base_doc.get("kind", "") if base_doc else ""
+    if hash_ents:
+        raw = (
+            spark.read.option("basePath", base)
+            .parquet(*[fs.join(base, rel) for rel, _ in hash_ents])
         )
-
-    def merge(pdf):
-        import numpy as np
-        import pandas as pd
-
-        agg = np.zeros(m // 8, dtype=np.uint8)
-        for b in pdf["bloom"]:
-            agg |= np.frombuffer(b, dtype=np.uint8)
-        return pd.DataFrame(
-            [{"rel": pdf["rel"].iloc[0], "bloom": agg.tobytes(),
-              "n": 0, "m": m, "k": k}]
+        kind = _bloom_col_kind(raw.schema[col].dataType)
+        if carried is not None and base_doc.get("kind") not in (None, kind):
+            # column type changed since the old index — its bitmaps
+            # hash a different value domain; rebuild from scratch
+            carried, hash_ents, _pin_mk = None, entries, None
+            raw = (
+                spark.read.option("basePath", base)
+                .parquet(*[fs.join(base, rel) for rel, _ in hash_ents])
+            )
+        df = raw.select(
+            F.col(col).cast("string").alias("__v"),
+            F.col("_metadata.file_path").substr(
+                F.lit(len(prefix) + 1), F.lit(1 << 30)
+            ).alias("__rel"),
         )
+        if _pin_mk is not None:
+            m, k = _pin_mk
+        else:
+            # sizing pass: map-side partial counts, tiny counter shuffle
+            counts = df.groupBy("__rel").count()
+            n90 = counts.approxQuantile("count", [0.9], 0.05)[0]
+            m, k = _bloom_params(int(n90), fpp)
 
-    side = (
-        df.mapInPandas(partial, "rel string, bloom binary")
-        .groupBy("rel")
-        .applyInPandas(merge, "rel string, bloom binary, n long, m int, k int")
-    )
+        def partial(batches):
+            import numpy as np
+            import pandas as pd
+
+            acc: dict[str, "np.ndarray"] = {}
+            for pdf in batches:
+                for rel, grp in pdf.groupby("__rel"):
+                    bits = acc.get(rel)
+                    if bits is None:
+                        bits = acc[rel] = np.zeros(m // 8, dtype=np.uint8)
+                    _bloom_set_bits(
+                        bits, grp["__v"].dropna().unique(), m, k
+                    )
+            yield pd.DataFrame(
+                [{"rel": r, "bloom": b.tobytes()}
+                 for r, b in acc.items()],
+                columns=["rel", "bloom"],
+            )
+
+        def merge(pdf):
+            import numpy as np
+            import pandas as pd
+
+            agg = np.zeros(m // 8, dtype=np.uint8)
+            for b in pdf["bloom"]:
+                agg |= np.frombuffer(b, dtype=np.uint8)
+            return pd.DataFrame(
+                [{"rel": pdf["rel"].iloc[0], "bloom": agg.tobytes(),
+                  "n": 0, "m": m, "k": k}]
+            )
+
+        side = (
+            df.mapInPandas(partial, "rel string, bloom binary")
+            .groupBy("rel")
+            .applyInPandas(
+                merge, "rel string, bloom binary, n long, m int, k int"
+            )
+        )
+    else:
+        m, k = _pin_mk  # incremental, nothing new to hash
+    if carried is not None:
+        side = carried if side is None else side.unionByName(carried)
     sidecar_rel = f"{MANIFEST_DIR}/bloom_{col}_{gen}.parquet"
     sidecar = fs.join(base, sidecar_rel)
     # range-partitioned + sorted BY REL: a point lookup pushes
@@ -4581,7 +4655,8 @@ def build_bloom_index(
     n_files = spark.read.parquet(sidecar).count()
     return {"col": col, "generation": gen, "files_indexed": n_files,
             "sidecar": sidecar_rel, "m_bits": m, "k_hashes": k,
-            "kind": kind}
+            "kind": kind, "files_hashed": len(hash_ents),
+            "files_carried": len(entries) - len(hash_ents)}
 
 
 def list_bloom_indexes(

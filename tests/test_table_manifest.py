@@ -4748,3 +4748,136 @@ def test_pos_rels_for_group_escaped_rels_conservative(tmp_path):
         ) == ["d3"]
     finally:
         tm._pos_delete_file_bounds = orig
+
+
+def test_bloom_incremental_reindex_o_changed_and_equal(spark, tmp_path):
+    """VERDICT r12 #2: re-index with ``base_doc`` hashes ONLY files
+    absent from the old sidecar (O(changed), counted in the report)
+    and carries every still-live bitmap forward; the merged sidecar is
+    BIT-IDENTICAL to a from-scratch build at the same pinned (m, k),
+    so it prunes identically by construction."""
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        append_files,
+        build_bloom_index,
+        init_manifest,
+        list_bloom_indexes,
+        read_manifest,
+        table_fs,
+    )
+    from tagminder_spark.session import load_table
+
+    root = str(tmp_path / "t")
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    docs.repartition(6).write.mode("append").parquet(root)
+    init_manifest(spark, root)
+    rep0 = build_bloom_index(spark, root, "doc_id")
+    assert rep0["files_hashed"] == rep0["files_indexed"]
+    n_before = len(read_manifest(spark, root)["files"])
+
+    extra = docs.limit(50).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "lang"
+    ).repartition(2)
+    append_files(spark, extra, root, partition_col=None)
+    n_new = len(read_manifest(spark, root)["files"]) - n_before
+
+    doc0 = [d for d in list_bloom_indexes(spark, root)
+            if d["generation"] == rep0["generation"]][0]
+    rep1 = build_bloom_index(spark, root, "doc_id", base_doc=doc0)
+    assert rep1["files_hashed"] == n_new          # O(changed files)
+    assert rep1["files_carried"] == n_before
+    assert rep1["files_indexed"] == n_before + n_new
+    assert (rep1["m_bits"], rep1["k_hashes"]) == (
+        rep0["m_bits"], rep0["k_hashes"]
+    )  # sizing pinned from the doc
+
+    # from-scratch at the SAME sizing => identical sidecar bytes
+    # (on a copy of the table: the doc CAS blocks a same-gen rebuild)
+    import shutil as _shutil
+
+    root2 = str(tmp_path / "t2")
+    _shutil.copytree(root, root2)
+    fs2, base2 = table_fs(spark, root2, False)
+    fs2.delete(fs2.join(base2, rep1["sidecar"]), ignore_errors=True)
+    fs2.delete(
+        fs2.join(
+            base2, f"_manifest/bloomdoc_doc_id_{rep1['generation']}.json"
+        ),
+        ignore_errors=True,
+    )
+    rep2 = build_bloom_index(
+        spark, root2, "doc_id",
+        _pin_mk=(rep0["m_bits"], rep0["k_hashes"]),
+    )
+    assert rep2["files_hashed"] == n_before + n_new
+    fs, base = table_fs(spark, root, False)
+
+    def side_map(b, rep):
+        rows = spark.read.parquet(
+            "/".join([b, rep["sidecar"]])
+        ).collect()
+        return {r["rel"]: bytes(r["bloom"]) for r in rows}
+
+    assert side_map(root, rep1) == side_map(root2, rep2)
+
+
+def test_optimize_reindex_incremental_and_legacy_skip(spark, tmp_path):
+    """optimize_table's reindex step is incremental — on a pure-append
+    maintenance pass it hashes only the files added since the index —
+    and a LEGACY bloomdoc naming a non-indexable (float) column is
+    skipped with a recorded reason instead of failing the whole
+    maintenance pass (ADVICE r12)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        _manifest_dir,
+        append_files,
+        build_bloom_index,
+        init_manifest,
+        optimize_table,
+        read_manifest,
+        snapshot_scan_plan,
+        table_fs,
+    )
+    from tagminder_spark.session import load_table
+
+    root = str(tmp_path / "t")
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", (F.col("n_chars") * 1.5).alias("score")
+    )
+    docs.repartition(6).write.mode("append").parquet(root)
+    init_manifest(spark, root)
+    build_bloom_index(spark, root, "doc_id")
+    # forge a legacy float-column bloomdoc (pre-r12 builds allowed it)
+    fs, base = table_fs(spark, root, False)
+    gen0 = read_manifest(spark, root)["generation"]
+    fs.write_new(
+        fs.join(_manifest_dir(fs, base), f"bloomdoc_score_{gen0}.json"),
+        _json.dumps({
+            "col": "score", "generation": gen0, "fpp": 0.01,
+            "sidecar": "_manifest/bloom_score_missing.parquet",
+        }).encode(),
+    )
+
+    n_before = len(read_manifest(spark, root)["files"])
+    extra = docs.limit(20).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "lang", "score"
+    ).repartition(2)
+    append_files(spark, extra, root, partition_col=None)
+    n_new = len(read_manifest(spark, root)["files"]) - n_before
+
+    # min_files high enough that compaction is a no-op => pure append
+    rep = optimize_table(spark, root, None, min_files=999)
+    assert rep["reindex"]["doc_id"]["files_hashed"] == n_new
+    assert rep["reindex"]["doc_id"]["files_carried"] == n_before
+    assert "skipped" in rep["reindex"]["score"]
+
+    # post-maintenance lookups still skip on the re-indexed column
+    probe = docs.first()["doc_id"] + 10_000_000
+    plan = snapshot_scan_plan(
+        spark, root, where=[("doc_id", "=", probe)]
+    )
+    assert plan["files_scanned"] < n_before + n_new
