@@ -204,7 +204,8 @@ def main(out_path: str | None = None) -> None:
             "table_files": N_FILES,
             "table_bitmap_bytes": table_bytes,
             "max_driver_bytes_any_path": max(
-                r["driver_bitmap_bytes_cached"] for r in results),
+                r.get("driver_bitmap_bytes_cached", 0)
+                for r in results),
             "calibration": _calibration(),
         }
         print(json.dumps(summary))
