@@ -795,7 +795,15 @@ def chunk_audio(
                         f0 = s_ms * _r // 1000
                         f1 = min(-(-(e_ms * _r) // 1000), _n)  # ceil
                         return _s[f0:f1].tobytes()
-                except ValueError:
+                except (ValueError, EOFError, IndexError, KeyError):
+                    # ValueError is the decoders' documented failure
+                    # mode, but one corrupt container must NEVER fail
+                    # the Spark task (then, after retries, the job) —
+                    # parse_setup_header validates indices and
+                    # decode_vorbis absorbs EOP truncation, yet any
+                    # residual malformed-stream escape still lands in
+                    # the deterministic byte-window fallback (ADVICE
+                    # r12 medium)
                     dur = len(content) * ms_per_byte
 
                     def slice_bytes(s_ms, e_ms, _c=content):

@@ -845,6 +845,32 @@ def parse_setup_header(pkt: bytes, channels: int) -> dict:
         modes.append({"blockflag": blockflag, "mapping": br.read(8)})
     if not br.read1():
         raise ValueError("missing setup framing bit")
+    # cross-reference validation (ADVICE r12): every book/floor/
+    # residue/mapping index a packet decode will chase must be in
+    # range NOW, so a malformed header raises ValueError here instead
+    # of IndexError/KeyError deep inside audio decode (where a Spark
+    # task would die instead of falling back)
+    ncb = len(codebooks)
+    for fl in floors:
+        for cls in fl["classes"]:
+            if cls["masterbook"] is not None and cls["masterbook"] >= ncb:
+                raise ValueError("floor masterbook index out of range")
+            if any(b >= ncb for b in cls["books"]):
+                raise ValueError("floor subclass book out of range")
+    for rs in residues:
+        if rs["classbook"] >= ncb:
+            raise ValueError("residue classbook out of range")
+        if any(b >= ncb for row in rs["books"] for b in row):
+            raise ValueError("residue book out of range")
+    nfl, nrs = len(floors), len(residues)
+    for mp in mappings:
+        if any(f >= nfl for f in mp["submap_floor"]):
+            raise ValueError("mapping floor index out of range")
+        if any(r >= nrs for r in mp["submap_residue"]):
+            raise ValueError("mapping residue index out of range")
+    for md in modes:
+        if md["mapping"] >= len(mappings):
+            raise ValueError("mode mapping index out of range")
     return {"codebooks": codebooks, "floors": floors,
             "residues": residues, "mappings": mappings,
             "modes": modes, "channels": channels}
@@ -1142,6 +1168,39 @@ def _imdct_matrix(n: int):
     return m
 
 
+def _imdct_fft(spectrum, n: int):
+    """§6 IMDCT in O(n log n) via a DCT-IV folded through one
+    complex FFT — replaces the dense (n, n/2) cosine matrix whose
+    cache alone would be 256 MB per executor at the spec-legal 8192
+    blocksize (ADVICE r12).  Derivation (public identities only):
+    the §6 kernel ``cos(π/(2n)(2j+1+n/2)(2k+1))`` equals the DCT-IV
+    kernel ``cos(π/M (j'+1/2)(k+1/2))`` with ``M = n/2`` and
+    ``j' = j + M/2``; extending DCT-IV past its domain with its
+    symmetries ``c[2M-1-t] = -c[t]`` and ``c[-1-s] = c[s]`` maps the
+    three j-regions below.  The DCT-IV itself is
+    ``Re[e^{iπ(j+1/2)/(2M)} · Σ_k (X[k]e^{iπk/(2M)}) e^{i2πjk/(2M)}]``
+    — the sum is a zero-padded length-2M inverse DFT.  pytest pins
+    equality to the definitional matrix at 1e-10 across block sizes
+    and the TDAC round-trips at ~1e-12."""
+    import numpy as np
+
+    M = n // 2
+    k = np.arange(M)
+    xp = np.zeros(2 * M, dtype=np.complex128)
+    xp[:M] = np.asarray(spectrum, dtype=np.float64) * np.exp(
+        1j * np.pi * k / (2 * M)
+    )
+    s = np.fft.ifft(xp) * (2 * M)
+    j = np.arange(M)
+    c = (np.exp(1j * np.pi * (j + 0.5) / (2 * M)) * s[:M]).real
+    h = M // 2
+    y = np.empty(n)
+    y[:h] = c[h:]          # j' = j + M/2 in [M/2, M): direct
+    y[h:h + M] = -c[::-1]  # j' in [M, 3M/2): -c[2M-1-j']
+    y[h + M:] = -c[:h]     # j' >= 3M/2 wraps: -c[j'-2M reflected]
+    return y
+
+
 def _window(n: int, prev_flag: int, next_flag: int, bs0: int,
             blockflag: int):
     """§4.3.1 window: full slopes for short blocks; a long block
@@ -1184,6 +1243,8 @@ def _decode_packet(info: dict, setup: dict, pkt: bytes, trace=None,
     if br.read1() != 0:
         raise ValueError("not an audio packet")
     mode_idx = br.read(_ilog(len(setup["modes"]) - 1))
+    if mode_idx >= len(setup["modes"]):
+        raise ValueError("mode index out of range")
     mode = setup["modes"][mode_idx]
     mapping = setup["mappings"][mode["mapping"]]
     blockflag = mode["blockflag"]
@@ -1246,7 +1307,7 @@ def _decode_packet(info: dict, setup: dict, pkt: bytes, trace=None,
             ]
             curve = np.asarray(_floor1_curve(fl, floors_y[c], half))
             spectrum = curve * np.asarray(residues[c])
-            outs.append((_imdct_matrix(n) @ spectrum) * w)
+            outs.append(_imdct_fft(spectrum, n) * w)
     if trace is not None:
         trace.update(
             mode=mode_idx, n=n, prev_flag=prev_flag,
@@ -1256,6 +1317,20 @@ def _decode_packet(info: dict, setup: dict, pkt: bytes, trace=None,
     return outs, n
 
 
+def _packet_blocksize(info: dict, setup: dict, pkt: bytes) -> int:
+    """Blocksize of one audio packet from its leading mode bits alone
+    — the cheap integer pre-pass that lets :func:`decode_vorbis` plan
+    its output buffer WITHOUT decoding (or holding) any block."""
+    br = _BitsR(pkt)
+    if br.read1() != 0:
+        raise ValueError("not an audio packet")
+    mode_idx = br.read(_ilog(len(setup["modes"]) - 1))
+    if mode_idx >= len(setup["modes"]):
+        raise ValueError("mode index out of range")
+    mode = setup["modes"][mode_idx]
+    return info["blocksize1"] if mode["blockflag"] else info["blocksize0"]
+
+
 def decode_vorbis(data: bytes, *, return_float: bool = False):
     """Full Ogg Vorbis → PCM: (rate, channels, samples (frames, ch) —
     int16 by default, float64 with ``return_float``).  Lapping: block
@@ -1263,32 +1338,52 @@ def decode_vorbis(data: bytes, *, return_float: bool = False):
     §4.3.9 return rule — every slope pair then coincides, which the
     perfect-reconstruction round-trip tests pin), output runs from
     the first to the last center, tail-trimmed to the final page's
-    granule position."""
+    granule position.
+
+    Memory is bounded by the OUTPUT buffer, not the block list: a
+    cheap mode-bits pre-pass (:func:`_packet_blocksize`) sizes the
+    timeline, then each packet decodes and overlap-adds into the
+    buffer immediately (ADVICE r12).  §4.3's end-of-packet rule is
+    honored at EVERY stage, not just mid-residue: a packet that
+    truncates during mode/floor decode drops (pre-pass) or
+    zero-renders (decode), keeping every prior block's samples —
+    real-world streams cut mid-final-packet stay decodable."""
     import numpy as np
 
     info, _comments, setup, audio = parse_headers(data)
     ch = info["channels"]
-    if not audio:
+    pkts: list = []
+    ns: list[int] = []
+    for pkt, g in audio:
+        try:
+            n = _packet_blocksize(info, setup, pkt)
+        except (ValueError, EOFError):
+            continue  # §4.3 EOP / non-audio junk: skip, keep the rest
+        pkts.append((pkt, g))
+        ns.append(n)
+    if not pkts:
         return info["rate"], ch, np.zeros((0, ch), dtype=np.int16)
-    blocks = [_decode_packet(info, setup, pkt) for pkt, _g in audio]
     starts = [0]
-    for k in range(1, len(blocks)):
-        nprev, ncur = blocks[k - 1][1], blocks[k][1]
-        starts.append(starts[-1] + (3 * nprev - ncur) // 4)
+    for k in range(1, len(ns)):
+        starts.append(starts[-1] + (3 * ns[k - 1] - ns[k]) // 4)
     # a long block after a short one starts BEFORE the short block's
     # left edge (its leading window region is zero) — shift the
     # timeline so every start is non-negative
     shift = -min(starts)
     starts = [s + shift for s in starts]
-    span = max(s + b[1] for s, b in zip(starts, blocks))
+    span = max(s + n for s, n in zip(starts, ns))
     buf = np.zeros((ch, span))
-    for (outs, n), st in zip(blocks, starts):
+    for (pkt, _g), st, n in zip(pkts, starts, ns):
+        try:
+            outs, _n = _decode_packet(info, setup, pkt)
+        except EOFError:
+            continue  # §4.3: EOP mid-floor → zero-render this block
         for c in range(ch):
             buf[c, st:st + n] += outs[c]
-    c0 = starts[0] + blocks[0][1] // 2
-    cl = starts[-1] + blocks[-1][1] // 2
+    c0 = starts[0] + ns[0] // 2
+    cl = starts[-1] + ns[-1] // 2
     pcm = buf[:, c0:cl].T
-    final_granule = audio[-1][1]
+    final_granule = pkts[-1][1]
     if 0 <= final_granule < pcm.shape[0]:
         pcm = pcm[:final_granule]
     if return_float:
@@ -1309,7 +1404,13 @@ def vorbis_packet_report(data: bytes) -> list[dict]:
     out = []
     for idx, (pkt, granule) in enumerate(audio):
         tr: dict = {}
-        _decode_packet(info, setup, pkt, trace=tr, synthesize=False)
+        try:
+            _decode_packet(info, setup, pkt, trace=tr, synthesize=False)
+        except EOFError:
+            # §4.3: end-of-packet during decode is non-fatal at ANY
+            # stage (ADVICE r12) — a stream truncated mid-final-packet
+            # reports every complete packet instead of failing
+            continue
         out.append({
             "packet": idx,
             "granule": granule,

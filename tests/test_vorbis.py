@@ -695,3 +695,122 @@ def test_page_sequence_gap_detected():
     clipped = b"".join(pages[:3] + pages[4:])
     with pytest.raises(ValueError, match="sequence gap"):
         list(ogg_packets(clipped))
+
+
+# ---------------------------------------------------------------------------
+# round 13: FFT IMDCT, EOP robustness at every stage, header validation
+
+
+@pytest.mark.parametrize("n", [64, 256, 512, 2048])
+def test_imdct_fft_matches_definitional_matrix(n):
+    """The O(n log n) IMDCT must reproduce the §6 definition (the
+    dense cosine matrix) to float64 round-off at every block size —
+    the matrix stays in the codebase purely as this test's oracle."""
+    from tagminder_spark.sources.vorbis import _imdct_fft
+
+    rng = np.random.default_rng(n)
+    spec = rng.standard_normal(n // 2)
+    want = _imdct_matrix(n) @ spec
+    got = _imdct_fft(spec, n)
+    assert np.abs(got - want).max() < 1e-10
+
+
+def test_imdct_fft_8192_no_dense_matrix():
+    """Spec-legal 8192 blocksize synthesizes WITHOUT materializing the
+    256 MB dense matrix (ADVICE r12): the FFT path runs, satisfies
+    IMDCT linearity spot-checks, and leaves the matrix cache empty."""
+    from tagminder_spark.sources.vorbis import (
+        _IMDCT_CACHE,
+        _imdct_fft,
+    )
+
+    _IMDCT_CACHE.pop(8192, None)
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal(4096)
+    b = rng.standard_normal(4096)
+    ya, yb = _imdct_fft(a, 8192), _imdct_fft(b, 8192)
+    yab = _imdct_fft(a + 2.0 * b, 8192)
+    assert np.abs(yab - (ya + 2.0 * yb)).max() < 1e-9
+    # one basis vector against the closed-form cosine column
+    e = np.zeros(4096)
+    e[3] = 1.0
+    j = np.arange(8192, dtype=np.float64)
+    want = np.cos(np.pi / (2 * 8192) * (2 * j + 1 + 4096) * 7)
+    assert np.abs(_imdct_fft(e, 8192) - want).max() < 1e-10
+    assert 8192 not in _IMDCT_CACHE
+
+
+def test_truncated_final_packet_recovers_prior_blocks():
+    """§4.3 end-of-packet is non-fatal at EVERY decode stage (ADVICE
+    r12): a stream whose final packet is cut mid-floor still decodes —
+    prior blocks' samples survive, the truncated block zero-renders,
+    and the packet report keeps every complete packet."""
+    from tagminder_spark.sources.vorbis import build_vorbis_stream
+
+    setup = _twin_setup()
+    specs = [_payload(k) for k in range(5)]
+    stream = build_vorbis_stream(1, 8000, setup, specs,
+                                 blocksize0=256, blocksize1=256)
+    pkts = [(p_, g) for p_, g, _seq in ogg_packets(stream)]
+    headers, audio = pkts[:3], pkts[3:]
+    # cut the final audio packet to ONE byte: the mode bits survive
+    # (0 bits for a single mode) but floor decode hits end-of-packet
+    cut = audio[-1][0][:1]
+    granules = [g for _p, g in headers] + [g for _p, g in audio]
+    rebuilt = build_ogg_pages(
+        [p_ for p_, _g in headers] + [p_ for p_, _g in audio[:-1]]
+        + [cut],
+        7, granules, group_headers=3,
+    )
+
+    rep = vorbis_packet_report(rebuilt)
+    assert len(rep) == 4  # the truncated packet dropped, rest intact
+    full_rep = vorbis_packet_report(stream)
+    assert rep == full_rep[:4]
+
+    rate, ch, pcm = decode_vorbis(rebuilt)
+    assert (rate, ch) == (8000, 1)
+    assert pcm.shape[0] > 0
+    # the shared prefix must be identical to the intact stream's PCM
+    _, _, pcm_full = decode_vorbis(stream)
+    k = min(pcm.shape[0], pcm_full.shape[0]) - 256  # outside the
+    assert k > 0                                    # zeroed lap region
+    assert np.array_equal(pcm[:k], pcm_full[:k])
+
+
+def test_malformed_setup_indices_raise_valueerror():
+    """Out-of-range book/mapping indices are rejected AT HEADER PARSE
+    with ValueError (ADVICE r12) — never IndexError deep in packet
+    decode, so chunk_audio's fallback always engages."""
+    from tagminder_spark.sources.vorbis import (
+        build_setup_header,
+        parse_setup_header,
+    )
+
+    good = _twin_setup()
+    parse_setup_header(build_setup_header(good), 1)  # sanity
+
+    bad_mode = _twin_setup()
+    bad_mode["modes"][0]["mapping"] = 7
+    with pytest.raises(ValueError, match="mode mapping"):
+        parse_setup_header(build_setup_header(bad_mode), 1)
+
+    bad_cls = _twin_setup()
+    bad_cls["residues"][0]["classbook"] = 99
+    with pytest.raises(ValueError, match="classbook"):
+        parse_setup_header(build_setup_header(bad_cls), 1)
+
+    bad_rb = _twin_setup()
+    bad_rb["residues"][0]["books"][0][0] = 88
+    with pytest.raises(ValueError, match="residue book"):
+        parse_setup_header(build_setup_header(bad_rb), 1)
+
+    bad_fl = _twin_setup()
+    bad_fl["floors"][0]["classes"][0]["books"] = [77]
+    with pytest.raises(ValueError, match="subclass book"):
+        parse_setup_header(build_setup_header(bad_fl), 1)
+
+    bad_map = _twin_setup()
+    bad_map["mappings"][0]["submap_residue"] = [9]
+    with pytest.raises(ValueError, match="mapping residue"):
+        parse_setup_header(build_setup_header(bad_map), 1)
