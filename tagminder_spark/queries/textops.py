@@ -880,6 +880,86 @@ def mm_real_flac_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("mm_real_aiff_chunks", _MM_WAV_SQL)
+def mm_real_aiff_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL AIFF / AIFF-C decode + sample-accurate chunking,
+    value-checked (round 13, VERDICT r12 #4): each document
+    synthesizes the SAME int16 signal as the WAV gate but encodes it
+    as genuine AIFF — cycling classic big-endian ``AIFF``, AIFF-C
+    ``twos`` (big) and AIFF-C ``sowt`` (little) per doc so BOTH byte
+    orders and both container flavors run through ``chunk_audio``'s
+    codec-agnostic real path (``decode_audio`` dispatches on the FORM
+    magic).  The oracle is the identical integer replay as
+    ``mm_real_wav_chunks`` — AIFF PCM is lossless, so an endianness
+    slip, an SSND offset misread, or a frame-boundary error changes a
+    sample sum and fails the gate.  Reference ingests ``.aiff``
+    (scripts/ingest/tags2db.py:108)."""
+    from collections.abc import Iterator as _It
+
+    import numpy as np
+    import pandas as pd
+
+    from tagminder_spark.sources.multimodal import (
+        MEDIA_SCHEMA,
+        chunk_audio,
+        encode_aiff,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    comps = [b"NONE", b"twos", b"sowt"]
+
+    def synth(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                did = int(r.media_id)
+                rate = 4000 + (did % 3) * 2000
+                n = 30 + did % 50
+                i = np.arange(n, dtype=np.int64)
+                s = ((did * 7 + i * 13) % 4096 - 2048).astype(np.int16)
+                rows.append(
+                    {
+                        "media_id": did,
+                        "kind": "audio",
+                        "content": encode_aiff(
+                            s, rate, compression=comps[did % 3]
+                        ),
+                        "meta": None,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "content", "meta"]
+            )
+
+    media = d.mapInPandas(synth, MEDIA_SCHEMA)
+    chunks = chunk_audio(media, window_ms=8, hop_ms=5)
+
+    def sums(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            out = pdf.copy()
+            # decode_aiff hands chunk bytes back in the CONTAINER's
+            # byte order: '>i2' for NONE/twos docs, '<i2' for sowt
+            out["n_bytes"] = out["chunk_bytes"].map(len)
+            out["sample_sum"] = [
+                int(np.frombuffer(
+                    b, dtype="<i2" if mid % 3 == 2 else ">i2"
+                ).astype(np.int64).sum())
+                for b, mid in zip(out["chunk_bytes"], out["media_id"])
+            ]
+            yield out[
+                ["media_id", "chunk_idx", "start_ms", "end_ms",
+                 "n_bytes", "sample_sum"]
+            ]
+
+    return chunks.mapInPandas(
+        sums,
+        "media_id long, chunk_idx int, start_ms long, end_ms long,"
+        " n_bytes long, sample_sum long",
+    )
+
+
 # the REAL GIF decode path, oracle-gated (round 10): palettized
 # analytic pixels through genuine LZW (interlaced for odd docs), with
 # a POSITION-WEIGHTED checksum — plain channel sums are permutation-
