@@ -960,6 +960,95 @@ def mm_real_aiff_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# same integer replay as _MM_WAV_SQL, but the rate set must come from
+# WavPack's fixed sample-rate table (no 4000): 6000/8000/12000
+_MM_WV_SQL = _MM_WAV_SQL.replace(
+    "4000 + (doc_id % 3) * 2000",
+    "CASE (doc_id % 3) WHEN 0 THEN 6000 WHEN 1 THEN 8000"
+    " ELSE 12000 END",
+)
+
+
+@q("mm_real_wv_chunks", _MM_WV_SQL)
+def mm_real_wv_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WavPack decode + sample-accurate chunking, value-checked
+    (round 13, VERDICT r12 #5): each document synthesizes the SAME
+    int16 signal as the WAV gate but encodes it as a genuine
+    multi-block WavPack stream (``sources/wavpack.py`` — adaptive
+    decorrelation chain incl. the stereo... here mono cross-free
+    path, joint-free mono blocks, the median-driven words entropy
+    coder with zero-run and holding-phase machinery, per-block CRC),
+    with the block size small enough that every stream is
+    multi-block.  ``chunk_audio`` windows it through the
+    codec-agnostic real path (``decode_audio`` dispatches on the
+    wvpk magic), and the oracle is the identical integer replay as
+    ``mm_real_wav_chunks`` — WavPack is lossless, so ANY
+    reconstruction error (a median walk slip, a weight update sign
+    error, a holding-phase desync, a block seam off-by-one) changes
+    a sample sum and fails the gate.  Reference ingests ``.wv``
+    (scripts/ingest/tags2db.py:108)."""
+    from collections.abc import Iterator as _It
+
+    import numpy as np
+    import pandas as pd
+
+    from tagminder_spark.sources.multimodal import (
+        MEDIA_SCHEMA,
+        chunk_audio,
+    )
+    from tagminder_spark.sources.wavpack import encode_wavpack
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def synth(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                did = int(r.media_id)
+                rate = (6000, 8000, 12000)[did % 3]
+                n = 30 + did % 50
+                i = np.arange(n, dtype=np.int64)
+                s = ((did * 7 + i * 13) % 4096 - 2048).astype(np.int16)
+                rows.append(
+                    {
+                        "media_id": did,
+                        "kind": "audio",
+                        "content": encode_wavpack(
+                            s, rate, block_samples=32
+                        ),
+                        "meta": None,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "content", "meta"]
+            )
+
+    media = d.mapInPandas(synth, MEDIA_SCHEMA)
+    chunks = chunk_audio(media, window_ms=8, hop_ms=5)
+
+    def sums(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            out = pdf.copy()
+            out["n_bytes"] = out["chunk_bytes"].map(len)
+            out["sample_sum"] = out["chunk_bytes"].map(
+                lambda b: int(
+                    np.frombuffer(b, dtype="<i2").astype(np.int64).sum()
+                )
+            )
+            yield out[
+                ["media_id", "chunk_idx", "start_ms", "end_ms",
+                 "n_bytes", "sample_sum"]
+            ]
+
+    return chunks.mapInPandas(
+        sums,
+        "media_id long, chunk_idx int, start_ms long, end_ms long,"
+        " n_bytes long, sample_sum long",
+    )
+
+
 # the REAL GIF decode path, oracle-gated (round 10): palettized
 # analytic pixels through genuine LZW (interlaced for odd docs), with
 # a POSITION-WEIGHTED checksum — plain channel sums are permutation-

@@ -632,7 +632,10 @@ def decode_audio(content: bytes):
     :func:`tagminder_spark.sources.vorbis.decode_vorbis` (round 12 —
     full codebook/floor1/residue/IMDCT synthesis, CRC-checked pages),
     AIFF / AIFF-C PCM via :func:`decode_aiff` (round 13 — big-endian
-    ``NONE``/``twos`` and byte-swapped ``sowt``).
+    ``NONE``/``twos`` and byte-swapped ``sowt``), WavPack via
+    :func:`tagminder_spark.sources.wavpack.decode_wavpack` (round 13
+    — full lossless core: adaptive decorrelation chain + the
+    median-driven words entropy coder, per-block CRC).
     Same return contract as ``decode_wav`` — (rate, n_channels,
     samples ``(frames, channels)``) — so chunking/featurizing
     plumbing never cares which container the bytes came in.  Raises
@@ -650,6 +653,10 @@ def decode_audio(content: bytes):
         return decode_vorbis(content)
     if content[:4] == b"FORM" and content[8:12] in (b"AIFF", b"AIFC"):
         return decode_aiff(content)
+    if content[:4] == b"wvpk":
+        from tagminder_spark.sources.wavpack import decode_wavpack
+
+        return decode_wavpack(content)
     raise ValueError("unsupported audio container")
 
 
