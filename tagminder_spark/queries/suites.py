@@ -292,6 +292,21 @@ SUITES: dict[str, dict[str, tuple[list[str], list[tuple[str, str]]]]] = {
             [("start_ms", "num"), ("end_ms", "num"), ("n_bytes", "num"),
              ("sample_sum", "num")],
         ),
+        # round 13: REAL AIFF / AIFF-C PCM (big-endian NONE/twos +
+        # byte-swapped sowt, all three flavors cycled per doc) and
+        # REAL WavPack (decorrelation chain + words entropy coder,
+        # multi-block) — both lossless, replaying the WAV gate's
+        # integer oracle exactly
+        "mm_real_aiff_chunks": (
+            ["media_id", "chunk_idx"],
+            [("start_ms", "num"), ("end_ms", "num"), ("n_bytes", "num"),
+             ("sample_sum", "num")],
+        ),
+        "mm_real_wv_chunks": (
+            ["media_id", "chunk_idx"],
+            [("start_ms", "num"), ("end_ms", "num"), ("n_bytes", "num"),
+             ("sample_sum", "num")],
+        ),
         # round 5: the audio leg — overlapping-window chunking with
         # byte-exact (base64) chunk payloads
         "mm_audio_chunks": (
