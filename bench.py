@@ -133,6 +133,12 @@ EXTRA = [
     # round 11 (second session): bloom-index build + point lookup on an
     # unclustered layout (stats prune zero by construction)
     "cur_bloom_skipping",
+    # round 13: AIFF/AIFF-C PCM and WavPack lossless decode through
+    # chunk_audio (5k genuine containers synthesized + decoded per
+    # pass inside mapInPandas — embarrassingly parallel, the honest
+    # shape, same posture as mm_real_mp3_frames)
+    "mm_real_aiff_chunks",
+    "mm_real_wv_chunks",
 ]
 
 

@@ -830,6 +830,11 @@ def _decode_block(data: bytes, pos: int):
             bitstream = payload
     if med_logs is None or bitstream is None:
         raise ValueError("missing entropy/bitstream metadata")
+    for term, _d in terms:
+        if not (1 <= term <= 8 or term in (17, 18, -1, -2, -3)):
+            raise ValueError(f"invalid decorrelation term {term}")
+    if len(weights_raw) != len(terms) * nch:
+        raise ValueError("decorr weights metadata size mismatch")
 
     # history samples: empty metadata = zero history (what the twin
     # writes); non-empty decodes the wp_log2-coded values laid out

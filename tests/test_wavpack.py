@@ -250,3 +250,33 @@ def test_chunk_audio_real_path_over_wavpack(spark):
     assert np.array_equal(got0, x[: 40 * 8000 // 1000].ravel())
     got2 = np.frombuffer(bytes(rows[2]["chunk_bytes"]), dtype="<i2")
     assert np.array_equal(got2, x[60 * 8000 // 1000:].ravel())
+
+
+def test_fuzz_single_bit_mutations_never_crash():
+    """Any single-bit corruption of a valid stream either decodes
+    (the flip may land in padding) or raises ValueError/EOFError —
+    never IndexError/KeyError (fuzz-found: a weights-metadata size
+    flip used to IndexError past the weight list)."""
+    rng = np.random.default_rng(11)
+    x = rng.integers(-2000, 2000, size=(120, 2)).astype(np.int16)
+    good = bytearray(encode_wavpack(x, 8000, block_samples=64))
+    for _ in range(250):
+        b2 = bytearray(good)
+        pos = int(rng.integers(0, len(b2)))
+        b2[pos] ^= 1 << int(rng.integers(0, 8))
+        try:
+            decode_wavpack(bytes(b2))
+        except (ValueError, EOFError):
+            pass
+
+
+def test_fuzz_garbage_streams_raise_valueerror():
+    rng = np.random.default_rng(12)
+    for _ in range(150):
+        n = int(rng.integers(0, 300))
+        blob = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        for prefix in (b"", b"wvpk"):
+            try:
+                decode_wavpack(prefix + blob)
+            except (ValueError, EOFError):
+                pass
