@@ -26,6 +26,7 @@ QUERIES=(
   cur_temporal_partitioning mm_real_mp3_frames mm_real_png16_features
   mm_real_jpeg_prog_features
   cur_bloom_skipping mm_real_vorbis_packets mm_real_opus_packets
+  mm_real_aiff_chunks mm_real_wv_chunks
 )
 # d_embedding_lsh_scaled is excluded BY DESIGN: its oracle is pinned to
 # the n=500 derivation; at sf1 the default path derives wider bands (the
