@@ -4880,4 +4880,4 @@ def test_optimize_reindex_incremental_and_legacy_skip(spark, tmp_path):
     plan = snapshot_scan_plan(
         spark, root, where=[("doc_id", "=", probe)]
     )
-    assert plan["files_scanned"] < n_before + n_new
+    assert len(plan["files"]) < n_before + n_new
