@@ -1896,15 +1896,17 @@ def _maybe_broadcast(df: DataFrame, total_bytes) -> DataFrame:
     return df
 
 
-def _pos_delete_file_bounds(path: str):
-    """(lo, hi) bounds of the ``file`` column of one POSITIONAL delete
-    file, from its parquet footer (driver-side, one footer read,
-    cached — delete files are immutable).  ``None`` when the footer is
-    unreachable (remote base without a local path) or carries no stats
-    — the caller then keeps the delete file for every group
-    (conservative, matches pre-pruning behavior)."""
-    if path in _DELETE_BOUNDS_CACHE:
-        return _DELETE_BOUNDS_CACHE[path]
+def _delete_file_col_bounds(path: str, col: str):
+    """(lo, hi) bounds of ``col`` in one delete file, from its parquet
+    footer (driver-side, one footer read, cached — delete files are
+    immutable).  ``None`` when the footer is unreachable (remote base
+    without a local path) or carries no stats — the caller then keeps
+    the delete file for every group (conservative, the pre-pruning
+    behavior).  An empty shard returns the empty-range marker
+    ``("", "")`` (names nothing, prunable everywhere)."""
+    ckey = (path, col)
+    if ckey in _DELETE_BOUNDS_CACHE:
+        return _DELETE_BOUNDS_CACHE[ckey]
     bounds = None
     try:
         import os.path
@@ -1922,7 +1924,7 @@ def _pos_delete_file_bounds(path: str):
             idx = None if md is None else {
                 md.schema.column(i).name: i
                 for i in range(md.num_columns)
-            }.get("file")
+            }.get(col)
             if idx is not None:
                 lo = hi = None
                 for rg in range(md.num_row_groups):
@@ -1938,8 +1940,14 @@ def _pos_delete_file_bounds(path: str):
         bounds = None
     if len(_DELETE_BOUNDS_CACHE) >= _DELETE_CACHE_MAX:
         _DELETE_BOUNDS_CACHE.pop(next(iter(_DELETE_BOUNDS_CACHE)))
-    _DELETE_BOUNDS_CACHE[path] = bounds
+    _DELETE_BOUNDS_CACHE[ckey] = bounds
     return bounds
+
+
+def _pos_delete_file_bounds(path: str):
+    """Bounds of the positional ``file`` column — see
+    :func:`_delete_file_col_bounds`."""
+    return _delete_file_col_bounds(path, "file")
 
 
 def _pos_rels_for_group(
@@ -1978,6 +1986,52 @@ def _pos_rels_for_group(
         i = bisect.bisect_left(srels, lo)
         if i < len(srels) and srels[i] <= hi:
             out.append(rel)
+    return out
+
+
+def _eq_rels_for_group(fs, base: str, group_rels: list[str],
+                       keycol: str, krels: list[str],
+                       stats: dict) -> list[str]:
+    """EQUALITY-delete files that can hit this scan group, decided
+    from each delete file's footer min/max of its key column vs the
+    union of the group's committed per-file stats bounds for that
+    column (the equality half of the per-group delete pruning).
+    NUMERIC bounds only: parquet string statistics may be
+    writer-truncated on the max side, which could wrongly prune a
+    delete file that still applies — numeric stats are exact.  Any
+    group file missing stats for the key column disables the prune
+    for the whole group (that file could hold any key); a delete
+    file without readable bounds is kept."""
+    glo = ghi = None
+    for rel in group_rels:
+        # stats rows are [lo, hi] or [lo, hi, null_count, value_count]
+        # (collect_file_stats; lo/hi None for an all-null column)
+        b = (stats.get(rel) or {}).get(keycol)
+        if (not b or len(b) < 2
+                or not all(isinstance(v, (int, float))
+                           and not isinstance(v, bool)
+                           for v in b[:2])):
+            return list(krels)
+        glo = b[0] if glo is None else min(glo, b[0])
+        ghi = b[1] if ghi is None else max(ghi, b[1])
+    if glo is None:
+        return list(krels)
+    out = []
+    for rel in krels:
+        db = _delete_file_col_bounds(fs.join(base, rel), keycol)
+        if db == ("", ""):
+            continue  # empty shard names nothing
+        if db is None:
+            out.append(rel)
+            continue
+        dlo, dhi = db
+        if (not isinstance(dlo, (int, float))
+                or isinstance(dlo, bool)):
+            out.append(rel)  # non-numeric key: no prune
+            continue
+        if dhi < glo or dlo > ghi:
+            continue
+        out.append(rel)
     return out
 
 
@@ -2074,7 +2128,12 @@ def _read_entries_with_deletes(
             if keycol != _POS_DELETE_KEY:
                 by_key.setdefault(keycol, []).append(rel)
         for keycol in sorted(by_key):
-            krels = by_key[keycol]
+            krels = _eq_rels_for_group(
+                fs, base, [r for r, _ in group_ents], keycol,
+                by_key[keycol], man.get("stats") or {},
+            )
+            if not krels:
+                continue
             sizes = [
                 _delete_file_size(fs, fs.join(base, r)) for r in krels
             ]

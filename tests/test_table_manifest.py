@@ -4881,3 +4881,87 @@ def test_optimize_reindex_incremental_and_legacy_skip(spark, tmp_path):
         spark, root, where=[("doc_id", "=", probe)]
     )
     assert len(plan["files"]) < n_before + n_new
+
+
+def test_eq_delete_files_pruned_per_group(spark, tmp_path, monkeypatch):
+    """Equality-delete pruning (round 13): a merge's key-column delete
+    file anti-joins only scan groups whose committed doc_id stats can
+    contain its keys — a spec-evolved group living in a disjoint key
+    range skips the join entirely; disabling the footer probe restores
+    it.  Values identical either way."""
+    from pyspark.sql import functions as F
+
+    import tagminder_spark.operators.table_manifest as tm
+    from tagminder_spark.session import load_table
+
+    root = str(tmp_path / "t")
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    docs.write.mode("append").partitionBy("lang").parquet(root)
+    tm.init_manifest(spark, root, stats_cols=("doc_id",))
+    # spec-evolved group in a disjoint key range, stats committed
+    extra = docs.limit(6).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "lang", "n_chars"
+    )
+    tm.append_files(spark, extra, root, partition_col=None,
+                    stats_cols=("doc_id",))
+    upd = docs.limit(30).withColumn("n_chars", F.lit(-1).cast("long"))
+    tm.merge_on_read(spark, root, upd, "doc_id",
+                     stats_cols=("doc_id",))
+
+    got = tm.snapshot_read(spark, root)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    n_anti = plan.count("LeftAnti")
+    rows = sorted(
+        (r["doc_id"], r["n_chars"]) for r in got.collect()
+    )
+
+    monkeypatch.setattr(
+        tm, "_delete_file_col_bounds", lambda path, col: None
+    )
+    got2 = tm.snapshot_read(spark, root)
+    plan2 = got2._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("LeftAnti") > n_anti, (plan, plan2)
+    assert rows == sorted(
+        (r["doc_id"], r["n_chars"]) for r in got2.collect()
+    )
+    upd_ids = {r["doc_id"] for r in upd.collect()}
+    assert all(n == -1 for i, n in rows if i in upd_ids)
+    assert sum(1 for i, _n in rows if i >= 10_000_000) == 6
+
+
+def test_eq_rels_for_group_conservative_paths(tmp_path):
+    """Missing stats, non-numeric bounds, unreadable delete footers,
+    and empty shards each take the documented conservative branch."""
+    import tagminder_spark.operators.table_manifest as tm
+
+    class _FS:
+        def join(self, *p):
+            return "/".join(p)
+
+    fs = _FS()
+    bounds = {("/b/d1", "k"): (0, 49), ("/b/d2", "k"): (500, 900),
+              ("/b/d3", "k"): ("", ""), ("/b/d4", "k"): None,
+              ("/b/d5", "k"): ("a", "z")}
+    orig = tm._delete_file_col_bounds
+    tm._delete_file_col_bounds = lambda p, c: bounds.get((p, c))
+    try:
+        stats = {"f1": {"k": [0, 99]}, "f2": {"k": [100, 199]}}
+        # d1 overlaps f1; d2 disjoint; d3 empty; d4 unknown->keep;
+        # d5 non-numeric delete bounds -> keep
+        assert tm._eq_rels_for_group(
+            fs, "/b", ["f1", "f2"], "k",
+            ["d1", "d2", "d3", "d4", "d5"], stats,
+        ) == ["d1", "d4", "d5"]
+        # a group file without stats disables the prune entirely
+        assert tm._eq_rels_for_group(
+            fs, "/b", ["f1", "f9"], "k", ["d2"], stats
+        ) == ["d2"]
+        # non-numeric (string) group stats disable the prune
+        assert tm._eq_rels_for_group(
+            fs, "/b", ["f1"], "k", ["d2"],
+            {"f1": {"k": ["a", "b"]}},
+        ) == ["d2"]
+    finally:
+        tm._delete_file_col_bounds = orig
