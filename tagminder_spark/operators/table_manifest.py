@@ -1996,19 +1996,21 @@ def _eq_rels_for_group(fs, base: str, group_rels: list[str],
     from each delete file's footer min/max of its key column vs the
     union of the group's committed per-file stats bounds for that
     column (the equality half of the per-group delete pruning).
-    NUMERIC bounds only: parquet string statistics may be
-    writer-truncated on the max side, which could wrongly prune a
-    delete file that still applies — numeric stats are exact.  Any
-    group file missing stats for the key column disables the prune
-    for the whole group (that file could hold any key); a delete
-    file without readable bounds is kept."""
+    INTEGER bounds only: parquet string statistics may be
+    writer-truncated on the max side, and pyarrow float statistics
+    are NaN-hazardous (the round-12 null-skipping lesson) — either
+    could wrongly prune a delete file that still applies; integer
+    stats are exact.  Any group file missing integer stats for the
+    key column disables the prune for the whole group (that file
+    could hold any key); a delete file without readable integer
+    bounds is kept."""
     glo = ghi = None
     for rel in group_rels:
         # stats rows are [lo, hi] or [lo, hi, null_count, value_count]
         # (collect_file_stats; lo/hi None for an all-null column)
         b = (stats.get(rel) or {}).get(keycol)
         if (not b or len(b) < 2
-                or not all(isinstance(v, (int, float))
+                or not all(isinstance(v, int)
                            and not isinstance(v, bool)
                            for v in b[:2])):
             return list(krels)
@@ -2025,9 +2027,9 @@ def _eq_rels_for_group(fs, base: str, group_rels: list[str],
             out.append(rel)
             continue
         dlo, dhi = db
-        if (not isinstance(dlo, (int, float))
-                or isinstance(dlo, bool)):
-            out.append(rel)  # non-numeric key: no prune
+        if (not isinstance(dlo, int) or isinstance(dlo, bool)
+                or not isinstance(dhi, int)):
+            out.append(rel)  # non-integer key bounds: no prune
             continue
         if dhi < glo or dlo > ghi:
             continue
