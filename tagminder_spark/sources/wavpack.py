@@ -837,24 +837,20 @@ def _decode_block(data: bytes, pos: int):
         raise ValueError("decorr weights metadata size mismatch")
 
     # history samples: empty metadata = zero history (what the twin
-    # writes); non-empty decodes the wp_log2-coded values laid out
-    # per stored term, channels interleaved per value slot
+    # writes — spec-legal, every block self-contained).  A NON-empty
+    # history is refused loudly: its exact per-term layout cannot be
+    # validated against any independent producer in this container,
+    # and mis-seeded history would decode silently WRONG PCM — the
+    # same loud-over-silently-wrong stance as the AIFF-C codec seam.
+    if samples_meta:
+        raise ValueError(
+            "wavpack: non-empty decorr-samples metadata (carried "
+            "block history) is outside the validated envelope"
+        )
     histories = []
-    sp = 0
     for term, _d in terms:
         hlen = _term_history_len(term)
-        hist = [[0] * hlen for _ in range(nch)]
-        if samples_meta:
-            for k in range(hlen):
-                for c in range(nch):
-                    if sp + 2 <= len(samples_meta):
-                        (lv,) = struct.unpack(
-                            "<h", samples_meta[sp:sp + 2]
-                        )
-                        # newest sample first in the stored layout
-                        hist[c][hlen - 1 - k] = wp_exp2(lv)
-                        sp += 2
-        histories.append(hist)
+        histories.append([[0] * hlen for _ in range(nch)])
 
     medians = [
         [wp_exp2(v if v < 0x8000 else v - 0x10000)
