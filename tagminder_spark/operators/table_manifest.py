@@ -4601,6 +4601,7 @@ def build_bloom_index(
 
     carried = None
     hash_ents = entries
+    n90 = None
     if base_doc is not None and base_doc.get("col") == col:
         old_path = fs.join(base, base_doc["sidecar"])
         if fs.exists(old_path):
@@ -4644,6 +4645,34 @@ def build_bloom_index(
                 F.lit(len(prefix) + 1), F.lit(1 << 30)
             ).alias("__rel"),
         )
+        if _pin_mk is not None and carried is not None:
+            # sizing guard: pinning (m, k) is only honest while the
+            # NEW files' row counts sit near the original sizing
+            # basis — a 10×-denser append under a pinned filter
+            # silently degrades fpp (conservative for correctness,
+            # corrosive for skipping).  One cheap counter pass over
+            # the CHANGED files only; >2× the recorded basis forces
+            # a fresh full build instead.
+            base_n90 = base_doc.get("n90")
+            if base_n90:
+                new_n90 = (
+                    df.groupBy("__rel").count()
+                    .approxQuantile("count", [0.9], 0.05)[0]
+                )
+                if new_n90 and new_n90 > 2 * base_n90:
+                    carried, hash_ents, _pin_mk = None, entries, None
+                    raw = (
+                        spark.read.option("basePath", base).parquet(
+                            *[fs.join(base, rel)
+                              for rel, _ in hash_ents]
+                        )
+                    )
+                    df = raw.select(
+                        F.col(col).cast("string").alias("__v"),
+                        F.col("_metadata.file_path").substr(
+                            F.lit(len(prefix) + 1), F.lit(1 << 30)
+                        ).alias("__rel"),
+                    )
         if _pin_mk is not None:
             m, k = _pin_mk
         else:
@@ -4708,7 +4737,12 @@ def build_bloom_index(
         .write.mode("overwrite").parquet(sidecar)
     )
     doc = {"col": col, "generation": gen, "fpp": fpp,
-           "sidecar": sidecar_rel, "kind": kind, "m": m, "k": k}
+           "sidecar": sidecar_rel, "kind": kind, "m": m, "k": k,
+           # the sizing basis — an incremental rebuild carries it so
+           # the >2× density guard measures against the ORIGINAL
+           # basis (m, k) were derived from, not a drifting one
+           "n90": (int(n90) if n90
+                   else (base_doc or {}).get("n90"))}
     fs.write_new(
         fs.join(_manifest_dir(fs, base), f"bloomdoc_{col}_{gen}.json"),
         json.dumps(doc, separators=(",", ":")).encode(),

@@ -4965,3 +4965,42 @@ def test_eq_rels_for_group_conservative_paths(tmp_path):
         ) == ["d2"]
     finally:
         tm._delete_file_col_bounds = orig
+
+
+def test_bloom_incremental_resizes_on_density_jump(spark, tmp_path):
+    """Sizing guard: an append whose per-file row counts exceed 2x
+    the index's recorded sizing basis forces a FULL fresh-sized
+    rebuild instead of carrying the now-undersized (m, k) — pinned
+    filters on 10x-denser files would silently degrade fpp."""
+    from pyspark.sql import functions as F
+
+    from tagminder_spark.operators.table_manifest import (
+        append_files,
+        build_bloom_index,
+        init_manifest,
+        list_bloom_indexes,
+        read_manifest,
+    )
+    from tagminder_spark.session import load_table
+
+    root = str(tmp_path / "t")
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    docs.repartition(6).write.mode("append").parquet(root)  # ~83/file
+    init_manifest(spark, root)
+    rep0 = build_bloom_index(spark, root, "doc_id")
+    doc0 = [d for d in list_bloom_indexes(spark, root)
+            if d["generation"] == rep0["generation"]][0]
+    assert doc0.get("n90")
+
+    # 2 files x ~2500 rows >> 2x the ~83-row basis
+    big = spark.range(5000).select(
+        (F.col("id") + 20_000_000).alias("doc_id"),
+        F.lit("en").alias("lang"),
+    ).repartition(2)
+    append_files(spark, big, root, partition_col=None)
+    n_all = len(read_manifest(spark, root)["files"])
+
+    rep1 = build_bloom_index(spark, root, "doc_id", base_doc=doc0)
+    assert rep1["files_hashed"] == n_all          # full rebuild
+    assert rep1["files_carried"] == 0
+    assert rep1["m_bits"] > rep0["m_bits"]        # fresh, larger sizing
