@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tagminder_spark.queries import QueryFn
-from tagminder_spark.session import load_table
+from tagminder_spark.session import load_table, spread
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
@@ -574,7 +574,9 @@ def s3_tag_parse_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     d = load_table(spark, sf_dir, "documents")
-    files = d.select("doc_id").mapInPandas(build, "path string, content binary")
+    files = spread(d.select("doc_id")).mapInPandas(
+        build, "path string, content binary"
+    )
     cols = tags_to_columns(
         parse_tags(files), ["title", "artist", "album", "track", "genre"]
     )

@@ -21,7 +21,7 @@ from tagminder_spark.operators.text import (
     word_count,
 )
 from tagminder_spark.queries import QueryFn
-from tagminder_spark.session import load_table
+from tagminder_spark.session import load_table, spread
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
@@ -399,7 +399,7 @@ def mm_real_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["media_id", "kind", "content", "meta"]
             )
 
-    media = d.mapInPandas(synth, MEDIA_SCHEMA)
+    media = spread(d).mapInPandas(synth, MEDIA_SCHEMA)
     feats = decode_and_featurize_images(media, dim=9)
     px = F.col("width") * F.col("height")
     return feats.select(
@@ -510,7 +510,7 @@ def mm_real_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["media_id", "kind", "content", "meta"]
             )
 
-    media = d.mapInPandas(synth, MEDIA_SCHEMA)
+    media = spread(d).mapInPandas(synth, MEDIA_SCHEMA)
     feats = decode_and_featurize_images(media, dim=9)
     px = F.col("width") * F.col("height")
     return feats.select(
@@ -644,7 +644,7 @@ def mm_real_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    media = d.mapInPandas(synth, MEDIA_SCHEMA)
+    media = spread(d).mapInPandas(synth, MEDIA_SCHEMA)
     return media.mapInPandas(
         featurize,
         "media_id long, width int, height int, sum_all long, "
@@ -739,7 +739,7 @@ def mm_real_wav_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["media_id", "kind", "content", "meta"]
             )
 
-    media = d.mapInPandas(synth, MEDIA_SCHEMA)
+    media = spread(d).mapInPandas(synth, MEDIA_SCHEMA)
     chunks = chunk_audio(media, window_ms=8, hop_ms=5)
 
     def sums(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
@@ -856,7 +856,7 @@ def mm_real_flac_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["media_id", "kind", "content", "meta"]
             )
 
-    media = d.mapInPandas(synth, MEDIA_SCHEMA)
+    media = spread(d).mapInPandas(synth, MEDIA_SCHEMA)
     chunks = chunk_audio(media, window_ms=8, hop_ms=5)
 
     def sums(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
@@ -933,7 +933,7 @@ def mm_real_aiff_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["media_id", "kind", "content", "meta"]
             )
 
-    media = d.mapInPandas(synth, MEDIA_SCHEMA)
+    media = spread(d).mapInPandas(synth, MEDIA_SCHEMA)
     chunks = chunk_audio(media, window_ms=8, hop_ms=5)
 
     def sums(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
@@ -1025,7 +1025,7 @@ def mm_real_wv_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["media_id", "kind", "content", "meta"]
             )
 
-    media = d.mapInPandas(synth, MEDIA_SCHEMA)
+    media = spread(d).mapInPandas(synth, MEDIA_SCHEMA)
     chunks = chunk_audio(media, window_ms=8, hop_ms=5)
 
     def sums(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
@@ -1133,7 +1133,7 @@ def mm_real_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["media_id", "kind", "content", "meta"]
             )
 
-    media = d.mapInPandas(synth, MEDIA_SCHEMA)
+    media = spread(d).mapInPandas(synth, MEDIA_SCHEMA)
 
     def feats(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
         for pdf in batches:
@@ -1247,7 +1247,7 @@ def mm_real_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["media_id", "kind", "content", "meta"]
             )
 
-    media = d.mapInPandas(synth, MEDIA_SCHEMA)
+    media = spread(d).mapInPandas(synth, MEDIA_SCHEMA)
     frames = sample_video_frames(media, every_ms=250)
     return frames.select(
         "media_id",
@@ -1660,7 +1660,7 @@ def mm_real_mp3_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                     })
             yield pd.DataFrame(rows)
 
-    return d.mapInPandas(
+    return spread(d).mapInPandas(
         run,
         "media_id long, frame int, granule int, channel int,"
         " offset long, frame_len long, ts_ms long,"
@@ -1755,7 +1755,7 @@ def mm_real_png16_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["media_id", "kind", "content", "meta"]
             )
 
-    media = d.mapInPandas(synth, MEDIA_SCHEMA)
+    media = spread(d).mapInPandas(synth, MEDIA_SCHEMA)
     feats = decode_and_featurize_images(media, dim=9)
     px = F.col("width") * F.col("height")
     return feats.select(
@@ -1886,7 +1886,7 @@ def mm_real_jpeg_prog_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    media = d.mapInPandas(synth, MEDIA_SCHEMA)
+    media = spread(d).mapInPandas(synth, MEDIA_SCHEMA)
     return media.mapInPandas(
         featurize,
         "media_id long, width int, height int,"
@@ -2076,7 +2076,7 @@ def mm_real_vorbis_packets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "value_sum", "value_wsum",
             ])
 
-    return d.mapInPandas(
+    return spread(d).mapInPandas(
         run,
         "media_id long, packet int, mode int, granule long,"
         " blocksize int, floor_y_sum long, floor_y_wsum long,"
@@ -2209,7 +2209,7 @@ def mm_real_opus_packets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "granule",
             ])
 
-    return d.mapInPandas(
+    return spread(d).mapInPandas(
         run,
         "media_id long, packet int, config int, mode string,"
         " stereo int, nframes int, samples long, frame_len_sum long,"

@@ -68,6 +68,28 @@ def get_spark(app: str = "tagminder_spark", master: str | None = None) -> SparkS
     return spark
 
 
+def spread(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Round-robin repartition sized to the session's core count — put
+    this immediately BEFORE a per-row Python kernel (mapInPandas /
+    mapInArrow synth+decode stages).
+
+    Why (guide §4 / §2): the corpus tables are small single-row-group
+    parquet files, so the scan is ONE split — and an opaque Python
+    kernel chained on it runs every per-document decode serially in one
+    task on one core (measured: mm_real_mp3_frames 12.1 s single-task
+    vs ~1 s spread at 32 cores; the kernel cost is per-document CPU,
+    not bytes). The repartition shuffles only the tiny id frame, and
+    the partition count follows ``defaultParallelism`` (local[N] → N;
+    on a cluster, total executor cores), not a constant — the same
+    declarative source stays right at every core count the driver
+    benches. Row-set semantics are unchanged (round-robin placement
+    only; Spark's sort-before-repartition keeps placement deterministic
+    under retries).
+    """
+    n = parts or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 _TS_COLS: dict[tuple[str, float, int], tuple[list[str], list[str]]] = {}
 
 
