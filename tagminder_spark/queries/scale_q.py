@@ -293,6 +293,12 @@ def _chain_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     k = F.col("l_orderkey")
     ln = F.col("l_linenumber")
+    # distinct on the two NUMERIC keys, not the 16 built strings: every
+    # output column is a pure function of (l_orderkey, l_linenumber), so
+    # the row set is identical — but the exchange moves two longs per row
+    # instead of the wide synthesized strings (guide §2.3 "shuffle fewer
+    # bytes"; measured pl_chain_e2e 11.3 -> see OPTIMIZATION_r13.md).
+    li = li.select("l_orderkey", "l_linenumber").distinct()
     alib = li.select(
         F.concat(F.lit("p"), k, F.lit("-"), ln).alias("__path"),
         F.concat(
@@ -322,9 +328,9 @@ def _chain_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("year"),
         F.lit(None).cast("string").alias("originalyear"),
         F.lit(0).alias("__sqlmodded"),
-    ).distinct()  # (orderkey, linenumber) is not unique in the synthetic
-    # lineitem; every column is a function of that pair, so distinct()
-    # makes __path a true key for the diff-audit join
+    )  # (orderkey, linenumber) is not unique in the synthetic lineitem;
+    # the key-level distinct above makes __path a true key for the
+    # diff-audit join
     return alib
 
 
