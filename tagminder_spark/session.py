@@ -59,6 +59,15 @@ def get_spark(app: str = "tagminder_spark", master: str | None = None) -> SparkS
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Client-side CRC sidecars (Hadoop ChecksumFileSystem, the
+        # default for file:) double the file-creation count of every
+        # many-directory write; parquet carries its own page/footer
+        # checksums, so the sidecars only duplicate that work. Measured
+        # (guide §6, small-files): a 100-dir dynamic-partition write
+        # drops ~25-30% wall. On HDFS/S3 this key is inert (their
+        # checksum machinery is server-side), so the same declarative
+        # source stays right off-box.
+        .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
         # testdata parquet uses TIMESTAMP(NANOS) which Spark's vectorized
         # reader rejects; read as long and convert in load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
