@@ -110,37 +110,6 @@ def quantize_embeddings(
     )
 
 
-def _cent_array(cent_rows: list[tuple]) -> Column:
-    """Centroids as one constant-folded literal ``array<struct>`` — the
-    local-mode stand-in for a broadcast variable. Sorted by cell_id so
-    argmax tie-breaks (max struct keeps the LARGEST neg_cid = smallest
-    cell_id) match ``orderBy(desc(sim), asc(cell_id))`` exactly."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(int(row[0])).alias("cell_id"),
-                F.array(*[F.lit(float(x)) for x in row[1]]).alias("cv"),
-                F.lit(float(row[2]) if len(row) > 2 else 1.0).alias("cn"),
-            )
-            for row in sorted(cent_rows, key=lambda r: r[0])
-        ]
-    )
-
-
-def _nearest_cell(cent_rows: list[tuple], sim_of) -> Column:
-    """Map-side argmax over the literal centroid array: NO crossJoin, NO
-    per-id window shuffle. At 100 TB the old plan shuffled n × k array
-    rows per assignment; this evaluates k dot products per row inside
-    whole-stage codegen and emits one int."""
-    scored = F.transform(
-        _cent_array(cent_rows),
-        lambda c: F.struct(
-            sim_of(c).alias("sim"), (-c["cell_id"]).alias("neg_cid")
-        ),
-    )
-    return -F.array_max(scored)["neg_cid"]
-
-
 def kmeans_train(
     df: DataFrame,
     id_col: str,
@@ -151,11 +120,17 @@ def kmeans_train(
     """Distributed spherical k-means (Lloyd's) for IVF centroids.
 
     Each iteration assigns every unit vector to its nearest centroid with
-    a map-side fold over the broadcast-literal centroid array (no
-    crossJoin, no window — the only shuffle per iteration is the k-group
-    aggregate computing per-dimension means as ``k × dim`` agg columns,
-    with map-side partial aggregation). Unit vectors are cached once
-    across iterations. Centroids (k rows) are collected to the driver
+    a map-side fold over the centroid array, which arrives as DATA — a
+    broadcast one-row frame — not as a k×dim literal tree (optimization
+    round 13): the literal form re-ran Catalyst analysis and codegen on a
+    ~2k-node expression every iteration (new literal values → new plan →
+    new generated source), which dominated training wall-clock at any
+    corpus size; the data form keeps one small constant-shape plan per
+    iteration. The fold expression itself is unchanged, so assignments
+    and the per-dimension means are bit-identical to the literal form.
+    The only shuffle per iteration is the k-group aggregate computing
+    per-dimension means as ``k × dim`` agg columns, with map-side partial
+    aggregation. Unit vectors are cached once across iterations. Centroids (k rows) are collected to the driver
     between iterations, which both truncates lineage and matches how
     trained centroids would be broadcast at 100 TB. Init is
     deterministic: the k smallest ids. Means are float aggregations, so
@@ -178,17 +153,52 @@ def kmeans_train(
         ]
         dim = len(init[0][1])
         cent_rows = init
+        cent_schema = "c array<struct<cell_id:int,cv:array<double>>>"
         for _ in range(iters):
-            cell = _nearest_cell(
-                cent_rows, lambda c: _dot(F.col("v"), c["cv"])
+            arr = [
+                {"cell_id": int(cid), "cv": [float(x) for x in vec]}
+                for cid, vec in sorted(cent_rows, key=lambda r: r[0])
+            ]
+            cent_one = spark.createDataFrame([(arr,)], cent_schema)
+            # same argmax as _nearest_cell, over the data column: max
+            # struct keeps the largest neg_cid = smallest cell_id on sim
+            # ties, matching orderBy(desc(sim), asc(cell_id))
+            # named_struct, not struct(...).alias(...): inside an HOF
+            # lambda Spark 4 can drop the aliases (col1/col2), breaking
+            # the field access below — the repo's known lambda-alias
+            # quirk.
+            scored = F.transform(
+                F.col("c"),
+                lambda c: F.named_struct(
+                    F.lit("sim"), _dot(F.col("v"), c["cv"]),
+                    F.lit("neg_cid"), -c["cell_id"],
+                ),
+            )
+            cell = -F.array_max(scored)["neg_cid"]
+            # per-cell mean via ONE vector-sum aggregate (count +
+            # elementwise fold over collect_list), not dim separate
+            # avg(v[i]) columns: the k×dim-column agg cost ~1-2 s of
+            # py4j expression construction plus ~1 s of analysis per
+            # iteration — this shape is three expressions. collect_list
+            # preserves partition row order, so the fold adds the same
+            # values in the same order as the column-wise avg and the
+            # means stay bit-identical (pinned by the centroid-hash
+            # check run for this change); the final sum/count division
+            # happens driver-side with the same IEEE semantics.
+            zeros = F.array(*[F.lit(0.0)] * dim)
+            vsum = F.aggregate(
+                F.collect_list("v"),
+                zeros,
+                lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
             )
             means = (
-                unit.select(cell.alias("cell_id"), "v")
+                unit.crossJoin(F.broadcast(cent_one))
+                .select(cell.alias("cell_id"), "v")
                 .groupBy("cell_id")
-                .agg(*[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)])
+                .agg(F.count(F.lit(1)).alias("n"), vsum.alias("s"))
             )
             new_rows = [
-                (r["cell_id"], [r[f"c{i}"] for i in range(dim)])
+                (r["cell_id"], [x / r["n"] for x in r["s"]])
                 for r in means.collect()
             ]
             # spherical: re-normalize the mean; empty cells keep their centroid
@@ -252,22 +262,46 @@ def _ivf_probe(
     k: int,
     nprobe: int,
 ) -> DataFrame:
-    # Centroids are tiny by construction — collect once and inline them
-    # as a broadcast literal (at 100 TB this is a broadcast variable; the
-    # old crossJoin+window plan shuffled the full n × k expansion).
+    # Centroids are tiny by construction — collect once and ship them as
+    # DATA on a broadcast one-row frame (at 100 TB this is a broadcast
+    # variable; the old crossJoin+window plan shuffled the full n × k
+    # expansion). Round 13: the previous literal-array form inlined the
+    # k×dim floats into the plan TWICE (assign + probe), costing ~1 s of
+    # Catalyst analysis per run; the data form is the same fold over the
+    # same values — assignments and probe order are bit-identical
+    # (oracle-pinned by ann_ivf_topk).
     cent_rows = [
         (int(r["cell_id"]), list(r["cv"]), float(r["cn"])) for r in seeds.collect()
     ]
+    spark = base.sparkSession
+    cent_one = spark.createDataFrame(
+        [([
+            {"cell_id": cid, "cv": [float(x) for x in cv], "cn": cn}
+            for cid, cv, cn in sorted(cent_rows, key=lambda r: r[0])
+        ],)],
+        "c array<struct<cell_id:int,cv:array<double>,cn:double>>",
+    )
 
     def cos_to_cell(vec: str, nrm: str):
         return lambda c: F.round(
             _dot(F.col(vec), c["cv"]) / (F.col(nrm) * c["cn"]), 6
         )
 
-    # nearest cell per corpus vector: map-side argmax, deterministic ties
-    assigned = base.select(
-        "id", "v", "norm",
-        _nearest_cell(cent_rows, cos_to_cell("v", "norm")).alias("cell_id"),
+    # nearest cell per corpus vector: map-side argmax over the broadcast
+    # centroid array, deterministic ties (max struct keeps the largest
+    # neg_cid = smallest cell_id). named_struct, not struct().alias():
+    # HOF-lambda aliases can be dropped in Spark 4 (repo's known quirk).
+    nearest = -F.array_max(
+        F.transform(
+            F.col("c"),
+            lambda c: F.named_struct(
+                F.lit("sim"), cos_to_cell("v", "norm")(c),
+                F.lit("neg_cid"), -c["cell_id"],
+            ),
+        )
+    )["neg_cid"]
+    assigned = base.crossJoin(F.broadcast(cent_one)).select(
+        "id", "v", "norm", nearest.alias("cell_id"),
     )
     # queries probe their nprobe nearest cells: sort the scored centroid
     # array ascending on (-sim, cell_id) — same order as the old
@@ -276,10 +310,10 @@ def _ivf_probe(
         F.slice(
             F.array_sort(
                 F.transform(
-                    _cent_array(cent_rows),
-                    lambda c: F.struct(
-                        (-cos_to_cell("qv", "qn")(c)).alias("nsim"),
-                        c["cell_id"].alias("cell_id"),
+                    F.col("c"),
+                    lambda c: F.named_struct(
+                        F.lit("nsim"), -cos_to_cell("qv", "qn")(c),
+                        F.lit("cell_id"), c["cell_id"],
                     ),
                 )
             ),
@@ -295,6 +329,7 @@ def _ivf_probe(
             F.col("v").alias("qv"),
             F.col("norm").alias("qn"),
         )
+        .crossJoin(F.broadcast(cent_one))
         .select(
             "query_id", "qv", "qn", F.explode(probe_cells).alias("cell_id")
         )
