@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from tagminder_spark.operators.rename import rename_plan
 from tagminder_spark.queries import QueryFn
-from tagminder_spark.session import load_table
+from tagminder_spark.session import load_table, spread
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
@@ -274,7 +274,12 @@ _S98_SQL = _mk_rename_sql(_ALIB_SQL)
 
 
 def _alib_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # spread first (round 13): lineitem is a single-split scan, so the
+    # synthesized-catalog expressions AND the rename planner's map-side
+    # aggregate partials (collect_set/min_by over every directory) ran on
+    # 3 tasks; the round-robin exchange moves the raw columns once and
+    # the regex-heavy planner work runs at full parallelism.
+    li = spread(load_table(spark, sf_dir, "lineitem"))
     aid = F.col("l_orderkey") % 300
     fid = F.col("l_orderkey") * 10 + F.col("l_linenumber")
     ln = F.col("l_linenumber")
