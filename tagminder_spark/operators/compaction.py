@@ -493,12 +493,35 @@ def compact_shards(
         drop_after = ["__zorder"]
     else:
         keys = [F.col(c) for c in (*keep, order_col)]
-    # observe ABOVE the range exchange: repartitionByRange SAMPLES its
-    # child to pick boundaries, so a metric below the exchange would
-    # double-count; above it, each row is seen exactly once
+    # Dynamic-partition writes create one file per (task, directory);
+    # with few planned ranges (n_out is bytes/target, often 1 for a
+    # fragmented-small-files table) every directory lands in ONE task
+    # and the rewrite serializes hundreds of parquet writer inits
+    # (measured: 530 dirs ≈ 7-9 s in a single task). When EVERY
+    # directory fits the target, the ideal layout is exactly one file
+    # per directory anyway — so hash-distribute whole directories
+    # across the cores (explicit numPartitions: AQE never coalesces a
+    # user-specified count) and let each task write its directories in
+    # parallel. Any directory larger than the target keeps the range
+    # path, which is what splits a big directory into ~target_bytes
+    # files.
+    dir_bytes: dict[str, int] = {}
+    for p, sz in files_in:
+        d = p.rsplit("/", 1)[0]
+        dir_bytes[d] = dir_bytes.get(d, 0) + sz
+    all_small = bool(keep) and bool(dir_bytes) and max(
+        dir_bytes.values()
+    ) <= target_bytes
+    if all_small:
+        n_parts = max(n_out, spark.sparkContext.defaultParallelism)
+        shaped = df.repartition(n_parts, *[F.col(c) for c in keep])
+    else:
+        # observe ABOVE the range exchange: repartitionByRange SAMPLES
+        # its child to pick boundaries, so a metric below the exchange
+        # would double-count; above it, each row is seen exactly once
+        shaped = df.repartitionByRange(n_out, *keys)
     shaped = (
-        df.repartitionByRange(n_out, *keys)
-        .sortWithinPartitions(*keys)
+        shaped.sortWithinPartitions(*keys)
         .observe(obs, F.count(F.lit(1)).alias("rows"))
     )
     if drop_after:

@@ -772,6 +772,18 @@ def write_curated_shards(
         budget,
         range_splits,
     )
+    # AQE coalesces the packing shuffle (a few MB) down to ONE
+    # partition, and a dynamic-partition write then creates every
+    # (partition, shard) directory's file from that single task —
+    # hundreds of serial parquet writer inits (measured: 530 dirs
+    # ≈ 7-10 s in one task). Hash-distributing whole directories
+    # across the cores (explicit numPartitions — AQE never coalesces
+    # a user-specified count) keeps the exact same one-file-per-
+    # directory layout while the writer inits run in parallel.
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    tagged = tagged.repartition(
+        n_parts, F.col(partition_col), F.col("shard_id")
+    )
     tagged.write.mode("overwrite").partitionBy(partition_col, "shard_id").parquet(
         out_dir
     )

@@ -119,6 +119,90 @@ def test_compact_shards_rows_metric_without_extra_scan(spark, tmp_path):
     assert isinstance(report["rows"], int)
 
 
+def test_compact_shards_all_small_dirs_one_file_each(spark, tmp_path):
+    """All-small-directories path (hash-distributed rewrite): when every
+    directory fits target_bytes the output must be exactly one file per
+    directory — the bin-pack ideal — with rows untouched. This pins the
+    parallel-writer path added in round 13 (AQE coalesced the planned
+    single range to ONE task that wrote every directory serially)."""
+    import os.path
+
+    from tagminder_spark.operators.compaction import (
+        compact_shards,
+        list_data_files,
+    )
+    from tagminder_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    frag = str(tmp_path / "frag")
+    out = str(tmp_path / "compact")
+    _fragment(spark, docs, frag)
+
+    report = compact_shards(
+        spark, frag, out, target_bytes=64 << 20, partition_cols=("lang",)
+    )
+    dirs_out = {os.path.dirname(p) for p, _ in list_data_files(spark, out)}
+    assert report["files_out"] == len(dirs_out)  # one file per directory
+    assert report["rows"] == docs.count()
+    a = sorted((r["doc_id"], r["lang"]) for r in
+               spark.read.parquet(out).select("doc_id", "lang").collect())
+    b = sorted((r["doc_id"], r["lang"]) for r in
+               docs.select("doc_id", "lang").collect())
+    assert a == b
+
+
+def test_compact_shards_big_dir_still_splits(spark, tmp_path):
+    """A directory larger than target_bytes must keep the range path:
+    its rows split across multiple ~target_bytes files (the actual
+    bin-packing contract), not collapse to one file per directory."""
+    import os.path
+
+    from tagminder_spark.operators.compaction import (
+        compact_shards,
+        list_data_files,
+    )
+    from tagminder_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    frag = str(tmp_path / "frag")
+    out = str(tmp_path / "compact")
+    _fragment(spark, docs, frag)
+
+    report = compact_shards(
+        spark, frag, out, target_bytes=8 << 10, partition_cols=("lang",)
+    )
+    assert report["planned_files"] > 1
+    per_dir: dict[str, int] = {}
+    for p, _ in list_data_files(spark, out):
+        d = os.path.dirname(p)
+        per_dir[d] = per_dir.get(d, 0) + 1
+    assert max(per_dir.values()) > 1  # some directory was actually split
+    assert report["rows"] == docs.count()
+
+
+def test_write_curated_shards_one_file_per_directory(spark, tmp_path):
+    """The shard writer's parallel rewrite (round 13) must preserve the
+    layout contract: exactly one data file per (lang, shard_id)
+    directory, rows identical to the packing assignment."""
+    import os.path
+
+    from tagminder_spark.operators.compaction import list_data_files
+    from tagminder_spark.operators.curation import write_curated_shards
+    from tagminder_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = str(tmp_path / "shards")
+    write_curated_shards(docs, out)
+    per_dir: dict[str, int] = {}
+    for p, _ in list_data_files(spark, out):
+        d = os.path.dirname(p)
+        per_dir[d] = per_dir.get(d, 0) + 1
+    assert per_dir and max(per_dir.values()) == 1
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+
+
 def test_list_data_files_local_matches_hadoop(spark, tmp_path):
     """The scandir fast path and the Hadoop FS path must agree
     (path, size) for (path, size) on the same directory tree."""
