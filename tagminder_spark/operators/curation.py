@@ -693,12 +693,20 @@ def duplicated_spans(
         F.col(id_col), F.size(toks).cast("long").alias("n_tokens"),
         word_ngrams(F.col(text_col), k).alias("grams"),
     )
-    grams = base.select(
-        id_col, F.posexplode("grams").alias("pos", "gram")
-    ).select(
-        id_col,
-        "pos",
-        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long").alias("h"),
+    # (id, pos, h) feeds BOTH the corpus-wide DF aggregate and the
+    # coverage join; without the persist the k-gram build + md5 hashing
+    # (the expensive map) runs twice. ~20 bytes/row — the same compact
+    # derived artifact hashed_shingles persists for the jaccard family.
+    grams = scoped_persist(
+        base.select(
+            id_col, F.posexplode("grams").alias("pos", "gram")
+        ).select(
+            id_col,
+            "pos",
+            F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
     )
     dup = (
         grams.groupBy("h")

@@ -23,6 +23,7 @@ from tagminder_spark.operators.curation import (
     temperature_sample,
     write_curated_shards,
 )
+from tagminder_spark.cache import scoped_persist
 from tagminder_spark.operators.text import quality_score
 from tagminder_spark.queries import QueryFn
 from tagminder_spark.session import load_table
@@ -383,17 +384,31 @@ def cur_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tagminder_spark.operators.dedupe import exact_dup_keepers
 
     docs = load_table(spark, sf_dir, "documents")
-    rep = repetition_metrics(docs).select("doc_id", "passes_repetition")
-    dec = _dec(docs, docs.where(F.col("doc_id") % 97 == 0), n=4).select(
-        "doc_id",
-        F.when(F.col("is_contaminated") == 0, F.lit(1))
-        .otherwise(F.lit(0))
-        .alias("is_clean"),
+    # Each stage flag feeds TWO consumers (the next stage's survivor
+    # filter and the final per-document assembly join); persist the slim
+    # per-doc flag frames so the repetition gram folds / benchmark-gram
+    # explode / text-hash window each run ONCE instead of once per
+    # referencing branch (the unpersisted plan scans the corpus 28x).
+    rep = scoped_persist(
+        repetition_metrics(docs).select("doc_id", "passes_repetition")
     )
+    dec = scoped_persist(
+        _dec(docs, docs.where(F.col("doc_id") % 97 == 0), n=4).select(
+            "doc_id",
+            F.when(F.col("is_contaminated") == 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_clean"),
+        )
+    )
+    # surv1 itself is NOT persisted: it carries the full text column
+    # (corpus-sized at 100 TB), and with rep cached its recompute is one
+    # scan + a broadcast probe — the flag frames are where the CPU is.
     surv1 = docs.join(rep.filter(F.col("passes_repetition") == 1), "doc_id")
-    keepers = exact_dup_keepers(surv1, "doc_id", "text").select(
-        F.col("id").alias("doc_id"),
-        (1 - F.col("is_dup")).alias("is_exact_keeper"),
+    keepers = scoped_persist(
+        exact_dup_keepers(surv1, "doc_id", "text").select(
+            F.col("id").alias("doc_id"),
+            (1 - F.col("is_dup")).alias("is_exact_keeper"),
+        )
     )
     surv3 = (
         surv1.join(keepers.filter(F.col("is_exact_keeper") == 1), "doc_id")
@@ -517,10 +532,16 @@ def _incremental_e2e(spark: SparkSession, sf_dir: str, store) -> DataFrame:
 
     # ---- standing artifacts (production: persisted from the last run)
     rep_s = repetition_metrics(standing).select("doc_id", "passes_repetition")
-    surv_s = survivors(standing, rep_s)
-    hash_index = store(
-        surv_s.groupBy("th").agg(F.min("doc_id").alias("standing_keeper")),
-        "hash_index",
+    # surv_s feeds BOTH standing artifacts (hash index + top-k); without
+    # the persist each consumer re-runs the repetition pass (the in-row
+    # gram folds — the most expensive map here) over the standing split.
+    # Slim frame: (doc_id, source, n_chars, th).
+    surv_s = scoped_persist(survivors(standing, rep_s))
+    hash_index = scoped_persist(
+        store(
+            surv_s.groupBy("th").agg(F.min("doc_id").alias("standing_keeper")),
+            "hash_index",
+        )
     )
     dec_s = _dec(standing, bench, n=4).select("doc_id", "is_contaminated")
     clean_keepers_s = (
@@ -541,14 +562,25 @@ def _incremental_e2e(spark: SparkSession, sf_dir: str, store) -> DataFrame:
     )
 
     # ---- batch flags against the artifacts
-    rep_b = repetition_metrics(batch).select("doc_id", "passes_repetition")
-    dec_b = _dec(batch, bench, n=4).select(
-        "doc_id",
-        F.when(F.col("is_contaminated") == 0, F.lit(1))
-        .otherwise(F.lit(0))
-        .alias("is_clean"),
+    # Every batch-side flag frame below is consumed by TWO branches (the
+    # quota chain and the final assembly join); persisting the slim
+    # per-doc flag frames keeps each stage computed ONCE — without them
+    # the final 4-way join tree re-evaluates the repetition/decontam
+    # subtrees per referencing branch (measured: 54 parquet scans of the
+    # corpus in one plan). O(batch) rows each — the bounded per-ingest
+    # state this gate is supposed to demonstrate.
+    rep_b = scoped_persist(
+        repetition_metrics(batch).select("doc_id", "passes_repetition")
     )
-    surv_b = survivors(batch, rep_b)
+    dec_b = scoped_persist(
+        _dec(batch, bench, n=4).select(
+            "doc_id",
+            F.when(F.col("is_contaminated") == 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_clean"),
+        )
+    )
+    surv_b = scoped_persist(survivors(batch, rep_b))
     bmin = surv_b.groupBy("th").agg(F.min("doc_id").alias("batch_min"))
     keeper_b = (
         surv_b.join(bmin, "th")
@@ -565,6 +597,7 @@ def _incremental_e2e(spark: SparkSession, sf_dir: str, store) -> DataFrame:
             .alias("is_exact_keeper"),
         )
     )
+    keeper_b = scoped_persist(keeper_b)
     wq = Window.partitionBy("source").orderBy(
         F.col("n_chars").desc(), F.col("doc_id").asc()
     )
