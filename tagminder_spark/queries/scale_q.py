@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from tagminder_spark.cache import scoped_persist
 from tagminder_spark.operators.scale import salted_sum_count, top_k_per_key_salted
 from tagminder_spark.queries import QueryFn
-from tagminder_spark.session import load_table
+from tagminder_spark.session import load_table, spread
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
@@ -298,7 +298,13 @@ def _chain_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the row set is identical — but the exchange moves two longs per row
     # instead of the wide synthesized strings (guide §2.3 "shuffle fewer
     # bytes"; measured pl_chain_e2e 11.3 -> see OPTIMIZATION_r13.md).
-    li = li.select("l_orderkey", "l_linenumber").distinct()
+    # spread() after the distinct: the tiny key exchange makes AQE
+    # coalesce to ~4 partitions, which would serialize the regex-heavy
+    # chain steps (and the fixture parquet pl_chain_manifest writes and
+    # re-reads) at 4-way parallelism — ~106 s of downstream CPU on 4
+    # cores (guide §2.5 input parallelism; the spread exchange still
+    # carries only the two longs).
+    li = spread(li.select("l_orderkey", "l_linenumber").distinct())
     alib = li.select(
         F.concat(F.lit("p"), k, F.lit("-"), ln).alias("__path"),
         F.concat(
@@ -368,14 +374,17 @@ def pl_chain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache the wide-string distinct (the most expensive stage here)
     # runs once per side
     alib = scoped_persist(_chain_fixture(spark, sf_dir))
-    chain = _chain_steps
     cols = _CHAIN_COLS
     # join-based diff on purpose: the five-step expression tree is deep,
     # and the in-row variant (diff_audit_inline) would inline THREE more
     # copies of it per tracked column — past whole-stage-codegen limits
     # into interpreted fallback. The join boundary keeps the chain
     # compiled once; inline is the right protocol for single steps.
-    _, changelog = diff_audit(alib, chain(alib), "__path", cols, script="chain")
+    # localCheckpoint on the chain side: same plan-truncation rationale
+    # as pl_chain_manifest (driver analysis + per-task init of the
+    # ~2k-node tree — guide §3.3 / §7.3).
+    chained = _chain_steps(alib).localCheckpoint(eager=False)
+    _, changelog = diff_audit(alib, chained, "__path", cols, script="chain")
     return (
         changelog.groupBy("alib_column")
         .agg(F.count(F.lit(1)).alias("n_changes"))
@@ -448,8 +457,15 @@ def pl_chain_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pinned = snapshot_read(spark, root, 1)  # the long-running reader
     table = snapshot_read(spark, root)
+    # localCheckpoint truncates the five-step chain's ~2k-node expression
+    # tree before it fans out into diff + merge + changelog append: each
+    # of those actions otherwise re-analyzes (driver, CheckAnalysis
+    # measured ~10 s via jstack) and re-initializes (executors, ~7 s
+    # per task constant) the full tree per job (guide §3.3 / §7.3).
+    # Lazy: the chain materializes inside its first consumer's job.
+    chained = _chain_steps(table).localCheckpoint(eager=False)
     updated, changelog = diff_audit(
-        table, _chain_steps(table), "__path", _CHAIN_COLS, script="chain"
+        table, chained, "__path", _CHAIN_COLS, script="chain"
     )
     merge_into_manifest(spark, root, updated, "__path")
 
