@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tagminder_spark.queries import QueryFn
-from tagminder_spark.session import load_table, spread
+from tagminder_spark.session import fuse_pandas, load_table, spread
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
@@ -478,7 +478,11 @@ def s3_tag_parse_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     duration math — all predicted by the generating row."""
     import pandas as pd
 
-    from tagminder_spark.sources.catalog import parse_tags, tags_to_columns
+    from tagminder_spark.sources.catalog import (
+        PARSED_SCHEMA,
+        parse_tags_kernel,
+        tags_to_columns,
+    )
 
     def build(batches):
         from tagminder_spark.sources.audiotags.synth import (
@@ -574,11 +578,13 @@ def s3_tag_parse_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     d = load_table(spark, sf_dir, "documents")
-    files = spread(d.select("doc_id")).mapInPandas(
-        build, "path string, content binary"
+    # fused synth→parse: one Python worker per task, container bytes
+    # never cross the Arrow boundary (guide §4; see session.fuse_pandas)
+    parsed = spread(d.select("doc_id")).mapInPandas(
+        fuse_pandas(build, parse_tags_kernel(True)), PARSED_SCHEMA
     )
     cols = tags_to_columns(
-        parse_tags(files), ["title", "artist", "album", "track", "genre"]
+        parsed, ["title", "artist", "album", "track", "genre"]
     )
     return cols.select(
         "__path", "__filetype", "title", "artist", "album", "track",

@@ -21,7 +21,7 @@ from tagminder_spark.operators.text import (
     word_count,
 )
 from tagminder_spark.queries import QueryFn
-from tagminder_spark.session import load_table, spread
+from tagminder_spark.session import fuse_pandas, load_table, spread
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
@@ -363,9 +363,9 @@ def mm_real_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from tagminder_spark.sources.multimodal import (
-        MEDIA_SCHEMA,
-        decode_and_featurize_images,
+        IMAGE_FEATURES_SCHEMA,
         encode_ppm,
+        image_features_kernel,
     )
 
     d = load_table(spark, sf_dir, "documents").select(
@@ -399,8 +399,13 @@ def mm_real_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["media_id", "kind", "content", "meta"]
             )
 
-    media = spread(d).mapInPandas(synth, MEDIA_SCHEMA)
-    feats = decode_and_featurize_images(media, dim=9)
+    # fused synth→decode→featurize: one Python worker per task, the
+    # container bytes never cross the Arrow boundary (guide §4; see
+    # session.fuse_pandas)
+    feats = spread(d).mapInPandas(
+        fuse_pandas(synth, image_features_kernel(dim=9)),
+        IMAGE_FEATURES_SCHEMA,
+    )
     px = F.col("width") * F.col("height")
     return feats.select(
         "media_id",
@@ -467,9 +472,9 @@ def mm_real_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from tagminder_spark.sources.multimodal import (
-        MEDIA_SCHEMA,
-        decode_and_featurize_images,
+        IMAGE_FEATURES_SCHEMA,
         encode_png,
+        image_features_kernel,
     )
 
     d = load_table(spark, sf_dir, "documents").select(
@@ -510,8 +515,13 @@ def mm_real_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["media_id", "kind", "content", "meta"]
             )
 
-    media = spread(d).mapInPandas(synth, MEDIA_SCHEMA)
-    feats = decode_and_featurize_images(media, dim=9)
+    # fused synth→decode→featurize: one Python worker per task, the
+    # container bytes never cross the Arrow boundary (guide §4; see
+    # session.fuse_pandas)
+    feats = spread(d).mapInPandas(
+        fuse_pandas(synth, image_features_kernel(dim=9)),
+        IMAGE_FEATURES_SCHEMA,
+    )
     px = F.col("width") * F.col("height")
     return feats.select(
         "media_id",
@@ -582,7 +592,6 @@ def mm_real_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from tagminder_spark.sources.jpeg import decode_jpeg, encode_jpeg
-    from tagminder_spark.sources.multimodal import MEDIA_SCHEMA
 
     d = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id")
@@ -644,9 +653,9 @@ def mm_real_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    media = spread(d).mapInPandas(synth, MEDIA_SCHEMA)
-    return media.mapInPandas(
-        featurize,
+    # fused synth→decode→featurize (guide §4; see session.fuse_pandas)
+    return spread(d).mapInPandas(
+        fuse_pandas(synth, featurize),
         "media_id long, width int, height int, sum_all long, "
         "sum_col0 long, sum_col1 long",
     )
@@ -709,8 +718,7 @@ def mm_real_wav_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from tagminder_spark.sources.multimodal import (
-        MEDIA_SCHEMA,
-        chunk_audio,
+        chunk_audio_kernel,
         encode_wav,
     )
 
@@ -739,9 +747,6 @@ def mm_real_wav_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["media_id", "kind", "content", "meta"]
             )
 
-    media = spread(d).mapInPandas(synth, MEDIA_SCHEMA)
-    chunks = chunk_audio(media, window_ms=8, hop_ms=5)
-
     def sums(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
         for pdf in batches:
             out = pdf.copy()
@@ -756,8 +761,9 @@ def mm_real_wav_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "n_bytes", "sample_sum"]
             ]
 
-    return chunks.mapInPandas(
-        sums,
+    # fused synth→decode→chunk→sum (guide §4; see session.fuse_pandas)
+    return spread(d).mapInPandas(
+        fuse_pandas(synth, chunk_audio_kernel(window_ms=8, hop_ms=5), sums),
         "media_id long, chunk_idx int, start_ms long, end_ms long,"
         " n_bytes long, sample_sum long",
     )
@@ -823,8 +829,7 @@ def mm_real_flac_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from tagminder_spark.sources.flac import encode_flac
     from tagminder_spark.sources.multimodal import (
-        MEDIA_SCHEMA,
-        chunk_audio,
+        chunk_audio_kernel,
     )
 
     d = load_table(spark, sf_dir, "documents").select(
@@ -856,9 +861,6 @@ def mm_real_flac_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["media_id", "kind", "content", "meta"]
             )
 
-    media = spread(d).mapInPandas(synth, MEDIA_SCHEMA)
-    chunks = chunk_audio(media, window_ms=8, hop_ms=5)
-
     def sums(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
         for pdf in batches:
             out = pdf.copy()
@@ -873,8 +875,9 @@ def mm_real_flac_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "n_bytes", "sample_sum"]
             ]
 
-    return chunks.mapInPandas(
-        sums,
+    # fused synth→decode→chunk→sum (guide §4; see session.fuse_pandas)
+    return spread(d).mapInPandas(
+        fuse_pandas(synth, chunk_audio_kernel(window_ms=8, hop_ms=5), sums),
         "media_id long, chunk_idx int, start_ms long, end_ms long,"
         " n_bytes long, sample_sum long",
     )
@@ -900,8 +903,7 @@ def mm_real_aiff_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from tagminder_spark.sources.multimodal import (
-        MEDIA_SCHEMA,
-        chunk_audio,
+        chunk_audio_kernel,
         encode_aiff,
     )
 
@@ -933,9 +935,6 @@ def mm_real_aiff_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["media_id", "kind", "content", "meta"]
             )
 
-    media = spread(d).mapInPandas(synth, MEDIA_SCHEMA)
-    chunks = chunk_audio(media, window_ms=8, hop_ms=5)
-
     def sums(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
         for pdf in batches:
             out = pdf.copy()
@@ -953,8 +952,9 @@ def mm_real_aiff_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "n_bytes", "sample_sum"]
             ]
 
-    return chunks.mapInPandas(
-        sums,
+    # fused synth→decode→chunk→sum (guide §4; see session.fuse_pandas)
+    return spread(d).mapInPandas(
+        fuse_pandas(synth, chunk_audio_kernel(window_ms=8, hop_ms=5), sums),
         "media_id long, chunk_idx int, start_ms long, end_ms long,"
         " n_bytes long, sample_sum long",
     )
@@ -993,8 +993,7 @@ def mm_real_wv_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from tagminder_spark.sources.multimodal import (
-        MEDIA_SCHEMA,
-        chunk_audio,
+        chunk_audio_kernel,
     )
     from tagminder_spark.sources.wavpack import encode_wavpack
 
@@ -1025,9 +1024,6 @@ def mm_real_wv_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["media_id", "kind", "content", "meta"]
             )
 
-    media = spread(d).mapInPandas(synth, MEDIA_SCHEMA)
-    chunks = chunk_audio(media, window_ms=8, hop_ms=5)
-
     def sums(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
         for pdf in batches:
             out = pdf.copy()
@@ -1042,8 +1038,9 @@ def mm_real_wv_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "n_bytes", "sample_sum"]
             ]
 
-    return chunks.mapInPandas(
-        sums,
+    # fused synth→decode→chunk→sum (guide §4; see session.fuse_pandas)
+    return spread(d).mapInPandas(
+        fuse_pandas(synth, chunk_audio_kernel(window_ms=8, hop_ms=5), sums),
         "media_id long, chunk_idx int, start_ms long, end_ms long,"
         " n_bytes long, sample_sum long",
     )
@@ -1094,10 +1091,7 @@ def mm_real_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from tagminder_spark.sources.gif import encode_gif
-    from tagminder_spark.sources.multimodal import (
-        MEDIA_SCHEMA,
-        _decode_image_real,
-    )
+    from tagminder_spark.sources.multimodal import _decode_image_real
 
     d = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id")
@@ -1133,8 +1127,6 @@ def mm_real_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["media_id", "kind", "content", "meta"]
             )
 
-    media = spread(d).mapInPandas(synth, MEDIA_SCHEMA)
-
     def feats(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
         for pdf in batches:
             out = []
@@ -1162,8 +1154,9 @@ def mm_real_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "sum_g", "sum_b", "wsum_r"],
             )
 
-    return media.mapInPandas(
-        feats,
+    # fused synth→decode→featurize (guide §4; see session.fuse_pandas)
+    return spread(d).mapInPandas(
+        fuse_pandas(synth, feats),
         "media_id long, width int, height int, sum_r long, sum_g long,"
         " sum_b long, wsum_r long",
     )
@@ -1214,8 +1207,8 @@ def mm_real_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from tagminder_spark.sources.mp4 import make_mp4
     from tagminder_spark.sources.multimodal import (
-        MEDIA_SCHEMA,
-        sample_video_frames,
+        FRAME_SAMPLE_SCHEMA,
+        sample_video_frames_kernel,
     )
 
     d = load_table(spark, sf_dir, "documents").select(
@@ -1247,8 +1240,11 @@ def mm_real_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["media_id", "kind", "content", "meta"]
             )
 
-    media = spread(d).mapInPandas(synth, MEDIA_SCHEMA)
-    frames = sample_video_frames(media, every_ms=250)
+    # fused synth→sample-table walk (guide §4; see session.fuse_pandas)
+    frames = spread(d).mapInPandas(
+        fuse_pandas(synth, sample_video_frames_kernel(every_ms=250)),
+        FRAME_SAMPLE_SCHEMA,
+    )
     return frames.select(
         "media_id",
         F.col("frame_idx").cast("int").alias("frame_idx"),
@@ -1716,9 +1712,9 @@ def mm_real_png16_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from tagminder_spark.sources.multimodal import (
-        MEDIA_SCHEMA,
-        decode_and_featurize_images,
+        IMAGE_FEATURES_SCHEMA,
         encode_png,
+        image_features_kernel,
     )
 
     d = load_table(spark, sf_dir, "documents").select(
@@ -1755,8 +1751,13 @@ def mm_real_png16_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["media_id", "kind", "content", "meta"]
             )
 
-    media = spread(d).mapInPandas(synth, MEDIA_SCHEMA)
-    feats = decode_and_featurize_images(media, dim=9)
+    # fused synth→decode→featurize: one Python worker per task, the
+    # container bytes never cross the Arrow boundary (guide §4; see
+    # session.fuse_pandas)
+    feats = spread(d).mapInPandas(
+        fuse_pandas(synth, image_features_kernel(dim=9)),
+        IMAGE_FEATURES_SCHEMA,
+    )
     px = F.col("width") * F.col("height")
     return feats.select(
         "media_id",
@@ -1822,7 +1823,6 @@ def mm_real_jpeg_prog_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from tagminder_spark.sources.jpeg import decode_jpeg, encode_jpeg
-    from tagminder_spark.sources.multimodal import MEDIA_SCHEMA
 
     d = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id")
@@ -1886,9 +1886,9 @@ def mm_real_jpeg_prog_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    media = spread(d).mapInPandas(synth, MEDIA_SCHEMA)
-    return media.mapInPandas(
-        featurize,
+    # fused synth→decode→featurize (guide §4; see session.fuse_pandas)
+    return spread(d).mapInPandas(
+        fuse_pandas(synth, featurize),
         "media_id long, width int, height int,"
         " sum_all long, sum_col0 long, sum_col1 long",
     )

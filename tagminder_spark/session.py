@@ -106,6 +106,31 @@ def spread(df: DataFrame, parts: int | None = None) -> DataFrame:
     return df.repartition(n)
 
 
+def fuse_pandas(*kernels):
+    """Compose mapInPandas kernels (``Iterator[pd.DataFrame] →
+    Iterator[pd.DataFrame]``) into ONE kernel — put the composition in a
+    single ``mapInPandas`` instead of chaining one per stage.
+
+    Why (guide §4): each chained ``mapInPandas`` node is its own
+    PythonRunner — per task it spawns another Python worker (a 3-stage
+    chain at 32 tasks runs ~96 workers on 32 cores, measured ~50% CPU
+    starvation each) and every intermediate row crosses
+    Python→JVM→Python through Arrow.  For the codec gates the
+    intermediate IS the heavy column (whole synthesized container
+    bytes), so the chain ships the biggest bytes twice for nothing.
+    Fused: one worker per task, zero intermediate crossings; batch
+    boundaries between kernels follow the upstream batch instead of
+    re-batching, which is semantics-neutral for the per-row kernels
+    composed here."""
+
+    def fused(batches):
+        for k in kernels:
+            batches = k(batches)
+        return batches
+
+    return fused
+
+
 _TS_COLS: dict[tuple[str, float, int], tuple[list[str], list[str]]] = {}
 
 

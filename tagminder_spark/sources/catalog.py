@@ -193,9 +193,17 @@ def parse_tags(files: DataFrame) -> DataFrame:
     so throughput scales with executors — the Spark answer to the
     reference's per-drive process pools (tags2db.py:1253-1304).
     """
-    import pandas as pd
+    return files.mapInPandas(
+        parse_tags_kernel("content" in files.columns), PARSED_SCHEMA
+    )
 
-    has_content = "content" in files.columns
+
+def parse_tags_kernel(has_content: bool = True):
+    """The :func:`parse_tags` pandas kernel as a composable factory
+    (``session.fuse_pandas``): the real-parse gate fuses synth → parse
+    into one Python worker per task so the synthesized container bytes
+    never cross the Arrow boundary (guide §4)."""
+    import pandas as pd
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -207,7 +215,7 @@ def parse_tags(files: DataFrame) -> DataFrame:
             ]
             yield pd.DataFrame(rows)
 
-    return files.mapInPandas(run, PARSED_SCHEMA)
+    return run
 
 
 def tags_to_columns(parsed: DataFrame, columns: list[str]) -> DataFrame:

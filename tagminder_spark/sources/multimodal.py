@@ -765,6 +765,16 @@ def decode_and_featurize_images(media: DataFrame, dim: int = 8) -> DataFrame:
     partition behavior, so the pipeline is fully testable here and only
     the kernel swaps on a real cluster image.
     """
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        image_features_kernel(dim), IMAGE_FEATURES_SCHEMA
+    )
+
+
+def image_features_kernel(dim: int = 8):
+    """The :func:`decode_and_featurize_images` pandas kernel as a
+    composable factory (``session.fuse_pandas``) — same rationale as
+    :func:`chunk_audio_kernel`: fused gates keep the synthesized image
+    bytes inside one Python worker.  Non-image rows skip in-kernel."""
     import numpy as np
     import pandas as pd
 
@@ -772,6 +782,8 @@ def decode_and_featurize_images(media: DataFrame, dim: int = 8) -> DataFrame:
         for pdf in batches:
             out = []
             for r in pdf.itertuples():
+                if r.kind != "image":
+                    continue
                 content = r.content or b""
                 try:
                     w, h, arr = _decode_image_real(content)
@@ -799,9 +811,7 @@ def decode_and_featurize_images(media: DataFrame, dim: int = 8) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    return media.filter(F.col("kind") == "image").mapInPandas(
-        run, IMAGE_FEATURES_SCHEMA
-    )
+    return run
 
 
 def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
@@ -818,6 +828,15 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     remaining pyav seam.  Fake path (non-MP4 bytes): one deterministic
     pseudo-frame per second of reported duration, preserving the
     fan-out shape."""
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        sample_video_frames_kernel(every_ms), FRAME_SAMPLE_SCHEMA
+    )
+
+
+def sample_video_frames_kernel(every_ms: int = 1000):
+    """The :func:`sample_video_frames` pandas kernel as a composable
+    factory (``session.fuse_pandas``) — same rationale as
+    :func:`chunk_audio_kernel`.  Non-video rows skip in-kernel."""
     import pandas as pd
 
     from tagminder_spark.sources.mp4 import (
@@ -829,6 +848,8 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples():
+                if r.kind != "video":
+                    continue
                 content = bytes(getattr(r, "content", None) or b"")
                 try:
                     # resolve the WHOLE sample plan (table + every
@@ -876,9 +897,7 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                     )
             yield pd.DataFrame(rows)
 
-    return media.filter(F.col("kind") == "video").mapInPandas(
-        run, FRAME_SAMPLE_SCHEMA
-    )
+    return run
 
 
 AUDIO_CHUNK_SCHEMA = (
@@ -917,6 +936,21 @@ def chunk_audio(
     forever (and ms_per_byte <= 0 makes the byte math nonsense) with no
     error surfacing until the task is killed.
     """
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        chunk_audio_kernel(window_ms, hop_ms, ms_per_byte),
+        AUDIO_CHUNK_SCHEMA,
+    )
+
+
+def chunk_audio_kernel(
+    window_ms: int = 1000, hop_ms: int = 500, ms_per_byte: int = 10
+):
+    """The :func:`chunk_audio` pandas kernel as a composable factory
+    (``session.fuse_pandas``): fused gates run synth → chunk → reduce in
+    ONE Python worker per task so the container bytes never cross the
+    Arrow boundary between stages (guide §4).  Non-audio rows are
+    skipped in-kernel (the DataFrame operator also filters at plan level
+    for scan pruning — a no-op double filter there)."""
     if window_ms <= 0:
         raise ValueError(f"window_ms must be > 0, got {window_ms}")
     if hop_ms <= 0:
@@ -929,6 +963,8 @@ def chunk_audio(
         for pdf in batches:
             rows = []
             for r in pdf.itertuples():
+                if r.kind != "audio":
+                    continue
                 content = bytes(r.content or b"")
                 try:
                     rate, nch, samples = decode_audio(content)
@@ -982,9 +1018,7 @@ def chunk_audio(
                 ],
             )
 
-    return media.filter(F.col("kind") == "audio").mapInPandas(
-        run, AUDIO_CHUNK_SCHEMA
-    )
+    return run
 
 
 def synth_media(spark, n: int = 20) -> DataFrame:
