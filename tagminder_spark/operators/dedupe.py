@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from tagminder_spark.cache import scoped_persist
+from tagminder_spark.session import spread
 
 MERSENNE31 = 2_147_483_647  # 2^31 - 1; keeps a*h+b inside int64
 
@@ -891,9 +892,15 @@ def embedding_lsh_pairs(
     )
     va = norms.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
     vb = norms.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    # spread the BARE candidate pairs before attaching vectors: the
+    # left-fold dot products (interpreted HOFs, one allocation per
+    # element) dominate CPU while AQE sizes the join output at a
+    # handful of tasks. The round-robin exchange carries 16 bytes/pair;
+    # when the norms side broadcasts (it is dim·8 bytes/vector), the
+    # folds inherit the full parallelism with no heavy exchange at all
+    # (guide §2.5/§2.3 — shuffle keys, not payloads).
     return (
-        candidates.join(va, "id_a")
-        .join(vb, "id_b")
+        spread(candidates).join(va, "id_a").join(vb, "id_b")
         .select(
             "id_a",
             "id_b",

@@ -29,7 +29,7 @@ from tagminder_spark.operators.dedupe import (
     simhash_pairs,
 )
 from tagminder_spark.queries import QueryFn
-from tagminder_spark.session import load_table
+from tagminder_spark.session import load_table, spread
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
@@ -333,7 +333,7 @@ def d_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     The deterministic ±1 hyperplanes are shared with the oracle, so the
     approximate pipeline is exactly checked. This is the scale path that
     replaces d_embedding_neardup's all-pairs join for pair mining."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread(load_table(spark, sf_dir, "embeddings"))
     return embedding_lsh_pairs(
         e, "vec_id", "embedding", dim=_EMB_DIM, bits=_EMB_BITS,
         bands=_EMB_BANDS, threshold=0.4, max_bucket=None,
@@ -370,7 +370,7 @@ def d_embedding_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     a user gets without reading the sizing docstring; the fixed-4-bit
     variant (d_embedding_lsh) stays gated as the deliberate narrow-band
     recall configuration."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread(load_table(spark, sf_dir, "embeddings"))
     return embedding_lsh_pairs(
         e, "vec_id", "embedding", dim=_EMB_DIM, threshold=0.4
     )
@@ -531,7 +531,7 @@ def d_semantic_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     components group semantic near-duplicates, and the min vec_id is
     elected keeper per cluster. Same candidate→verify→cluster→elect
     chain as the text path, over the embedding modality."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread(load_table(spark, sf_dir, "embeddings"))
     pairs = embedding_lsh_pairs(
         e, "vec_id", "embedding", dim=_EMB_DIM, bits=_EMB_BITS,
         bands=_EMB_BANDS, threshold=0.4, max_bucket=None,
