@@ -74,11 +74,20 @@ def connected_components(
                 .groupBy(F.col("a").alias("node"))
                 .agg(F.min("component").alias("nmin"))
             )
+            new_component = F.least(
+                F.col("component"), F.coalesce("nmin", F.col("component"))
+            )
             new_labels = labels.join(neighbor_min, "node", "left").select(
                 "node",
-                F.least(
-                    F.col("component"), F.coalesce("nmin", F.col("component"))
-                ).alias("component"),
+                new_component.alias("component"),
+                # labels are monotonically non-increasing, so "changed"
+                # is exactly "new < old" — computed IN the round's plan
+                # so the convergence check below needs no join against
+                # the previous labels frame (round 13: the old
+                # join+limit(1).count() was a SECOND job per round; the
+                # flag + full count folds materialization and the check
+                # into one job per round)
+                (new_component < F.col("component")).alias("__changed"),
             )
             # Lineage MUST be truncated every round, not just cached: the
             # round's plan references the previous labels frame several
@@ -86,20 +95,18 @@ def connected_components(
             # persist caches data but analysis/optimization still walks
             # the exponentially-growing tree (measured 13 s → 36 s →
             # 222 s per round by iteration 7, ending in a JVM stack
-            # overflow printing the plan). Eager localCheckpoint cuts the
-            # plan to a leaf; a supplied reliable checkpointer replaces
-            # it every checkpoint_every rounds for executor-loss safety.
+            # overflow printing the plan). localCheckpoint cuts the plan
+            # to a leaf (lazy: the changed-count below materializes every
+            # partition — a full count, deliberately not limit(1), which
+            # would leave the checkpoint partially computed and re-run
+            # the fill from lineage); a supplied reliable checkpointer
+            # replaces it every checkpoint_every rounds for
+            # executor-loss safety.
             if checkpointer is not None and (it + 1) % checkpoint_every == 0:
                 new_labels = checkpointer(new_labels)
             else:
-                new_labels = new_labels.localCheckpoint(eager=True)
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.component") != F.col("o.component"))
-                .limit(1)
-                .count()
-            )
+                new_labels = new_labels.localCheckpoint(eager=False)
+            changed = new_labels.filter(F.col("__changed")).count()
             if it == 0:
                 # only the round-0 labels frame is cache-manager persisted;
                 # later rounds are checkpoint frames, whose blocks are NOT
