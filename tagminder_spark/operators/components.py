@@ -53,6 +53,13 @@ def connected_components(
     reliable checkpoint also survives executor loss mid-propagation.
     Default None keeps the persist-only behavior — right for the short
     diameters of near-dup clusters at gate scale.
+
+    Checkpointer contract: it receives the round's full label frame —
+    ``(node, component, __changed)`` — and MUST return it with ALL
+    columns intact (``__changed`` drives the convergence check). A
+    checkpointer that normalizes to the documented two-column output
+    schema (e.g. round-trips through a fixed-schema table) will raise
+    ``AnalysisException`` here; wrap it to pass unknown columns through.
     """
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))

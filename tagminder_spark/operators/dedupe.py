@@ -898,7 +898,12 @@ def embedding_lsh_pairs(
     # handful of tasks. The round-robin exchange carries 16 bytes/pair;
     # when the norms side broadcasts (it is dim·8 bytes/vector), the
     # folds inherit the full parallelism with no heavy exchange at all
-    # (guide §2.5/§2.3 — shuffle keys, not payloads).
+    # (guide §2.5/§2.3 — shuffle keys, not payloads). ASSUMPTION: the
+    # spread only pays while the norms side fits the broadcast
+    # threshold; past it the planner hash-partitions the pairs right
+    # after the round-robin exchange (one extra 16-byte/pair shuffle —
+    # bounded overhead, and the fold parallelism then comes from the
+    # hash exchange itself).
     return (
         spread(candidates).join(va, "id_a").join(vb, "id_b")
         .select(

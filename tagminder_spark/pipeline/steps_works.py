@@ -119,66 +119,68 @@ def step22_work_inference(
             F.max("exact_workid").alias("exact_workid"),
         )
     )
-    # The candidate set feeds both the person-corroboration join and the
-    # final ranking — persist it once instead of recomputing the three
-    # candidate joins per consumer (the plan otherwise re-scans the fact
-    # tables for every downstream branch).
-    cands = cands.persist()
 
-    # person corroboration: track role tokens × work people_<role>,
-    # distinct persons per (track, work, role), capped-weighted sum.
-    track_people = None
+    # person corroboration as set arithmetic (optimization round 14,
+    # guide §2.3/§2.4): the per-(track, work, role) distinct-match count
+    # is |distinct_norm(track tokens) ∩ distinct_norm(work tokens)| —
+    # computed with array_intersect on token arrays attached to the
+    # candidate row, instead of the former explode → candidate join →
+    # dropDuplicates → pivot → re-join chain (four shuffles and a
+    # multi-million-row exploded intermediate; the arrays are a handful
+    # of short names per cell, so carrying them is cheaper than
+    # exploding them). Roles present on only one side can never match —
+    # identical to the old role-keyed equi-join.
+    common_roles = [
+        r
+        for r in roles
+        if r in tracks.columns and f"people_{r}" in works.columns
+    ]
+    # preserve the scoring contract: every requested role must have a rule
     for r in roles:
-        if r not in tracks.columns:
-            continue
-        tp = tracks.select(
-            "__path",
-            F.lit(r).alias("role"),
-            F.explode(mv_tokens(F.col(r))).alias("p"),
-        ).withColumn("person_norm", _norm(F.col("p")))
-        track_people = tp if track_people is None else track_people.unionByName(tp)
-    work_people = None
-    for r in roles:
-        col = f"people_{r}"
-        if col not in works.columns:
-            continue
-        wp = w_base.select(
-            "work_id",
-            F.lit(r).alias("role"),
-            F.explode(mv_tokens(F.col(col))).alias("wp"),
-        ).withColumn("person_norm", _norm(F.col("wp")))
-        work_people = wp if work_people is None else work_people.unionByName(wp)
-
-    if track_people is not None and work_people is not None:
-        # Candidate-driven: restrict to candidate (track, work) pairs FIRST,
-        # then match persons on the selective (work_id, role, person_norm)
-        # key. Joining track×work people on person_norm alone is quadratic
-        # in person frequency — 50× slower at sf0.1, fatal at 100 TB.
-        matched = (
-            cands.select("__path", "work_id")
-            .join(track_people, "__path")
-            .join(work_people, ["work_id", "role", "person_norm"], "inner")
-            .select("__path", "work_id", "role", "person_norm")
-            .dropDuplicates()
+        ROLE_SCORE_RULES[r]
+    if common_roles:
+        norm_set = lambda c: F.array_distinct(  # noqa: E731
+            F.transform(mv_tokens(c), _norm)
         )
-        role_counts = matched.groupBy("__path", "work_id").pivot(
-            "role", list(roles)
-        ).count().na.fill(0)
+        tp_arrays = tracks.select(
+            "__path",
+            *[norm_set(F.col(r)).alias(f"__tp_{r}") for r in common_roles],
+        )
+        wp_arrays = w_base.select(
+            "work_id",
+            *[
+                norm_set(F.col(f"people_{r}")).alias(f"__wp_{r}")
+                for r in common_roles
+            ],
+        )
+        n_match = {
+            r: F.size(
+                F.array_intersect(
+                    F.coalesce(F.col(f"__tp_{r}"), F.array()),
+                    F.coalesce(F.col(f"__wp_{r}"), F.array()),
+                )
+            )
+            for r in common_roles
+        }
         score_expr = None
-        for r in roles:
+        match_expr = None
+        for r in common_roles:
             cap, weight = ROLE_SCORE_RULES[r]
             s = F.when(
-                F.col(r) > 0, F.least(F.lit(cap), F.col(r) * weight)
+                n_match[r] > 0, F.least(F.lit(cap), n_match[r] * weight)
             ).otherwise(F.lit(0))
             score_expr = s if score_expr is None else score_expr + s
-        people = role_counts.select(
-            "__path",
-            "work_id",
-            score_expr.cast("long").alias("people_score"),
-            F.lit(True).alias("person_match"),
-        )
-        cands = cands.join(people, ["__path", "work_id"], "left").na.fill(
-            {"people_score": 0, "person_match": False}
+            m = n_match[r] > 0
+            match_expr = m if match_expr is None else match_expr | m
+        cands = (
+            cands.join(wp_arrays, "work_id")
+            .join(tp_arrays, "__path")
+            .withColumn("people_score", score_expr.cast("long"))
+            .withColumn("person_match", match_expr)
+            .drop(
+                *[f"__tp_{r}" for r in common_roles],
+                *[f"__wp_{r}" for r in common_roles],
+            )
         )
     else:
         cands = cands.withColumn("people_score", F.lit(0)).withColumn(

@@ -16,7 +16,7 @@ from tagminder_spark.pipeline import (
     step22_work_inference,
 )
 from tagminder_spark.queries import QueryFn
-from tagminder_spark.session import load_table
+from tagminder_spark.session import load_table, spread
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
@@ -138,7 +138,15 @@ def pl_step22_works(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("people_composer"),
         F.concat(F.lit("lyr "), (pk % 30).cast("string")).alias("people_lyricist"),
     )
-    o = load_table(spark, sf_dir, "orders")
+    # fixture-level spread (optimization round 14): the single-split
+    # orders scan otherwise computes the tracks synthesis AND the
+    # person-array normalization (regex per role token, broadcast-built
+    # for the corroboration join) in 1-3 tasks; round-robin the bare
+    # 8-byte key first (guide §2.5 — shuffle keys, not payloads). An
+    # earlier whole-fixture spread was a net loss when the corroboration
+    # path still exploded per-person rows; re-measured after the round-14
+    # array-intersect restructure: 4.1/3.6 s control vs 3.0 s spread.
+    o = spread(load_table(spark, sf_dir, "orders").select("o_orderkey"))
     k = F.col("o_orderkey")
     tracks = o.select(
         F.concat(F.lit("p"), k).alias("__path"),

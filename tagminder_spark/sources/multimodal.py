@@ -809,7 +809,10 @@ def image_features_kernel(dim: int = 8):
                         "feature": feat.tolist(),
                     }
                 )
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "width", "height", "channels", "feature"],
+            )
 
     return run
 
@@ -895,7 +898,9 @@ def sample_video_frames_kernel(every_ms: int = 1000):
                             "frame_png": seed,
                         }
                     )
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "frame_png"]
+            )
 
     return run
 

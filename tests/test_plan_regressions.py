@@ -25,7 +25,12 @@ BOUNDS: dict[str, tuple[int, int, bool]] = {
     "j_broadcast_dim": (1, 1, True),
     "d_minhash_lsh": (9, 0, False),
     "d_embedding_lsh_scaled": (3, 0, False),
-    "pl_step22_works": (9, 8, False),
+    # 9→3 shuffles / 8→5 broadcasts with the round-14 corroboration
+    # restructure: the explode → candidate-join → dropDuplicates →
+    # pivot → re-join person chain (4 shuffles, 3 of the broadcasts)
+    # collapsed into array_intersect arithmetic on the candidate row;
+    # executor CPU 227 s → 44 s at sf0.1, oracle value-exact.
+    "pl_step22_works": (3, 5, False),
     "g_cooccurrence_edges": (3, 0, False),
     # 23 -> 26 with the round-13 stage-flag persists (commit 692291a):
     # caching the slim per-stage flag frames replaces re-derived
