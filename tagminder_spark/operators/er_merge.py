@@ -106,28 +106,42 @@ def staged_positional_match(
         r_res = r_res.join(m.select(right_id), right_id, "left_anti")
         if right_quarantine and name in right_quarantine:
             qcol = right_quarantine[name]
-            dup = (
-                r_res.filter(F.col(qcol).isNotNull())
-                .groupBy(qcol)
-                .agg(F.count(F.lit(1)).alias("__n"))
-                .filter(F.col("__n") > 1)
-                .select(qcol)
+            # count-window form, same rationale as unique_on: the old
+            # groupBy + anti-join computed r_res twice and added a
+            # broadcast build; NULL qcol rows are never quarantined
+            # (they all land in one window partition, where the
+            # non-null count is 0 for them by the filter below).
+            r_res = (
+                r_res.withColumn(
+                    "__qn",
+                    F.count(F.when(F.col(qcol).isNotNull(), F.lit(1))).over(
+                        W.partitionBy(qcol)
+                    ),
+                )
+                .filter(F.col(qcol).isNull() | (F.col("__qn") <= 1))
+                .drop("__qn")
             )
-            r_res = r_res.join(dup, qcol, "left_anti")
     return matches, l_res, r_res
 
 
 def unique_on(df: DataFrame, col: str) -> DataFrame:
     """Rows whose non-null ``col`` value occurs exactly once — the
-    reference's both-side uniqueness guard (:1965-1972, :2504-2519)."""
-    ok = (
+    reference's both-side uniqueness guard (:1965-1972, :2504-2519).
+
+    One count-window over ``col`` instead of groupBy + semi-join
+    (optimization round 14): the join form computed ``df`` twice (once
+    under the aggregate, once as probe side) and added a broadcast
+    build per call — 3 extra plan levels × 8 call sites in a merge
+    whose wall-clock is stage-count-bound (each stage pays a fixed
+    scheduling latency; the frames here are small keyed maps). Row set
+    is identical: non-null values kept iff their count is exactly 1.
+    """
+    return (
         df.filter(F.col(col).isNotNull())
-        .groupBy(col)
-        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__n", F.count(F.lit(1)).over(W.partitionBy(col)))
         .filter(F.col("__n") == 1)
-        .select(col)
+        .drop("__n")
     )
-    return df.join(ok, col)
 
 
 def consistent(a: Column, b: Column) -> Column:
